@@ -1,0 +1,12 @@
+"""Sinks: engine-managed versioned tables + keyed idempotent upsert.
+
+Parity targets: the reference's batched ``INSERT … ON CONFLICT (pk) DO
+UPDATE`` writer (``src/handlers/dbUpsert.ts:50-85``), its DDL creator
+(``src/handlers/dbCreator.ts:180-223``) and its atomic blue/green
+schema swap (``src/handlers/schema.ts:10-49``).
+"""
+
+from rootstock_collective_state_sync_spark.sinks.table import TableCatalog, VersionedTable
+from rootstock_collective_state_sync_spark.sinks.upsert import merge_upsert, prepare_batch
+
+__all__ = ["TableCatalog", "VersionedTable", "merge_upsert", "prepare_batch"]

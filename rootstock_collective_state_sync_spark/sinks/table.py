@@ -1,0 +1,336 @@
+"""Versioned, hash-bucketed Parquet table store.
+
+Why not plain ``df.write.parquet(path, mode="overwrite")``: the engine
+needs (a) keyed upserts that do NOT rewrite the whole table, (b)
+atomic publish, and (c) point-in-time restore for blockchain reorg
+rollback (reference ``reorgCleanupStrategy.ts:21-56``). On a managed
+deployment these are Delta/Iceberg features; this module is a small
+self-contained equivalent so the engine runs anywhere Spark + a
+filesystem exist.
+
+Layout (all data files immutable):
+
+    <root>/<table>/
+        _versions/v0000000001.json   # manifest per version
+        _CURRENT                     # pointer file: current version no
+        data/<txid>/bucket=<k>/*.parquet
+
+A manifest maps bucket-id -> list of data files and carries the
+schema, merge keys, and arbitrary engine metadata (e.g. the block
+watermark). Commits are optimistic: write a new manifest, then
+atomically swing ``_CURRENT`` (``os.replace``); writers retry on
+version races with exponential backoff — the engine analog of the
+reference's retry policy (``dbUpsert.ts:25-48``).
+
+Scale design: rows are hash-partitioned into ``num_buckets`` by merge
+key. An upsert touches only the buckets its batch keys hash into, so
+merge cost is proportional to batch size, not table size — at 100 TB
+with 2^14 buckets a 1 M-row batch rewrites a few GB, never the table.
+Bucket count is fixed at table-creation (like Hive/Spark bucketing) so
+key -> bucket is stable across versions; co-bucketed tables can join
+without a shuffle by reading matching buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+BUCKET_COL = "__bucket"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer advanced the table version during our commit."""
+
+
+@dataclass
+class Manifest:
+    version: int
+    schema_json: str
+    merge_keys: list[str]
+    num_buckets: int
+    buckets: dict[str, list[str]]  # bucket id (str) -> relative file paths
+    meta: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "schema": self.schema_json,
+                "mergeKeys": self.merge_keys,
+                "numBuckets": self.num_buckets,
+                "buckets": self.buckets,
+                "meta": self.meta,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Manifest":
+        d = json.loads(s)
+        return cls(
+            version=d["version"],
+            schema_json=d["schema"],
+            merge_keys=d["mergeKeys"],
+            num_buckets=d["numBuckets"],
+            buckets=d["buckets"],
+            meta=d.get("meta", {}),
+        )
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+
+def bucket_expr(keys: list[str], num_buckets: int):
+    """Stable key -> bucket assignment (hash of concatenated keys)."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast("int")
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, path: str | Path):
+        self.spark = spark
+        self.path = Path(path)
+
+    # ---- metadata plumbing -------------------------------------------------
+
+    @property
+    def _versions_dir(self) -> Path:
+        return self.path / "_versions"
+
+    @property
+    def _pointer(self) -> Path:
+        return self.path / "_CURRENT"
+
+    def exists(self) -> bool:
+        return self._pointer.exists()
+
+    def current_version(self) -> int:
+        return int(self._pointer.read_text().strip())
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        v = self.current_version() if version is None else version
+        return Manifest.from_json((self._versions_dir / f"v{v:010d}.json").read_text())
+
+    def _commit(self, m: Manifest, expected_prev: int) -> None:
+        """Optimistic commit: fail if someone advanced past expected_prev."""
+        mf = self._versions_dir / f"v{m.version:010d}.json"
+        if mf.exists():
+            raise CommitConflict(f"version {m.version} already committed")
+        if self.current_version() != expected_prev:
+            raise CommitConflict(
+                f"expected v{expected_prev}, found v{self.current_version()}"
+            )
+        mf.write_text(m.to_json())
+        tmp = self.path / f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}"
+        tmp.write_text(str(m.version))
+        os.replace(tmp, self._pointer)  # atomic publish
+
+    # ---- DDL ---------------------------------------------------------------
+
+    def create(
+        self,
+        schema: T.StructType,
+        merge_keys: list[str],
+        num_buckets: int = 16,
+        meta: dict[str, Any] | None = None,
+    ) -> "VersionedTable":
+        """CREATE TABLE (empty v1). Errors if it already exists
+        (idempotent callers use ``create_if_not_exists``)."""
+        if self.exists():
+            raise FileExistsError(f"table already exists at {self.path}")
+        for k in merge_keys:
+            if k not in schema.names:
+                raise ValueError(f"merge key {k!r} not in schema {schema.names}")
+        self.path.mkdir(parents=True, exist_ok=True)
+        self._versions_dir.mkdir(exist_ok=True)
+        (self.path / "data").mkdir(exist_ok=True)
+        m = Manifest(
+            version=1,
+            schema_json=json.dumps(schema.jsonValue()),
+            merge_keys=list(merge_keys),
+            num_buckets=num_buckets,
+            buckets={},
+            meta=meta or {},
+        )
+        mf = self._versions_dir / "v0000000001.json"
+        mf.write_text(m.to_json())
+        tmp = self.path / "_CURRENT.tmp"
+        tmp.write_text("1")
+        os.replace(tmp, self._pointer)
+        return self
+
+    def create_if_not_exists(self, schema, merge_keys, num_buckets=16) -> bool:
+        if self.exists():
+            return False
+        self.create(schema, merge_keys, num_buckets)
+        return True
+
+    # ---- read --------------------------------------------------------------
+
+    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Read a snapshot (optionally bucket-pruned) as a DataFrame."""
+        m = self.manifest(version)
+        wanted = (
+            list(m.buckets)
+            if buckets is None
+            else [str(b) for b in buckets if str(b) in m.buckets]
+        )
+        files = [str(self.path / f) for b in wanted for f in m.buckets[b]]
+        if not files:
+            return self.spark.createDataFrame([], m.schema)
+        # mergeSchema off + explicit schema: pure columnar scan, no footer inference
+        return self.spark.read.schema(m.schema).parquet(*files)
+
+    # ---- write -------------------------------------------------------------
+
+    def _write_tx(self, df: DataFrame, num_buckets: int, keys: list[str]) -> dict[str, list[str]]:
+        """Write df into a fresh tx dir partitioned by bucket; return
+        bucket -> relative file list."""
+        txid = f"tx-{uuid.uuid4().hex[:12]}"
+        out = self.path / "data" / txid
+        (
+            df.withColumn(BUCKET_COL, bucket_expr(keys, num_buckets))
+            # one shuffle, co-locating each bucket into one task's output
+            .repartition(F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("error")
+            .parquet(str(out))
+        )
+        buckets: dict[str, list[str]] = {}
+        for bdir in sorted(out.glob(f"{BUCKET_COL}=*")):
+            b = bdir.name.split("=", 1)[1]
+            rel = [
+                str(p.relative_to(self.path))
+                for p in sorted(bdir.glob("*.parquet"))
+            ]
+            if rel:
+                buckets[b] = rel
+        return buckets
+
+    def overwrite(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
+        """Full-snapshot replace (atomic). The engine's blue/green swap:
+        readers on the old version are unaffected until the pointer
+        swings (reference ``schema.ts:10-49`` semantics)."""
+        prev = self.manifest()
+        df = df.select(*prev.schema.names)
+        new_buckets = self._write_tx(df, prev.num_buckets, prev.merge_keys)
+        m = Manifest(
+            version=prev.version + 1,
+            schema_json=prev.schema_json,
+            merge_keys=prev.merge_keys,
+            num_buckets=prev.num_buckets,
+            buckets=new_buckets,
+            meta={**prev.meta, **(meta or {})},
+        )
+        self._commit(m, prev.version)
+        return m.version
+
+    def commit_buckets(
+        self,
+        replaced: dict[str, list[str]],
+        expected_prev: int,
+        meta: dict[str, Any] | None = None,
+    ) -> int:
+        """Commit a new version replacing only the given buckets'
+        file lists (used by the merge sink)."""
+        prev = self.manifest(expected_prev)
+        buckets = dict(prev.buckets)
+        for b, files in replaced.items():
+            if files:
+                buckets[b] = files
+            else:
+                buckets.pop(b, None)
+        m = Manifest(
+            version=expected_prev + 1,
+            schema_json=prev.schema_json,
+            merge_keys=prev.merge_keys,
+            num_buckets=prev.num_buckets,
+            buckets=buckets,
+            meta={**prev.meta, **(meta or {})},
+        )
+        self._commit(m, expected_prev)
+        return m.version
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... VERSION AS OF — the reorg fast path.
+
+        Data files are immutable, so restoring is just committing a new
+        version whose manifest equals the old one."""
+        target = self.manifest(version)
+        prev = self.current_version()
+        m = Manifest(
+            version=prev + 1,
+            schema_json=target.schema_json,
+            merge_keys=target.merge_keys,
+            num_buckets=target.num_buckets,
+            buckets=target.buckets,
+            meta={**target.meta, "restoredFrom": version},
+        )
+        self._commit(m, prev)
+        return m.version
+
+    def history(self) -> list[dict[str, Any]]:
+        out = []
+        for p in sorted(self._versions_dir.glob("v*.json")):
+            d = json.loads(p.read_text())
+            out.append({"version": d["version"], "meta": d.get("meta", {})})
+        return out
+
+
+class TableCatalog:
+    """All engine-managed tables under one root directory; the analog
+    of the reference's Postgres schema (``searchPath``,
+    ``src/context/db.ts:33-40``)."""
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+
+    def table(self, name: str) -> VersionedTable:
+        return VersionedTable(self.spark, self.root / name)
+
+    def list_tables(self) -> list[str]:
+        if not self.root.exists():
+            return []
+        return sorted(
+            p.name for p in self.root.iterdir() if (p / "_CURRENT").exists()
+        )
+
+    def create_all(
+        self,
+        schemas: dict[str, T.StructType],
+        merge_keys: dict[str, list[str]],
+        num_buckets: int = 16,
+    ) -> list[str]:
+        """CREATE TABLE IF NOT EXISTS for every compiled entity; returns
+        names actually created (reference ``createDb``,
+        ``dbCreator.ts:180-223``, create-missing-only mode)."""
+        created = []
+        for name, schema in schemas.items():
+            if self.table(name).create_if_not_exists(schema, merge_keys[name], num_buckets):
+                created.append(name)
+        return created
+
+
+def with_retry(fn, max_retries: int = 3, initial_delay: float = 0.1):
+    """Exponential-backoff retry around a commit-ish callable
+    (reference ``withRetry``, ``dbUpsert.ts:25-48``: delay doubles per
+    attempt)."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except CommitConflict:
+            if attempt >= max_retries:
+                raise
+            time.sleep(initial_delay * (2**attempt))
+            attempt += 1
