@@ -1,0 +1,74 @@
+"""Query registry: name -> (Spark plan, DuckDB oracle SQL).
+
+This is the driver-facing conformance inventory (``__spark_entry__.py``
+re-exports it). Every implemented operator from SURVEY.md §2 appears
+here; entries without an oracle are genuinely non-SQL-expressible and
+get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rootstock_collective_state_sync_spark.plans import relational as R
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+
+
+SPECS: dict[str, QuerySpec] = {
+    # aggregations
+    "q1_pricing_summary": QuerySpec(R.q1_pricing_summary, R.Q1_ORACLE, ("agg", "bench")),
+    "watermark_max_block": QuerySpec(R.q_watermark_max_block, R.Q_WATERMARK_ORACLE, ("agg",)),
+    "group_count": QuerySpec(R.q_group_count, R.Q_GROUP_COUNT_ORACLE, ("agg",)),
+    "distinct_set": QuerySpec(R.q_distinct_set, R.Q_DISTINCT_SET_ORACLE, ("agg",)),
+    "rollup_status_priority": QuerySpec(R.q_rollup_status_priority, R.Q_ROLLUP_ORACLE, ("agg",)),
+    # filters
+    "filter_range_scan": QuerySpec(R.q_filter_range_scan, R.Q_FILTER_RANGE_ORACLE, ("filter",)),
+    "filter_isin_enum": QuerySpec(R.q_filter_isin_enum, R.Q_FILTER_ISIN_ORACLE, ("filter",)),
+    "keyset_page": QuerySpec(R.q_keyset_page, R.Q_KEYSET_PAGE_ORACLE, ("filter",)),
+    "changelog_incremental": QuerySpec(
+        R.q_changelog_incremental, R.Q_CHANGELOG_INCR_ORACLE, ("filter", "cdc")
+    ),
+    # joins
+    "fk_deref_join": QuerySpec(R.q_fk_deref_join, R.Q_FK_DEREF_ORACLE, ("join",)),
+    "broadcast_enrich_diff": QuerySpec(
+        R.q_broadcast_enrich_diff, R.Q_BROADCAST_ENRICH_ORACLE, ("join", "bench")
+    ),
+    "semi_join": QuerySpec(R.q_semi_join, R.Q_SEMI_JOIN_ORACLE, ("join",)),
+    "anti_join": QuerySpec(R.q_anti_join, R.Q_ANTI_JOIN_ORACLE, ("join",)),
+    "q3_shipping_priority": QuerySpec(R.q3_shipping_priority, R.Q3_ORACLE, ("join", "bench")),
+    "q5_local_supplier_volume": QuerySpec(
+        R.q5_local_supplier_volume, R.Q5_ORACLE, ("join", "bench")
+    ),
+    # sort / limit / top-k
+    "top1_latest": QuerySpec(R.q_top1_latest, R.Q_TOP1_ORACLE, ("sort",)),
+    "topk_per_group": QuerySpec(R.q_topk_per_group, R.Q_TOPK_PER_GROUP_ORACLE, ("sort",)),
+    # set ops
+    "union_distinct": QuerySpec(R.q_union_distinct, R.Q_UNION_DISTINCT_ORACLE, ("setop",)),
+    "except_missing": QuerySpec(R.q_except_missing, R.Q_EXCEPT_ORACLE, ("setop",)),
+    # scalar functions
+    "enum_label": QuerySpec(R.q_enum_label, R.Q_ENUM_LABEL_ORACLE, ("scalar",)),
+    "bigint_arith": QuerySpec(R.q_bigint_arith, R.Q_BIGINT_ARITH_ORACLE, ("scalar",)),
+    "hex_roundtrip": QuerySpec(R.q_hex_roundtrip, R.Q_HEX_ORACLE, ("scalar",)),
+    "camel_case": QuerySpec(R.q_camel_case, R.Q_CAMEL_ORACLE, ("scalar",)),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in SPECS.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle.strip() for name, spec in SPECS.items() if spec.oracle}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.fn for n, s in SPECS.items() if "bench" in s.tags}

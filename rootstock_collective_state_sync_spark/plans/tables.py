@@ -1,0 +1,49 @@
+"""Test-data table access.
+
+The driver materializes a TPC-H-ish star schema plus ``events``
+(stream analog), ``documents`` and ``embeddings`` (training-data
+pipeline analogs) as one Parquet file per table
+(``/root/repo/TESTDATA.md``). Reading them with an explicit
+``spark.read.parquet`` keeps predicate pushdown and column pruning
+fully available to Catalyst (check ``PushedFilters``/``ReadSchema``
+in ``.explain``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    # reader cannot represent natively: read it as long nanos and
+    # convert (floor to micros — same truncation DuckDB applies).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for the SQL surface)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

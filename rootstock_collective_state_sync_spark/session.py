@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # deterministic decimal behavior for uint256-ish arithmetic
         .config("spark.sql.decimalOperations.allowPrecisionLoss", "false")
+        # TIMESTAMP(NANOS) parquet columns surface as LongType instead
+        # of erroring (converted back to timestamps in plans/tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
