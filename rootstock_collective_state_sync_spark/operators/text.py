@@ -1,0 +1,156 @@
+"""Text analysis operators: tokenization, quality scoring, language
+ID, fingerprinting, token counting.
+
+All column expressions use JVM built-ins (split/filter/transform/
+aggregate) — no Python UDFs — so they run inside whole-stage codegen
+and scale linearly with partition count. Hashes are md5 (portable to
+the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language ID. Deliberately small and deterministic: the operator
+# demonstrates the scale pattern (broadcast map-side scoring, no
+# shuffle); swap in real lists for production.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "de", "que", "para"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Lower-cased alnum tokens (empty strings filtered)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over a token array; empty when fewer than
+    ``n`` tokens (guarded: Spark's ``sequence(1, 0)`` would descend)."""
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def quality_features(text_col: Column) -> dict[str, Column]:
+    """Deterministic quality-score feature set (length, type-token
+    ratio, mean token length, punctuation density)."""
+    tok = tokens(text_col)
+    n_tok = F.size(tok)
+    n_uniq = F.size(F.array_distinct(tok))
+    n_chars = F.length(text_col)
+    punct = F.length(F.regexp_replace(text_col, "[^.!?,;]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "n_uniq_tokens": n_uniq,
+        "ttr": F.round(n_uniq.cast("double") / F.greatest(n_tok, F.lit(1)), 6),
+        "mean_tok_len": F.round(
+            F.aggregate(
+                tok, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ),
+        "punct_ratio": F.round(
+            punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6
+        ),
+    }
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integral division on long columns (no float path):
+    ``(a - a % b) / b`` is an exact integer, representable in double,
+    cast back to long."""
+    return ((a - a % b) / b).cast("long")
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite [0,1] quality score: rewards length (saturating at 64
+    tokens) and lexical diversity, penalizes punctuation walls.
+
+    Computed entirely in integer micro-units and divided by 1e7 at the
+    very end: no intermediate float rounding, so the value is
+    bit-identical across engines (float round-half behavior differs
+    between Spark's HALF_UP and IEEE half-even).
+    """
+    tok = tokens(text_col)
+    n_tok = F.greatest(F.size(tok), F.lit(1)).cast("long")
+    n_uniq = F.size(F.array_distinct(tok)).cast("long")
+    n_chars = F.greatest(F.length(text_col), F.lit(1)).cast("long")
+    n_punct = F.length(F.regexp_replace(text_col, "[^.!?,;]", "")).cast("long")
+    length_term_e6 = F.least(n_tok * 15625, F.lit(1000000).cast("long"))
+    ttr_e6 = _idiv(n_uniq * 1000000, n_tok)
+    punct_e6 = _idiv(n_punct * 1000000, n_chars)
+    punct_term_e6 = F.lit(1000000).cast("long") - F.least(
+        punct_e6 * 10, F.lit(1000000).cast("long")
+    )
+    quality_e7 = 5 * length_term_e6 + 4 * ttr_e6 + punct_term_e6
+    return quality_e7.cast("double") / F.lit(10000000.0)
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (score = hits / tokens)."""
+    tok = tokens(text_col)
+    n_tok = F.greatest(F.size(tok), F.lit(1))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        hits = F.size(
+            F.array_intersect(F.array_distinct(tok), F.array(*[F.lit(w) for w in words]))
+        )
+        out[lang] = F.round(hits.cast("double") / n_tok, 6)
+    return out
+
+
+def lang_id(text_col: Column, default: str = "und") -> Column:
+    """argmax over :func:`lang_scores`; ``und`` when nothing matched.
+    Deterministic tie-break: language name ascending."""
+    scores = lang_scores(text_col)
+    best = None
+    for lang in sorted(scores):  # ascending name = stable tie-break
+        cand = scores[lang]
+        if best is None:
+            best, best_lang = cand, F.lit(lang)
+        else:
+            take = cand > best
+            best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+            best = F.when(take, cand).otherwise(best)
+    return F.when(best > 0, best_lang).otherwise(F.lit(default))
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Canonical content fingerprint: md5 of the sorted distinct token
+    set — robust to token order and duplication (the set-based analog
+    of a rolling-hash fingerprint; portable to the SQL oracle)."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))).cast(
+            "binary"
+        )
+    )
+
+
+def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family to a document df."""
+    c = F.col(text_col)
+    feats = quality_features(c)
+    return df.select(
+        "*",
+        *[v.alias(k) for k, v in feats.items()],
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

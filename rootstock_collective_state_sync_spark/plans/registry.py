@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from rootstock_collective_state_sync_spark.plans import relational as R
+from rootstock_collective_state_sync_spark.plans import training as TR
 
 
 @dataclass(frozen=True)
@@ -59,6 +60,36 @@ SPECS: dict[str, QuerySpec] = {
     "bigint_arith": QuerySpec(R.q_bigint_arith, R.Q_BIGINT_ARITH_ORACLE, ("scalar",)),
     "hex_roundtrip": QuerySpec(R.q_hex_roundtrip, R.Q_HEX_ORACLE, ("scalar",)),
     "camel_case": QuerySpec(R.q_camel_case, R.Q_CAMEL_ORACLE, ("scalar",)),
+    # text analysis
+    "text_token_stats": QuerySpec(
+        TR.q_text_token_stats, TR.Q_TEXT_TOKEN_STATS_ORACLE, ("text",)
+    ),
+    "text_quality_score": QuerySpec(
+        TR.q_text_quality_score, TR.Q_TEXT_QUALITY_ORACLE, ("text",)
+    ),
+    "text_lang_id": QuerySpec(TR.q_text_lang_id, TR.Q_TEXT_LANG_ID_ORACLE, ("text",)),
+    "text_fingerprint": QuerySpec(
+        TR.q_text_fingerprint, TR.Q_TEXT_FINGERPRINT_ORACLE, ("text",)
+    ),
+    # dedup
+    "dedup_exact": QuerySpec(TR.q_dedup_exact, TR.Q_DEDUP_EXACT_ORACLE, ("dedup",)),
+    "dedup_ngram_jaccard": QuerySpec(
+        TR.q_dedup_ngram_jaccard, TR.Q_DEDUP_NGRAM_JACCARD_ORACLE, ("dedup", "bench")
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        TR.q_dedup_minhash_lsh, TR.Q_DEDUP_MINHASH_LSH_ORACLE, ("dedup", "bench")
+    ),
+    "dedup_simhash": QuerySpec(
+        TR.q_dedup_simhash, TR.Q_DEDUP_SIMHASH_ORACLE, ("dedup",)
+    ),
+    # similarity search
+    "ann_cosine_topk": QuerySpec(
+        TR.q_ann_cosine_topk, TR.Q_ANN_COSINE_TOPK_ORACLE, ("similarity", "bench")
+    ),
+    "emb_near_dup_pairs": QuerySpec(
+        TR.q_emb_near_dup_pairs, TR.Q_EMB_NEAR_DUP_ORACLE, ("similarity",)
+    ),
+    "ann_lsh_topk": QuerySpec(TR.q_ann_lsh_topk, None, ("similarity",)),
 }
 
 

@@ -1,0 +1,333 @@
+"""Training-data pipeline conformance queries: text analysis, dedup,
+similarity search over ``documents`` / ``embeddings``.
+
+Each Spark plan composes :mod:`..operators`; each oracle replicates
+the exact computation in DuckDB SQL (same md5 hashing, same rounding,
+same tie-breaks), so the driver's hash-compare verifies the operator
+end-to-end, not just its row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rootstock_collective_state_sync_spark.operators import dedup as D
+from rootstock_collective_state_sync_spark.operators import similarity as S
+from rootstock_collective_state_sync_spark.operators import text as X
+from rootstock_collective_state_sync_spark.plans.tables import load_table
+
+# shared DuckDB tokenization CTE (mirror of operators.text.tokens)
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = X.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in feats.items()],
+    ).orderBy("doc_id")
+
+
+Q_TEXT_TOKEN_STATS_ORACLE = f"""
+WITH {_TOK_CTE}
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq_tokens,
+       round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 6) AS ttr,
+       round(coalesce(list_sum(list_transform(toks, t -> length(t)::DOUBLE)), 0)
+             / greatest(len(toks), 1), 6) AS mean_tok_len,
+       round(length(regexp_replace(text, '[^.!?,;]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 6) AS punct_ratio
+FROM tok ORDER BY doc_id
+"""
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+Q_TEXT_QUALITY_ORACLE = f"""
+WITH {_TOK_CTE},
+f AS (
+  SELECT doc_id,
+         greatest(len(toks), 1)::BIGINT AS n_tok,
+         len(list_distinct(toks))::BIGINT AS n_uniq,
+         greatest(length(text), 1)::BIGINT AS n_chars,
+         length(regexp_replace(text, '[^.!?,;]', '', 'g'))::BIGINT AS n_punct
+  FROM tok
+),
+terms AS (
+  SELECT doc_id,
+         least(n_tok * 15625, 1000000) AS length_term_e6,
+         (n_uniq * 1000000) // n_tok AS ttr_e6,
+         1000000 - least(((n_punct * 1000000) // n_chars) * 10, 1000000) AS punct_term_e6
+  FROM f
+)
+SELECT doc_id,
+       (5 * length_term_e6 + 4 * ttr_e6 + punct_term_e6)::DOUBLE / 10000000.0 AS quality
+FROM terms ORDER BY doc_id
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.lang_id(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def _lang_values_sql() -> str:
+    rows = []
+    for lang, words in X.STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        rows.append(f"('{lang}', [{arr}])")
+    return ", ".join(rows)
+
+
+Q_TEXT_LANG_ID_ORACLE = f"""
+WITH {_TOK_CTE},
+scores AS (
+  SELECT doc_id,
+         l.lang,
+         round(len(list_intersect(list_distinct(toks), l.words))::DOUBLE
+               / greatest(len(toks), 1), 6) AS score
+  FROM tok, (VALUES {_lang_values_sql()}) l(lang, words)
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+Q_TEXT_FINGERPRINT_ORACLE = f"""
+WITH {_TOK_CTE}
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM tok ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_groups(docs).orderBy("content_hash")
+
+
+Q_DEDUP_EXACT_ORACLE = r"""
+SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1 ORDER BY content_hash
+"""
+
+# shared DuckDB shingle CTEs (mirror of operators.dedup.shingle_index:
+# word 3-grams, distinct per doc, stop-shingle cap 100)
+_SHINGLE_CTES = f"""
+{_TOK_CTE},
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [] END AS shingles
+  FROM tok
+),
+e_raw AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
+hot AS (SELECT s FROM e_raw GROUP BY s HAVING count(*) > 100),
+e AS (SELECT * FROM e_raw WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT id, count(*) AS n_sh FROM e GROUP BY id)
+"""
+
+_JACCARD_TAIL = """
+pair AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pair
+JOIN sizes sa ON pair.id_a = sa.id
+JOIN sizes sb ON pair.id_b = sb.id
+WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= {thr}
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+Q_DEDUP_NGRAM_JACCARD_ORACLE = (
+    f"WITH {_SHINGLE_CTES}, {_JACCARD_TAIL.format(thr=0.5)}"
+)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+Q_DEDUP_MINHASH_LSH_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+mh AS (
+  SELECT id, r.i, min(md5(r.i::VARCHAR || ':' || s)) AS h
+  FROM e, range(16) r(i) GROUP BY id, r.i
+),
+banded AS (
+  SELECT id, (i // 4) AS band,
+         md5(string_agg(h, '|' ORDER BY i)) AS bh
+  FROM mh GROUP BY id, (i // 4)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+pair AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN e a ON a.id = c.id_a
+  JOIN e b ON b.id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pair
+JOIN sizes sa ON pair.id_a = sa.id
+JOIN sizes sb ON pair.id_b = sb.id
+WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.simhash(docs)
+        .select(F.col("id").alias("doc_id"), "simhash")
+        .orderBy("doc_id")
+    )
+
+
+Q_DEDUP_SIMHASH_ORACLE = f"""
+WITH {_TOK_CTE},
+th AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(toks)) AS t
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, r.j,
+         CASE WHEN ((strpos('0123456789abcdef',
+                            substr(md5(t), (r.j // 4) + 1, 1)) - 1)
+                    >> (3 - (r.j % 4))) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM th, range(64) r(j)
+),
+v AS (SELECT doc_id, j, sum(vote) AS sv FROM votes GROUP BY doc_id, j)
+SELECT doc_id,
+       string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+FROM v GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+round(
+  list_sum(list_transform(range(1, len({a}) + 1),
+           i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+            i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+            i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rk")
+
+
+Q_ANN_COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.qv", b="c.embedding")} AS cos_sim
+  FROM embeddings c, q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, rk, neighbor_id, cos_sim
+FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+Q_EMB_NEAR_DUP_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM scored
+WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via sign-LSH bucketing (the scale path).
+    No SQL oracle — recall-vs-brute-force is asserted in
+    tests/test_similarity.py instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_bucket_topk(
+        emb, queries, k=5, num_planes=3, num_tables=4
+    ).orderBy("query_id", "rk")

@@ -1,0 +1,128 @@
+"""Operator-level property tests for dedup / similarity / text —
+things the SQL-oracle conformance can't express (recall bounds,
+synthetic duplicates)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rootstock_collective_state_sync_spark.operators import dedup as D
+from rootstock_collective_state_sync_spark.operators import similarity as S
+from rootstock_collective_state_sync_spark.operators import text as X
+from rootstock_collective_state_sync_spark.plans.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "THE  Quick   Brown FOX"),  # same after normalization
+            (3, "something else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    groups = {r.keeper_id: r.n_copies for r in D.exact_groups(df).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH must recover a large fraction of true near-dup pairs
+    (16 hashes / 4 bands: P(candidate) = 1-(1-j^4)^4 ≈ 0.93 at j=0.8;
+    the planted dups in the corpus sit at jaccard ≥ 0.8)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "corpus should contain planted near-dups"
+    assert lsh <= exact  # verification step guarantees no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} below 0.8"
+
+
+def test_simhash_identical_for_same_token_set(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha alpha")],
+        ["doc_id", "text"],
+    )
+    hashes = [r.simhash for r in D.simhash(df).orderBy("id").collect()]
+    assert hashes[0] == hashes[1]  # simhash over distinct tokens
+    assert len(hashes[0]) == 64 and set(hashes[0]) <= {"0", "1"}
+
+
+def test_ann_lsh_recall_vs_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_bucket_topk(
+            emb, queries, k=5, num_planes=3, num_tables=1
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_bucket_topk(
+            emb, queries, k=5, num_planes=3, num_tables=8
+        ).collect()
+    }
+    r1 = len(exact & single) / len(exact)
+    r8 = len(exact & multi) / len(exact)
+    # these embeddings are near-random (max cos ~0.5): single-probe
+    # recall is low by construction; multiple tables must recover it.
+    assert r8 >= r1, f"multi-table recall {r8:.2f} < single-table {r1:.2f}"
+    assert r8 >= 0.5, f"8-table ANN recall {r8:.2f} below 0.5"
+
+
+def test_brute_force_topk_self_excluded(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    rows = S.brute_force_topk(emb, queries, k=5).collect()
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r.cos_sim)
+    for sims in per_query.values():
+        assert sims == sorted(sims, reverse=True)
+        assert len(sims) == 5
+
+
+def test_lang_id_on_clear_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and it is that for"),
+            (2, "der hund und die katze ist ein tier mit von"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang for r in df.select("doc_id", X.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta")],
+        ["doc_id", "text"],
+    )
+    fps = [r.fp for r in df.select(X.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
