@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from rootstock_collective_state_sync_spark.plans import relational as R
 from rootstock_collective_state_sync_spark.plans import training as TR
+from rootstock_collective_state_sync_spark.plans import windows as W
 
 
 @dataclass(frozen=True)
@@ -90,6 +91,19 @@ SPECS: dict[str, QuerySpec] = {
         TR.q_emb_near_dup_pairs, TR.Q_EMB_NEAR_DUP_ORACLE, ("similarity",)
     ),
     "ann_lsh_topk": QuerySpec(TR.q_ann_lsh_topk, None, ("similarity",)),
+    # event-time windows (streaming scope, batch-checkable)
+    "window_tumbling": QuerySpec(
+        W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
+    ),
+    "window_sliding": QuerySpec(
+        W.q_window_sliding, W.Q_WINDOW_SLIDING_ORACLE, ("window",)
+    ),
+    "window_session": QuerySpec(
+        W.q_window_session, W.Q_WINDOW_SESSION_ORACLE, ("window", "bench")
+    ),
+    "first_event_per_key": QuerySpec(
+        W.q_first_event_per_key, W.Q_FIRST_EVENT_ORACLE, ("window",)
+    ),
 }
 
 

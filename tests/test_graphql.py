@@ -1,0 +1,273 @@
+"""GraphQL builder + client + Spark DataSource tests.
+
+Builder coverage mirrors the reference's largest suite
+(``subgraphQueryBuilder.test.ts``): pluralized root fields, ``first``,
+``orderBy/orderDirection``, ``where`` rendering incl. nested objects
+and arrays, unknown-entity error. Client coverage mirrors
+``batching.test.ts``: N queries -> 1 HTTP, ``_meta``, batch-failure
+fallback. The DataSource test runs the real partition-parallel
+pagination end-to-end against the canned transport.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from pathlib import Path
+
+import pytest
+
+from rootstock_collective_state_sync_spark.config import load_entities
+from rootstock_collective_state_sync_spark.functions import (
+    pluralize_entity_name,
+    to_camel_case,
+)
+from rootstock_collective_state_sync_spark.sources.graphql import (
+    GraphQLError,
+    QueryBuilderError,
+    QueryOptions,
+    SubgraphClient,
+    build_batch_query,
+    create_entity_query,
+    format_query_value,
+)
+
+from tests import fake_subgraph
+
+FIXTURE = Path(__file__).parent / "fixtures" / "entities.yml"
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return load_entities(FIXTURE)
+
+
+# ---------------------------------------------------------------------------
+# naming
+# ---------------------------------------------------------------------------
+
+
+def test_naming():
+    assert to_camel_case("BlockChangeLog") == "blockChangeLog"
+    assert pluralize_entity_name("BlockChangeLog") == "blockChangeLogs"
+    assert pluralize_entity_name("ClaimedRewardsHistory") == "claimedRewardsHistories"
+
+
+# ---------------------------------------------------------------------------
+# builder golden strings
+# ---------------------------------------------------------------------------
+
+
+def test_plain_query(ctx):
+    req = create_entity_query(ctx, "Account")
+    assert req.query == "accounts { id }"
+
+
+def test_first_and_order(ctx):
+    req = create_entity_query(
+        ctx,
+        "BlockChangeLog",
+        QueryOptions(first=10, order_by="blockNumber", order_direction="desc"),
+    )
+    assert req.query.startswith(
+        "blockChangeLogs(first: 10, orderBy: blockNumber, orderDirection: desc)"
+    )
+    assert "{ id blockNumber blockTimestamp updatedEntities }" in req.query
+
+
+def test_fk_narrowed_to_id(ctx):
+    req = create_entity_query(ctx, "VoteCast")
+    assert "voter { id }" in req.query
+    assert "proposal { id }" in req.query
+
+
+def test_where_rendering(ctx):
+    req = create_entity_query(
+        ctx,
+        "VoteCast",
+        QueryOptions(
+            where={
+                "id_gt": "0x00",
+                "support": 1,
+                "proposal_": {"state": "Active"},
+                "blockNumber_in": [1, 2],
+            }
+        ),
+    )
+    assert (
+        'where: {id_gt: "0x00", support: 1, proposal_: {state: "Active"}, '
+        "blockNumber_in: [1, 2]}" in req.query
+    )
+
+
+def test_unknown_entity_rejected(ctx):
+    with pytest.raises(QueryBuilderError, match="unknown entity"):
+        create_entity_query(ctx, "Nope")
+
+
+def test_circular_where_rejected():
+    d: dict = {"a": 1}
+    d["self"] = d
+    with pytest.raises(QueryBuilderError, match="circular"):
+        format_query_value(d)
+
+
+def test_batch_doc_aliases_and_meta(ctx):
+    reqs = [
+        create_entity_query(ctx, "Account", with_metadata=True),
+        create_entity_query(ctx, "Proposal"),
+    ]
+    doc = build_batch_query(reqs)
+    assert "Account_0: accounts { id }" in doc
+    assert "Proposal_1: proposals" in doc
+    assert "_meta { block { number hash timestamp } }" in doc
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+
+def test_client_batches_n_queries_into_one_http(ctx):
+    fake_subgraph.CALLS.clear()
+    client = SubgraphClient(url="fake://x", transport=fake_subgraph.transport)
+    reqs = [
+        create_entity_query(ctx, "VoteCast", QueryOptions(first=5))
+        for _ in range(5)
+    ]
+    data, meta = client.execute(reqs)
+    assert client.http_requests == 1 and client.queries_sent == 5
+    assert len(fake_subgraph.CALLS) == 1  # 5 queries -> 1 HTTP (80% saving)
+    assert len(data["VoteCast"]) == 25  # 5 aliases x first:5, demuxed+merged
+    assert meta is None
+
+
+def test_client_meta_block(ctx):
+    client = SubgraphClient(url="fake://x", transport=fake_subgraph.transport)
+    req = create_entity_query(ctx, "Account", with_metadata=True)
+    _, meta = client.execute([req])
+    assert meta.number == 4321 and meta.hash.startswith("0xee")
+
+
+def test_client_batch_failure_falls_back_per_query(ctx):
+    fake_subgraph.CALLS.clear()
+    client = SubgraphClient(
+        url="fake://x", transport=fake_subgraph.failing_batch_transport
+    )
+    reqs = [
+        create_entity_query(ctx, "VoteCast", QueryOptions(first=3)),
+        create_entity_query(ctx, "Account", QueryOptions(first=2)),
+    ]
+    data, _ = client.execute(reqs)
+    # 1 failed batch + 2 single retries
+    assert len(fake_subgraph.CALLS) == 3
+    assert len(data["VoteCast"]) == 3
+
+
+def test_single_query_failure_raises(ctx):
+    def always_fail(url, body):
+        return {"errors": [{"message": "boom"}]}
+
+    client = SubgraphClient(url="fake://x", transport=always_fail)
+    with pytest.raises(GraphQLError, match="boom"):
+        client.execute([create_entity_query(ctx, "Account")])
+
+
+def test_pagination_completes_on_short_page(ctx):
+    client = SubgraphClient(url="fake://x", transport=fake_subgraph.transport)
+    pages = list(client.paginate(ctx, "VoteCast", page_size=16))
+    assert [len(p) for p in pages] == [16, 16, 8]  # 40 records total
+    ids = [r["id"] for p in pages for r in p]
+    assert ids == sorted(ids) and len(set(ids)) == 40
+
+
+def test_pagination_respects_id_bounds(ctx):
+    client = SubgraphClient(url="fake://x", transport=fake_subgraph.transport)
+    lower = list(
+        client.paginate(ctx, "VoteCast", 16, start_cursor="0x00", id_upper_bound="0x80")
+    )
+    upper = list(
+        client.paginate(ctx, "VoteCast", 16, start_cursor="0x80")
+    )
+    n = sum(len(p) for p in lower) + sum(len(p) for p in upper)
+    assert n == 40  # disjoint partition ranges cover the universe
+
+
+# ---------------------------------------------------------------------------
+# Spark DataSource end-to-end
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def subgraph_df(spark):
+    from rootstock_collective_state_sync_spark.sources.subgraph_source import (
+        SubgraphDataSource,
+    )
+
+    spark.dataSource.register(SubgraphDataSource)
+    return (
+        spark.read.format("subgraph")
+        .option("url", "fake://endpoint")
+        .option("config_path", str(FIXTURE))
+        .option("entity", "VoteCast")
+        .option("page_size", 7)
+        .option("num_partitions", 4)
+        .option("transport", "tests.fake_subgraph:transport")
+        .load()
+    )
+
+
+def test_datasource_reads_all_partitions(subgraph_df):
+    rows = subgraph_df.collect()
+    assert len(rows) == fake_subgraph.N_VOTES
+    byid = {r.id.hex(): r for r in rows}
+    assert len(byid) == fake_subgraph.N_VOTES  # no dupes across partitions
+
+
+def test_datasource_types_and_fk_flattening(subgraph_df):
+    row = subgraph_df.orderBy("blockNumber").first()
+    assert isinstance(row.id, (bytes, bytearray))
+    assert isinstance(row.voter, (bytes, bytearray)) and len(row.voter) == 20
+    assert isinstance(row.weight, Decimal) and row.weight == Decimal(10**20)
+    assert row.support in (0, 1, 2)
+    assert row.blockNumber == Decimal(1000)
+
+
+def test_datasource_filter_pushdown_results(spark, subgraph_df):
+    from pyspark.sql import functions as F
+
+    got = subgraph_df.filter(F.col("support") == 1).collect()
+    want = [r for r in fake_subgraph.universe() if r["support"] == 1]
+    assert len(got) == len(want)
+
+
+def test_push_filters_translation(ctx):
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, IsNull
+
+    from rootstock_collective_state_sync_spark.sources.subgraph_source import (
+        SubgraphReader,
+    )
+
+    r = SubgraphReader(
+        {
+            "url": "fake://x",
+            "config_path": str(FIXTURE),
+            "entity": "VoteCast",
+        }
+    )
+    remaining = list(
+        r.pushFilters(
+            [
+                EqualTo(("support",), 1),
+                GreaterThanOrEqual(("blockNumber",), Decimal(1010)),
+                In(("support",), (0, 1)),
+                IsNull(("reason",)),           # not pushable
+                EqualTo(("nope",), 5),          # undeclared column
+            ]
+        )
+    )
+    assert r.pushed_where == {
+        "support": 1,
+        "blockNumber_gte": 1010,
+        "support_in": [0, 1],
+    }
+    assert len(remaining) == 2  # IsNull + undeclared stay Spark-side
