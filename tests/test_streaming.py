@@ -1,0 +1,362 @@
+"""Sync engine + reorg protocol tests (FIXTURES.md F9).
+
+A ``World`` holds a block log and per-block entity changes; its
+transport answers the engine's GraphQL queries from folded state, so
+the whole lifecycle — bootstrap, changelog-driven incremental sync,
+reorg restore/rebuild — runs end-to-end with no sockets. The core
+property: post-recovery tables ≡ a fresh full rebuild from the
+canonical branch (``reorgCleanupStrategy.ts:21-56`` semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+from rootstock_collective_state_sync_spark.config import load_entities
+from rootstock_collective_state_sync_spark.sinks import TableCatalog
+from rootstock_collective_state_sync_spark.sources.graphql import SubgraphClient
+from rootstock_collective_state_sync_spark.streaming import (
+    Block,
+    ReorgManager,
+    StaticChain,
+    SyncEngine,
+)
+from rootstock_collective_state_sync_spark.streaming.chain import synthetic_blocks
+
+from tests import fake_subgraph
+
+FIXTURE = Path(__file__).parent / "fixtures" / "entities.yml"
+
+
+class World:
+    """Chain + subgraph state as an event log: (block, entity, record).
+    Reorg = truncate the log at the ancestor and extend with the new
+    branch. State (incl. ``__changedAtBlock``) is folded on demand."""
+
+    def __init__(self):
+        self.blocks: list[Block] = []
+        self.log: list[tuple[int, str, dict]] = []
+
+    def extend(self, blocks: list[Block], changes: dict[int, dict[str, list[dict]]]):
+        self.blocks.extend(blocks)
+        for b in blocks:
+            for entity, recs in changes.get(b.number, {}).items():
+                for r in recs:
+                    self.log.append((b.number, entity, r))
+
+    def reorg(self, ancestor: int):
+        self.blocks = [b for b in self.blocks if b.number <= ancestor]
+        self.log = [(n, e, r) for (n, e, r) in self.log if n <= ancestor]
+
+    def chain(self) -> StaticChain:
+        return StaticChain(self.blocks)
+
+    # -- folded state ---------------------------------------------------------
+
+    def state(self) -> dict[str, dict[str, dict]]:
+        out: dict[str, dict[str, dict]] = {}
+        for n, entity, rec in self.log:
+            cur = out.setdefault(entity, {})
+            merged = {**cur.get(rec["id"], {}), **rec, "__changedAtBlock": n}
+            cur[rec["id"]] = merged
+        return out
+
+    def changelog(self) -> list[dict]:
+        by_block: dict[int, set[str]] = {}
+        for n, entity, _ in self.log:
+            by_block.setdefault(n, set()).add(entity)
+        blocks = {b.number: b for b in self.blocks}
+        return [
+            {
+                "id": blocks[n].hash,
+                "blockNumber": str(n),
+                "blockTimestamp": str(blocks[n].timestamp),
+                "updatedEntities": sorted(names),
+                "__changedAtBlock": n,
+            }
+            for n, names in sorted(by_block.items())
+        ]
+
+    # -- transport -------------------------------------------------------------
+
+    def transport(self, url: str, body: dict) -> dict:
+        doc = body["query"]
+        data = {}
+        for m in fake_subgraph._QUERY_RE.finditer(doc):
+            entity, idx, root, _, args = m.groups()
+            parsed = fake_subgraph._parse_args(args or "")
+            if entity == "BlockChangeLog":
+                # The Graph's default order is id ascending — keyset
+                # pagination depends on it
+                recs = sorted(self.changelog(), key=lambda r: r["id"])
+            else:
+                recs = sorted(
+                    self.state().get(entity, {}).values(), key=lambda r: r["id"]
+                )
+            where = parsed.get("where", {})
+            cb = where.pop("_change_block", None)
+            recs = [r for r in recs if fake_subgraph._matches(r, where)]
+            if cb:
+                recs = [
+                    r for r in recs if r["__changedAtBlock"] >= int(cb["number_gte"])
+                ]
+            if "first" in parsed:
+                recs = recs[: parsed["first"]]
+            data[f"{entity}_{idx}"] = [
+                {k: v for k, v in r.items() if not k.startswith("__")} for r in recs
+            ]
+        return {"data": data}
+
+
+def vote(i: int, support: int = 0, reason: str = "r") -> dict:
+    return {
+        "id": f"0x{i:08x}",
+        "voter": {"id": "0x" + "aa" * 20},
+        "proposal": {"id": "0x" + "bb" * 32},
+        "support": support,
+        "weight": str(100 + i),
+        "reason": reason,
+        "blockNumber": "0",
+    }
+
+
+@pytest.fixture()
+def world() -> World:
+    w = World()
+    blocks = synthetic_blocks(1, 5, fork_tag="a")
+    w.extend(
+        blocks,
+        {
+            1: {"Account": [{"id": "0x" + "aa" * 20}]},
+            2: {"VoteCast": [vote(1), vote(2)]},
+            4: {"VoteCast": [vote(3, support=1)]},
+        },
+    )
+    return w
+
+
+def make_engine(spark, tmp_path, world, name="live") -> SyncEngine:
+    return SyncEngine(
+        spark=spark,
+        schema=load_entities(FIXTURE),
+        catalog=TableCatalog(spark, tmp_path / name),
+        client=SubgraphClient(url="fake://w", transport=world.transport),
+        page_size=3,
+        block_interval_threshold=1,
+    )
+
+
+def table_state(engine: SyncEngine, name: str) -> dict:
+    rows = engine.catalog.table(name).read().collect()
+    return {bytes(r.id).hex(): (r.support, r.reason, str(r.weight)) for r in rows}
+
+
+def expected_votes(world: World) -> dict:
+    return {
+        r["id"][2:]: (r["support"], r["reason"], r["weight"])
+        for r in world.state().get("VoteCast", {}).values()
+    }
+
+
+def test_bootstrap_full_hydration(spark, tmp_path, world):
+    eng = make_engine(spark, tmp_path, world)
+    counts = eng.bootstrap(at_block=5)
+    assert counts["VoteCast"] == 3 and counts["Account"] == 1
+    assert table_state(eng, "VoteCast") == expected_votes(world)
+    assert eng.get_watermark() is None  # watermark only via changelog
+
+
+def test_changelog_incremental_sync(spark, tmp_path, world):
+    eng = make_engine(spark, tmp_path, world)
+    eng.bootstrap(at_block=5)
+    # first changelog pass establishes the watermark
+    eng.sync_from_changelog(world.chain().head_block())
+    wm = eng.get_watermark()
+    assert wm.number == 4  # latest changelog entry (block 4)
+
+    # new blocks: an update to vote 1 and a brand-new vote 4
+    new_blocks = synthetic_blocks(6, 2, fork_tag="a")
+    world.extend(
+        new_blocks,
+        {
+            6: {"VoteCast": [vote(1, support=2, reason="changed")]},
+            7: {"VoteCast": [vote(4)]},
+        },
+    )
+    counts = eng.sync_from_changelog(world.chain().head_block())
+    # selective + incremental: only VoteCast, and only the 2 records
+    # changed past the watermark (_change_block gte), not all 5
+    assert counts == {"VoteCast": 2}
+    assert table_state(eng, "VoteCast") == expected_votes(world)
+    assert eng.get_watermark().number == 7
+
+    # head unchanged -> short-circuit no-op
+    assert eng.sync_from_changelog(world.chain().head_block()) == {}
+
+
+def test_throttling(spark, tmp_path, world):
+    eng = make_engine(spark, tmp_path, world)
+    eng.block_interval_threshold = 3
+    eng.bootstrap(at_block=5)
+    head = world.chain().head_block()
+    r1 = eng.run_block(head)
+    assert r1["changelog"] != "throttled"
+    r2 = eng.run_block(Block(head.number + 1, "0x01", 0))
+    assert r2["changelog"] == "throttled"
+    r3 = eng.run_block(Block(head.number + 3, "0x02", 0))
+    assert r3["changelog"] != "throttled"
+
+
+def test_strategy_error_isolation(spark, tmp_path, world):
+    eng = make_engine(spark, tmp_path, world)
+    eng.bootstrap(at_block=5)
+
+    def boom(block):
+        raise RuntimeError("strategy exploded")
+
+    res = eng.run_block(
+        world.chain().head_block(), extra_steps=[("boom", boom)]
+    )
+    assert isinstance(res["boom"], RuntimeError)
+    assert res["changelog"] != "throttled"  # later/earlier steps still ran
+    assert eng.get_watermark() is not None
+
+
+def _reorged_world(world: World) -> World:
+    """Fork at block 4: drop block 5+, branch b rewrites history."""
+    world.reorg(4)
+    branch = synthetic_blocks(5, 3, fork_tag="b")
+    world.extend(
+        branch,
+        {
+            5: {"VoteCast": [vote(3, support=2, reason="b-branch")]},
+            6: {"VoteCast": [vote(9)]},
+        },
+    )
+    return world
+
+
+def _sync_to_head(spark, tmp_path, world, name):
+    eng = make_engine(spark, tmp_path, world, name)
+    eng.bootstrap(at_block=world.chain().head_block().number)
+    eng.sync_from_changelog(world.chain().head_block())
+    return eng
+
+
+def test_reorg_detect_clean(spark, tmp_path, world):
+    eng = _sync_to_head(spark, tmp_path, world, "live")
+    mgr = ReorgManager(engine=eng, chain=world.chain())
+    assert mgr.detect() is None
+
+
+def test_reorg_recovery_equivalence(spark, tmp_path, world):
+    # sync live engine fully on branch a (through block 7)
+    new_blocks = synthetic_blocks(6, 2, fork_tag="a")
+    world.extend(
+        new_blocks,
+        {
+            6: {"VoteCast": [vote(1, support=2, reason="a-only")]},
+            7: {"VoteCast": [vote(7)]},
+        },
+    )
+    eng = _sync_to_head(spark, tmp_path, world, "live")
+    assert eng.get_watermark().number == 7
+
+    # reorg: fork at 4, branch b
+    _reorged_world(world)
+    mgr = ReorgManager(engine=eng, chain=world.chain())
+    assert mgr.detect() == 7  # stored block-7 hash orphaned
+    assert mgr.find_common_ancestor() == 4
+
+    outcome = mgr.detect_and_recover()
+    assert outcome == "restored@4"
+    # equivalence: recovered state == fresh rebuild from branch b
+    fresh = _sync_to_head(spark, tmp_path, world, "fresh")
+    assert table_state(eng, "VoteCast") == table_state(fresh, "VoteCast")
+    assert table_state(eng, "VoteCast") == expected_votes(world)
+    assert mgr.detect() is None  # clean after recovery
+
+
+def test_reorg_shadow_rebuild_equivalence(spark, tmp_path, world):
+    eng = _sync_to_head(spark, tmp_path, world, "live")
+    _reorged_world(world)
+    mgr = ReorgManager(engine=eng, chain=world.chain())
+    mgr.recover_rebuild()
+    fresh = _sync_to_head(spark, tmp_path, world, "fresh")
+    assert table_state(eng, "VoteCast") == table_state(fresh, "VoteCast")
+    assert mgr.detect() is None
+
+
+def test_append_only_strategy(spark, tmp_path, world):
+    # StakingHistory-style: strictly increasing blockNumber records
+    eng = make_engine(spark, tmp_path, world)
+    eng.bootstrap(at_block=5)
+    world.log.append(
+        (5, "VoteCast", {**vote(8), "blockNumber": "5"})
+    )
+    n = eng.sync_append_only("VoteCast")
+    assert n >= 1
+    assert "0x%08x" % 8 in {"0x" + k for k in table_state(eng, "VoteCast")}
+    # re-run: idempotent, nothing newer
+    assert eng.sync_append_only("VoteCast") <= n
+
+
+# ---------------------------------------------------------------------------
+# streaming source (offset semantics = emitMissed)
+# ---------------------------------------------------------------------------
+
+
+def test_blockstream_source_offsets(spark, tmp_path):
+    from rootstock_collective_state_sync_spark.sources.blockstream import (
+        BlockStreamDataSource,
+    )
+
+    chain_file = tmp_path / "chain.json"
+    blocks = synthetic_blocks(1, 5, fork_tag="s")
+    chain_file.write_text(
+        json.dumps(
+            [
+                {"number": b.number, "hash": b.hash, "timestamp": b.timestamp}
+                for b in blocks
+            ]
+        )
+    )
+    spark.dataSource.register(BlockStreamDataSource)
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def run_once():
+        q = (
+            spark.readStream.format("blockstream")
+            .option("chain_path", str(chain_file))
+            .option("start_block", 0)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r.number for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == {1, 2, 3, 4, 5}
+
+    # chain grows; same checkpoint -> only the missed blocks replay
+    more = synthetic_blocks(6, 3, fork_tag="s")
+    chain_file.write_text(
+        json.dumps(
+            [
+                {"number": b.number, "hash": b.hash, "timestamp": b.timestamp}
+                for b in blocks + more
+            ]
+        )
+    )
+    run_once()
+    got = sorted(r.number for r in spark.read.parquet(str(out_dir)).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8]  # no duplicates, no gaps
