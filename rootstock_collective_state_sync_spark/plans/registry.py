@@ -91,6 +91,13 @@ SPECS: dict[str, QuerySpec] = {
         TR.q_emb_near_dup_pairs, TR.Q_EMB_NEAR_DUP_ORACLE, ("similarity",)
     ),
     "ann_lsh_topk": QuerySpec(TR.q_ann_lsh_topk, None, ("similarity",)),
+    # multimodal plumbing
+    "multimodal_features": QuerySpec(
+        TR.q_multimodal_features, TR.Q_MULTIMODAL_FEATURES_ORACLE, ("multimodal",)
+    ),
+    "multimodal_frame_sample": QuerySpec(
+        TR.q_multimodal_frame_sample, None, ("multimodal",)
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)

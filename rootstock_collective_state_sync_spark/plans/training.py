@@ -322,6 +322,40 @@ WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents -> opaque binary
+    payload + typed metadata -> Arrow-batched feature extraction
+    (mapInPandas). Deterministic features, so fully oracle-checked."""
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_fake_payload(docs)).orderBy("doc_id")
+
+
+Q_MULTIMODAL_FEATURES_ORACLE = """
+SELECT doc_id,
+       'fake/text' AS media_type,
+       octet_length(encode(text)) AS size_bytes,
+       lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+       md5(text) AS content_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video-frame stand-in): rows-only check
+    — slicing is exercised by unit tests."""
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        M.frame_sample(M.attach_fake_payload(docs))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("doc_id")
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via sign-LSH bucketing (the scale path).
     No SQL oracle — recall-vs-brute-force is asserted in

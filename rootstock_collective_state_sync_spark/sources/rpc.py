@@ -1,0 +1,112 @@
+"""Batched RPC enrichment (multicall) as a distributed operator.
+
+Parity: the reference batches N ``state(proposalId)`` eth_calls into
+one multicall and diff-updates rows whose on-chain state changed
+(``blockProposalStateStrategy.ts:29-131`` — S6 + J1 + K2).
+
+Spark shape: ``mapInPandas`` over the id column — each Arrow batch
+issues ONE batched RPC for its ids (vectorized enrichment), so RPC
+round-trips scale with partition count, not row count. The joined
+result feeds a ``when_matched_condition`` merge so only rows whose
+state actually differs are rewritten (set-based, replacing the
+reference's per-row update loop).
+
+The RPC callable is injectable; the default raises — this container
+has no chain endpoint, and tests supply a deterministic fake.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from rootstock_collective_state_sync_spark.sinks import VersionedTable, merge_upsert
+
+# rawState enum -> label (blockProposalStateStrategy.ts:9-18)
+PROPOSAL_STATES = (
+    "Pending",
+    "Active",
+    "Canceled",
+    "Defeated",
+    "Succeeded",
+    "Queued",
+    "Expired",
+    "Executed",
+)
+
+# the reference refreshes only proposals still in flight (:20-27)
+LIVE_RAW_STATES = (0, 1, 4, 5)
+
+MulticallFn = Callable[[list[str]], dict[str, int]]
+
+
+def _no_rpc(ids: list[str]) -> dict[str, int]:
+    raise NotImplementedError(
+        "no RPC endpoint configured: pass multicall_fn=<your batched "
+        "eth_call implementation> (takes hex ids, returns id -> state)"
+    )
+
+
+def state_label_expr(raw_col: str = "rawState"):
+    """C4: enum -> label as a chained CASE expression."""
+    expr = F.lit("Unknown")
+    col = F.col(raw_col)
+    for i, label in reversed(list(enumerate(PROPOSAL_STATES))):
+        expr = F.when(col == i, label).otherwise(expr)
+    return expr
+
+
+def multicall_states(
+    ids_df: DataFrame,
+    multicall_fn: MulticallFn = _no_rpc,
+    id_col: str = "id",
+    batch_size: int = 500,
+) -> DataFrame:
+    """(id, rawState) from batched RPC calls: one multicall per Arrow
+    chunk of ``batch_size`` ids per partition."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.BinaryType(), False),
+            T.StructField("rawState", T.IntegerType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw_ids = ["0x" + bytes(b).hex() for b in pdf[id_col]]
+            for i in range(0, len(raw_ids), batch_size):
+                chunk = raw_ids[i : i + batch_size]
+                states = multicall_fn(chunk)
+                yield pd.DataFrame(
+                    {
+                        id_col: [bytes.fromhex(x[2:]) for x in chunk],
+                        "rawState": [int(states[x]) for x in chunk],
+                    }
+                )
+
+    return ids_df.select(id_col).mapInPandas(batches, schema)
+
+
+def refresh_proposal_states(
+    table: VersionedTable,
+    multicall_fn: MulticallFn = _no_rpc,
+    live_states: tuple[int, ...] = LIVE_RAW_STATES,
+) -> int:
+    """S6+J1+K2 end-to-end: read live proposals, fetch on-chain states
+    in batched RPC calls, merge back ONLY the rows whose state
+    differs. Returns the new table version."""
+    live = table.read().filter(F.col("rawState").isin(*live_states))
+    onchain = multicall_states(live, multicall_fn)
+    updated = (
+        live.drop("rawState", "state")
+        .join(onchain, "id")
+        .withColumn("state", state_label_expr("rawState"))
+    )
+    return merge_upsert(
+        table,
+        updated,
+        when_matched_condition="src.rawState <> tgt.rawState",
+    )
