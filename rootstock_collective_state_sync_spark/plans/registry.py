@@ -32,6 +32,12 @@ SPECS: dict[str, QuerySpec] = {
     "group_count": QuerySpec(R.q_group_count, R.Q_GROUP_COUNT_ORACLE, ("agg",)),
     "distinct_set": QuerySpec(R.q_distinct_set, R.Q_DISTINCT_SET_ORACLE, ("agg",)),
     "rollup_status_priority": QuerySpec(R.q_rollup_status_priority, R.Q_ROLLUP_ORACLE, ("agg",)),
+    "q6_forecast_revenue": QuerySpec(R.q6_forecast_revenue, R.Q6_ORACLE, ("agg", "bench")),
+    "pivot_status_by_priority": QuerySpec(
+        R.q_pivot_status_by_priority, R.Q_PIVOT_ORACLE, ("agg",)
+    ),
+    "cube_counts": QuerySpec(R.q_cube_counts, R.Q_CUBE_ORACLE, ("agg",)),
+    "approx_distinct": QuerySpec(R.q_approx_distinct, None, ("agg",)),
     # filters
     "filter_range_scan": QuerySpec(R.q_filter_range_scan, R.Q_FILTER_RANGE_ORACLE, ("filter",)),
     "filter_isin_enum": QuerySpec(R.q_filter_isin_enum, R.Q_FILTER_ISIN_ORACLE, ("filter",)),

@@ -598,6 +598,90 @@ FROM nation ORDER BY nationkey
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate scan + single global agg —
+    the pure filter-pushdown benchmark (all three predicates reach the
+    Parquet reader; no shuffle beyond the final 1-group agg)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate <  TIMESTAMP '2000-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: order counts, priorities x status columns."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE surface: all grouping-set combinations over two dims."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .cube("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("user_id").asc_nulls_first(),
+        )
+    )
+
+
+Q_CUBE_ORACLE = """
+SELECT event_type, user_id, count(*) AS n
+FROM events GROUP BY CUBE (event_type, user_id)
+ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL sketch) — algorithm differs per
+    engine, so no value oracle; the companion exact count is checked
+    by the group_count query. Rows-only."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 def q_camel_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1/C2: naming scalar fns (``toCamelCase``) applied set-wise:
     lower-case the first character of each distinct part type."""
