@@ -27,10 +27,13 @@ def main() -> None:
     qs = bench_queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        fn(spark, sf_dir).count()  # warm-up
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        fn(spark, sf_dir).count()  # warm-up (JIT, codegen, page cache)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damps GC/plan-cache jitter
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from rootstock_collective_state_sync_spark.plans import relational as R
 from rootstock_collective_state_sync_spark.plans import training as TR
+from rootstock_collective_state_sync_spark.plans import tpch_extra as TX
 from rootstock_collective_state_sync_spark.plans import windows as W
 
 
@@ -56,6 +57,16 @@ SPECS: dict[str, QuerySpec] = {
     "q5_local_supplier_volume": QuerySpec(
         R.q5_local_supplier_volume, R.Q5_ORACLE, ("join", "bench")
     ),
+    "q7_volume_by_year": QuerySpec(TX.q7_volume_by_year, TX.Q7_ORACLE, ("join",)),
+    "q10_returned_items": QuerySpec(
+        TX.q10_returned_items, TX.Q10_ORACLE, ("join", "bench")
+    ),
+    "q14_promo_revenue": QuerySpec(TX.q14_promo_revenue, TX.Q14_ORACLE, ("join",)),
+    "q18_large_orders": QuerySpec(TX.q18_large_orders, TX.Q18_ORACLE, ("join",)),
+    "min_cost_per_part": QuerySpec(
+        TX.q_min_cost_per_part, TX.Q_MIN_COST_ORACLE, ("window",)
+    ),
+    "exists_subquery": QuerySpec(TX.q_exists_subquery, TX.Q_EXISTS_ORACLE, ("join",)),
     # sort / limit / top-k
     "top1_latest": QuerySpec(R.q_top1_latest, R.Q_TOP1_ORACLE, ("sort",)),
     "topk_per_group": QuerySpec(R.q_topk_per_group, R.Q_TOPK_PER_GROUP_ORACLE, ("sort",)),

@@ -1,0 +1,195 @@
+"""Additional TPC-H-shaped conformance queries: date functions, LIKE
+predicates, HAVING, conditional aggregation, per-group minima
+(correlated-subquery semantics via windows), returned-items top-k.
+
+These widen the relational surface beyond the reference's own
+operator set (SURVEY §2.5 note: all join/agg variety is
+Catalyst-native; the engine must still expose and verify it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from rootstock_collective_state_sync_spark.plans.tables import load_table
+
+
+def _dec(col: str, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _rev_col():
+    return _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+
+
+def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: fact joined to two small dims, grouped by an
+    extracted date part (year) — date functions + multi-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("l_shipdate").alias("l_year"), F.col("n_name").alias("supp_nation"))
+        .agg(F.sum(_rev_col()).alias("revenue"))
+        .orderBy("l_year", "supp_nation")
+    )
+
+
+Q7_ORACLE = f"""
+SELECT year(l_shipdate) AS l_year, n_name AS supp_nation,
+       sum({_REV}) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY l_year, supp_nation
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-lineitem revenue per customer, top 20."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.sum(_rev_col()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_mktsegment, sum({_REV}) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: LIKE predicate + conditional aggregation ratio."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type").like("PROMO%"), _rev_col()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return joined.agg(
+        F.sum(promo).alias("promo_revenue"),
+        F.sum(_rev_col()).alias("total_revenue"),
+        F.round(
+            F.sum(promo).cast("double") * 100.0 / F.sum(_rev_col()).cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+Q14_ORACLE = f"""
+SELECT sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
+       sum({_REV}) AS total_revenue,
+       round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+             / CAST(sum({_REV}) AS DOUBLE), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING over a grouped fact, joined back to dims."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "l_orderkey", "sum_qty", _dec("o_totalprice").alias("total_price"))
+        .orderBy(F.col("sum_qty").desc(), F.col("l_orderkey").asc())
+        .limit(50)
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, l_orderkey, sum_qty,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, l_orderkey ASC
+LIMIT 50
+"""
+
+
+def q_min_cost_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-flavored correlated-minimum: for each part, the lineitem(s)
+    hitting its minimum extended price — the window formulation of a
+    correlated scalar subquery (one shuffle on the correlation key,
+    no re-scan per outer row)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.withColumn("min_price", F.min(_dec("l_extendedprice")).over(w))
+        .filter(_dec("l_extendedprice") == F.col("min_price"))
+        .select(
+            "l_partkey",
+            F.col("l_orderkey").alias("order_at_min"),
+            F.col("min_price"),
+        )
+        .orderBy("l_partkey", "order_at_min")
+    )
+
+
+Q_MIN_COST_ORACLE = """
+SELECT l_partkey, l_orderkey AS order_at_min, min_price
+FROM (
+  SELECT l_partkey, l_orderkey,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         min(CAST(l_extendedprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY l_partkey) AS min_price
+  FROM lineitem
+) WHERE price = min_price
+ORDER BY l_partkey, order_at_min
+"""
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via SQL (the engine's SQL surface — Catalyst
+    rewrites it to the same left-semi the DataFrame form plans)."""
+    from rootstock_collective_state_sync_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        ORDER BY p_partkey
+        """
+    )
+
+
+Q_EXISTS_ORACLE = """
+SELECT p_partkey, p_name FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_quantity >= 49)
+ORDER BY p_partkey
+"""
