@@ -1,0 +1,87 @@
+"""Property-based checks (hypothesis): merge idempotence and
+last-wins semantics over randomized batches (SURVEY §5 'add what the
+reference lacks'), plus uint256 shadow round-trips."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F, types as T
+
+from rootstock_collective_state_sync_spark.functions import uint256
+from rootstock_collective_state_sync_spark.sinks import TableCatalog, merge_upsert
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("amount", T.DecimalType(38, 0), False),
+    ]
+)
+
+keys = st.text(alphabet="abcdef", min_size=1, max_size=3)
+amounts = st.integers(min_value=0, max_value=10**38 - 1)
+batches = st.lists(st.tuples(keys, amounts), min_size=1, max_size=12)
+
+
+def fold_last_wins(*batch_lists):
+    state = {}
+    for batch in batch_lists:
+        for k, v in batch:
+            state[k] = Decimal(v)
+    return state
+
+
+@pytest.fixture(scope="module")
+def table_factory(spark, tmp_path_factory):
+    def make(tag):
+        root = tmp_path_factory.mktemp(f"prop_{tag}")
+        return TableCatalog(spark, root).table("t").create(SCHEMA, ["id"], num_buckets=4)
+
+    return make
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(b1=batches, b2=batches)
+def test_merge_equals_last_wins_fold(spark, table_factory, b1, b2):
+    """merge(b1); merge(b2) ≡ dict-fold with later writes winning —
+    and re-applying b2 is a no-op (idempotence)."""
+    table = table_factory("fold")
+    df1 = spark.createDataFrame([(k, Decimal(v)) for k, v in b1], SCHEMA)
+    df2 = spark.createDataFrame([(k, Decimal(v)) for k, v in b2], SCHEMA)
+    merge_upsert(table, df1)
+    merge_upsert(table, df2)
+    got = {r.id: r.amount for r in table.read().collect()}
+    assert got == fold_last_wins(b1, b2)
+    merge_upsert(table, df2)  # idempotent re-apply
+    assert {r.id: r.amount for r in table.read().collect()} == got
+
+
+def test_uint256_shadow_roundtrip(spark):
+    vals = [0, 1, 10**38 - 1, 2**126]
+    df = spark.createDataFrame(
+        [(str(i), Decimal(v)) for i, v in enumerate(vals)], SCHEMA
+    )
+    shadowed = uint256.with_hex_shadow(df, ["amount"])
+    back = shadowed.select(
+        "id",
+        "amount",
+        uint256.from_hex_checked(F.col("amount__hex")).alias("rt"),
+    )
+    for r in back.collect():
+        assert r.rt == r.amount
+
+
+def test_uint256_overflow_to_null_and_full_width_add(spark):
+    big = hex(2**200)
+    df = spark.createDataFrame([(big, hex(2**255)), (hex(5), hex(7))], ["a", "b"])
+    out = df.select(
+        uint256.from_hex_checked(F.col("a")).alias("canon"),
+        uint256.hex_add(F.col("a"), F.col("b")).alias("s"),
+    ).collect()
+    assert out[0].canon is None  # 2^200 exceeds decimal(38,0): NULL, not garbage
+    assert int(out[0].s, 16) == (2**200 + 2**255) % 2**256  # exact full width
+    assert out[1].canon == Decimal(5)
+    assert int(out[1].s, 16) == 12
