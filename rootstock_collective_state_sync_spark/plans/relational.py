@@ -10,7 +10,17 @@ Determinism policy for cross-engine hash comparison:
   aggregation (exact, engine-independent sums);
 - averages/ratios are computed as decimal-sum -> double -> divide ->
   ``round(…, 6)`` in both engines;
-- every computed column is aliased identically in plan and oracle.
+- every computed column is aliased identically in plan and oracle;
+- **final decimal outputs are cast to DOUBLE on both sides** (r02):
+  the driver materializes the DuckDB oracle through pandas, where
+  DECIMAL columns become float64 (``str`` ``'529.0'``), while Spark
+  decimals stay ``Decimal`` (``str`` ``'529.00'``) — a fixed-scale
+  string never hash-matches a float string when the value has
+  trailing zeros. Both engines convert the *same exact decimal sum*
+  to the nearest double (correctly-rounded, identical bits for any
+  |cents| < 2^53), so a final CAST AS DOUBLE in plan + oracle makes
+  value, type, and string representation agree everywhere. Integral
+  wide-int results are cast to BIGINT instead (exactness kept).
 """
 
 from __future__ import annotations
@@ -41,11 +51,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
             F.round(
                 F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
@@ -60,9 +70,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
        count(*) AS count_order,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
        round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc
@@ -97,7 +107,7 @@ def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).alias("sum_value"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
@@ -107,7 +117,7 @@ def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_GROUP_COUNT_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -135,7 +145,7 @@ def q_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).alias("sum_price"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
@@ -147,7 +157,7 @@ def q_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ROLLUP_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -254,7 +264,7 @@ def q_fk_deref_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).alias("sum_price"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
         )
         .orderBy(F.col("c_mktsegment").asc_nulls_first())
     )
@@ -262,7 +272,7 @@ def q_fk_deref_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_FK_DEREF_ORACLE = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment ASC NULLS FIRST
 """
@@ -363,7 +373,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 _dec("l_extendedprice")
                 * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -372,7 +382,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_ORACLE = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -407,7 +417,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 _dec("l_extendedprice")
                 * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
@@ -415,7 +425,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_ORACLE = """
 SELECT n_name,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey  = c_custkey
@@ -460,7 +470,12 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("o_orderpriority", "rk", "o_orderkey", _dec("o_totalprice").alias("price"))
+        .select(
+            "o_orderpriority",
+            F.col("rk").cast("bigint").alias("rk"),
+            "o_orderkey",
+            _dec("o_totalprice").cast("double").alias("price"),
+        )
         .orderBy("o_orderpriority", "rk")
     )
 
@@ -468,7 +483,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TOPK_PER_GROUP_ORACLE = """
 SELECT o_orderpriority, rk, o_orderkey, price FROM (
   SELECT o_orderpriority, o_orderkey,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
          row_number() OVER (PARTITION BY o_orderpriority
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
   FROM orders
@@ -562,19 +577,26 @@ FROM orders GROUP BY 1 ORDER BY status_label
 
 def q_bigint_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: watermark arithmetic on wide integers — ``fromBlock =
-    last + 1``, look-back ``head - 25000`` — as decimal(38,0) math."""
+    last + 1``, look-back ``head - 25000`` — as decimal(38,0) math.
+
+    The arithmetic runs at decimal(38,0) (uint256 policy,
+    :mod:`..functions.uint256`); the *output* is cast back to BIGINT
+    because the values here are small integrals and the driver's hash
+    compares a pandas-floated oracle against Spark Decimals (module
+    docstring) — BIGINT is exact and representation-stable.
+    """
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
-        (F.max("event_id").cast("decimal(38,0)") + 1).alias("from_block"),
-        (F.max("event_id").cast("decimal(38,0)") - 25000).alias("lookback_floor"),
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        (F.max("event_id").cast("decimal(38,0)") + 1).cast("bigint").alias("from_block"),
+        (F.max("event_id").cast("decimal(38,0)") - 25000).cast("bigint").alias("lookback_floor"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
 Q_BIGINT_ARITH_ORACLE = """
-SELECT CAST(max(event_id) AS DECIMAL(38,0)) + 1 AS from_block,
-       CAST(max(event_id) AS DECIMAL(38,0)) - 25000 AS lookback_floor,
-       CAST(count(*) AS DECIMAL(38,0)) AS n
+SELECT CAST(CAST(max(event_id) AS DECIMAL(38,0)) + 1 AS BIGINT) AS from_block,
+       CAST(CAST(max(event_id) AS DECIMAL(38,0)) - 25000 AS BIGINT) AS lookback_floor,
+       count(*) AS n
 FROM events
 """
 
@@ -612,14 +634,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec("l_extendedprice") * _dec("l_discount")).alias("revenue"),
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
 Q6_ORACLE = """
-SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1999-01-01'

@@ -36,15 +36,18 @@ def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy(F.year("l_shipdate").alias("l_year"), F.col("n_name").alias("supp_nation"))
-        .agg(F.sum(_rev_col()).alias("revenue"))
+        .groupBy(
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            F.col("n_name").alias("supp_nation"),
+        )
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
         .orderBy("l_year", "supp_nation")
     )
 
 
 Q7_ORACLE = f"""
-SELECT year(l_shipdate) AS l_year, n_name AS supp_nation,
-       sum({_REV}) AS revenue
+SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year, n_name AS supp_nation,
+       CAST(sum({_REV}) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
@@ -61,14 +64,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(F.sum(_rev_col()).alias("revenue"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
 
 
 Q10_ORACLE = f"""
-SELECT c_custkey, c_name, c_mktsegment, sum({_REV}) AS revenue
+SELECT c_custkey, c_name, c_mktsegment, CAST(sum({_REV}) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -88,8 +91,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,2)")
     )
     return joined.agg(
-        F.sum(promo).alias("promo_revenue"),
-        F.sum(_rev_col()).alias("total_revenue"),
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(_rev_col()).cast("double").alias("total_revenue"),
         F.round(
             F.sum(promo).cast("double") * 100.0 / F.sum(_rev_col()).cast("double"),
             6,
@@ -98,8 +101,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_ORACLE = f"""
-SELECT sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
-       sum({_REV}) AS total_revenue,
+SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum({_REV}) AS DOUBLE) AS total_revenue,
        round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
              / CAST(sum({_REV}) AS DOUBLE), 6) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -119,15 +122,21 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .select("c_custkey", "c_name", "l_orderkey", "sum_qty", _dec("o_totalprice").alias("total_price"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            _dec("o_totalprice").cast("double").alias("total_price"),
+        )
         .orderBy(F.col("sum_qty").desc(), F.col("l_orderkey").asc())
         .limit(50)
     )
 
 
 Q18_ORACLE = """
-SELECT c_custkey, c_name, l_orderkey, sum_qty,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+SELECT c_custkey, c_name, l_orderkey, CAST(sum_qty AS DOUBLE) AS sum_qty,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
 FROM (
   SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150
@@ -152,14 +161,14 @@ def q_min_cost_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_partkey",
             F.col("l_orderkey").alias("order_at_min"),
-            F.col("min_price"),
+            F.col("min_price").cast("double").alias("min_price"),
         )
         .orderBy("l_partkey", "order_at_min")
     )
 
 
 Q_MIN_COST_ORACLE = """
-SELECT l_partkey, l_orderkey AS order_at_min, min_price
+SELECT l_partkey, l_orderkey AS order_at_min, CAST(min_price AS DOUBLE) AS min_price
 FROM (
   SELECT l_partkey, l_orderkey,
          CAST(l_extendedprice AS DECIMAL(18,2)) AS price,

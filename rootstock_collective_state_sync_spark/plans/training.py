@@ -35,9 +35,15 @@ tok AS (
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = X.quality_features(F.col("text"))
+    # counters widened to BIGINT so the physical result type matches
+    # DuckDB's int64 (type-canonical outputs, see plans/relational.py)
+    wide = {"n_chars", "n_tokens", "n_uniq_tokens"}
     return docs.select(
         "doc_id",
-        *[v.alias(k) for k, v in feats.items()],
+        *[
+            (v.cast("bigint") if k in wide else v).alias(k)
+            for k, v in feats.items()
+        ],
     ).orderBy("doc_id")
 
 
@@ -285,7 +291,11 @@ round(
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rk")
+    return (
+        S.brute_force_topk(emb, queries, k=5)
+        .withColumn("rk", F.col("rk").cast("bigint"))
+        .orderBy("query_id", "rk")
+    )
 
 
 Q_ANN_COSINE_TOPK_ORACLE = f"""
@@ -359,7 +369,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via sign-LSH bucketing (the scale path).
     No SQL oracle — recall-vs-brute-force is asserted in
-    tests/test_similarity.py instead."""
+    tests/test_operators.py instead."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_bucket_topk(

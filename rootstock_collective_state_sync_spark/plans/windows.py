@@ -26,7 +26,7 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("value")).alias("sum_value"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("win_start"),
@@ -42,7 +42,7 @@ Q_WINDOW_TUMBLING_ORACLE = """
 SELECT date_trunc('hour', ts) AS win_start,
        event_type,
        count(*) AS n,
-       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2 ORDER BY win_start, event_type
 """
@@ -57,7 +57,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("value")).alias("sum_value"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("win_start"), "n", "sum_value")
         .orderBy("win_start")
@@ -72,7 +72,7 @@ WITH slid AS (
   FROM events, (VALUES (0), (1)) k(k)
 )
 SELECT win_start, count(*) AS n,
-       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM slid GROUP BY 1 ORDER BY win_start
 """
 

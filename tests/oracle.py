@@ -66,4 +66,31 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
         problems.append(
             f"values differ; spark-only(first3)={diff_s} oracle-only(first3)={diff_o}"
         )
+    problems += _driver_hash_guard(s_rows, oracle_sql, sf_dir)
     return problems
+
+
+def _driver_hash_guard(s_rows, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Mirror the driver's hash pipeline (verified against r01: the
+    oracle side goes through pandas, turning DECIMAL into float64,
+    while the Spark side keeps Decimal objects and compares by
+    string). Flag any Spark decimal value whose fixed-scale string
+    differs from its float string — e.g. Decimal('529.00') vs
+    '529.0' — because that is exactly what flipped 9 value-correct
+    queries to hash_match:false in round 1."""
+    bad = []
+    for r in s_rows:
+        for v in r:
+            if isinstance(v, Decimal) and str(v) != str(float(v)):
+                bad.append(v)
+                if len(bad) >= 3:
+                    break
+        if len(bad) >= 3:
+            break
+    if bad:
+        return [
+            "driver-hash hazard: Spark emits fixed-scale Decimals whose str "
+            f"differs from float str (first: {bad}); cast the final output "
+            "column to DOUBLE (or BIGINT if integral) in plan AND oracle"
+        ]
+    return []
