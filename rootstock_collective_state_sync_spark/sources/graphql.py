@@ -143,6 +143,32 @@ def create_entity_queries(
     return [create_entity_query(schema, n, options) for n in entity_names]
 
 
+def first_page_request(
+    schema: SchemaContext,
+    entity_name: str,
+    page_size: int,
+    where: dict[str, Any] | None = None,
+    start_cursor: str = "0x00",
+    id_upper_bound: str | None = None,
+    with_metadata: bool = False,
+) -> GraphQLRequest:
+    """The exact first-page query :meth:`SubgraphClient.paginate`
+    would issue — factored out so callers can prefetch page 1 of many
+    strategies in ONE batched document (cross-strategy coalescing,
+    T7/X6; reference ``batchExecutor.ts:78-131``) and hand the records
+    back to the per-strategy pagination loop for any remaining pages."""
+    w = dict(where or {})
+    w["id_gt"] = start_cursor
+    if id_upper_bound is not None:
+        w["id_lt"] = id_upper_bound
+    return create_entity_query(
+        schema,
+        entity_name,
+        QueryOptions(first=page_size, where=w),
+        with_metadata=with_metadata,
+    )
+
+
 META_BLOCK = "_meta { block { number hash timestamp } }"
 
 
@@ -258,6 +284,42 @@ class SubgraphClient:
             collected.setdefault(entity, []).extend(value or [])
         return collected, meta
 
+    def execute_routed(
+        self, requests: list[GraphQLRequest]
+    ) -> list[list[dict]]:
+        """One batched round-trip for N requests, results routed back
+        **by request index** (via the ``{entity}_{i}`` alias) instead
+        of collapsed per entity — so two strategies querying the same
+        entity with different filters each get their own records.
+        This is the coalescing primitive ``SyncEngine.run_block`` uses
+        to turn N per-strategy HTTP calls into 1 per block (T7/X6,
+        reference ``batchExecutor.ts:78-131,181-199``). Falls back to
+        per-request execution on batch failure
+        (``batchExecutor.ts:254-264``)."""
+        if not requests:
+            return []
+        doc = build_batch_query(requests)
+        self.http_requests += 1
+        self.queries_sent += len(requests)
+        self.batched_savings += len(requests) - 1
+        resp = self.transport(self.url, {"query": doc})
+        if resp.get("errors"):
+            if len(requests) == 1:
+                raise GraphQLError(str(resp["errors"]))
+            out = []
+            for req in requests:
+                data, _ = self._execute_doc([req])
+                out.append(data.get(req.entity_name, []))
+            return out
+        data = resp.get("data") or {}
+        routed: list[list[dict]] = [[] for _ in requests]
+        for key, value in data.items():
+            if key == "_meta":
+                continue
+            _, _, idx = key.rpartition("_")
+            routed[int(idx)] = value or []
+        return routed
+
     def paginate(
         self,
         schema: SchemaContext,
@@ -274,14 +336,13 @@ class SubgraphClient:
         disjoint id ranges in parallel."""
         cursor = start_cursor
         for _ in range(max_pages):
-            w = dict(where or {})
-            w["id_gt"] = cursor
-            if id_upper_bound is not None:
-                w["id_lt"] = id_upper_bound
-            req = create_entity_query(
+            req = first_page_request(
                 schema,
                 entity_name,
-                QueryOptions(first=page_size, where=w),
+                page_size,
+                where=where,
+                start_cursor=cursor,
+                id_upper_bound=id_upper_bound,
             )
             data, _ = self.execute([req])
             records = data.get(entity_name, [])

@@ -73,6 +73,8 @@ class SyncEngine:
     merge_chunk_rows: int = 50_000
     block_interval_threshold: int = 1
     num_buckets: int = 16
+    # F3 look-back horizon (reference blockProposalStrategy.ts:20)
+    lookback_window: int = 25_000
     # per-strategy last-run block (T2). NOTE: driver state — rebuilt
     # from table metadata on restart, never authoritative.
     _last_run: dict[str, int] = field(default_factory=dict)
@@ -103,11 +105,38 @@ class SyncEngine:
 
     # ---- entity sync (pagination -> merge) ---------------------------------
 
+    def _pages(
+        self,
+        name: str,
+        where: dict[str, Any] | None,
+        first_page: list[dict] | None,
+    ):
+        """Page stream for one entity; if a coalesced ``run_block``
+        batch already fetched page 1 (T7), yield it and continue the
+        keyset walk from its last id — only entities with more than
+        ``page_size`` new rows in a block cost extra round-trips."""
+        if first_page is None:
+            yield from self.client.paginate(
+                self.schema, name, page_size=self.page_size, where=where
+            )
+            return
+        if first_page:
+            yield first_page
+        if len(first_page) >= self.page_size:
+            yield from self.client.paginate(
+                self.schema,
+                name,
+                page_size=self.page_size,
+                where=where,
+                start_cursor=first_page[-1]["id"],
+            )
+
     def sync_entity(
         self,
         name: str,
         where: dict[str, Any] | None = None,
         meta: dict[str, Any] | None = None,
+        first_page: list[dict] | None = None,
     ) -> int:
         """Paginate one entity from the subgraph and merge-upsert into
         its table in bounded chunks. Returns rows ingested."""
@@ -124,9 +153,7 @@ class SyncEngine:
                 merge_upsert(table, df, meta=meta)
                 buffer = []
 
-        for page in self.client.paginate(
-            self.schema, name, page_size=self.page_size, where=where
-        ):
+        for page in self._pages(name, where, first_page):
             buffer.extend(records_to_rows(self.schema, entity, page))
             total += len(page)
             if len(buffer) >= self.merge_chunk_rows:
@@ -190,7 +217,19 @@ class SyncEngine:
         self._last_run[strategy] = block_number
         return False
 
-    def sync_from_changelog(self, head: Block) -> dict[str, int]:
+    def _changelog_where(self, head: Block) -> dict[str, Any] | None:
+        """Filter for the next changelog read, or ``None`` if the
+        stored watermark already covers the head (short-circuit,
+        X12). Factored out so ``run_block`` can prefetch page 1 in
+        the coalesced batch."""
+        wm = self.get_watermark()
+        if wm and wm.number >= head.number:
+            return None
+        return {"blockNumber_gt": wm.number if wm else 0}
+
+    def sync_from_changelog(
+        self, head: Block, first_page: list[dict] | None = None
+    ) -> dict[str, int]:
         """T4: CDC-driven selective re-sync.
 
         Reads ``BlockChangeLog`` entries past the stored watermark from
@@ -203,11 +242,8 @@ class SyncEngine:
         if wm and wm.number >= head.number:
             return {}  # head unchanged — short-circuit (X12)
 
-        pages = self.client.paginate(
-            self.schema,
-            CHANGELOG_ENTITY,
-            page_size=self.page_size,
-            where={"blockNumber_gt": from_block},
+        pages = self._pages(
+            CHANGELOG_ENTITY, {"blockNumber_gt": from_block}, first_page
         )
         entries: list[dict] = [r for page in pages for r in page]
         if not entries:
@@ -246,15 +282,59 @@ class SyncEngine:
         )
         return counts
 
-    def sync_append_only(self, name: str, block_col: str = "blockNumber") -> int:
-        """T5: immutable event stream — fetch only rows above the
-        stored high-water mark; merge keeps re-fetches idempotent."""
+    def _append_where(self, name: str, block_col: str) -> dict[str, Any]:
+        """High-water-mark filter for an append-only entity (T5)."""
         from pyspark.sql import functions as F
 
         table = self.catalog.table(name)
         top = table.read().agg(F.max(block_col).alias("m")).collect()[0]["m"]
         from_block = int(top) + 1 if top is not None else 0
-        return self.sync_entity(name, where={f"{block_col}_gte": from_block})
+        return {f"{block_col}_gte": from_block}
+
+    def sync_append_only(
+        self,
+        name: str,
+        block_col: str = "blockNumber",
+        first_page: list[dict] | None = None,
+    ) -> int:
+        """T5: immutable event stream — fetch only rows above the
+        stored high-water mark; merge keeps re-fetches idempotent."""
+        return self.sync_entity(
+            name, where=self._append_where(name, block_col), first_page=first_page
+        )
+
+    # ---- look-back window strategy (F3) --------------------------------------
+
+    def _lookback_where(self, name: str, head: Block, block_col: str) -> dict[str, Any]:
+        from_block = max(head.number - self.lookback_window, 0)
+        return {f"{block_col}_gt": from_block}
+
+    def sync_lookback(
+        self,
+        name: str,
+        head: Block,
+        block_col: str = "createdAtBlock",
+        first_page: list[dict] | None = None,
+        refresh_fn: Callable[[Block], Any] | None = None,
+    ) -> int:
+        """F3: look-back-window sync (reference
+        ``blockProposalStrategy.ts:20,51-53,88-93``): re-fetch only
+        entities created within the trailing window
+        (``{block_col}_gt: head - 25000``) — the reference's proposal
+        strategy, which bounds per-block work to the governance-active
+        window regardless of total history size. ``refresh_fn`` (when
+        given) runs after the merge — the hook the proposal-state
+        multicall refresh (:mod:`..sources.rpc`) plugs into."""
+        where = self._lookback_where(name, head, block_col)
+        n = self.sync_entity(
+            name,
+            where=where,
+            meta={"blockNumber": head.number},
+            first_page=first_page,
+        )
+        if refresh_fn is not None:
+            refresh_fn(head)
+        return n
 
     # ---- per-block pipeline (T8) ---------------------------------------------
 
@@ -263,26 +343,108 @@ class SyncEngine:
         block: Block,
         append_only_entities: list[str] = (),
         extra_steps: list[tuple[str, Callable[[Block], Any]]] = (),
+        lookback_entities: list[str] = (),
+        lookback_block_col: str = "createdAtBlock",
+        lookback_refresh: Callable[[Block], Any] | None = None,
     ) -> dict[str, Any]:
         """Ordered strategy pipeline for one block; each step isolated
         so one failure never starves the others
-        (``blockWatcher.ts:118-133``)."""
+        (``blockWatcher.ts:118-133``).
+
+        Cross-strategy request coalescing (T7/X6, reference
+        ``batchExecutor.ts:78-131,181-199``): every non-throttled
+        batchable step (changelog, append-only, look-back) contributes
+        its first-page query to ONE aliased GraphQL document per
+        block; :meth:`SubgraphClient.execute_routed` demuxes results
+        back per step, which then paginates further only if its first
+        page was full. N strategies -> 1 HTTP round-trip in steady
+        state. ``extra_steps`` (arbitrary callables) stay unbatched.
+        """
+        from rootstock_collective_state_sync_spark.sources.graphql import (
+            first_page_request,
+        )
+
         results: dict[str, Any] = {}
-        steps: list[tuple[str, Callable[[Block], Any]]] = [
-            ("changelog", self.sync_from_changelog),
-        ]
-        for name in append_only_entities:
-            steps.append(
-                (f"append:{name}", lambda b, n=name: self.sync_append_only(n))
+        # (label, request, consume(block, first_page) -> result)
+        batched: list[tuple[str, Any, Callable[[Block, list[dict] | None], Any]]] = []
+
+        def plan(label: str, build) -> None:
+            """Throttle-check a batchable step and stage its prefetch."""
+            if self._throttled(label, block.number):
+                results[label] = "throttled"
+                return
+            try:
+                staged = build()
+            except Exception as exc:  # isolation also for the planning read
+                log.exception("strategy %s failed planning block %s", label, block.number)
+                results[label] = exc
+                return
+            if staged is None:
+                results[label] = {}
+                return
+            batched.append((label, staged[0], staged[1]))
+
+        def plan_changelog():
+            where = self._changelog_where(block)
+            if where is None:
+                return None  # short-circuit: head already processed
+            req = first_page_request(
+                self.schema, CHANGELOG_ENTITY, self.page_size, where=where
             )
-        steps.extend(extra_steps)
-        for label, fn in steps:
+            return req, lambda b, page: self.sync_from_changelog(b, first_page=page)
+
+        plan("changelog", plan_changelog)
+
+        for name in append_only_entities:
+
+            def plan_append(n=name):
+                where = self._append_where(n, "blockNumber")
+                req = first_page_request(self.schema, n, self.page_size, where=where)
+                return req, lambda b, page, nn=n: self.sync_append_only(
+                    nn, first_page=page
+                )
+
+            plan(f"append:{name}", plan_append)
+
+        for name in lookback_entities:
+
+            def plan_lookback(n=name):
+                where = self._lookback_where(n, block, lookback_block_col)
+                req = first_page_request(self.schema, n, self.page_size, where=where)
+                return req, lambda b, page, nn=n: self.sync_lookback(
+                    nn,
+                    b,
+                    block_col=lookback_block_col,
+                    first_page=page,
+                    refresh_fn=lookback_refresh,
+                )
+
+            plan(f"lookback:{name}", plan_lookback)
+
+        # ONE coalesced round-trip for all staged first pages
+        pages: list[list[dict] | None]
+        if batched:
+            try:
+                pages = self.client.execute_routed([req for _, req, _ in batched])
+            except Exception:
+                log.exception("coalesced batch failed at block %s", block.number)
+                pages = [None] * len(batched)  # full per-step fallback
+        else:
+            pages = []
+        for (label, _, consume), page in zip(batched, pages):
+            try:
+                results[label] = consume(block, page)
+            except Exception as exc:  # per-strategy isolation (T8)
+                log.exception("strategy %s failed at block %s", label, block.number)
+                results[label] = exc
+
+        for label, fn in extra_steps:
             if self._throttled(label, block.number):
                 results[label] = "throttled"
                 continue
             try:
                 results[label] = fn(block)
-            except Exception as exc:  # per-strategy isolation (T8)
+            except Exception as exc:
                 log.exception("strategy %s failed at block %s", label, block.number)
                 results[label] = exc
         return results

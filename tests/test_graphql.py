@@ -163,6 +163,41 @@ def test_client_batch_failure_falls_back_per_query(ctx):
     assert len(data["VoteCast"]) == 3
 
 
+def test_execute_routed_same_entity_distinct_filters(ctx):
+    """Index routing: two queries on the SAME entity with different
+    filters must not be merged (unlike ``execute``'s per-entity
+    demux) — the property run_block's coalescing relies on."""
+    client = SubgraphClient(url="fake://x", transport=fake_subgraph.transport)
+    reqs = [
+        create_entity_query(
+            ctx, "VoteCast", QueryOptions(first=50, where={"support": 0})
+        ),
+        create_entity_query(
+            ctx, "VoteCast", QueryOptions(first=50, where={"support": 1})
+        ),
+    ]
+    routed = client.execute_routed(reqs)
+    assert client.http_requests == 1
+    assert len(routed) == 2
+    assert {r["support"] for r in routed[0]} == {0}
+    assert {r["support"] for r in routed[1]} == {1}
+    assert len(routed[0]) and len(routed[1])
+
+
+def test_execute_routed_fallback_preserves_routing(ctx):
+    fake_subgraph.CALLS.clear()
+    client = SubgraphClient(
+        url="fake://x", transport=fake_subgraph.failing_batch_transport
+    )
+    reqs = [
+        create_entity_query(ctx, "VoteCast", QueryOptions(first=3)),
+        create_entity_query(ctx, "Account", QueryOptions(first=2)),
+    ]
+    routed = client.execute_routed(reqs)
+    assert len(fake_subgraph.CALLS) == 3  # failed batch + 2 singles
+    assert len(routed[0]) == 3  # VoteCast page at index 0
+
+
 def test_single_query_failure_raises(ctx):
     def always_fail(url, body):
         return {"errors": [{"message": "boom"}]}

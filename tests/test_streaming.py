@@ -306,6 +306,145 @@ def test_append_only_strategy(spark, tmp_path, world):
 
 
 # ---------------------------------------------------------------------------
+# cross-strategy request coalescing (T7/X6) + look-back strategy (F3)
+# ---------------------------------------------------------------------------
+
+
+def _counting(world: World):
+    calls: list[str] = []
+
+    def t(url: str, body: dict) -> dict:
+        calls.append(body["query"])
+        return world.transport(url, body)
+
+    return t, calls
+
+
+def proposal(i: int, created_at: int) -> dict:
+    return {
+        "id": f"0x{i:064x}",
+        "description": f"prop-{i}",
+        "votesFor": "0",
+        "votesAgainst": "0",
+        "state": "Pending",
+        "rawState": 0,
+        "createdAtBlock": str(created_at),
+        "targets": [],
+        "values": [],
+        "proposer": {"id": "0x" + "aa" * 20},
+    }
+
+
+def test_run_block_coalesces_strategies_into_one_http(spark, tmp_path, world):
+    """Mirror of the reference's 5-strategies->1-HTTP assertion
+    (``src/watchers/strategies/batching.test.ts:162-186``): changelog +
+    two append-only entities + one look-back entity all prefetch in a
+    single aliased document per block."""
+    transport, calls = _counting(world)
+    eng = SyncEngine(
+        spark=spark,
+        schema=load_entities(FIXTURE),
+        catalog=TableCatalog(spark, tmp_path / "co"),
+        client=SubgraphClient(url="fake://w", transport=transport),
+        page_size=50,
+        block_interval_threshold=1,
+    )
+    eng.bootstrap(at_block=5)
+    eng.sync_from_changelog(world.chain().head_block())  # wm -> 4
+
+    before = len(calls)
+    res = eng.run_block(
+        Block(5, "0xhead5", 0),
+        append_only_entities=["VoteCast", "ClaimedRewardsHistory"],
+        lookback_entities=["Proposal"],
+    )
+    new_calls = calls[before:]
+    assert len(new_calls) == 1, f"expected 1 coalesced HTTP, got {new_calls}"
+    doc = new_calls[0]
+    for alias in ("BlockChangeLog_0", "VoteCast_1", "ClaimedRewardsHistory_2", "Proposal_3"):
+        assert alias in doc
+    assert res["changelog"] == {}
+    assert res["append:VoteCast"] == 0
+    assert res["append:ClaimedRewardsHistory"] == 0
+    assert res["lookback:Proposal"] == 0
+
+
+def test_run_block_coalesced_results_equivalent(spark, tmp_path, world):
+    """Coalesced pipeline produces the same table state as the serial
+    one — new changelog entries still drive selective re-sync."""
+    eng = make_engine(spark, tmp_path, world, "eq")
+    eng.bootstrap(at_block=5)
+    eng.sync_from_changelog(world.chain().head_block())
+
+    new_blocks = synthetic_blocks(6, 2, fork_tag="a")
+    world.extend(
+        new_blocks,
+        {
+            6: {"VoteCast": [vote(1, support=2, reason="changed")]},
+            7: {"VoteCast": [vote(4)]},
+        },
+    )
+    res = eng.run_block(world.chain().head_block())
+    assert res["changelog"] == {"VoteCast": 2}
+    assert table_state(eng, "VoteCast") == expected_votes(world)
+    assert eng.get_watermark().number == 7
+
+
+def test_lookback_strategy_fetches_only_window(spark, tmp_path, world):
+    """F3: only proposals created inside the trailing window are
+    re-fetched (``blockProposalStrategy.ts:51-53,88-93``)."""
+    world.extend(
+        synthetic_blocks(6, 2, fork_tag="a"),
+        {
+            6: {"Proposal": [proposal(1, created_at=3), proposal(2, created_at=6)]},
+            7: {"Proposal": [proposal(3, created_at=7)]},
+        },
+    )
+    eng = make_engine(spark, tmp_path, world, "lb")
+    eng.lookback_window = 2
+    eng.bootstrap(at_block=7)
+
+    refreshed: list[int] = []
+    head = world.chain().head_block()  # number 7 -> createdAtBlock_gt 5
+    n = eng.sync_lookback(
+        "Proposal", head, refresh_fn=lambda b: refreshed.append(b.number)
+    )
+    assert n == 2  # proposals 2 (block 6) and 3 (block 7); 1 is outside
+    assert refreshed == [7]
+
+    res = eng.run_block(head, lookback_entities=["Proposal"])
+    assert res["lookback:Proposal"] == 2
+
+
+def test_run_block_batch_failure_falls_back_per_step(spark, tmp_path, world):
+    """A failing coalesced batch degrades to per-query execution
+    (``batchExecutor.ts:254-264``) without losing any strategy."""
+    transport, calls = _counting(world)
+
+    def flaky(url: str, body: dict) -> dict:
+        if len(fake_subgraph._QUERY_RE.findall(body["query"])) > 1:
+            calls.append(body["query"])
+            return {"errors": [{"message": "batch too complex"}]}
+        return transport(url, body)
+
+    eng = SyncEngine(
+        spark=spark,
+        schema=load_entities(FIXTURE),
+        catalog=TableCatalog(spark, tmp_path / "fb"),
+        client=SubgraphClient(url="fake://w", transport=flaky),
+        page_size=50,
+        block_interval_threshold=1,
+    )
+    eng.bootstrap(at_block=5)
+    eng.sync_from_changelog(world.chain().head_block())
+    res = eng.run_block(
+        Block(5, "0xhead5", 0), append_only_entities=["VoteCast"]
+    )
+    assert res["changelog"] == {}
+    assert res["append:VoteCast"] == 0
+
+
+# ---------------------------------------------------------------------------
 # streaming source (offset semantics = emitMissed)
 # ---------------------------------------------------------------------------
 
