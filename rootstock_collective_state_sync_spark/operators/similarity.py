@@ -130,36 +130,85 @@ def near_dup_pairs(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane side: weight for
-    dimension d is derived from md5('{plane}:{d}') — uniform in
-    [-1, 1), identical on every engine/run."""
-    weights = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":", F.lit(str(plane)), d.cast("string")
-                        ).cast("binary")
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(float(2**31))
-            - 1.0
-        ),
-    )
-    proj = F.aggregate(
-        F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return F.when(proj >= 0, "1").otherwise("0")
+def hyperplane_weight(plane: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight for dimension
+    ``d``: first 8 hex chars of md5('{plane}:{d}') scaled to [-1, 1).
+    Identical on every run/engine — no RNG state to persist."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:8]
+    return int(h, 16) / float(2**31) - 1.0
+
+
+def _hyperplane_matrix(num_tables: int, num_planes: int, dim: int) -> np.ndarray:
+    """(dim x num_tables*num_planes) weight matrix, **precomputed on
+    the driver** and closed over by the bucket UDF. Weights depend
+    only on (plane, dim), so computing them per row (as an
+    interpreted md5 HOF expression) multiplies scan cost by
+    num_tables*num_planes*dim for no benefit — at 100 TB that
+    constant dominates. Here the per-row work is a single matmul
+    against a constant matrix shipped once per task."""
+    W = np.empty((dim, num_tables * num_planes), dtype=np.float64)
+    for t in range(num_tables):
+        for p in range(num_planes):
+            plane = t * 1000 + p
+            col = t * num_planes + p
+            for d in range(dim):
+                W[d, col] = hyperplane_weight(plane, d)
+    return W
+
+
+_bucket_udfs: dict = {}
+
+
+def bucket_assignments(
+    df: DataFrame,
+    num_tables: int = 1,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, tbl, bits) sign-LSH bucket of every vector — the
+    deterministic core of :func:`lsh_bucket_topk`, exposed so the
+    bucket function itself is value-checkable against a SQL oracle
+    (the md5-derived weights are reproducible anywhere)."""
+    b = _bucket_udf(num_tables, num_planes, dim)
+    return df.select(
+        F.col(id_col), F.explode(b(F.col(vec_col))).alias("bkt")
+    ).select(id_col, F.col("bkt.tbl").alias("tbl"), F.col("bkt.bits").alias("bits"))
+
+
+def _bucket_udf(num_tables: int, num_planes: int, dim: int):
+    """Arrow-batched bucket assignment: one (rows x dim) @ (dim x
+    tables*planes) matmul per batch, then sign bits joined into one
+    bucket string per table. Lazy (pandas_udf needs a session)."""
+    key = (num_tables, num_planes, dim)
+    if key not in _bucket_udfs:
+        W = _hyperplane_matrix(num_tables, num_planes, dim)
+
+        @F.pandas_udf("array<struct<tbl:int,bits:string>>")
+        def _udf(vec: pd.Series) -> pd.Series:
+            A = np.stack(vec.values).astype(np.float64)
+            signs = (A @ W) >= 0.0  # rows x (tables*planes)
+            out = []
+            for row in signs:
+                out.append(
+                    [
+                        {
+                            "tbl": t,
+                            "bits": "".join(
+                                "1" if row[t * num_planes + p] else "0"
+                                for p in range(num_planes)
+                            ),
+                        }
+                        for t in range(num_tables)
+                    ]
+                )
+            return pd.Series(out)
+
+        _bucket_udfs[key] = _udf
+    return _bucket_udfs[key]
 
 
 def lsh_bucket_topk(
@@ -185,23 +234,12 @@ def lsh_bucket_topk(
     Recall knobs: fewer planes = bigger buckets; more tables = more
     chances to collide. P(candidate) = 1-(1-p^planes)^tables where p
     is the per-plane agreement probability (1 - angle/pi).
+
+    Hyperplane weights are precomputed driver-side
+    (:func:`_hyperplane_matrix`) and applied as one Arrow-batched
+    matmul per batch — not recomputed per row.
     """
-    def buckets(vec: Column) -> Column:
-        # one struct (table, bucket-bits) per hash table
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    F.concat(
-                        *[
-                            _hyperplane_sign(vec, t * 1000 + p, dim)
-                            for p in range(num_planes)
-                        ]
-                    ).alias("bits"),
-                )
-                for t in range(num_tables)
-            ]
-        )
+    buckets = _bucket_udf(num_tables, num_planes, dim)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -107,13 +107,18 @@ SPECS: dict[str, QuerySpec] = {
     "emb_near_dup_pairs": QuerySpec(
         TR.q_emb_near_dup_pairs, TR.Q_EMB_NEAR_DUP_ORACLE, ("similarity",)
     ),
-    "ann_lsh_topk": QuerySpec(TR.q_ann_lsh_topk, None, ("similarity",)),
+    "ann_lsh_topk": QuerySpec(TR.q_ann_lsh_topk, None, ("similarity", "bench")),
+    "ann_lsh_buckets": QuerySpec(
+        TR.q_ann_lsh_buckets, TR.Q_ANN_LSH_BUCKETS_ORACLE, ("similarity",)
+    ),
     # multimodal plumbing
     "multimodal_features": QuerySpec(
         TR.q_multimodal_features, TR.Q_MULTIMODAL_FEATURES_ORACLE, ("multimodal",)
     ),
     "multimodal_frame_sample": QuerySpec(
-        TR.q_multimodal_frame_sample, None, ("multimodal",)
+        TR.q_multimodal_frame_sample,
+        TR.Q_MULTIMODAL_FRAME_SAMPLE_ORACLE,
+        ("multimodal",),
     ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(

@@ -353,17 +353,78 @@ FROM documents ORDER BY doc_id
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing (video-frame stand-in): rows-only check
-    — slicing is exercised by unit tests."""
+    """Frame-sampling plumbing (video-frame stand-in), value-checked
+    end-to-end: every sampled byte-slice 'frame' is compared to the
+    oracle's substring computation (hex-encoded — binary outputs
+    stringify differently across the two pandas paths)."""
     from rootstock_collective_state_sync_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")
     return (
         M.frame_sample(M.attach_fake_payload(docs))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_frames"))
-        .orderBy("doc_id")
+        .select(
+            "doc_id",
+            "frame_no",
+            F.lower(F.hex("frame")).alias("frame_hex"),
+        )
+        .orderBy("doc_id", "frame_no")
     )
+
+
+Q_MULTIMODAL_FRAME_SAMPLE_ORACLE = """
+WITH f AS (
+  -- hex first, slice the hex string (2 chars/byte): DuckDB has no
+  -- BLOB substring; equivalent to hex(byte-slice)
+  SELECT doc_id, lower(hex(encode(text))) AS bh,
+         least(4, greatest(1, octet_length(encode(text)) // 64)) AS nf
+  FROM documents
+)
+SELECT doc_id, r.i::INTEGER AS frame_no,
+       substring(bh, (r.i * 128 + 1)::BIGINT, 128) AS frame_hex
+FROM f, range(4) r(i)
+WHERE r.i < nf
+ORDER BY doc_id, frame_no
+"""
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket assignment for every embedding (2 tables x 8
+    planes): the deterministic core of the approximate-ANN path,
+    value-checked end-to-end — the oracle recomputes the same
+    md5-derived hyperplane weights and projections in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.bucket_assignments(
+        emb, num_tables=2, num_planes=8, dim=64
+    ).orderBy("vec_id", "tbl")
+
+
+def _lsh_weight_values() -> str:
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        hyperplane_weight,
+    )
+
+    rows = []
+    for t in range(2):
+        for p in range(8):
+            plane = t * 1000 + p
+            for d in range(64):
+                rows.append(f"({plane},{d},{hyperplane_weight(plane, d)!r})")
+    return ", ".join(rows)
+
+
+Q_ANN_LSH_BUCKETS_ORACLE = f"""
+WITH w(plane, d, wt) AS (VALUES {_lsh_weight_values()}),
+proj AS (
+  SELECT e.vec_id, w.plane,
+         sum(e.embedding[w.d + 1]::DOUBLE * w.wt) AS pr
+  FROM embeddings e, w
+  GROUP BY 1, 2
+)
+SELECT vec_id, (plane // 1000)::INTEGER AS tbl,
+       string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+                  ORDER BY plane % 1000) AS bits
+FROM proj GROUP BY vec_id, plane // 1000 ORDER BY vec_id, tbl
+"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
