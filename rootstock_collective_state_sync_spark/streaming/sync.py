@@ -75,6 +75,15 @@ class SyncEngine:
     num_buckets: int = 16
     # F3 look-back horizon (reference blockProposalStrategy.ts:20)
     lookback_window: int = 25_000
+    # bulk-hydration (DataSource) knobs: when ``config_path`` is set,
+    # ``bootstrap`` reads every entity through the partition-parallel
+    # ``format("subgraph")`` reader instead of the driver-side
+    # pagination loop — executors walk disjoint id ranges, nothing is
+    # buffered on the driver. ``transport_path`` ("module:callable")
+    # reaches executor workers by import, unlike ``client.transport``.
+    config_path: str | None = None
+    transport_path: str | None = None
+    bulk_num_partitions: int = 8
     # per-strategy last-run block (T2). NOTE: driver state — rebuilt
     # from table metadata on restart, never authoritative.
     _last_run: dict[str, int] = field(default_factory=dict)
@@ -100,8 +109,42 @@ class SyncEngine:
         for name in self.schema.entities:
             if name == WATERMARK_ENTITY:
                 continue
-            counts[name] = self.sync_entity(name, meta=meta)
+            if self.config_path is not None:
+                counts[name] = self.hydrate_entity_bulk(name, meta=meta)
+            else:
+                counts[name] = self.sync_entity(name, meta=meta)
         return counts
+
+    def hydrate_entity_bulk(self, name: str, meta: dict[str, Any] | None = None) -> int:
+        """Full hydration of one entity through the partition-parallel
+        DataSource (X7): ``bulk_num_partitions`` executors each walk
+        their own keyset cursor over a disjoint id range; rows stream
+        from the wire straight into the merge shuffle — the driver
+        never materializes a page. This is the 100 TB path; the
+        driver-side :meth:`sync_entity` loop remains only for small
+        incremental per-block batches."""
+        from rootstock_collective_state_sync_spark.sources.subgraph_source import (
+            SubgraphDataSource,
+        )
+
+        self.spark.dataSource.register(SubgraphDataSource)
+        reader = (
+            self.spark.read.format("subgraph")
+            .option("url", self.client.url)
+            .option("config_path", str(self.config_path))
+            .option("entity", name)
+            .option("page_size", self.page_size)
+            .option("num_partitions", self.bulk_num_partitions)
+        )
+        if self.transport_path:
+            reader = reader.option("transport", self.transport_path)
+        df = reader.load().persist()
+        try:
+            n = df.count()
+            merge_upsert(self.catalog.table(name), df, meta=meta)
+        finally:
+            df.unpersist()
+        return n
 
     # ---- entity sync (pagination -> merge) ---------------------------------
 

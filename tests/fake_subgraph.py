@@ -102,6 +102,38 @@ def transport(url: str, body: dict) -> dict:
     return {"data": data}
 
 
+def state_transport(url: str, body: dict) -> dict:
+    """Transport backed by a JSON state file whose path rides in the
+    url (``fake-state://<path>``) — importable by executor workers, so
+    a test-built ``World`` (see ``test_streaming.World.dump``) can be
+    served through the real partition-parallel DataSource with no
+    sockets or cross-process shared memory. State shape:
+    ``{entity: [record, ...]}``; ``__``-prefixed bookkeeping keys are
+    filterable (``_change_block``) but stripped from responses."""
+    path = url.split("://", 1)[1]
+    with open(path) as fh:
+        state: dict[str, list[dict]] = json.load(fh)
+    doc = body["query"]
+    data = {}
+    for m in _QUERY_RE.finditer(doc):
+        entity, idx, root, _, args = m.groups()
+        parsed = _parse_args(args or "")
+        recs = sorted(state.get(entity, []), key=lambda r: r["id"])
+        where = dict(parsed.get("where", {}))
+        cb = where.pop("_change_block", None)
+        recs = [r for r in recs if _matches(r, where)]
+        if cb:
+            recs = [r for r in recs if r["__changedAtBlock"] >= int(cb["number_gte"])]
+        if "first" in parsed:
+            recs = recs[: parsed["first"]]
+        data[f"{entity}_{idx}"] = [
+            {k: v for k, v in r.items() if not k.startswith("__")} for r in recs
+        ]
+    if "_meta" in doc:
+        data["_meta"] = _META
+    return {"data": data}
+
+
 def failing_batch_transport(url: str, body: dict) -> dict:
     """Errors on multi-alias docs — exercises the per-query fallback."""
     doc = body["query"]

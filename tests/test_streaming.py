@@ -81,6 +81,18 @@ class World:
             for n, names in sorted(by_block.items())
         ]
 
+    def dump(self, path) -> str:
+        """Serialize folded state for ``fake_subgraph.state_transport``
+        — the bridge that lets executor workers (separate processes)
+        serve this World through the real DataSource."""
+        state = {
+            e: sorted(recs.values(), key=lambda r: r["id"])
+            for e, recs in self.state().items()
+        }
+        state["BlockChangeLog"] = sorted(self.changelog(), key=lambda r: r["id"])
+        Path(path).write_text(json.dumps(state))
+        return str(path)
+
     # -- transport -------------------------------------------------------------
 
     def transport(self, url: str, body: dict) -> dict:
@@ -163,11 +175,42 @@ def expected_votes(world: World) -> dict:
 
 
 def test_bootstrap_full_hydration(spark, tmp_path, world):
-    eng = make_engine(spark, tmp_path, world)
+    """Bulk hydration goes through the partition-parallel DataSource
+    (X7): executors walk disjoint id ranges; the driver-side client is
+    never touched and buffers no rows."""
+    state_url = "fake-state://" + world.dump(tmp_path / "world_state.json")
+    driver_calls: list[int] = []
+
+    def counting(url, body):
+        driver_calls.append(1)
+        return fake_subgraph.state_transport(url, body)
+
+    eng = SyncEngine(
+        spark=spark,
+        schema=load_entities(FIXTURE),
+        catalog=TableCatalog(spark, tmp_path / "live"),
+        client=SubgraphClient(url=state_url, transport=counting),
+        page_size=3,
+        block_interval_threshold=1,
+        config_path=str(FIXTURE),
+        transport_path="tests.fake_subgraph:state_transport",
+        bulk_num_partitions=4,
+    )
     counts = eng.bootstrap(at_block=5)
     assert counts["VoteCast"] == 3 and counts["Account"] == 1
     assert table_state(eng, "VoteCast") == expected_votes(world)
     assert eng.get_watermark() is None  # watermark only via changelog
+    assert not driver_calls  # hydration never routed through the driver
+
+
+def test_bootstrap_serial_fallback(spark, tmp_path, world):
+    """Without ``config_path`` the engine falls back to the bounded
+    driver-side pagination loop (small incremental batches)."""
+    eng = make_engine(spark, tmp_path, world)
+    counts = eng.bootstrap(at_block=5)
+    assert counts["VoteCast"] == 3 and counts["Account"] == 1
+    assert table_state(eng, "VoteCast") == expected_votes(world)
+    assert eng.get_watermark() is None
 
 
 def test_changelog_incremental_sync(spark, tmp_path, world):
