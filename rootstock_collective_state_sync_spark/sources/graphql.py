@@ -193,6 +193,39 @@ def build_batch_query(requests: list[GraphQLRequest]) -> str:
 Transport = Callable[[str, dict], dict]
 
 
+def build_endpoint(url: str, subgraph_id: str, api_key: str | None = None) -> str:
+    """C8: final endpoint URL from provider parts (reference
+    ``subgraphProvider.ts:270-282``): gateway deployments embed the
+    key in the path (``{url}/{apiKey}/{id}``); keyless local/hosted
+    nodes use the named route (``{url}/subgraphs/name/{id}``). The
+    empty-key case routes named to avoid ``//`` in the path."""
+    base = url.rstrip("/")
+    if api_key:
+        return f"{base}/{api_key}/{subgraph_id}"
+    return f"{base}/subgraphs/name/{subgraph_id}"
+
+
+def mask_api_key(endpoint: str) -> str:
+    """C7: redact a path-embedded API key for safe logging (reference
+    ``subgraphProvider.ts:99-112``): first path segment longer than 20
+    chars (the gateway key position) becomes ``***``; unparseable
+    endpoints collapse to a constant so a malformed URL can never leak
+    through an error path."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    try:
+        parts = urlsplit(endpoint)
+        if not parts.scheme or not parts.netloc:
+            raise ValueError(endpoint)
+        segments = [s for s in parts.path.split("/") if s]
+        if len(segments) >= 2 and len(segments[0]) > 20:
+            segments[0] = "***"
+        path = "/" + "/".join(segments) if segments else parts.path
+        return urlunsplit((parts.scheme, parts.netloc, path, parts.query, parts.fragment))
+    except (ValueError, AttributeError):
+        return "[invalid-endpoint]"
+
+
 def http_transport(url: str, body: dict) -> dict:
     """Default transport: JSON POST (production path)."""
     req = urllib.request.Request(
@@ -220,10 +253,11 @@ class SubgraphMeta:
 class SubgraphClient:
     """Executes (batched) GraphQL requests against one endpoint.
 
-    ``endpoint`` construction mirrors the reference's gateway URL
-    scheme: ``{url}/api/{api_key}/subgraphs/id/{subgraph_id}`` or
-    named deployments (``subgraphProvider.ts:270-282``) — callers pass
-    the final URL; this class does not hold credentials.
+    Build the endpoint with :func:`build_endpoint` (or
+    :meth:`from_provider`); anything user-facing — ``repr``, error
+    text — shows it through :func:`mask_api_key` so a path-embedded
+    gateway key cannot leak into logs (C7/C8,
+    ``subgraphProvider.ts:99-112,270-282``).
     """
 
     url: str
@@ -232,6 +266,23 @@ class SubgraphClient:
     http_requests: int = 0
     queries_sent: int = 0
     batched_savings: int = 0
+
+    @classmethod
+    def from_provider(
+        cls,
+        url: str,
+        subgraph_id: str,
+        api_key: str | None = None,
+        transport: Transport = http_transport,
+    ) -> "SubgraphClient":
+        return cls(url=build_endpoint(url, subgraph_id, api_key), transport=transport)
+
+    @property
+    def masked_url(self) -> str:
+        return mask_api_key(self.url)
+
+    def __repr__(self) -> str:  # never expose the raw key
+        return f"SubgraphClient(url={self.masked_url!r}, http_requests={self.http_requests})"
 
     def execute(
         self, requests: list[GraphQLRequest]

@@ -11,8 +11,11 @@ result feeds a ``when_matched_condition`` merge so only rows whose
 state actually differs are rewritten (set-based, replacing the
 reference's per-row update loop).
 
-The RPC callable is injectable; the default raises — this container
-has no chain endpoint, and tests supply a deterministic fake.
+The RPC callable is injectable; :func:`.abi.make_multicall_fn` is the
+production default — a pure-Python ``state(uint256)`` ABI encoder +
+Multicall3 ``aggregate3`` batch posted as one ``eth_call`` over
+JSON-RPC (this container has no chain endpoint, so tests supply a
+deterministic fake or a canned JSON-RPC ``post``).
 """
 
 from __future__ import annotations
@@ -45,8 +48,9 @@ MulticallFn = Callable[[list[str]], dict[str, int]]
 
 def _no_rpc(ids: list[str]) -> dict[str, int]:
     raise NotImplementedError(
-        "no RPC endpoint configured: pass multicall_fn=<your batched "
-        "eth_call implementation> (takes hex ids, returns id -> state)"
+        "no RPC endpoint configured: pass multicall_fn="
+        "abi.make_multicall_fn(rpc_url, governor_address) or your own "
+        "batched eth_call implementation (takes hex ids, returns id -> state)"
     )
 
 
@@ -80,10 +84,16 @@ def multicall_states(
             for i in range(0, len(raw_ids), batch_size):
                 chunk = raw_ids[i : i + batch_size]
                 states = multicall_fn(chunk)
+                # ids the call dropped (inner-call failure) are skipped,
+                # not errored — reference warn-and-skip semantics
+                # (blockProposalStateStrategy.ts:54-61)
+                ok = [x for x in chunk if x in states]
+                if not ok:
+                    continue
                 yield pd.DataFrame(
                     {
-                        id_col: [bytes.fromhex(x[2:]) for x in chunk],
-                        "rawState": [int(states[x]) for x in chunk],
+                        id_col: [bytes.fromhex(x[2:]) for x in ok],
+                        "rawState": [int(states[x]) for x in ok],
                     }
                 )
 

@@ -306,3 +306,55 @@ def test_push_filters_translation(ctx):
         "support_in": [0, 1],
     }
     assert len(remaining) == 2  # IsNull + undeclared stay Spark-side
+
+
+# ---- endpoint construction + API-key masking (C7/C8) -----------------------
+
+
+def test_build_endpoint_gateway_vs_named():
+    from rootstock_collective_state_sync_spark.sources.graphql import build_endpoint
+
+    # gateway: key embedded in the path (subgraphProvider.ts:272-274)
+    assert (
+        build_endpoint("https://gateway.thegraph.com/api", "QmSubgraph", "k" * 32)
+        == "https://gateway.thegraph.com/api/" + "k" * 32 + "/QmSubgraph"
+    )
+    # keyless: named route, no double slash (subgraphProvider.ts:275)
+    assert (
+        build_endpoint("http://localhost:8000/", "org/my-subgraph", None)
+        == "http://localhost:8000/subgraphs/name/org/my-subgraph"
+    )
+    assert (
+        build_endpoint("http://localhost:8000", "org/my-subgraph", "")
+        == "http://localhost:8000/subgraphs/name/org/my-subgraph"
+    )
+
+
+def test_mask_api_key_goldens():
+    from rootstock_collective_state_sync_spark.sources.graphql import mask_api_key
+
+    # >20-char first segment is treated as a key (subgraphProvider.ts:103-106)
+    key = "abcdef0123456789abcdef0123456789"
+    assert (
+        mask_api_key(f"https://gw.example.com/{key}/QmSubgraph")
+        == "https://gw.example.com/***/QmSubgraph"
+    )
+    # short first segment (named route) is left alone
+    assert (
+        mask_api_key("http://localhost:8000/subgraphs/name/org/sg")
+        == "http://localhost:8000/subgraphs/name/org/sg"
+    )
+    # single-segment path: nothing to mask
+    assert mask_api_key("https://x.example.com/health") == "https://x.example.com/health"
+    # unparseable endpoint never leaks through (subgraphProvider.ts:109-111)
+    assert mask_api_key("not a url") == "[invalid-endpoint]"
+
+
+def test_client_repr_masks_key():
+    key = "abcdef0123456789abcdef0123456789"
+    client = SubgraphClient.from_provider(
+        "https://gw.example.com", "QmSubgraph", key, transport=fake_subgraph.transport
+    )
+    assert client.url == f"https://gw.example.com/{key}/QmSubgraph"
+    assert key not in repr(client)
+    assert "***" in repr(client)
