@@ -1,0 +1,96 @@
+"""Deterministic corpus sampling and sequence packing.
+
+Training-data pipeline operators the reference lacks (scope extension
+like :mod:`.dedup` / :mod:`.text`): reproducible stratified sampling
+for dataset mixing, and capacity packing of documents into
+fixed-size training sequences. Both are pure built-in-function plans
+— no UDFs, no RNG state: every decision derives from md5/content, so
+a 1000-executor re-run (or a different engine) selects the identical
+sample.
+
+Scale shape:
+- ``stratified_sample`` is a scan + filter — embarrassingly parallel,
+  no shuffle at all; the sampling decision is per-row.
+- ``pack_sequences`` shuffles once on the shard key and runs one
+  window cumsum per shard — shards bound both skew and the window
+  state, so capacity stays per-shard-linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def strat_threshold_hex(rate: float) -> str:
+    """Keep-rate -> 4-hex-digit threshold: a row is kept when the
+    first 16 bits of md5(key) — as a *string*, compared
+    lexicographically, which for fixed-width lowercase hex equals
+    numeric order — are below it. 'g' > 'f' sorts above every hex
+    digit, so rate >= 1.0 keeps everything."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "0000"
+    return format(max(0, min(0xFFFF, round(rate * 0x10000))), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (dataset mixing): keep each
+    row iff ``substr(md5(key), 1, 4) < threshold(stratum)``. The draw
+    is a pure function of the key — stable under retries, partition
+    count, and engine — which is what training-data reproducibility
+    requires (no ``rand()`` seeds to persist)."""
+    draw = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 4)
+    thr: Column = F.lit(strat_threshold_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(strat_threshold_hex(rate))
+        ).otherwise(thr)
+    return df.filter(draw < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    capacity: int,
+    num_shards: int = 8,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-capacity training sequences
+    (sequence packing): within each shard (``key % num_shards``),
+    documents are laid end-to-end in key order and a new bin starts
+    every ``capacity`` units — ``bin = exclusive_cumsum DIV capacity``.
+    Integer-exact, one shuffle, no UDF. Oversized documents (>
+    capacity) still get a bin; callers split or drop them upstream.
+
+    Returns ``(key, shard, bin_id, bin_offset, size)``.
+    """
+    w = Window.partitionBy("shard").orderBy(F.col(key_col).asc())
+    excl = F.coalesce(
+        F.sum(F.col(size_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("shard", F.pmod(F.col(key_col), F.lit(num_shards)))
+        .select(
+            key_col,
+            "shard",
+            excl.alias("_excl"),
+            F.col(size_col).alias("size"),
+        )
+        .select(
+            key_col,
+            "shard",
+            # integer division, not float-floor: prefix sums can pass
+            # 2^53 at corpus scale and doubles would drop bits there
+            F.expr(f"_excl DIV {capacity}").alias("bin_id"),
+            (F.col("_excl") % capacity).alias("bin_offset"),
+            "size",
+        )
+    )

@@ -13,6 +13,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rootstock_collective_state_sync_spark.plans import analytics as AN
 from rootstock_collective_state_sync_spark.plans import relational as R
 from rootstock_collective_state_sync_spark.plans import training as TR
 from rootstock_collective_state_sync_spark.plans import tpch_extra as TX
@@ -67,6 +68,32 @@ SPECS: dict[str, QuerySpec] = {
         TX.q_min_cost_per_part, TX.Q_MIN_COST_ORACLE, ("window",)
     ),
     "exists_subquery": QuerySpec(TX.q_exists_subquery, TX.Q_EXISTS_ORACLE, ("join",)),
+    "q4_priority_exists": QuerySpec(TX.q4_priority_exists, TX.Q4_ORACLE, ("join",)),
+    "q8_market_share": QuerySpec(TX.q8_market_share, TX.Q8_ORACLE, ("join",)),
+    "q9_product_profit": QuerySpec(TX.q9_product_profit, TX.Q9_ORACLE, ("join",)),
+    "q12_priority_by_status": QuerySpec(
+        TX.q12_priority_by_status, TX.Q12_ORACLE, ("join",)
+    ),
+    "q16_supplier_variety": QuerySpec(
+        TX.q16_supplier_variety, TX.Q16_ORACLE, ("join",)
+    ),
+    "q19_disc_revenue": QuerySpec(TX.q19_disc_revenue, TX.Q19_ORACLE, ("join",)),
+    "q11_important_parts": QuerySpec(
+        TX.q11_important_parts, TX.Q11_ORACLE, ("agg", "subquery")
+    ),
+    "q22_idle_customers": QuerySpec(
+        TX.q22_idle_customers, TX.Q22_ORACLE, ("join", "subquery")
+    ),
+    # event-log analytics
+    "events_json_stats": QuerySpec(
+        AN.q_events_json_stats, AN.Q_EVENTS_JSON_ORACLE, ("analytics",)
+    ),
+    "running_user_value": QuerySpec(
+        AN.q_running_user_value, AN.Q_RUNNING_USER_VALUE_ORACLE, ("analytics", "window")
+    ),
+    "median_value_per_type": QuerySpec(
+        AN.q_median_value_per_type, AN.Q_MEDIAN_ORACLE, ("analytics", "window")
+    ),
     # sort / limit / top-k
     "top1_latest": QuerySpec(R.q_top1_latest, R.Q_TOP1_ORACLE, ("sort",)),
     "topk_per_group": QuerySpec(R.q_topk_per_group, R.Q_TOPK_PER_GROUP_ORACLE, ("sort",)),
@@ -110,6 +137,16 @@ SPECS: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(TR.q_ann_lsh_topk, None, ("similarity", "bench")),
     "ann_lsh_buckets": QuerySpec(
         TR.q_ann_lsh_buckets, TR.Q_ANN_LSH_BUCKETS_ORACLE, ("similarity",)
+    ),
+    # corpus sampling / packing / composition
+    "stratified_sample": QuerySpec(
+        TR.q_stratified_sample, TR.Q_STRATIFIED_SAMPLE_ORACLE, ("sampling",)
+    ),
+    "pack_sequences": QuerySpec(
+        TR.q_pack_sequences, TR.Q_PACK_SEQUENCES_ORACLE, ("sampling",)
+    ),
+    "clean_corpus": QuerySpec(
+        TR.q_clean_corpus, TR.Q_CLEAN_CORPUS_ORACLE, ("text", "dedup")
     ),
     # multimodal plumbing
     "multimodal_features": QuerySpec(

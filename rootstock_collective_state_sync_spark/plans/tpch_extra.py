@@ -202,3 +202,264 @@ WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_partkey = p_partkey AND l_quantity >= 49)
 ORDER BY p_partkey
 """
+
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order counts per priority where a correlated EXISTS
+    holds (returned lineitems stand in for late ones) — plans as one
+    LeftSemi, no per-row subquery."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's revenue share per year — conditional
+    decimal sums (exact), ratio rounded at the end only."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _rev_col()
+    nat = F.when(F.col("n_name") == "NATION_7", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(nat).cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            F.round(
+                F.sum(nat).cast("double") * 100.0 / F.sum(rev).cast("double"), 6
+            ).alias("share_pct"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = f"""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n_name = 'NATION_7' THEN {_REV}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+       CAST(sum({_REV}) AS DOUBLE) AS total_revenue,
+       round(CAST(sum(CASE WHEN n_name = 'NATION_7' THEN {_REV}
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+             / CAST(sum({_REV}) AS DOUBLE), 6) AS share_pct
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1 ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit (revenue − retail cost) per nation and year
+    over a name-filtered part set — 4-way join, exact decimal amounts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _rev_col() - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_ORACLE = f"""
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum({_REV} - CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%5%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional counts (urgent vs other orders) per
+    lineitem status — counts, not sums, so both engines stay BIGINT."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per (brand, type) for a
+    filtered part set, excluding one brand."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") < 20)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size < 20
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
+def q19_disc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicate (brand × quantity bands) —
+    the disjunction must still reach the scan as a pushed filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (q >= 20) & (q <= 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+Q19_ORACLE = f"""
+SELECT CAST(sum({_REV}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose total value exceeds 1.5x the per-part
+    average (scale-invariant, so every SF yields rows). Integer-cent
+    arithmetic with integer division — exact on both engines (no
+    float half-boundary); the scalar subquery plans as a reusable
+    subquery stage, not a join."""
+    from rootstock_collective_state_sync_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH pv AS (
+          SELECT l_partkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, value_cents FROM pv
+        WHERE value_cents > (SELECT (15 * sum(value_cents)) DIV (10 * count(*))
+                             FROM pv)
+        ORDER BY value_cents DESC, l_partkey
+        """
+    )
+
+
+Q11_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, value_cents FROM pv
+WHERE value_cents > (SELECT (15 * sum(value_cents)) // (10 * count(*)) FROM pv)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers who never placed a
+    large (>450k) order — scalar-subquery threshold (exact integer
+    cents) + filtered anti join, aggregated per nation."""
+    from rootstock_collective_state_sync_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH cents AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer
+        )
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               sum(bal_cents) AS total_cents
+        FROM cents c
+        WHERE bal_cents > (SELECT sum(bal_cents) DIV count(*) FROM cents
+                           WHERE bal_cents > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_totalprice > 450000)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
+
+
+Q22_ORACLE = """
+WITH cents AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+)
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS total_cents
+FROM cents c
+WHERE bal_cents > (SELECT sum(bal_cents) // count(*) FROM cents
+                   WHERE bal_cents > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_totalprice > 450000)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

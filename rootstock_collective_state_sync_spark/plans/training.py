@@ -436,3 +436,120 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(
         emb, queries, k=5, num_planes=3, num_tables=4
     ).orderBy("query_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# corpus sampling / packing / composition
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "de": 0.125, "zh": 0.0625, "es": 1.0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for dataset mixing: per-lang
+    keep rates, decided by md5(doc_id) — engine-portable, no RNG."""
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SA.stratified_sample(docs, "doc_id", "lang", SAMPLE_RATES)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _rate_cases_sql() -> str:
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        strat_threshold_hex,
+    )
+
+    cases = "".join(
+        f"WHEN '{s}' THEN '{strat_threshold_hex(r)}' "
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE lang {cases}ELSE '0000' END"
+
+
+Q_STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(doc_id::VARCHAR), 1, 4) < {_rate_cases_sql()}
+ORDER BY doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs laid end-to-end per shard in id order,
+    bins cut every 4096 chars — integer-exact window cumsum."""
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.pack_sequences(docs, "n_chars", capacity=4096, num_shards=8).orderBy(
+        "doc_id"
+    )
+
+
+Q_PACK_SEQUENCES_ORACLE = """
+WITH c AS (
+  SELECT doc_id, doc_id % 8 AS shard, n_chars AS size,
+         CAST(coalesce(sum(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS BIGINT) AS excl
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(excl // 4096 AS BIGINT) AS bin_id,
+       CAST(excl % 4096 AS BIGINT) AS bin_offset,
+       CAST(size AS BIGINT) AS size
+FROM c ORDER BY doc_id
+"""
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning composition — what a training-data
+    pipeline actually runs: exact-dedup keepers ∩ target language ∩
+    quality floor. Each stage is an operator verified on its own
+    (``dedup_exact``, ``text_quality_score``); this entry verifies
+    their composition."""
+    from rootstock_collective_state_sync_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = DD.exact_groups(docs).select(F.col("keeper_id").alias("doc_id"))
+    return (
+        docs.join(keepers, "doc_id", "left_semi")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", X.quality_score(F.col("text")).alias("quality"))
+        .filter(F.col("quality") >= 0.65)
+        .orderBy("doc_id")
+    )
+
+
+Q_CLEAN_CORPUS_ORACLE = rf"""
+WITH {_TOK_CTE},
+f AS (
+  SELECT doc_id,
+         greatest(len(toks), 1)::BIGINT AS n_tok,
+         len(list_distinct(toks))::BIGINT AS n_uniq,
+         greatest(length(text), 1)::BIGINT AS n_chars,
+         length(regexp_replace(text, '[^.!?,;]', '', 'g'))::BIGINT AS n_punct
+  FROM tok
+),
+q AS (
+  SELECT doc_id,
+         (5 * least(n_tok * 15625, 1000000)
+          + 4 * ((n_uniq * 1000000) // n_tok)
+          + 1000000 - least(((n_punct * 1000000) // n_chars) * 10, 1000000)
+         )::DOUBLE / 10000000.0 AS quality
+  FROM f
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+)
+SELECT d.doc_id, d.lang, q.quality
+FROM documents d
+JOIN q USING (doc_id)
+JOIN keep USING (doc_id)
+WHERE d.lang = 'en' AND q.quality >= 0.65
+ORDER BY d.doc_id
+"""
