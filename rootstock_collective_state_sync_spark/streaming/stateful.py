@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference keeps no per-key running state (its tables ARE the
+state); this covers the engine's extended streaming scope: an exact
+per-user running aggregate whose state is explicitly bounded — keys
+idle past an event-time horizon are evicted and emit a terminal row.
+That eviction contract is what makes per-key state survive 100 TB /
+unbounded key cardinality: state size tracks *active* users, not
+all-time users.
+
+Arithmetic is integer cents (``round(value * 100)``) so totals are
+exact and engine-portable — the batch analog
+(:func:`..plans.analytics.q_running_user_value`) is decimal-exact the
+same way.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, total_cents bigint, n_events bigint, finalized boolean"
+)
+STATE_SCHEMA = "total_cents bigint, n_events bigint"
+
+
+def _accumulate(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    idle_ms: int,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        # idle past the horizon: emit the terminal row and free state
+        total, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [{"user_id": user_id, "total_cents": total, "n_events": n,
+              "finalized": True}]
+        )
+        return
+
+    total, n = state.get if state.exists else (0, 0)
+    max_ts_ms = None
+    for pdf in pdfs:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        total += int(cents.sum())
+        n += len(pdf)
+        batch_max = pdf["ts"].max()
+        ms = int(batch_max.timestamp() * 1000)
+        max_ts_ms = ms if max_ts_ms is None else max(max_ts_ms, ms)
+    state.update((total, n))
+    if max_ts_ms is not None:
+        # event-time eviction: fires once the watermark passes
+        # last-seen + idle_ms (state bound = active keys only)
+        state.setTimeoutTimestamp(max_ts_ms + idle_ms)
+    yield pd.DataFrame(
+        [{"user_id": user_id, "total_cents": total, "n_events": n,
+          "finalized": False}]
+    )
+
+
+def user_running_totals(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    idle_minutes: int = 10,
+) -> DataFrame:
+    """Per-user exact running totals with bounded state.
+
+    Emits ``(user_id, total_cents, n_events, finalized=false)`` every
+    micro-batch a user is active in, and a single
+    ``finalized=true`` terminal row when the watermark passes the
+    user's last event + ``idle_minutes`` (state evicted). Requires an
+    event-time column ``ts`` and a numeric ``value``.
+    """
+    idle_ms = idle_minutes * 60_000
+
+    def fn(key, pdfs, state):
+        yield from _accumulate(key, pdfs, state, idle_ms)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,107 @@
+"""applyInPandasWithState e2e: exact accumulation across micro-batches
+and event-time state eviction, under a REAL streaming query (file
+source, one file per micro-batch, availableNow)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from rootstock_collective_state_sync_spark.streaming.stateful import (
+    user_running_totals,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def _t(hh: int, mm: int = 0) -> datetime.datetime:
+    return datetime.datetime(2026, 1, 1, hh, mm)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """Two files -> two micro-batches (file order by name with
+    maxFilesPerTrigger=1).
+
+    batch 1: user 1 @ 13:00 (2.50), user 2 @ 10:00 (1.00)
+    batch 2: user 1 @ 13:30 (0.25)
+
+    After batch 1 the watermark advances to 12:00 (max 13:00 − 1 h);
+    user 2's timeout (10:10) is already behind it, so batch 2 both
+    accumulates user 1 AND evicts user 2 with a terminal row.
+    """
+    d = tmp_path / "stream"
+    d.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, _t(13), 2.50), (2, _t(10), 1.00)], SCHEMA
+    )
+    b2 = spark.createDataFrame([(1, _t(13, 30), 0.25)], SCHEMA)
+    b1.coalesce(1).write.parquet(str(d / "a_batch1"))
+    b2.coalesce(1).write.parquet(str(d / "b_batch2"))
+    return d
+
+
+def test_stateful_accumulation_and_eviction(spark, stream_dir):
+    ev = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    q = (
+        user_running_totals(ev, watermark="1 hour", idle_minutes=10)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM t_stateful ORDER BY user_id, n_events"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.total_cents, r.n_events, r.finalized)
+        )
+    # user 1: emitted after each batch, exact cents, never finalized
+    assert by_user[1] == [(250, 1, False), (275, 2, False)]
+    # user 2: one live emission, then the eviction terminal row
+    assert by_user[2] == [(100, 1, False), (100, 1, True)]
+
+
+def test_stateful_state_not_resurrected(spark, stream_dir, tmp_path):
+    """After eviction, a returning user starts from zero — proof the
+    state really was removed, not kept warm."""
+    d = stream_dir
+    b3 = spark.createDataFrame([(2, _t(14), 5.00)], SCHEMA)
+    b3.coalesce(1).write.parquet(str(d / "c_batch3"))
+    ev = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    q = (
+        user_running_totals(ev, watermark="1 hour", idle_minutes=10)
+        .writeStream.format("memory")
+        .queryName("t_stateful2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM t_stateful2 WHERE user_id = 2 ORDER BY n_events, finalized"
+    ).collect()
+    seq = [(r.total_cents, r.n_events, r.finalized) for r in rows]
+    # live @10:00, terminal eviction, then a FRESH accumulation @14:00
+    assert (100, 1, True) in seq
+    assert (500, 1, False) in seq
