@@ -211,6 +211,124 @@ def _bucket_udf(num_tables: int, num_planes: int, dim: int):
     return _bucket_udfs[key]
 
 
+def _train_ivf_centroids(
+    corpus: DataFrame,
+    num_cells: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int = 2048,
+    iters: int = 5,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    bounded DETERMINISTIC sample (the ``sample_size`` lowest
+    md5(id) vectors — stable under partitioning/retries, no RNG).
+    This is a control-plane collect like the engine's watermark reads:
+    O(sample_size x dim), independent of corpus size. Returns
+    (num_cells x dim) unit-norm centroids."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string").cast("binary")), F.col("i"))
+        .limit(sample_size)
+        .collect()
+    )
+    S = np.array([r.v for r in rows], dtype=np.float64)
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    cent = S[:num_cells].copy()  # deterministic init: first k of the sample
+    for _ in range(iters):
+        assign = np.argmax(S @ cent.T, axis=1)
+        for c in range(num_cells):
+            members = S[assign == c]
+            if len(members):  # empty cells keep their centroid
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _cell_udf(cent: np.ndarray):
+    """Arrow-batched nearest-centroid assignment: one matmul/argmax
+    per batch against the closed-over centroid matrix."""
+
+    @F.pandas_udf("int")
+    def _udf(vec: pd.Series) -> pd.Series:
+        A = np.stack(vec.values).astype(np.float64)
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(A @ cent.T, axis=1).astype(np.int32))
+
+    return _udf
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``num_cells`` spherical-k-means cells, probe each query's
+    ``nprobe`` nearest cells, exact-re-rank only those candidates.
+
+    100 TB shape: corpus gets one scan + Arrow matmul to tag its cell
+    and is NEVER shuffled — the (tiny) exploded query×probe side is
+    broadcast into a hash join on ``cell``; scoring touches only
+    nprobe/num_cells of the corpus per query. Centroid training is a
+    bounded driver-side sample (see :func:`_train_ivf_centroids`).
+    Recall knobs: more cells = finer partition; more probes = higher
+    recall (nprobe = num_cells degenerates to exact brute force).
+    """
+    cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
+    assign = _cell_udf(cent)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        assign(F.col(vec_col)).alias("cell"),
+    )
+
+    # per-query probe list: queries are the (small) broadcast side by
+    # assumption, so selecting their nprobe nearest centroids is one
+    # bounded control-plane collect
+    q_rows = queries.select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+    ).collect()
+    q_mat = _l2n(np.array([r.v for r in q_rows], dtype=np.float64))
+    probe_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    probes = corpus.sparkSession.createDataFrame(
+        [
+            (int(r.i), r.v, int(cell))
+            for r, cells in zip(q_rows, probe_cells)
+            for cell in cells
+        ],
+        "query_id bigint, q_vec array<float>, cell int",
+    )
+
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_vectorized(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+        # a (query, neighbor) pair can match via one cell only (corpus
+        # rows live in exactly one cell) — no dedup stage needed
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cos_sim")
+    )
+
+
+def _l2n(a: np.ndarray) -> np.ndarray:
+    return a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -138,6 +138,7 @@ SPECS: dict[str, QuerySpec] = {
     "ann_lsh_buckets": QuerySpec(
         TR.q_ann_lsh_buckets, TR.Q_ANN_LSH_BUCKETS_ORACLE, ("similarity",)
     ),
+    "ann_ivf_topk": QuerySpec(TR.q_ann_ivf_topk, None, ("similarity", "bench")),
     # corpus sampling / packing / composition
     "stratified_sample": QuerySpec(
         TR.q_stratified_sample, TR.Q_STRATIFIED_SAMPLE_ORACLE, ("sampling",)

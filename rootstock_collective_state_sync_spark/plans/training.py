@@ -553,3 +553,17 @@ JOIN keep USING (doc_id)
 WHERE d.lang = 'en' AND q.quality >= 0.65
 ORDER BY d.doc_id
 """
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (spherical-k-means cells + nprobe search). No SQL
+    oracle: centroids are data-dependent (trained on a deterministic
+    sample), so k-means can't be replayed in DuckDB — correctness is
+    pinned by tests instead (`tests/test_operators.py::
+    test_ivf_topk_recall_and_determinism`: full-probe == brute force,
+    recall floor at nprobe=4, end-to-end determinism)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 25)
+    return S.ivf_topk(emb, queries, k=5, num_cells=16, nprobe=4).orderBy(
+        "query_id", "rk"
+    )

@@ -126,3 +126,29 @@ def test_fingerprint_order_invariant(spark):
     )
     fps = [r.fp for r in df.select(X.fingerprint(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_ivf_topk_recall_and_determinism(emb):
+    """IVF recall rises with nprobe and hits exact at full probe;
+    centroid training is sample-deterministic so two runs agree."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    few = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, k=5, num_cells=8, nprobe=4).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, k=5, num_cells=8, nprobe=8).collect()
+    }
+    assert full == exact  # probing every cell degenerates to exact
+    r_few = len(few & exact) / len(exact)
+    assert r_few >= 0.6, f"IVF nprobe=4/8 recall {r_few:.2f} below 0.6"
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, k=5, num_cells=8, nprobe=4).collect()
+    }
+    assert again == few  # deterministic end to end
