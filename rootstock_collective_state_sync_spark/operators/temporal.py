@@ -1,0 +1,126 @@
+"""Temporal joins Spark has no native operator for: as-of and range.
+
+Both are implemented as compositions of shuffle-friendly primitives
+(the brief's preferred path) rather than per-row probes:
+
+- :func:`asof_join` — union the two sides, one window pass per key:
+  each left row picks up the latest right payload at-or-before its
+  timestamp via ``last_value(..., ignoreNulls)``. ONE shuffle on the
+  key, sort within partitions — the same cost envelope as a
+  sort-merge join, state never leaves the executor. (A per-row
+  ``pd.merge_asof`` probe would be the slow path; this form keeps
+  everything JVM-side.)
+- :func:`range_join` — interval × point matching via time
+  bucketization: intervals explode to the fixed-width buckets they
+  cover, points map to exactly one bucket, and the match becomes an
+  equi-join on the bucket followed by the exact range filter. Each
+  (point, interval) pair can only meet in the point's single bucket,
+  so no dedup stage is needed. Bucket width trades fan-out (long
+  intervals explode to more buckets) against join selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: every left row gains the right side's
+    ``value_cols`` from the most recent right row with
+    ``right.ts <= left.ts`` and the same ``key`` (NULLs if none —
+    left-join semantics).
+
+    The right side should be unique per (key, ts); with duplicates,
+    the row sorted last among them wins (deterministic given unique
+    ``value_cols`` ordering is not required — we order right rows
+    before left at equal ts so ties honor ``<=``).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    l_tag = left.withColumn("_r", F.lit(0)).withColumn("_ts", F.col(left_ts))
+    r_tag = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c) for c in value_cols],
+        )
+        .withColumn("_r", F.lit(1))
+    )
+    # align schemas for the union
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None))
+    for c in value_cols:
+        if c not in l_tag.columns:
+            l_tag = l_tag.withColumn(c, F.lit(None))
+    cols = l_tag.columns
+    unioned = l_tag.select(cols).unionByName(r_tag.select(cols))
+
+    # right rows sort before left rows at equal ts => '<=' semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in left.columns],
+        "_r",
+        *[
+            F.last(
+                F.when(F.col("_r") == 1, F.col(c)), ignorenulls=True
+            ).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_r") == 0).drop("_r")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Match each point to every interval containing it
+    (``start <= ts < end``) without a cartesian: equi-join on a
+    fixed-width time bucket, then the exact range filter. Points are
+    never exploded (one bucket per point); intervals explode to
+    ``duration / bucket_seconds`` rows — pick the bucket near the
+    typical interval length. Set ``broadcast_intervals=False`` when
+    the interval side is too large to broadcast; the equi-join then
+    shuffles both sides on the bucket key."""
+    p = points.withColumn(
+        "_bkt", (F.unix_timestamp(F.col(point_ts)) / bucket_seconds).cast("bigint")
+    )
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("bigint"),
+                # end is exclusive, but a point in the end's bucket can
+                # still precede it — include that bucket
+                (F.unix_timestamp(F.col(end_col)) / bucket_seconds).cast("bigint"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    return (
+        p.join(iv, "_bkt")
+        .filter(
+            (F.col(start_col) <= F.col(point_ts))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_bkt")
+    )

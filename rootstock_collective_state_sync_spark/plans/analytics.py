@@ -113,3 +113,86 @@ SELECT event_type, value AS median_lo FROM (
   FROM events
 ) WHERE rn = (n + 1) // 2 ORDER BY event_type
 """
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operator Spark lacks natively,
+    :func:`..operators.temporal.asof_join`): each click event picks up
+    the latest hourly checkpoint balance at-or-before its timestamp.
+    Oracle = DuckDB's native ASOF LEFT JOIN — a true cross-engine
+    check of the union+window formulation."""
+    from rootstock_collective_state_sync_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    checkpoints = (
+        ev.groupBy(
+            "user_id",
+            (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        )
+        .agg(F.sum(cents).alias("ckpt_cents"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    return (
+        asof_join(clicks, checkpoints, key="user_id", value_cols=["ckpt_cents"])
+        .select("user_id", "event_id", "asof_ckpt_cents")
+        .orderBy("event_id")
+    )
+
+
+Q_ASOF_JOIN_ORACLE = """
+WITH ck AS (
+  SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ckpt_cents
+  FROM events GROUP BY 1, 2
+),
+cl AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT cl.user_id, cl.event_id, ck.ckpt_cents AS asof_ckpt_cents
+FROM cl ASOF LEFT JOIN ck
+  ON cl.user_id = ck.user_id AND cl.ts >= ck.ts
+ORDER BY cl.event_id
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × point range join via time bucketization
+    (:func:`..operators.temporal.range_join`): synthetic 20-minute
+    maintenance windows (one per distinct hour), counting the events
+    each contains — equi-join on the bucket, exact range filter, no
+    cartesian."""
+    from rootstock_collective_state_sync_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(F.date_trunc("hour", F.col("ts")).alias("h")).distinct()
+    intervals = hours.select(
+        (F.col("h") + F.expr("INTERVAL 5 MINUTES")).alias("start"),
+        (F.col("h") + F.expr("INTERVAL 25 MINUTES")).alias("end"),
+    ).withColumn("interval_id", F.unix_timestamp("start"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        range_join(ev.withColumn("cents", cents), intervals)
+        .groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("interval_id")
+    )
+
+
+Q_RANGE_JOIN_ORACLE = """
+WITH iv AS (
+  SELECT DISTINCT date_trunc('hour', ts) + INTERVAL 5 MINUTE AS s,
+                  date_trunc('hour', ts) + INTERVAL 25 MINUTE AS e
+  FROM events
+)
+SELECT CAST(epoch(s) AS BIGINT) AS interval_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events ev JOIN iv ON iv.s <= ev.ts AND ev.ts < iv.e
+GROUP BY 1 ORDER BY 1
+"""

@@ -94,6 +94,10 @@ SPECS: dict[str, QuerySpec] = {
     "median_value_per_type": QuerySpec(
         AN.q_median_value_per_type, AN.Q_MEDIAN_ORACLE, ("analytics", "window")
     ),
+    "asof_join": QuerySpec(AN.q_asof_join, AN.Q_ASOF_JOIN_ORACLE, ("join", "temporal")),
+    "range_join": QuerySpec(
+        AN.q_range_join, AN.Q_RANGE_JOIN_ORACLE, ("join", "temporal")
+    ),
     # sort / limit / top-k
     "top1_latest": QuerySpec(R.q_top1_latest, R.Q_TOP1_ORACLE, ("sort",)),
     "topk_per_group": QuerySpec(R.q_topk_per_group, R.Q_TOPK_PER_GROUP_ORACLE, ("sort",)),
