@@ -84,6 +84,15 @@ SPECS: dict[str, QuerySpec] = {
     "q22_idle_customers": QuerySpec(
         TX.q22_idle_customers, TX.Q22_ORACLE, ("join", "subquery")
     ),
+    "q13_order_distribution": QuerySpec(
+        TX.q13_order_distribution, TX.Q13_ORACLE, ("join", "agg")
+    ),
+    "q15_top_supplier": QuerySpec(
+        TX.q15_top_supplier, TX.Q15_ORACLE, ("join", "subquery")
+    ),
+    "q17_small_quantity_revenue": QuerySpec(
+        TX.q17_small_quantity_revenue, TX.Q17_ORACLE, ("window",)
+    ),
     # event-log analytics
     "events_json_stats": QuerySpec(
         AN.q_events_json_stats, AN.Q_EVENTS_JSON_ORACLE, ("analytics",)

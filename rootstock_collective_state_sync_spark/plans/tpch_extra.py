@@ -463,3 +463,105 @@ WHERE bal_cents > (SELECT sum(bal_cents) // count(*) FROM cents
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customer-order-count histogram INCLUDING zero-order
+    customers — left outer join + two-level aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count() skips NULLs
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) hitting the global maximum revenue —
+    scalar-max subquery with exact integer-cent equality (no float
+    ties to worry about on either engine)."""
+    from rootstock_collective_state_sync_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH sr AS (
+          SELECT l_suppkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, rev_cents
+        FROM supplier JOIN sr ON s_suppkey = l_suppkey
+        WHERE rev_cents = (SELECT max(rev_cents) FROM sr)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+Q15_ORACLE = """
+WITH sr AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_cents
+FROM supplier JOIN sr ON s_suppkey = l_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM sr)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: lineitems below 20% of their part's average quantity.
+    The correlated average is a window; the comparison cross-multiplies
+    integers (5*qty*n < sum) so NO division happens — exact on both
+    engines with no rounding boundary at all."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    return (
+        l.select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            qty_c.alias("qty_cents"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        )
+        .withColumn("sum_qty", F.sum("qty_cents").over(w))
+        .withColumn("n_li", F.count(F.lit(1)).over(w))
+        .filter(F.col("qty_cents") * 5 * F.col("n_li") < F.col("sum_qty"))
+        .select("l_partkey", "l_orderkey", "l_linenumber", "qty_cents", "price_cents")
+        .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    )
+
+
+Q17_ORACLE = """
+SELECT l_partkey, l_orderkey, l_linenumber, qty_cents, price_cents FROM (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_qty,
+         count(*) OVER (PARTITION BY l_partkey) AS n_li
+  FROM lineitem
+)
+WHERE qty_cents * 5 * n_li < sum_qty
+ORDER BY l_partkey, l_orderkey, l_linenumber
+"""

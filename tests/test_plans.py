@@ -69,3 +69,31 @@ def test_no_accidental_cartesian(spark, name):
     df = SPECS[name].fn(spark, SF_SMOKE)
     p = plan(spark, df, "simple")
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Sampling is a scan + filter: ANY Exchange in this plan means a
+    regression that would shuffle 100 TB for a row-local decision."""
+    p = plan(spark, SPECS["stratified_sample"].fn(spark, SF_SMOKE), "simple")
+    # the final orderBy (presentation only) adds a range exchange;
+    # nothing before it may repartition
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_pack_sequences_single_hash_shuffle(spark):
+    """Packing shuffles once on the shard key — the window cumsum must
+    reuse that partitioning, not add its own."""
+    p = plan(spark, SPECS["pack_sequences"].fn(spark, SF_SMOKE), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_broadcasts_intervals(spark):
+    p = plan(spark, SPECS["range_join"].fn(spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q17_single_window_exchange(spark):
+    """The correlated-average window reuses one shuffle on l_partkey."""
+    p = plan(spark, SPECS["q17_small_quantity_revenue"].fn(spark, SF_SMOKE), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
