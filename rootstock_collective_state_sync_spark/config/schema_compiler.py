@@ -72,8 +72,18 @@ def _fk_fields(ctx: SchemaContext, col: Column) -> list[T.StructField]:
     return fields
 
 
-def compile_entity(ctx: SchemaContext, entity: Entity) -> T.StructType:
-    """Compile one entity to its table ``StructType``."""
+def compile_entity(
+    ctx: SchemaContext, entity: Entity, hex_shadow: bool = False
+) -> T.StructType:
+    """Compile one entity to its table ``StructType``.
+
+    ``hex_shadow=True`` is the full-width uint256 ingest option (§7
+    risk register): every plain (non-FK, non-array) ``BigInt`` column
+    gains a nullable ``<col>__hex`` string right after it. At ingest
+    (:func:`..sources.subgraph_source.records_to_rows`) values beyond
+    Decimal(38,0) land as NULL canonical + lossless hex instead of
+    failing; in-range values carry both. Off by default — the
+    canonical-only schema stays loud on overflow."""
     fields: list[T.StructField] = []
     for col in entity.columns:
         if ctx.is_reference(col):
@@ -84,7 +94,14 @@ def compile_entity(ctx: SchemaContext, entity: Entity) -> T.StructType:
             # array elements follow the column's nullability; the
             # reference's Postgres arrays have no element constraint.
             dtype = T.ArrayType(dtype, containsNull=True)
-        fields.append(T.StructField(col.name, dtype, col.nullable))
+        if hex_shadow and col.type == "BigInt" and not col.is_array:
+            # overflow policy makes NULL legal in the canonical column
+            # (the shadow preserves the value), so nullability moves
+            # to the hex column's presence, not the decimal's
+            fields.append(T.StructField(col.name, dtype, True))
+            fields.append(T.StructField(f"{col.name}__hex", T.StringType(), True))
+        else:
+            fields.append(T.StructField(col.name, dtype, col.nullable))
     return T.StructType(fields)
 
 

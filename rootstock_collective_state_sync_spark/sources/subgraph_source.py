@@ -104,14 +104,41 @@ def _convert_column(record: dict, col: Column, ctx: SchemaContext) -> Any:
     return _convert_scalar(value, col.type)
 
 
+_DECIMAL38_MAX = 10**38 - 1
+
+
 def records_to_rows(
-    ctx: SchemaContext, entity: Entity, records: list[dict]
+    ctx: SchemaContext,
+    entity: Entity,
+    records: list[dict],
+    hex_shadow: bool = False,
 ) -> list[tuple]:
-    """GraphQL JSON records -> tuples matching the compiled schema."""
-    return [
-        tuple(_convert_column(r, col, ctx) for col in entity.columns)
-        for r in records
-    ]
+    """GraphQL JSON records -> tuples matching the compiled schema.
+
+    With ``hex_shadow`` (matching ``compile_entity(..,
+    hex_shadow=True)``), plain BigInt columns emit (canonical,
+    ``<col>__hex``) pairs: full-uint256 values that exceed
+    Decimal(38,0) arrive as (NULL, lossless hex) instead of blowing
+    up the ingest — the §7 full-width fidelity option."""
+    rows = []
+    for r in records:
+        vals: list = []
+        for col in entity.columns:
+            if (
+                hex_shadow
+                and col.type == "BigInt"
+                and not col.is_array
+                and not ctx.is_reference(col)
+            ):
+                raw = r.get(col.name)
+                iv = None if raw is None else int(str(raw))
+                in_range = iv is not None and -_DECIMAL38_MAX <= iv <= _DECIMAL38_MAX
+                vals.append(Decimal(iv) if in_range else None)
+                vals.append(None if iv is None else hex(iv))
+                continue
+            vals.append(_convert_column(r, col, ctx))
+        rows.append(tuple(vals))
+    return rows
 
 
 def _id_range_bounds(num_partitions: int) -> list[tuple[str, str | None]]:
@@ -160,6 +187,7 @@ class SubgraphReader(DataSourceReader):
         self.page_size = int(options.get("page_size", 1000))
         self.num_partitions = int(options.get("num_partitions", 1))
         self.transport_path = options.get("transport")
+        self.hex_shadow = str(options.get("uint256_shadow", "false")).lower() == "true"
         self.pushed_where: dict[str, Any] = {}
 
     # -- pushdown ----------------------------------------------------------
@@ -214,7 +242,7 @@ class SubgraphReader(DataSourceReader):
             start_cursor=partition.lower if partition.lower != "0x00" else "0x00",
             id_upper_bound=partition.upper,
         ):
-            yield from records_to_rows(ctx, entity, page)
+            yield from records_to_rows(ctx, entity, page, hex_shadow=self.hex_shadow)
 
 
 class SubgraphDataSource(DataSource):
@@ -226,7 +254,8 @@ class SubgraphDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         ctx = load_entities(self.options["config_path"])
-        return compile_entity(ctx, ctx[self.options["entity"]])
+        shadow = str(self.options.get("uint256_shadow", "false")).lower() == "true"
+        return compile_entity(ctx, ctx[self.options["entity"]], hex_shadow=shadow)
 
     def reader(self, schema: T.StructType) -> SubgraphReader:
         return SubgraphReader(self.options)
