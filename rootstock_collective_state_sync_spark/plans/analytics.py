@@ -196,3 +196,63 @@ SELECT CAST(epoch(s) AS BIGINT) AS interval_id,
 FROM events ev JOIN iv ON iv.s <= ev.ts AND ev.ts < iv.e
 GROUP BY 1 ORDER BY 1
 """
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot (``stack``): per-returnflag totals of three
+    measures become (flag, measure, total) rows — decimal-exact sums,
+    one double cast at the edge."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("price"),
+        F.sum(_dec("l_discount")).cast("double").alias("disc"),
+    )
+    return (
+        wide.selectExpr(
+            "l_returnflag",
+            "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (measure, total)",
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+Q_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+         CAST(sum(CAST(l_discount     AS DECIMAL(18,2))) AS DOUBLE) AS disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, measure, total FROM (
+  SELECT l_returnflag, 'qty' AS measure, qty AS total FROM wide
+  UNION ALL SELECT l_returnflag, 'price', price FROM wide
+  UNION ALL SELECT l_returnflag, 'disc', disc FROM wide
+)
+ORDER BY l_returnflag, measure
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than cube/rollup): per-status,
+    per-priority, and grand-total counts in one pass."""
+    from rootstock_collective_state_sync_spark.plans.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority, n
+        """
+    )
+
+
+Q_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority, n
+"""

@@ -107,6 +107,12 @@ SPECS: dict[str, QuerySpec] = {
     "range_join": QuerySpec(
         AN.q_range_join, AN.Q_RANGE_JOIN_ORACLE, ("join", "temporal")
     ),
+    "unpivot_measures": QuerySpec(
+        AN.q_unpivot_measures, AN.Q_UNPIVOT_ORACLE, ("analytics", "setop")
+    ),
+    "grouping_sets": QuerySpec(
+        AN.q_grouping_sets, AN.Q_GROUPING_SETS_ORACLE, ("agg",)
+    ),
     # sort / limit / top-k
     "top1_latest": QuerySpec(R.q_top1_latest, R.Q_TOP1_ORACLE, ("sort",)),
     "topk_per_group": QuerySpec(R.q_topk_per_group, R.Q_TOPK_PER_GROUP_ORACLE, ("sort",)),
