@@ -256,3 +256,25 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY o_orderstatus, o_orderpriority, n
 """
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per event type (Greenwald-Khanna sketch,
+    mergeable across partitions — the 100 TB path for percentiles).
+    No SQL oracle: the sketch's answer is accuracy-bounded, not
+    value-deterministic across engines; the exact-median companion
+    (``median_value_per_type``) is the value-checked counterpart."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q"),
+        )
+        .select(
+            "event_type",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p90"),
+            F.col("q")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
