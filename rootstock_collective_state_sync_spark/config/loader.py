@@ -68,16 +68,106 @@ def load_entities(path: str | Path) -> SchemaContext:
     return ctx
 
 
-def load_config(path: str | Path) -> dict[str, Any]:
+def _overlay_env_map(
+    doc: dict[str, Any], mapping: dict[str, Any], env: dict[str, str]
+) -> None:
+    """Recursively apply a reference-format env-var mapping: each leaf
+    of ``mapping`` names an environment variable; when that variable is
+    set, its value replaces the config value at the same path (env wins
+    over YAML). Values are coerced to the YAML value's type when the
+    existing value is an int/float/bool so numeric knobs stay numeric."""
+    for key, val in mapping.items():
+        if isinstance(val, dict):
+            sub = doc.setdefault(key, {})
+            if isinstance(sub, dict):
+                _overlay_env_map(sub, val, env)
+        elif isinstance(val, str) and val in env:
+            doc[key] = _coerce_like(doc.get(key), env[val])
+
+
+def _coerce_like(existing: Any, raw: str) -> Any:
+    if isinstance(existing, bool):
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    if isinstance(existing, int):
+        try:
+            return int(raw)
+        except ValueError:
+            return raw
+    if isinstance(existing, float):
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+    return raw
+
+
+#: Well-known override variables applied even without a mapping file —
+#: the engine's analog of the reference's custom-environment-variables
+#: layer (``config/custom-environment-variables.yml:1-9``): secrets and
+#: deploy-specific endpoints come from the environment, never YAML.
+_DB_ENV_KEYS = ("connectionString", "host", "port", "user", "password", "database")
+
+
+def _builtin_env_overrides(doc: dict[str, Any], env: dict[str, str]) -> None:
+    db = doc.setdefault("database", {})
+    if isinstance(db, dict):
+        for key in _DB_ENV_KEYS:
+            var = "SPARK_GRAFT_DB_" + _snake_upper(key)
+            if var in env:
+                db[key] = _coerce_like(db.get(key), env[var])
+    providers = doc.get("subgraphProviders")
+    if isinstance(providers, dict):
+        for name, cfg in providers.items():
+            if not isinstance(cfg, dict):
+                continue
+            var = "SPARK_GRAFT_API_KEY_" + _snake_upper(name)
+            if var in env:
+                cfg["apiKey"] = env[var]
+
+
+def _snake_upper(name: str) -> str:
+    out = []
+    for ch in name:
+        if ch.isupper():
+            out.append("_")
+        out.append("_" if ch == "-" else ch)
+    return "".join(out).upper()
+
+
+def load_config(
+    path: str | Path,
+    env_map_path: str | Path | None = None,
+    env: dict[str, str] | None = None,
+) -> dict[str, Any]:
     """Load the full config doc (app/database/blockchain/providers/entities).
 
     Returns the raw dict plus a validated ``SchemaContext`` under key
     ``"schema"`` — the engine analog of the reference's
     ``getConfig()`` + ``createContexts`` bootstrap
     (``src/config/config.ts:4-12``, ``src/context/create.ts:9-23``).
+
+    Environment overrides are layered over the YAML *before* schema
+    validation, mirroring the reference's
+    ``config/custom-environment-variables.yml:1-9``: pass
+    ``env_map_path`` pointing at a reference-format mapping file
+    (leaves name env vars), and/or rely on the built-in
+    ``SPARK_GRAFT_DB_*`` / ``SPARK_GRAFT_API_KEY_<PROVIDER>``
+    conventions. Environment always wins over YAML, so secrets
+    (connection strings, API keys) never have to live in config files
+    — which is what makes the client-side key masking
+    (``sources/graphql.py``) matter in practice.
     """
+    import os
+
+    if env is None:
+        env = dict(os.environ)
     with open(path) as f:
         doc = yaml.safe_load(f) or {}
+    if env_map_path is not None:
+        with open(env_map_path) as f:
+            mapping = yaml.safe_load(f) or {}
+        _overlay_env_map(doc, mapping, env)
+    _builtin_env_overrides(doc, env)
     entities = [_parse_entity(e) for e in doc.get("entities", [])]
     ctx = SchemaContext.from_entities(entities)
     ctx.validate()

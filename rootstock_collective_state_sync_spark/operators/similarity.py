@@ -325,6 +325,22 @@ def ivf_topk(
     )
 
 
+def ivf_cell_assignments(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) nearest-centroid assignment for every corpus vector —
+    the deterministic core of :func:`ivf_topk`, exposed so the coarse
+    quantizer (md5-ordered sample, spherical k-means, argmax assign) is
+    value-checkable end-to-end against a SQL oracle that replays the
+    same training in DuckDB."""
+    cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
+    assign = _cell_udf(cent)
+    return corpus.select(F.col(id_col), assign(F.col(vec_col)).alias("cell"))
+
+
 def _l2n(a: np.ndarray) -> np.ndarray:
     return a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
 

@@ -159,6 +159,9 @@ SPECS: dict[str, QuerySpec] = {
         TR.q_ann_lsh_buckets, TR.Q_ANN_LSH_BUCKETS_ORACLE, ("similarity",)
     ),
     "ann_ivf_topk": QuerySpec(TR.q_ann_ivf_topk, None, ("similarity", "bench")),
+    "ann_ivf_cells": QuerySpec(
+        TR.q_ann_ivf_cells, TR.Q_ANN_IVF_CELLS_ORACLE, ("similarity",)
+    ),
     # corpus sampling / packing / composition
     "stratified_sample": QuerySpec(
         TR.q_stratified_sample, TR.Q_STRATIFIED_SAMPLE_ORACLE, ("sampling",)

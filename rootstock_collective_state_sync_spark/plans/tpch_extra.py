@@ -271,7 +271,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape: profit (revenue − retail cost) per nation and year
     over a name-filtered part set — 4-way join, exact decimal amounts."""
     l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     amount = _rev_col() - _dec("p_retailprice") * _dec("l_quantity")
@@ -296,7 +296,7 @@ FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
-WHERE p_name LIKE '%5%'
+WHERE p_name LIKE '%red%'
 GROUP BY 1, 2 ORDER BY nation, o_year DESC
 """
 

@@ -427,6 +427,88 @@ FROM proj GROUP BY vec_id, plane // 1000 ORDER BY vec_id, tbl
 """
 
 
+def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer cell assignment for every embedding — the
+    deterministic heart of the IVF ANN path, value-checked end-to-end.
+    The oracle independently replays the SAME algorithm in pure SQL:
+    md5-ordered 2048-vector sample, 5 unrolled spherical-k-means
+    iterations, then nearest-centroid argmax over the full table —
+    no shared code with the numpy training path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_cell_assignments(emb, num_cells=16).orderBy("vec_id")
+
+
+def _ivf_cells_oracle(num_cells: int = 16, iters: int = 5, dim: int = 64,
+                      sample: int = 2048) -> str:
+    """Generate the unrolled-k-means DuckDB oracle for
+    :func:`q_ann_ivf_cells`. Each iteration k materializes dot
+    products sample x centroids, argmax assignment (first-max
+    tie-break = numpy argmax), member-sum centroids re-normalized to
+    unit length, with empty cells carrying the previous centroid —
+    exactly :func:`operators.similarity._train_ivf_centroids`."""
+    parts = [f"""
+WITH samp AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS si, embedding
+  FROM embeddings
+  QUALIFY si < {sample}
+),
+sn AS (
+  SELECT si, d.i AS d,
+         embedding[d.i + 1]::DOUBLE
+           / greatest(sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 1e-12) AS x
+  FROM samp, range({dim}) d(i)
+),
+c0 AS (SELECT si AS c, d, x AS w FROM sn WHERE si < {num_cells})"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+dot{k} AS (
+  SELECT sn.si, c.c, sum(sn.x * c.w) AS dot
+  FROM sn JOIN c{k - 1} c ON sn.d = c.d GROUP BY 1, 2
+),
+a{k} AS (
+  SELECT si, c FROM (
+    SELECT si, c,
+           row_number() OVER (PARTITION BY si ORDER BY dot DESC, c ASC) AS rn
+    FROM dot{k}
+  ) WHERE rn = 1
+),
+m{k} AS (
+  SELECT a.c, sn.d, sum(sn.x) AS s
+  FROM a{k} a JOIN sn ON a.si = sn.si GROUP BY 1, 2
+),
+c{k} AS (
+  SELECT m.c, m.d, m.s / greatest(n.nrm, 1e-12) AS w
+  FROM m{k} m JOIN (SELECT c, sqrt(sum(s * s)) AS nrm
+                    FROM m{k} GROUP BY c) n ON m.c = n.c
+  UNION ALL
+  SELECT c, d, w FROM c{k - 1}
+  WHERE c NOT IN (SELECT DISTINCT c FROM a{k})
+)""")
+    parts.append(f""",
+alln AS (
+  SELECT vec_id, d.i AS d,
+         embedding[d.i + 1]::DOUBLE
+           / greatest(sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 1e-12) AS x
+  FROM embeddings, range({dim}) d(i)
+),
+fdot AS (
+  SELECT a.vec_id, c.c, sum(a.x * c.w) AS dot
+  FROM alln a JOIN c{iters} c ON a.d = c.d GROUP BY 1, 2
+)
+SELECT vec_id, c::INTEGER AS cell FROM (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn
+  FROM fdot
+) WHERE rn = 1 ORDER BY vec_id""")
+    return "".join(parts)
+
+
+Q_ANN_IVF_CELLS_ORACLE = _ivf_cells_oracle()
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via sign-LSH bucketing (the scale path).
     No SQL oracle — recall-vs-brute-force is asserted in

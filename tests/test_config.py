@@ -1,0 +1,92 @@
+"""Env-var config overlay tests — the reference layers
+``config/custom-environment-variables.yml:1-9`` over its YAML config
+(API keys + DB connection string from the environment); this checks
+the engine's equivalent: mapping-file overrides, built-in
+``SPARK_GRAFT_*`` conventions, precedence, and type coercion."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import yaml
+
+from rootstock_collective_state_sync_spark.config import load_config
+
+FIXTURE = str(Path(__file__).parent / "fixtures" / "entities.yml")
+REF_DEFAULT = "/root/reference/config/default.yml"
+REF_ENV_MAP = "/root/reference/config/custom-environment-variables.yml"
+
+
+def test_mapping_file_env_wins_over_yaml(tmp_path):
+    env_map = tmp_path / "env.yml"
+    env_map.write_text(
+        yaml.safe_dump(
+            {
+                "subgraphProviders": {"main": {"apiKey": "MY_KEY"}},
+                "database": {"connectionString": "MY_CONN"},
+            }
+        )
+    )
+    doc = load_config(
+        FIXTURE,
+        env_map_path=env_map,
+        env={"MY_KEY": "s3cret", "MY_CONN": "postgres://host/db"},
+    )
+    assert doc["subgraphProviders"]["main"]["apiKey"] == "s3cret"
+    assert doc["database"]["connectionString"] == "postgres://host/db"
+    # untouched keys keep their YAML values
+    assert doc["subgraphProviders"]["main"]["url"] == "http://localhost:9999"
+
+
+def test_mapping_file_unset_env_keeps_yaml(tmp_path):
+    env_map = tmp_path / "env.yml"
+    env_map.write_text(
+        yaml.safe_dump({"database": {"batchSize": "UNSET_BATCH_SIZE"}})
+    )
+    doc = load_config(FIXTURE, env_map_path=env_map, env={})
+    assert doc["database"]["batchSize"] == 1000
+
+
+def test_mapping_file_coerces_to_yaml_type(tmp_path):
+    env_map = tmp_path / "env.yml"
+    env_map.write_text(
+        yaml.safe_dump({"database": {"batchSize": "BATCH_SIZE"}})
+    )
+    doc = load_config(FIXTURE, env_map_path=env_map, env={"BATCH_SIZE": "250"})
+    assert doc["database"]["batchSize"] == 250  # int, not "250"
+
+
+def test_builtin_db_and_provider_conventions():
+    doc = load_config(
+        FIXTURE,
+        env={
+            "SPARK_GRAFT_DB_HOST": "db.internal",
+            "SPARK_GRAFT_DB_PORT": "5433",
+            "SPARK_GRAFT_API_KEY_MAIN": "env-key",
+        },
+    )
+    assert doc["database"]["host"] == "db.internal"
+    assert doc["database"]["port"] == "5433"  # no YAML value to coerce against
+    assert doc["subgraphProviders"]["main"]["apiKey"] == "env-key"
+
+
+def test_reference_env_map_applies_to_reference_config():
+    """The reference's own mapping file works verbatim against the
+    reference's own default config (parity with
+    config/custom-environment-variables.yml:1-9)."""
+    doc = load_config(
+        REF_DEFAULT,
+        env_map_path=REF_ENV_MAP,
+        env={
+            "THE_GRAPH_API_KEY_CR": "cr-key",
+            "DATABASE_CONNECTION_STRING": "postgres://env/wins",
+        },
+    )
+    assert doc["subgraphProviders"]["collective-rewards"]["apiKey"] == "cr-key"
+    assert doc["database"]["connectionString"] == "postgres://env/wins"
+
+
+def test_env_none_reads_process_environment(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_API_KEY_MAIN", "from-process-env")
+    doc = load_config(FIXTURE)
+    assert doc["subgraphProviders"]["main"]["apiKey"] == "from-process-env"
