@@ -2,9 +2,12 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Each query is executed twice: a warm-up (JIT/codegen/page-cache) and a
-timed run; the timed run materializes results via count() on the
-driver (no collect of wide rows).
+Each query runs once as warm-up (JIT/codegen/page-cache), then
+``SPARK_GRAFT_BENCH_RUNS`` (default 3) timed runs; the reported figure
+is the MEDIAN, with per-query [min, max] spread persisted alongside so
+round-over-round comparisons can tell plan changes from run-to-run
+noise (sub-second queries swing +/-30 % on this box). Results
+materialize via count() on the driver (no collect of wide rows).
 """
 
 from __future__ import annotations
@@ -23,17 +26,21 @@ def main() -> None:
     from rootstock_collective_state_sync_spark import get_spark
     from rootstock_collective_state_sync_spark.plans.registry import bench_queries
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     spark = get_spark("bench")
     qs = bench_queries()
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, fn in qs.items():
         fn(spark, sf_dir).count()  # warm-up (JIT, codegen, page cache)
-        best = float("inf")
-        for _ in range(2):  # best-of-2: damps GC/plan-cache jitter
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 4)
+        spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -43,6 +50,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs_per_query": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

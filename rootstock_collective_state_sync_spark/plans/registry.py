@@ -197,6 +197,85 @@ SPECS: dict[str, QuerySpec] = {
 }
 
 
+# --- driver-window rotation -------------------------------------------
+# The conformance driver checks the FIRST 50 registry entries in dict
+# order each round. The registry holds more than 50 queries, so the
+# window is rotated deliberately: queries that have never earned a
+# driver CORRECTNESS row, queries whose code changed this round, and a
+# stable cross-family core go first; multi-round-green unchanged
+# queries rotate out (they remain covered by tests/test_conformance.py,
+# which runs ALL oracled queries against DuckDB on every pytest run).
+#
+# r03 window = 5 never-driver-checked + 19 rotated out in r02 (all
+# r01-green, code unchanged) + 2 changed/new this round + 24 stable
+# core spanning every operator family.
+_DRIVER_WINDOW = [
+    # never driver-checked before r03
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "stratified_sample",
+    "pack_sequences",
+    "clean_corpus",
+    # changed / added this round
+    "q9_product_profit",
+    "ann_ivf_cells",
+    # r01-green, rotated out of the r02 window — re-earn driver rows
+    "hex_roundtrip",
+    "camel_case",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "emb_near_dup_pairs",
+    "ann_lsh_topk",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "first_event_per_key",
+    # stable core: green in r01 AND r02, one per operator family
+    "q1_pricing_summary",
+    "watermark_max_block",
+    "group_count",
+    "distinct_set",
+    "q6_forecast_revenue",
+    "filter_range_scan",
+    "filter_isin_enum",
+    "keyset_page",
+    "changelog_incremental",
+    "fk_deref_join",
+    "broadcast_enrich_diff",
+    "semi_join",
+    "anti_join",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top1_latest",
+    "topk_per_group",
+    "union_distinct",
+    "except_missing",
+    "enum_label",
+    "bigint_arith",
+    "asof_join",
+    "range_join",
+    "events_json_stats",
+]
+
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+assert len(set(_DRIVER_WINDOW)) == 50
+assert all(n in SPECS for n in _DRIVER_WINDOW)
+
+SPECS = {
+    name: SPECS[name]
+    for name in (*_DRIVER_WINDOW, *(n for n in SPECS if n not in _DRIVER_WINDOW))
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in SPECS.items()}
 

@@ -52,6 +52,86 @@ def test_decode_media_stub():
         M.decode_media(b"\xff\xd8", "image/jpeg")
 
 
+def _ppm(width, height, pixels, comment=False):
+    """Hand-build a binary P6 payload (netpbm spec): header tokens,
+    optional comment line, exactly one whitespace byte, raw RGB."""
+    hdr = b"P6\n"
+    if comment:
+        hdr += b"# hand-built test image\n"
+    hdr += f"{width} {height}\n255\n".encode()
+    return hdr + bytes(pixels)
+
+
+def _wav(sample_rate, samples):
+    """Hand-build a 16-bit mono PCM WAV (RIFF spec)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_ppm_real_payload():
+    # 2x2 image: red, green, blue, white
+    px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    d = M.decode_media(_ppm(2, 2, px, comment=True), "image/x-portable-pixmap")
+    assert (d["width"], d["height"], d["maxval"], d["n_pixels"]) == (2, 2, 255, 4)
+    assert d["mean_r"] == (255 + 0 + 0 + 255) / 4
+    assert d["mean_g"] == (0 + 255 + 0 + 255) / 4
+    assert d["mean_b"] == (0 + 0 + 255 + 255) / 4
+
+
+def test_decode_ppm_rejects_truncated_and_wide():
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_media(_ppm(4, 4, [0] * 10), "image/ppm")
+    wide = b"P6\n1 1\n65535\n" + b"\0" * 6
+    with pytest.raises(ValueError, match="not supported"):
+        M.decode_media(wide, "image/ppm")
+
+
+def test_decode_wav_real_payload():
+    d = M.decode_media(_wav(8000, [0, 1000, -2000, 3000]), "audio/wav")
+    assert d["audio_format"] == 1
+    assert d["channels"] == 1
+    assert d["sample_rate"] == 8000
+    assert d["bits_per_sample"] == 16
+    assert d["n_frames"] == 4
+    assert d["duration_s"] == pytest.approx(4 / 8000)
+    assert d["peak"] == 3000
+
+
+def test_decode_feature_map_distributed(spark):
+    """The real codecs run through the Arrow-batched decode stage:
+    good payloads yield numeric feature maps, a corrupt payload
+    quarantines into decode_error instead of failing the job."""
+    px = [10, 20, 30] * 4
+    rows = [
+        (1, _ppm(2, 2, px), "image/x-portable-pixmap"),
+        (2, _wav(16000, [5, -7, 7]), "audio/wav"),
+        (3, b"P6 garbage", "image/x-portable-pixmap"),
+        (4, b"\x00\x01", "video/mp4"),  # no codec -> quarantined
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, mt string").select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("mt").alias("media_type"),
+            F.octet_length("payload").cast("long").alias("size_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    out = {r.doc_id: r for r in M.decode_feature_map(df).collect()}
+    assert out[1].decode_error is None and out[1].features["width"] == 2.0
+    assert out[1].features["mean_r"] == 10.0
+    assert out[2].features["sample_rate"] == 16000.0 and out[2].features["peak"] == 7.0
+    assert out[3].decode_error is not None and out[3].features == {}
+    assert "video/mp4" in out[4].decode_error
+
+
 # ---------------------------------------------------------------------------
 # RPC multicall enrichment (S6 + J1 + K2)
 # ---------------------------------------------------------------------------

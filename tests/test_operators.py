@@ -12,7 +12,7 @@ from rootstock_collective_state_sync_spark.operators import similarity as S
 from rootstock_collective_state_sync_spark.operators import text as X
 from rootstock_collective_state_sync_spark.plans.tables import load_table
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECTNESS, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -152,3 +152,32 @@ def test_ivf_topk_recall_and_determinism(emb):
         for r in S.ivf_topk(emb, queries, k=5, num_cells=8, nprobe=4).collect()
     }
     assert again == few  # deterministic end to end
+
+
+def test_ann_recall_floors_at_correctness_scale(spark):
+    """Recall-regression gate for BOTH approximate-ANN paths at sf0.01
+    (2000 vectors), pinned to the registry configs: recall@5 vs brute
+    force must not drop below fixed floors (measured 0.62 IVF / 0.59
+    LSH — both paths are deterministic, so a dip means a real plan or
+    parameter regression, not noise)."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 25)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, k=5, num_cells=16, nprobe=4).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_bucket_topk(
+            emb, queries, k=5, num_planes=3, num_tables=4
+        ).collect()
+    }
+    r_ivf = len(ivf & exact) / len(exact)
+    r_lsh = len(lsh & exact) / len(exact)
+    assert r_ivf >= 0.55, f"IVF recall@5 {r_ivf:.2f} below 0.55 floor"
+    assert r_lsh >= 0.50, f"LSH recall@5 {r_lsh:.2f} below 0.50 floor"
+    emb.unpersist()

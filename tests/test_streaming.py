@@ -597,3 +597,100 @@ def test_lookback_with_multicall_refresh_e2e(spark, tmp_path, world):
     rows = {bytes(r.id)[-1]: (r.rawState, r.state) for r in table.read().collect()}
     assert rows[1] == (1, "Active")   # diff-updated + relabeled
     assert rows[2] == (0, "Pending")  # unchanged on chain -> untouched
+
+
+def test_streaming_shell_end_to_end(spark, tmp_path, world):
+    """The production loop of the reference (``main.ts:9-36``),
+    composed from the engine's streaming pieces: a ``blockstream``
+    readStream drives ``foreachBatch`` -> ordered per-block
+    ``run_block`` (T8), every block coalesces its strategies into ONE
+    prefetch HTTP document (T7), the checkpoint replays exactly the
+    missed blocks across a restart (T1/emitMissed), and the persisted
+    watermark advances with the changelog (T3)."""
+    from rootstock_collective_state_sync_spark.sources.blockstream import (
+        BlockStreamDataSource,
+    )
+
+    transport, calls = _counting(world)
+    eng = SyncEngine(
+        spark=spark,
+        schema=load_entities(FIXTURE),
+        catalog=TableCatalog(spark, tmp_path / "shell"),
+        client=SubgraphClient(url="fake://w", transport=transport),
+        page_size=50,
+        block_interval_threshold=1,
+    )
+    eng.bootstrap(at_block=5)
+    eng.sync_from_changelog(world.chain().head_block())  # wm -> 4
+
+    chain_file = tmp_path / "chain.json"
+
+    def write_chain():
+        chain_file.write_text(
+            json.dumps(
+                [
+                    {"number": b.number, "hash": b.hash, "timestamp": b.timestamp}
+                    for b in world.blocks
+                ]
+            )
+        )
+
+    processed: list[int] = []
+
+    def handle(batch_df, _epoch):
+        # foreachBatch runs driver-side: bounded block-header rows only
+        for r in sorted(batch_df.collect(), key=lambda r: r.number):
+            eng.run_block(
+                Block(r.number, r.hash, r.timestamp),
+                append_only_entities=["ClaimedRewardsHistory"],
+            )
+            processed.append(r.number)
+
+    spark.dataSource.register(BlockStreamDataSource)
+    ckpt = tmp_path / "shell_ckpt"
+
+    def run_stream():
+        q = (
+            spark.readStream.format("blockstream")
+            .option("chain_path", str(chain_file))
+            .option("start_block", 5)
+            .load()
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # chain + subgraph advance to block 7 (one VoteCast change at 6)
+    world.extend(
+        synthetic_blocks(6, 2, fork_tag="a"),
+        {6: {"VoteCast": [vote(1, support=2, reason="streamed")]}},
+    )
+    write_chain()
+    before = len(calls)
+    run_stream()
+    assert processed == [6, 7]
+    assert eng.get_watermark().number == 6
+
+    # restart: chain grows to 9; the SAME checkpoint replays only 8..9
+    world.extend(
+        synthetic_blocks(8, 2, fork_tag="a"),
+        {8: {"VoteCast": [vote(4)]}},
+    )
+    write_chain()
+    run_stream()
+    assert processed == [6, 7, 8, 9]  # no duplicates, no gaps
+    assert eng.get_watermark().number == 8
+    assert table_state(eng, "VoteCast") == expected_votes(world)
+
+    # T7: each of the 4 blocks sent exactly ONE coalesced prefetch doc
+    # carrying BOTH strategies; the only extra calls are the follow-up
+    # entity fetches for the 2 blocks whose changelog had entries.
+    new_calls = calls[before:]
+    coalesced = [
+        d for d in new_calls
+        if "BlockChangeLog_0" in d and "ClaimedRewardsHistory_1" in d
+    ]
+    assert len(coalesced) == 4
+    assert len(new_calls) == 6
