@@ -315,3 +315,47 @@ def simhash(
             ).alias("simhash")
         )
     )
+
+
+def benchmark_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: which training documents share
+    word ``n``-gram shingles with an evaluation/benchmark set, and how
+    many. The eval-side index is the small side by construction
+    (benchmarks are thousands of docs, corpora are billions), so the
+    overlap is a broadcast semi-style equi-join on the shingle — the
+    100 TB-safe shape; the train corpus is scanned once and never
+    self-joined.
+
+    Returns ``(doc_id, n_shared, n_shingles, share_pct)`` for train
+    docs with at least ``min_shared`` shared shingles.
+    """
+    t = shingle_index(train, text_col=text_col, id_col=id_col, n=n)
+    b = shingle_index(benchmark, text_col=text_col, id_col=id_col, n=n).select(
+        "s"
+    ).distinct()
+    t = t.persist()  # scanned twice: sizes + overlap
+    sizes = t.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        t.join(F.broadcast(b), "s")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shared",
+            "n_shingles",
+            F.round(F.col("n_shared") * 100.0 / F.col("n_shingles"), 4).alias(
+                "share_pct"
+            ),
+        )
+    )

@@ -94,3 +94,39 @@ def pack_sequences(
             "size",
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    num_shards: int = 16,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle: a reproducible pseudo-random
+    reading order per training epoch, derived purely from
+    ``md5(epoch || ':' || key)`` — no RNG state, identical on any
+    engine or cluster size.
+
+    Shard = first hex digit of the draw (``num_shards`` must divide
+    16 or be 16); position = rank of the draw *within* the shard. The
+    window never sees more than one shard, so ordering parallelizes
+    across shards instead of the single-partition global-row_number
+    trap; readers stream shards in (shard, pos) order.
+
+    Returns ``(key, shard, pos)``.
+    """
+    if not (1 <= num_shards <= 16 and 16 % num_shards == 0):
+        raise ValueError("num_shards must divide 16 (hex-digit sharding)")
+    draw = F.md5(
+        F.concat_ws(":", F.lit(str(epoch)), F.col(key_col).cast("string")).cast(
+            "binary"
+        )
+    )
+    shard = (F.conv(F.substring(F.col("_draw"), 1, 1), 16, 10).cast("int")) % num_shards
+    w = Window.partitionBy("shard").orderBy(F.col("_draw").asc(), F.col(key_col).asc())
+    return (
+        df.select(F.col(key_col), draw.alias("_draw"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(key_col, "shard", "pos")
+    )

@@ -154,3 +154,104 @@ def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns chosen from the portable regex subset (no
+#: lookaround/backrefs) so Java (Spark) and RE2-ish (DuckDB) engines
+#: agree byte for byte. Order matters: emails first (an email contains
+#: dot-separated runs an IP pattern could nibble at).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails / IPv4s / international phone numbers to typed
+    placeholder tags. Pure ``regexp_replace`` chain — JVM-side,
+    whole-stage codegen, no UDF; linear scan per row at any scale."""
+    out = col
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts (regexp_extract_all size) — the audit
+    side of redaction: how much PII a corpus slice carries."""
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary + TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def term_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, term, tf) exploded term frequencies. explode + groupBy
+    rather than a higher-order transform: stays inside whole-stage
+    codegen, and the groupBy gets map-side partial aggregation — the
+    shape that holds up when the corpus is 100 TB."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def vocab_topk(
+    df: DataFrame, top_n: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: top-N terms by total occurrences with
+    document frequency alongside. Two partial-agg reductions and one
+    tiny top-N sort — no per-doc state ever leaves the executors."""
+    tc = term_counts(df, text_col, id_col)
+    return (
+        tc.groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (idf = ln(N / df), the plain unsmoothed variant). The idf table is
+    vocabulary-sized — broadcast to the tf side, so the only wide
+    shuffle is the tf groupBy; the per-doc top-k is one window pass."""
+    from pyspark.sql import Window
+
+    tc = term_counts(df, text_col, id_col)
+    n_docs = df.count()  # scalar control-plane read
+    idf = tc.groupBy("term").agg(
+        F.log(F.lit(float(n_docs)) / F.count(F.lit(1))).alias("idf")
+    )
+    scored = tc.join(F.broadcast(idf), "term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "rk", "term", "tfidf")
+    )

@@ -172,6 +172,19 @@ SPECS: dict[str, QuerySpec] = {
     "clean_corpus": QuerySpec(
         TR.q_clean_corpus, TR.Q_CLEAN_CORPUS_ORACLE, ("text", "dedup")
     ),
+    "pii_redaction": QuerySpec(
+        TR.q_pii_redaction, TR.Q_PII_REDACTION_ORACLE, ("text",)
+    ),
+    "vocab_topk": QuerySpec(TR.q_vocab_topk, TR.Q_VOCAB_TOPK_ORACLE, ("text",)),
+    "tfidf_top_terms": QuerySpec(
+        TR.q_tfidf_top_terms, TR.Q_TFIDF_TOP_TERMS_ORACLE, ("text",)
+    ),
+    "contamination_check": QuerySpec(
+        TR.q_contamination_check, TR.Q_CONTAMINATION_ORACLE, ("text", "dedup")
+    ),
+    "epoch_shuffle": QuerySpec(
+        TR.q_epoch_shuffle, TR.Q_EPOCH_SHUFFLE_ORACLE, ("sampling",)
+    ),
     # multimodal plumbing
     "multimodal_features": QuerySpec(
         TR.q_multimodal_features, TR.Q_MULTIMODAL_FEATURES_ORACLE, ("multimodal",)
@@ -207,7 +220,7 @@ SPECS: dict[str, QuerySpec] = {
 # which runs ALL oracled queries against DuckDB on every pytest run).
 #
 # r03 window = 5 never-driver-checked + 19 rotated out in r02 (all
-# r01-green, code unchanged) + 2 changed/new this round + 24 stable
+# r01-green, code unchanged) + 7 changed/new this round + 19 stable
 # core spanning every operator family.
 _DRIVER_WINDOW = [
     # never driver-checked before r03
@@ -219,6 +232,11 @@ _DRIVER_WINDOW = [
     # changed / added this round
     "q9_product_profit",
     "ann_ivf_cells",
+    "pii_redaction",
+    "vocab_topk",
+    "tfidf_top_terms",
+    "contamination_check",
+    "epoch_shuffle",
     # r01-green, rotated out of the r02 window — re-earn driver rows
     "hex_roundtrip",
     "camel_case",
@@ -251,19 +269,14 @@ _DRIVER_WINDOW = [
     "changelog_incremental",
     "fk_deref_join",
     "broadcast_enrich_diff",
-    "semi_join",
-    "anti_join",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "top1_latest",
     "topk_per_group",
     "union_distinct",
-    "except_missing",
     "enum_label",
     "bigint_arith",
     "asof_join",
     "range_join",
-    "events_json_stats",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

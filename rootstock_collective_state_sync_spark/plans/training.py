@@ -649,3 +649,184 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=5, num_cells=16, nprobe=4).orderBy(
         "query_id", "rk"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / vocabulary / tf-idf / contamination / epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically augment documents with known PII (the test
+    corpus is PII-free word soup, so redaction over the raw table
+    would be a vacuous no-op — the q9 lesson). One email + one IP +
+    one phone per doc, all derived from doc_id."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1-555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically PII-augmented corpus:
+    typed placeholder tags plus per-kind audit counts, all JVM
+    regexp built-ins (no UDF)."""
+    docs = _with_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    counts = X.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        X.redact_pii(F.col("text")).alias("redacted"),
+        *[v.cast("long").alias(k) for k, v in counts.items()],
+    ).orderBy("doc_id")
+
+
+def _pii_aug_sql() -> str:
+    return (
+        "text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.' "
+        "|| (doc_id % 256)::VARCHAR || '.7 call +1-555-123-' "
+        "|| lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    )
+
+
+def _pii_oracle() -> str:
+    redact = "t"
+    for _, pat, tag in X.PII_PATTERNS:
+        redact = f"regexp_replace({redact}, '{pat}', '{tag}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in X.PII_PATTERNS
+    )
+    return f"""
+WITH aug AS (SELECT doc_id, {_pii_aug_sql()} AS t FROM documents)
+SELECT doc_id, {redact} AS redacted, {counts}
+FROM aug ORDER BY doc_id
+"""
+
+
+Q_PII_REDACTION_ORACLE = _pii_oracle()
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 terms by occurrences (ties broken by
+    term) with document frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.vocab_topk(docs, top_n=100)
+
+
+Q_VOCAB_TOPK_ORACLE = f"""
+WITH {_TOK_CTE},
+t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tc AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2)
+SELECT term,
+       CAST(sum(tf) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS doc_freq
+FROM tc GROUP BY term
+ORDER BY n_occurrences DESC, term ASC LIMIT 100
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (unsmoothed
+    ln(N/df)); idf table broadcast, one wide shuffle total."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rk")
+
+
+Q_TFIDF_TOP_TERMS_ORACLE = f"""
+WITH {_TOK_CTE},
+t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tc AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n FROM documents),
+idf AS (
+  SELECT term, ln((SELECT n FROM nd)::DOUBLE / count(*)) AS idf
+  FROM tc GROUP BY term
+),
+scored AS (
+  SELECT tc.doc_id, tc.term, round(tc.tf * idf.idf, 6) AS tfidf
+  FROM tc JOIN idf USING (term)
+)
+SELECT doc_id, rk, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rk
+  FROM scored
+) WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: training docs (source <> 'src0')
+    sharing word 3-gram shingles with the held-out set (source =
+    'src0'); broadcast overlap join, train side scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return D.benchmark_contamination(train, bench, n=3, min_shared=1).orderBy(
+        "doc_id"
+    )
+
+
+Q_CONTAMINATION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [] END AS shingles
+  FROM tok
+),
+e AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM e WHERE source = 'src0'),
+train AS (SELECT doc_id, s FROM e WHERE source <> 'src0'),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
+shared AS (
+  SELECT t.doc_id, count(*) AS n_shared
+  FROM train t JOIN bench b USING (s) GROUP BY 1
+)
+SELECT sh.doc_id,
+       CAST(sh.n_shared AS BIGINT) AS n_shared,
+       CAST(sz.n_shingles AS BIGINT) AS n_shingles,
+       round(sh.n_shared * 100.0 / sz.n_shingles, 4) AS share_pct
+FROM shared sh JOIN sizes sz USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-7 shuffle order over the corpus: md5-draw
+    sharding + in-shard rank; reproducible on any engine."""
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.epoch_shuffle(docs, epoch=7, num_shards=16).orderBy("shard", "pos")
+
+
+Q_EPOCH_SHUFFLE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, md5('7:' || doc_id::VARCHAR) AS draw FROM documents
+),
+s AS (
+  SELECT doc_id, draw,
+         CAST(strpos('0123456789abcdef', substring(draw, 1, 1)) - 1 AS INTEGER)
+           % 16 AS shard
+  FROM d
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY draw ASC, doc_id ASC) AS BIGINT) AS pos
+FROM s ORDER BY shard, pos
+"""

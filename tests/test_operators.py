@@ -181,3 +181,68 @@ def test_ann_recall_floors_at_correctness_scale(spark):
     assert r_ivf >= 0.55, f"IVF recall@5 {r_ivf:.2f} below 0.55 floor"
     assert r_lsh >= 0.50, f"LSH recall@5 {r_lsh:.2f} below 0.50 floor"
     emb.unpersist()
+
+
+def test_redact_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io now"),
+            (2, "host 192.168.0.1 and 10.0.0.255"),
+            (3, "call +44-201-555-0199 today"),
+            (4, "clean text, nothing to scrub"),
+        ],
+        ["doc_id", "text"],
+    )
+    counts = X.pii_counts(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            X.redact_pii(F.col("text")).alias("red"),
+            *[v.alias(k) for k, v in counts.items()],
+        ).collect()
+    }
+    assert out[1].red == "mail <EMAIL> now" and out[1].n_email == 1
+    assert out[2].red == "host <IP> and <IP>" and out[2].n_ipv4 == 2
+    assert out[3].red == "call <PHONE> today" and out[3].n_phone == 1
+    assert out[4].red == "clean text, nothing to scrub"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+
+
+def test_benchmark_contamination_planted(spark):
+    """A train doc sharing a 3-gram run with the benchmark is flagged
+    with the exact shared-shingle count; disjoint docs are not."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # shares 'the quick brown'...
+            (2, "completely disjoint words here nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox leaps")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in D.benchmark_contamination(train, bench).collect()}
+    # shared shingles: 'the quick brown', 'quick brown fox' -> 2 of 4
+    assert got[1].n_shared == 2 and got[1].n_shingles == 4
+    assert got[1].share_pct == 50.0
+    assert 2 not in got
+
+
+def test_epoch_shuffle_determinism_and_epoch_variation(docs):
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    a = SA.epoch_shuffle(docs, epoch=1).collect()
+    b = SA.epoch_shuffle(docs, epoch=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    c = SA.epoch_shuffle(docs, epoch=2).collect()
+    order1 = [x[0] for x in sorted(map(tuple, a), key=lambda r: (r[1], r[2]))]
+    order2 = [x[0] for x in sorted(map(tuple, c), key=lambda r: (r[1], r[2]))]
+    assert order1 != order2          # different epoch -> different order
+    assert sorted(order1) == sorted(order2)  # ...same membership
+    # every doc exactly once, positions contiguous per shard
+    by_shard = {}
+    for doc_id, shard, pos in map(tuple, a):
+        by_shard.setdefault(shard, []).append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

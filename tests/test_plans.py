@@ -97,3 +97,29 @@ def test_q17_single_window_exchange(spark):
     """The correlated-average window reuses one shuffle on l_partkey."""
     p = plan(spark, SPECS["q17_small_quantity_revenue"].fn(spark, SF_SMOKE), "simple")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set is the small side by construction —
+    it must broadcast; a shuffle join here would move the full train
+    corpus index for a KB-sized eval set."""
+    p = plan(spark, SPECS["contamination_check"].fn(spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_epoch_shuffle_no_global_window(spark):
+    """The per-epoch rank must partition by shard (16-way parallel),
+    never a single global-window partition (the row_number-over-
+    everything trap that serializes 100 TB through one task)."""
+    p = plan(spark, SPECS["epoch_shuffle"].fn(spark, SF_SMOKE), "simple")
+    assert "Window" in p
+    # a global window shows up as 'Exchange SinglePartition' feeding Window
+    assert "Exchange SinglePartition" not in p
+
+
+def test_tfidf_broadcasts_idf(spark):
+    """idf is vocabulary-sized — broadcast; the only wide exchange is
+    the term-frequency groupBy."""
+    p = plan(spark, SPECS["tfidf_top_terms"].fn(spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in p
