@@ -113,10 +113,22 @@ def near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >=
-    threshold). O(n²) scoring — correct baseline; use
-    :func:`lsh_bucket_topk`-style bucketing when n is unbounded."""
+    threshold). O(n²) scoring — correct baseline and oracle companion
+    ONLY. The ``max_rows`` guard refuses to run on an unbounded corpus
+    (10^5 rows = 5·10^9 pairs) instead of silently becoming the job
+    that never finishes; use :func:`lsh_near_dup_pairs` at scale, or
+    pass ``max_rows=None`` to force."""
+    if max_rows is not None:
+        n = df.count()  # control-plane scalar
+        if n > max_rows:
+            raise ValueError(
+                f"near_dup_pairs is the O(n^2) baseline: corpus has {n} rows "
+                f"> max_rows={max_rows}; use lsh_near_dup_pairs at scale "
+                "or pass max_rows=None to force"
+            )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -323,6 +335,62 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "neighbor_id", "cos_sim")
     )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    num_tables: int = 8,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: sign-LSH bucketing
+    prunes the candidate space, exact cosine verifies survivors —
+    the scale path for :func:`near_dup_pairs`' O(n²) baseline.
+
+    100 TB shape: per row one Arrow matmul assigns ``num_tables``
+    buckets; candidates come from an equi-join on (tbl, bits) — only
+    same-bucket pairs are ever scored, so cost tracks bucket occupancy
+    (tunable via ``num_planes``), never n². A pair colliding in
+    several tables is deduplicated BEFORE scoring. Recall < 1 by
+    construction (more tables -> higher recall); per-table collision
+    probability for a pair at angle th is (1 - th/pi)^planes, so LOW
+    similarity thresholds want FEWER planes per table — the 8x4
+    default holds recall ~0.8 at cos 0.4 where 4x8 drops to ~0.2;
+    tighter thresholds (0.8+) can afford more planes. Both the bucket
+    function and this whole pipeline are deterministic, so the query
+    is value-checkable against a SQL oracle end to end.
+    """
+    buckets = bucket_assignments(
+        df, num_tables=num_tables, num_planes=num_planes, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()  # dedup multi-table collisions before the expensive verify
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_vectorized(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
 
 
 def ivf_cell_assignments(

@@ -154,6 +154,9 @@ SPECS: dict[str, QuerySpec] = {
     "emb_near_dup_pairs": QuerySpec(
         TR.q_emb_near_dup_pairs, TR.Q_EMB_NEAR_DUP_ORACLE, ("similarity",)
     ),
+    "emb_near_dup_lsh": QuerySpec(
+        TR.q_emb_near_dup_lsh, TR.Q_EMB_NEAR_DUP_LSH_ORACLE, ("similarity",)
+    ),
     "ann_lsh_topk": QuerySpec(TR.q_ann_lsh_topk, None, ("similarity", "bench")),
     "ann_lsh_buckets": QuerySpec(
         TR.q_ann_lsh_buckets, TR.Q_ANN_LSH_BUCKETS_ORACLE, ("similarity",)
@@ -220,7 +223,7 @@ SPECS: dict[str, QuerySpec] = {
 # which runs ALL oracled queries against DuckDB on every pytest run).
 #
 # r03 window = 5 never-driver-checked + 19 rotated out in r02 (all
-# r01-green, code unchanged) + 7 changed/new this round + 19 stable
+# r01-green, code unchanged) + 8 changed/new this round + 18 stable
 # core spanning every operator family.
 _DRIVER_WINDOW = [
     # never driver-checked before r03
@@ -237,6 +240,7 @@ _DRIVER_WINDOW = [
     "tfidf_top_terms",
     "contamination_check",
     "epoch_shuffle",
+    "emb_near_dup_lsh",
     # r01-green, rotated out of the r02 window — re-earn driver rows
     "hex_roundtrip",
     "camel_case",
@@ -261,7 +265,6 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary",
     "watermark_max_block",
     "group_count",
-    "distinct_set",
     "q6_forecast_revenue",
     "filter_range_scan",
     "filter_isin_enum",

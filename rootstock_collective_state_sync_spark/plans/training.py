@@ -398,14 +398,14 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "tbl")
 
 
-def _lsh_weight_values() -> str:
+def _lsh_weight_values(num_tables: int = 2, num_planes: int = 8) -> str:
     from rootstock_collective_state_sync_spark.operators.similarity import (
         hyperplane_weight,
     )
 
     rows = []
-    for t in range(2):
-        for p in range(8):
+    for t in range(num_tables):
+        for p in range(num_planes):
             plane = t * 1000 + p
             for d in range(64):
                 rows.append(f"({plane},{d},{hyperplane_weight(plane, d)!r})")
@@ -829,4 +829,47 @@ SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard
                                ORDER BY draw ASC, doc_id ASC) AS BIGINT) AS pos
 FROM s ORDER BY shard, pos
+"""
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, SCALE path: sign-LSH candidate
+    pruning + exact cosine verify (the bucketed alternative to the
+    guarded O(n²) `emb_near_dup_pairs` baseline). Deterministic
+    end to end, so fully value-checked: the oracle recomputes the
+    same md5 hyperplanes, bucket join, and cosine in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_near_dup_pairs(
+        emb, threshold=0.4, num_tables=8, num_planes=4
+    ).orderBy("id_a", "id_b")
+
+
+Q_EMB_NEAR_DUP_LSH_ORACLE = f"""
+WITH w(plane, d, wt) AS (VALUES {_lsh_weight_values(num_tables=8, num_planes=4)}),
+proj AS (
+  SELECT e.vec_id, w.plane,
+         sum(e.embedding[w.d + 1]::DOUBLE * w.wt) AS pr
+  FROM embeddings e, w
+  GROUP BY 1, 2
+),
+bk AS (
+  SELECT vec_id, (plane // 1000)::INTEGER AS tbl,
+         string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane % 1000) AS bits
+  FROM proj GROUP BY vec_id, plane // 1000
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.tbl = b.tbl AND a.bits = b.bits AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         {_COS_SQL.format(a="ea.embedding", b="eb.embedding")} AS cos_sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored
+WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
 """

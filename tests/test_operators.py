@@ -246,3 +246,30 @@ def test_epoch_shuffle_determinism_and_epoch_variation(docs):
         by_shard.setdefault(shard, []).append(pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_near_dup_pairs_guard_refuses_unbounded(emb):
+    with pytest.raises(ValueError, match="O\\(n\\^2\\) baseline"):
+        S.near_dup_pairs(emb, max_rows=10)
+    # explicit override still works
+    assert S.near_dup_pairs(emb.limit(20), max_rows=None).count() >= 0
+
+
+def test_lsh_near_dup_recall_vs_baseline(emb):
+    """The bucketed scale path recovers most true near-dup pairs and
+    never invents one: candidates are verified with the same exact
+    cosine, so precision is 1.0 by construction."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_near_dup_pairs(
+            emb, threshold=0.4, num_tables=8, num_planes=4
+        ).collect()
+    }
+    assert lsh <= exact  # no false positives, ever
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.7, f"LSH near-dup recall {recall:.2f} below 0.7"
