@@ -359,3 +359,73 @@ def benchmark_contamination(
             ),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: connected components by
+    min-label propagation — every node ends up labeled with the
+    smallest id reachable from it, which is exactly dedup keeper
+    selection (keep ``component == id``, drop the rest).
+
+    ``pairs`` is (id_a, id_b) undirected; ``nodes`` supplies the full
+    id universe so singletons resolve to themselves.
+
+    Scale shape: each round is ONE shuffle (edge join + min
+    aggregation) and propagates labels one hop, so rounds needed =
+    component diameter — tiny for dedup graphs (stars/chains of
+    near-copies), bounded by ``max_iters`` for safety. The label
+    frontier is checked driver-side as a scalar count per round
+    (control-plane read, like the engine's watermark); persisted and
+    checkpoint-unpersisted per round so lineage stays O(1), not
+    O(iterations). For adversarial long-chain graphs swap in the
+    large-star/small-star variant; the contract is identical.
+
+    Returns ``(id, component)`` with ``component = min(id) over the
+    component`` — deterministic on any engine.
+    """
+    sess = pairs.sparkSession
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).persist()
+    try:
+        for _ in range(max_iters):
+            # neighbor minimum in one aggregation pass
+            neigh = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("n_min"))
+            )
+            nxt = (
+                labels.join(neigh, labels.id == neigh.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                nxt.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )  # scalar convergence probe
+            labels.unpersist()
+            labels = nxt
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()

@@ -147,6 +147,9 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(
         TR.q_dedup_simhash, TR.Q_DEDUP_SIMHASH_ORACLE, ("dedup",)
     ),
+    "dedup_clusters": QuerySpec(
+        TR.q_dedup_clusters, TR.Q_DEDUP_CLUSTERS_ORACLE, ("dedup", "graph")
+    ),
     # similarity search
     "ann_cosine_topk": QuerySpec(
         TR.q_ann_cosine_topk, TR.Q_ANN_COSINE_TOPK_ORACLE, ("similarity", "bench")
@@ -223,7 +226,7 @@ SPECS: dict[str, QuerySpec] = {
 # which runs ALL oracled queries against DuckDB on every pytest run).
 #
 # r03 window = 5 never-driver-checked + 19 rotated out in r02 (all
-# r01-green, code unchanged) + 8 changed/new this round + 18 stable
+# r01-green, code unchanged) + 9 changed/new this round + 17 stable
 # core spanning every operator family.
 _DRIVER_WINDOW = [
     # never driver-checked before r03
@@ -241,6 +244,7 @@ _DRIVER_WINDOW = [
     "contamination_check",
     "epoch_shuffle",
     "emb_near_dup_lsh",
+    "dedup_clusters",
     # r01-green, rotated out of the r02 window — re-earn driver rows
     "hex_roundtrip",
     "camel_case",
@@ -264,7 +268,6 @@ _DRIVER_WINDOW = [
     # stable core: green in r01 AND r02, one per operator family
     "q1_pricing_summary",
     "watermark_max_block",
-    "group_count",
     "q6_forecast_revenue",
     "filter_range_scan",
     "filter_isin_enum",

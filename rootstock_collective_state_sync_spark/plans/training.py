@@ -873,3 +873,38 @@ scored AS (
 SELECT id_a, id_b, cos_sim FROM scored
 WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
 """
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution: MinHash-LSH near-dup pairs resolved
+    into connected components (component = min doc_id reachable) —
+    the keeper-selection stage of a dedup pipeline. The oracle
+    replays the pair generation AND the transitive closure (recursive
+    CTE) in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return D.connected_components(pairs, docs.select("doc_id")).orderBy("id")
+
+
+def _components_oracle(pair_sql: str) -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({pair_sql})
+),
+nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lbl
+  FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id
+"""
+
+
+Q_DEDUP_CLUSTERS_ORACLE = _components_oracle(Q_DEDUP_MINHASH_LSH_ORACLE)

@@ -273,3 +273,23 @@ def test_lsh_near_dup_recall_vs_baseline(emb):
     if exact:
         recall = len(lsh) / len(exact)
         assert recall >= 0.7, f"LSH near-dup recall {recall:.2f} below 0.7"
+
+
+def test_connected_components_transitive_chains(spark):
+    """Multi-hop chains converge (label propagates one hop per round):
+    a 5-node path collapses to one component, disjoint pairs and
+    singletons stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (13, 14)],
+        ["id_a", "id_b"],
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6, 7, 10, 11, 12, 13, 14]], ["doc_id"]
+    )
+    got = {r.id: r.component for r in D.connected_components(pairs, nodes).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,          # path 1-2-3
+        4: 4, 7: 7,                # singletons
+        5: 5, 6: 5,                # pair
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,  # 5-node chain, 4 hops
+    }
