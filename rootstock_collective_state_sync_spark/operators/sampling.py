@@ -130,3 +130,69 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(key_col, "shard", "pos")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    score_col: str,
+    size_col: str,
+    budget: int,
+    key_col: str = "doc_id",
+    bucket_width: int = 10_000,
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """Select the best-scoring documents whose total size fits a
+    global budget (training-data curation: 'the highest-quality N
+    tokens'). Exact greedy semantics: take score buckets from the top;
+    inside the single boundary bucket that overflows, take docs in
+    ``key_col`` order until the remainder is spent. All arithmetic is
+    integer (``score_col`` must be an integral score, e.g. quality in
+    1e-7 units; bucket = score DIV bucket_width).
+
+    Scale shape: pass 1 aggregates a (bucket, total_size) histogram —
+    at most ``max_buckets`` rows to the driver (guarded), which picks
+    the threshold as a control-plane decision; pass 2 is a scan +
+    filter for the full buckets plus ONE single-bucket window cumsum
+    for the boundary — the global-sort-with-running-total trap never
+    materializes. A doc with size > remaining budget is skipped only
+    at the boundary (greedy, not knapsack) — documented, determinate.
+
+    Returns ``(key, score, size)`` of the selected docs.
+    """
+    base = df.select(
+        F.col(key_col),
+        F.col(score_col).cast("long").alias("score"),
+        F.col(size_col).cast("long").alias("size"),
+        F.expr(f"CAST({score_col} AS BIGINT) DIV {bucket_width}").alias("bkt"),
+    )
+    hist = base.groupBy("bkt").agg(F.sum("size").alias("s")).orderBy(F.col("bkt").desc())
+    rows = hist.collect()
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"budget_select histogram has {len(rows)} buckets > "
+            f"max_buckets={max_buckets}; raise bucket_width"
+        )
+    spent = 0
+    full: list[int] = []
+    boundary = None
+    remaining = 0
+    for r in rows:  # descending score buckets
+        if spent + r.s <= budget:
+            full.append(r.bkt)
+            spent += r.s
+        else:
+            boundary, remaining = r.bkt, budget - spent
+            break
+    sel_full = base.filter(F.col("bkt").isin(full)) if full else base.limit(0)
+    if boundary is None or remaining <= 0:
+        out = sel_full
+    else:
+        w = Window.partitionBy("bkt").orderBy(F.col(key_col).asc())
+        sel_bound = (
+            base.filter(F.col("bkt") == boundary)
+            .withColumn("c", F.sum("size").over(w))
+            .filter(F.col("c") <= remaining)
+            .drop("c")
+        )
+        out = sel_full.unionByName(sel_bound)
+    return out.select(key_col, "score", "size")

@@ -79,15 +79,11 @@ def _idiv(a: Column, b: Column) -> Column:
     return ((a - a % b) / b).cast("long")
 
 
-def quality_score(text_col: Column) -> Column:
-    """Composite [0,1] quality score: rewards length (saturating at 64
-    tokens) and lexical diversity, penalizes punctuation walls.
-
-    Computed entirely in integer micro-units and divided by 1e7 at the
-    very end: no intermediate float rounding, so the value is
-    bit-identical across engines (float round-half behavior differs
-    between Spark's HALF_UP and IEEE half-even).
-    """
+def quality_score_e7(text_col: Column) -> Column:
+    """Integer quality score in 1e-7 units (long, range [0, 1e7]) —
+    the exact-arithmetic core of :func:`quality_score`, exposed so
+    downstream integer logic (bucketing, budget selection) never
+    touches a float."""
     tok = tokens(text_col)
     n_tok = F.greatest(F.size(tok), F.lit(1)).cast("long")
     n_uniq = F.size(F.array_distinct(tok)).cast("long")
@@ -99,8 +95,19 @@ def quality_score(text_col: Column) -> Column:
     punct_term_e6 = F.lit(1000000).cast("long") - F.least(
         punct_e6 * 10, F.lit(1000000).cast("long")
     )
-    quality_e7 = 5 * length_term_e6 + 4 * ttr_e6 + punct_term_e6
-    return quality_e7.cast("double") / F.lit(10000000.0)
+    return 5 * length_term_e6 + 4 * ttr_e6 + punct_term_e6
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite [0,1] quality score: rewards length (saturating at 64
+    tokens) and lexical diversity, penalizes punctuation walls.
+
+    Computed entirely in integer micro-units and divided by 1e7 at the
+    very end: no intermediate float rounding, so the value is
+    bit-identical across engines (float round-half behavior differs
+    between Spark's HALF_UP and IEEE half-even).
+    """
+    return quality_score_e7(text_col).cast("double") / F.lit(10000000.0)
 
 
 def lang_scores(text_col: Column) -> dict[str, Column]:

@@ -175,6 +175,9 @@ SPECS: dict[str, QuerySpec] = {
     "pack_sequences": QuerySpec(
         TR.q_pack_sequences, TR.Q_PACK_SEQUENCES_ORACLE, ("sampling",)
     ),
+    "budget_select": QuerySpec(
+        TR.q_budget_select, TR.Q_BUDGET_SELECT_ORACLE, ("sampling",)
+    ),
     "clean_corpus": QuerySpec(
         TR.q_clean_corpus, TR.Q_CLEAN_CORPUS_ORACLE, ("text", "dedup")
     ),
@@ -226,7 +229,7 @@ SPECS: dict[str, QuerySpec] = {
 # which runs ALL oracled queries against DuckDB on every pytest run).
 #
 # r03 window = 5 never-driver-checked + 19 rotated out in r02 (all
-# r01-green, code unchanged) + 9 changed/new this round + 17 stable
+# r01-green, code unchanged) + 10 changed/new this round + 16 stable
 # core spanning every operator family.
 _DRIVER_WINDOW = [
     # never driver-checked before r03
@@ -245,6 +248,7 @@ _DRIVER_WINDOW = [
     "epoch_shuffle",
     "emb_near_dup_lsh",
     "dedup_clusters",
+    "budget_select",
     # r01-green, rotated out of the r02 window — re-earn driver rows
     "hex_roundtrip",
     "camel_case",
@@ -267,7 +271,6 @@ _DRIVER_WINDOW = [
     "first_event_per_key",
     # stable core: green in r01 AND r02, one per operator family
     "q1_pricing_summary",
-    "watermark_max_block",
     "q6_forecast_revenue",
     "filter_range_scan",
     "filter_isin_enum",

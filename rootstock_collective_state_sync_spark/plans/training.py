@@ -908,3 +908,80 @@ SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id
 
 
 Q_DEDUP_CLUSTERS_ORACLE = _components_oracle(Q_DEDUP_MINHASH_LSH_ORACLE)
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: the highest-quality documents whose
+    total size fits a 60k-char global budget — greedy by integer
+    quality bucket, doc_id order inside the boundary bucket. The
+    oracle replays the histogram-threshold decision as window SQL."""
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        X.quality_score_e7(F.col("text")).alias("q_e7"),
+        F.col("n_chars"),
+    )
+    return SA.budget_select(
+        scored, score_col="q_e7", size_col="n_chars", budget=60_000
+    ).orderBy("doc_id")
+
+
+_QUALITY_E7_CTES = f"""
+{_TOK_CTE},
+qf AS (
+  SELECT doc_id,
+         greatest(len(toks), 1)::BIGINT AS n_tok,
+         len(list_distinct(toks))::BIGINT AS n_uniq,
+         greatest(length(text), 1)::BIGINT AS n_chars_g,
+         length(regexp_replace(text, '[^.!?,;]', '', 'g'))::BIGINT AS n_punct
+  FROM tok
+),
+qe7 AS (
+  SELECT doc_id,
+         5 * least(n_tok * 15625, 1000000)
+         + 4 * ((n_uniq * 1000000) // n_tok)
+         + (1000000 - least(((n_punct * 1000000) // n_chars_g) * 10, 1000000))
+           AS score
+  FROM qf
+)
+"""
+
+
+Q_BUDGET_SELECT_ORACLE = f"""
+WITH {_QUALITY_E7_CTES},
+b AS (
+  SELECT q.doc_id, q.score, d.n_chars::BIGINT AS size,
+         q.score // 10000 AS bkt
+  FROM qe7 q JOIN documents d USING (doc_id)
+),
+bsum AS (SELECT bkt, sum(size) AS s FROM b GROUP BY bkt),
+cum AS (
+  SELECT bkt, s,
+         coalesce(sum(s) OVER (ORDER BY bkt DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before_s
+  FROM bsum
+),
+ov AS (SELECT max(bkt) AS obkt FROM cum WHERE before_s + s > 60000),
+sel_full AS (
+  SELECT doc_id, score, size FROM b
+  WHERE b.bkt > coalesce((SELECT obkt FROM ov), -9223372036854775807)
+),
+rem AS (
+  SELECT 60000 - c.before_s AS remaining, o.obkt
+  FROM cum c JOIN ov o ON c.bkt = o.obkt
+),
+sel_bound AS (
+  SELECT doc_id, score, size FROM (
+    SELECT b.doc_id, b.score, b.size, r.remaining,
+           sum(b.size) OVER (ORDER BY b.doc_id ASC) AS c
+    FROM b JOIN rem r ON b.bkt = r.obkt
+  ) WHERE remaining > 0 AND c <= remaining
+)
+SELECT doc_id, score, size FROM sel_full
+UNION ALL
+SELECT doc_id, score, size FROM sel_bound
+ORDER BY doc_id
+"""

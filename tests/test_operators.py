@@ -293,3 +293,56 @@ def test_connected_components_transitive_chains(spark):
         5: 5, 6: 5,                # pair
         10: 10, 11: 10, 12: 10, 13: 10, 14: 10,  # 5-node chain, 4 hops
     }
+
+
+def test_budget_select_greedy_semantics(spark):
+    """Exact greedy contract: full high-score buckets first, boundary
+    bucket in key order until the remainder is spent, total never
+    exceeds the budget."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        budget_select,
+    )
+
+    rows = [  # (doc_id, score, size); bucket_width=10 -> buckets 9, 8, 7
+        (1, 95, 40),
+        (2, 92, 30),   # bucket 9: 70 total
+        (3, 85, 50),   # bucket 8: 50 total
+        (4, 71, 20),
+        (5, 79, 25),   # bucket 7: 45 total, taken in doc_id order
+        (6, 60, 10),   # bucket 6: below the boundary, never reached
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "size"])
+
+    got = {
+        r.doc_id
+        for r in budget_select(
+            df, "score", "size", budget=150, bucket_width=10
+        ).collect()
+    }
+    # buckets 9 (70) + 8 (50) fit = 120; boundary bucket 7 has 30 left:
+    # doc 4 (20) fits, doc 5 (25) would overflow -> stop. doc 6 excluded.
+    assert got == {1, 2, 3, 4}
+
+    sel = budget_select(df, "score", "size", budget=100, bucket_width=10).collect()
+    # bucket 9 fits (70), bucket 8 overflows (120 > 100): boundary rem=30,
+    # doc 3 (50) > 30 -> excluded
+    assert {r.doc_id for r in sel} == {1, 2}
+
+    assert sum(r.size for r in sel) <= 100
+
+
+def test_budget_select_guard_and_total(docs):
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        budget_select,
+    )
+
+    scored = docs.select(
+        "doc_id",
+        X.quality_score_e7(F.col("text")).alias("q"),
+        "n_chars",
+    )
+    sel = budget_select(scored, "q", "n_chars", budget=60_000).collect()
+    assert 0 < sum(r.size for r in sel) <= 60_000
+    with pytest.raises(ValueError, match="max_buckets"):
+        budget_select(scored, "q", "n_chars", budget=60_000, bucket_width=1,
+                      max_buckets=3)
