@@ -35,13 +35,22 @@ from rootstock_collective_state_sync_spark.operators.text import tokens, word_sh
 # ---------------------------------------------------------------------------
 
 
+def normalized_hash(text_col) -> "F.Column":
+    """Canonical content identity: lower-cased, whitespace-collapsed
+    md5 — the ONE definition of "same document", shared by the at-rest
+    pass (:func:`exact_groups`) and the streaming-ingest pass
+    (:mod:`..streaming.dedup`) so the two tiers always agree."""
+    return F.md5(F.regexp_replace(F.lower(text_col), r"\s+", " ").cast("binary"))
+
+
 def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group documents by exact (normalized) content hash: lower-cased,
     whitespace-collapsed md5. Returns one row per distinct content with
     the keeper (min id) and the duplicate count."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return (
-        df.select(F.md5(norm.cast("binary")).alias("content_hash"), F.col(id_col))
+        df.select(
+            normalized_hash(F.col(text_col)).alias("content_hash"), F.col(id_col)
+        )
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keeper_id"),

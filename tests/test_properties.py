@@ -85,3 +85,49 @@ def test_uint256_overflow_to_null_and_full_width_add(spark):
     assert int(out[0].s, 16) == (2**200 + 2**255) % 2**256  # exact full width
     assert out[1].canon == Decimal(5)
     assert int(out[1].s, 16) == 12
+
+
+# ---------------------------------------------------------------------------
+# budget_select properties
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=99),       # score
+        st.integers(min_value=1, max_value=50),       # size
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=docs_strategy, budget=st.integers(min_value=0, max_value=300))
+def test_budget_select_invariants(spark, docs, budget):
+    """For any corpus and budget: (1) total selected size never
+    exceeds the budget; (2) a bigger budget never drops a previously
+    selected doc (greedy-prefix monotonicity); (3) the result is a
+    pure function of the input (deterministic)."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        budget_select,
+    )
+
+    rows = [(i, s, z) for i, (s, z) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "size"])
+    sel = budget_select(df, "score", "size", budget=budget, bucket_width=10)
+    got = {(r.doc_id, r.score, r.size) for r in sel.collect()}
+    assert sum(z for _, _, z in got) <= budget
+    again = {
+        (r.doc_id, r.score, r.size)
+        for r in budget_select(
+            df, "score", "size", budget=budget, bucket_width=10
+        ).collect()
+    }
+    assert got == again
+    bigger = {
+        (r.doc_id, r.score, r.size)
+        for r in budget_select(
+            df, "score", "size", budget=budget + 60, bucket_width=10
+        ).collect()
+    }
+    assert got <= bigger

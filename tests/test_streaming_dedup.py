@@ -1,0 +1,96 @@
+"""Streaming exact-dedup e2e: duplicate documents suppressed across
+REAL micro-batches (file source, one file per batch, availableNow),
+with watermark-bounded state."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from rootstock_collective_state_sync_spark.streaming.dedup import dedup_stream
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("event_time", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def _t(hh: int, mm: int = 0) -> datetime.datetime:
+    return datetime.datetime(2026, 1, 1, hh, mm)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """batch 1: doc 1, doc 2 (an in-batch re-delivery of doc 1 with
+    different casing/whitespace), doc 3.
+    batch 2: doc 4 (cross-batch re-delivery of doc 1, inside the
+    horizon), doc 5 (new content).
+    """
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    b1 = spark.createDataFrame(
+        [
+            (1, _t(10, 0), "the quick brown fox"),
+            (2, _t(10, 1), "THE  Quick   Brown FOX"),
+            (3, _t(10, 2), "something else entirely"),
+        ],
+        SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (4, _t(10, 5), "the QUICK brown fox"),
+            (5, _t(10, 6), "genuinely novel content"),
+        ],
+        SCHEMA,
+    )
+    b1.coalesce(1).write.parquet(str(d / "a_batch1"))
+    b2.coalesce(1).write.parquet(str(d / "b_batch2"))
+    return d
+
+
+def test_streaming_dedup_suppresses_within_and_across_batches(spark, stream_dir):
+    ev = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    q = (
+        dedup_stream(ev, horizon="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT doc_id FROM t_dedup_stream ORDER BY doc_id").collect()
+    # doc 2 (in-batch dup) and doc 4 (cross-batch dup within horizon)
+    # are suppressed; 1, 3, 5 survive
+    assert [r.doc_id for r in rows] == [1, 3, 5]
+
+
+def test_streaming_dedup_key_matches_batch_pass(spark):
+    """The streaming tier uses the identical content identity as the
+    at-rest batch pass — same md5 over the same normalization."""
+    from pyspark.sql import functions as F
+
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        exact_groups,
+        normalized_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A  b\tC"), (2, "a b c")], ["doc_id", "text"]
+    )
+    hashes = {
+        r.h
+        for r in df.select(normalized_hash(F.col("text")).alias("h")).collect()
+    }
+    assert len(hashes) == 1
+    batch = exact_groups(df).collect()
+    assert batch[0].content_hash in hashes
