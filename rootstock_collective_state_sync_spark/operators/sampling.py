@@ -164,7 +164,7 @@ def budget_select(
         F.col(score_col).cast("long").alias("score"),
         F.col(size_col).cast("long").alias("size"),
         F.expr(f"CAST({score_col} AS BIGINT) DIV {bucket_width}").alias("bkt"),
-    )
+    ).persist()  # scanned by histogram + both selection passes
     hist = base.groupBy("bkt").agg(F.sum("size").alias("s")).orderBy(F.col("bkt").desc())
     rows = hist.collect()
     if len(rows) > max_buckets:
@@ -196,3 +196,42 @@ def budget_select(
         )
         out = sel_full.unionByName(sel_bound)
     return out.select(key_col, "score", "size")
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    target_total: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened dataset mixing (the sqrt-weighting used
+    to up-sample small sources when composing training corpora):
+    stratum weight w_s = isqrt(n_s), keep-rate r_s = min(1,
+    target_total * w_s / (W * n_s)) so the expected kept total is
+    ``target_total`` with small strata over-represented vs their raw
+    share.
+
+    Exactness: weights use INTEGER sqrt (floor(sqrt(n)) is exact for
+    integer n in IEEE double, so any engine agrees), and the 16-bit
+    md5 keep-threshold is computed with integer floor division — no
+    float appears anywhere, so the selected set is bit-reproducible
+    across engines. The per-stratum counts are a bounded groupBy
+    (#sources rows) collected as a control-plane read; the selection
+    itself is the same shuffle-free scan+filter as
+    :func:`stratified_sample`.
+    """
+    import math
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    weights = {s: math.isqrt(n) for s, n in counts.items()}
+    W = sum(weights.values()) or 1
+    draw = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 4)
+    thr: Column = F.lit("0000")
+    for s in sorted(counts):
+        t = min(0x10000, (target_total * weights[s] * 0x10000) // (W * counts[s]))
+        hex_thr = "g" if t >= 0x10000 else format(t, "04x")
+        thr = F.when(F.col(strata_col) == s, F.lit(hex_thr)).otherwise(thr)
+    return df.filter(draw < thr)

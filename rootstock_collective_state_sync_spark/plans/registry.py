@@ -178,6 +178,9 @@ SPECS: dict[str, QuerySpec] = {
     "budget_select": QuerySpec(
         TR.q_budget_select, TR.Q_BUDGET_SELECT_ORACLE, ("sampling",)
     ),
+    "temperature_mix": QuerySpec(
+        TR.q_temperature_mix, TR.Q_TEMPERATURE_MIX_ORACLE, ("sampling",)
+    ),
     "clean_corpus": QuerySpec(
         TR.q_clean_corpus, TR.Q_CLEAN_CORPUS_ORACLE, ("text", "dedup")
     ),
@@ -229,7 +232,7 @@ SPECS: dict[str, QuerySpec] = {
 # which runs ALL oracled queries against DuckDB on every pytest run).
 #
 # r03 window = 5 never-driver-checked + 19 rotated out in r02 (all
-# r01-green, code unchanged) + 10 changed/new this round + 16 stable
+# r01-green, code unchanged) + 11 changed/new this round + 15 stable
 # core spanning every operator family.
 _DRIVER_WINDOW = [
     # never driver-checked before r03
@@ -249,6 +252,7 @@ _DRIVER_WINDOW = [
     "emb_near_dup_lsh",
     "dedup_clusters",
     "budget_select",
+    "temperature_mix",
     # r01-green, rotated out of the r02 window — re-earn driver rows
     "hex_roundtrip",
     "camel_case",
@@ -280,7 +284,6 @@ _DRIVER_WINDOW = [
     "broadcast_enrich_diff",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "topk_per_group",
     "union_distinct",
     "enum_label",
     "bigint_arith",

@@ -985,3 +985,34 @@ UNION ALL
 SELECT doc_id, score, size FROM sel_bound
 ORDER BY doc_id
 """
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (sqrt) source mixing targeting 200 docs: small
+    sources keep a larger share than their raw proportion. Integer
+    thresholds end to end; the oracle recomputes weights and
+    keep-thresholds in SQL from the same per-source counts."""
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.temperature_mix(docs, "source", target_total=200).orderBy("doc_id")
+
+
+Q_TEMPERATURE_MIX_ORACLE = """
+WITH n AS (
+  SELECT source, count(*) AS cnt,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT greatest(sum(w), 1) AS wsum FROM n),
+thr AS (
+  SELECT source,
+         CAST(least(65536, (200 * w * 65536) // (wsum * cnt)) AS BIGINT) AS t
+  FROM n, tot
+)
+SELECT d.* FROM documents d
+JOIN thr ON d.source = thr.source
+WHERE substring(md5(d.doc_id::VARCHAR), 1, 4)
+      < CASE WHEN thr.t >= 65536 THEN 'g' ELSE printf('%04x', thr.t) END
+ORDER BY d.doc_id
+"""

@@ -346,3 +346,26 @@ def test_budget_select_guard_and_total(docs):
     with pytest.raises(ValueError, match="max_buckets"):
         budget_select(scored, "q", "n_chars", budget=60_000, bucket_width=1,
                       max_buckets=3)
+
+
+def test_temperature_mix_flattens_shares(spark):
+    """sqrt weighting: a 900-doc source and a 100-doc source end up
+    with a 3:1 kept ratio (sqrt(900):sqrt(100)), not the raw 9:1 —
+    small sources over-represented, expected total near target."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = temperature_mix(df, "source", target_total=200).collect()
+    by_src = {}
+    for r in kept:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # expected: big 150, small 50 (3:1); md5 draws give binomial noise
+    assert 100 <= by_src["big"] <= 200
+    assert 25 <= by_src["small"] <= 75
+    assert by_src["big"] / by_src["small"] < 6  # raw ratio would be ~9
+    # determinism
+    again = temperature_mix(df, "source", target_total=200).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
