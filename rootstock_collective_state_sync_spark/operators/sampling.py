@@ -235,3 +235,35 @@ def temperature_mix(
         hex_thr = "g" if t >= 0x10000 else format(t, "04x")
         thr = F.when(F.col(strata_col) == s, F.lit(hex_thr)).otherwise(thr)
     return df.filter(draw < thr)
+
+
+def split_oversized(
+    df: DataFrame,
+    size_col: str,
+    capacity: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents larger than ``capacity`` into contiguous
+    segments (the pre-pass that makes :func:`pack_sequences` lossless:
+    packing alone must drop or overflow oversized docs; splitting
+    first means every segment fits a bin). Pure sequence+explode —
+    per-row, shuffle-free, no UDF.
+
+    Returns ``(key, seg_no, seg_size)`` where ``seg_no`` counts from 0
+    and the last segment carries the remainder.
+    """
+    n_segs = F.expr(
+        f"CAST(({size_col} + {capacity} - 1) DIV {capacity} AS INT)"
+    )
+    seg = F.explode(F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - 1))
+    return (
+        df.select(F.col(key_col), F.col(size_col).alias("_sz"), seg.alias("seg_no"))
+        .select(
+            key_col,
+            "seg_no",
+            F.least(
+                F.lit(capacity).cast("long"),
+                F.col("_sz").cast("long") - F.col("seg_no") * capacity,
+            ).alias("seg_size"),
+        )
+    )

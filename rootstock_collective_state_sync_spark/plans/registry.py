@@ -181,6 +181,9 @@ SPECS: dict[str, QuerySpec] = {
     "temperature_mix": QuerySpec(
         TR.q_temperature_mix, TR.Q_TEMPERATURE_MIX_ORACLE, ("sampling",)
     ),
+    "pack_split_sequences": QuerySpec(
+        TR.q_pack_split_sequences, TR.Q_PACK_SPLIT_SEQUENCES_ORACLE, ("sampling",)
+    ),
     "clean_corpus": QuerySpec(
         TR.q_clean_corpus, TR.Q_CLEAN_CORPUS_ORACLE, ("text", "dedup")
     ),
@@ -232,7 +235,7 @@ SPECS: dict[str, QuerySpec] = {
 # which runs ALL oracled queries against DuckDB on every pytest run).
 #
 # r03 window = 5 never-driver-checked + 19 rotated out in r02 (all
-# r01-green, code unchanged) + 11 changed/new this round + 15 stable
+# r01-green, code unchanged) + 12 changed/new this round + 14 stable
 # core spanning every operator family.
 _DRIVER_WINDOW = [
     # never driver-checked before r03
@@ -253,6 +256,7 @@ _DRIVER_WINDOW = [
     "dedup_clusters",
     "budget_select",
     "temperature_mix",
+    "pack_split_sequences",
     # r01-green, rotated out of the r02 window — re-earn driver rows
     "hex_roundtrip",
     "camel_case",
@@ -277,7 +281,6 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "filter_range_scan",
-    "filter_isin_enum",
     "keyset_page",
     "changelog_incremental",
     "fk_deref_join",

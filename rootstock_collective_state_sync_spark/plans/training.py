@@ -1016,3 +1016,43 @@ WHERE substring(md5(d.doc_id::VARCHAR), 1, 4)
       < CASE WHEN thr.t >= 65536 THEN 'g' ELSE printf('%04x', thr.t) END
 ORDER BY d.doc_id
 """
+
+
+def q_pack_split_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless sequence packing: oversized docs are split into
+    capacity-sized segments first, then every segment is packed into
+    256-char bins — no drops, no overflow. Segment key = doc_id*1000
+    + seg_no keeps keyed determinism through the shard window."""
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = SA.split_oversized(docs, "n_chars", capacity=256).select(
+        (F.col("doc_id") * 1000 + F.col("seg_no")).alias("seg_key"),
+        "seg_size",
+    )
+    return SA.pack_sequences(
+        segs, "seg_size", capacity=256, num_shards=8, key_col="seg_key"
+    ).orderBy("seg_key")
+
+
+Q_PACK_SPLIT_SEQUENCES_ORACLE = """
+WITH segs AS (
+  SELECT doc_id * 1000 + r.i AS seg_key,
+         least(256, n_chars - r.i * 256)::BIGINT AS seg_size
+  FROM documents, range(64) r(i)
+  WHERE r.i < greatest((n_chars + 255) // 256, 1)
+),
+sh AS (SELECT seg_key, seg_size, seg_key % 8 AS shard FROM segs),
+cum AS (
+  SELECT seg_key, shard, seg_size,
+         CAST(coalesce(sum(seg_size) OVER (PARTITION BY shard ORDER BY seg_key
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS excl
+  FROM sh
+)
+SELECT seg_key, shard,
+       CAST(excl // 256 AS BIGINT) AS bin_id,
+       CAST(excl % 256 AS BIGINT) AS bin_offset,
+       seg_size AS size
+FROM cum ORDER BY seg_key
+"""

@@ -369,3 +369,25 @@ def test_temperature_mix_flattens_shares(spark):
     # determinism
     again = temperature_mix(df, "source", target_total=200).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
+
+
+def test_split_oversized_segments(spark):
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        split_oversized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 256), (3, 300), (4, 577)], ["doc_id", "n_chars"]
+    )
+    got = {}
+    for r in split_oversized(df, "n_chars", capacity=256).collect():
+        got.setdefault(r.doc_id, []).append((r.seg_no, r.seg_size))
+    assert got[1] == [(0, 100)]            # under capacity: 1 segment
+    assert got[2] == [(0, 256)]            # exactly capacity: 1 segment
+    assert sorted(got[3]) == [(0, 256), (1, 44)]
+    assert sorted(got[4]) == [(0, 256), (1, 256), (2, 65)]
+    # losslessness: segment sizes sum back to the original
+    for doc_id, segs in got.items():
+        total = {1: 100, 2: 256, 3: 300, 4: 577}[doc_id]
+        assert sum(s for _, s in segs) == total
+        assert all(s <= 256 for _, s in segs)
