@@ -123,3 +123,12 @@ def test_tfidf_broadcasts_idf(spark):
     the term-frequency groupBy."""
     p = plan(spark, SPECS["tfidf_top_terms"].fn(spark, SF_SMOKE), "simple")
     assert "BroadcastHashJoin" in p
+
+
+def test_budget_select_bounded_exchanges(spark):
+    """Budget selection must stay histogram + scan-filter: the
+    returned plan gets at most the boundary-bucket window exchange and
+    a union — never a global sort or join."""
+    p = plan(spark, SPECS["budget_select"].fn(spark, SF_SMOKE), "simple")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
