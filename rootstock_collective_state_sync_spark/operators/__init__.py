@@ -9,6 +9,24 @@ for oracle checking; no Python UDF appears in any hot path except the
 explicitly-stubbed multimodal decoders.
 """
 
-from rootstock_collective_state_sync_spark.operators import dedup, similarity, text
+from rootstock_collective_state_sync_spark.operators import (
+    dedup,
+    multimodal,
+    rollup,
+    sampling,
+    similarity,
+    skew,
+    temporal,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = [
+    "dedup",
+    "multimodal",
+    "rollup",
+    "sampling",
+    "similarity",
+    "skew",
+    "temporal",
+    "text",
+]
