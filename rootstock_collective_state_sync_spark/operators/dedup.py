@@ -415,24 +415,26 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("component").alias("n_min"))
             )
-            nxt = (
+            # carry the improved-label flag through the update itself:
+            # one join per round, convergence probe is a count on the
+            # already-cached result (no second labels join)
+            upd = (
                 labels.join(neigh, labels.id == neigh.src, "left")
                 .select(
                     "id",
                     F.least(
                         F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
                     ).alias("component"),
+                    (
+                        F.col("n_min").isNotNull()
+                        & (F.col("n_min") < F.col("component"))
+                    ).alias("_improved"),
                 )
                 .persist()
             )
-            changed = (
-                nxt.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )  # scalar convergence probe
+            changed = upd.filter(F.col("_improved")).count()  # scalar probe
             labels.unpersist()
-            labels = nxt
+            labels = upd.drop("_improved")
             if changed == 0:
                 break
         return labels
