@@ -326,6 +326,63 @@ def simhash(
     )
 
 
+def dup_ngram_stats(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the exact-substring
+    dedup signal (reference scope extension; cf. "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022): an
+    n-gram *position* is duplicated when its n-gram occurs two or more
+    times corpus-wide (across documents or repeated within one).
+
+    Scale shape: the shuffle payload is ``(md5(gram), doc_id)`` — a
+    32-byte key, never the gram text — one groupBy on the gram hash
+    with map-side partial aggregation, one equi-join back (re-uses the
+    same hash partitioning, so AQE plans it shuffle-free on the count
+    side), one groupBy on the doc id. Linear in corpus n-gram count;
+    no all-pairs stage.
+
+    Returns ``(doc_id, n_grams, n_dup_grams, dup_fraction)`` for every
+    input document (documents shorter than ``n`` tokens report 0).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            word_shingles(tokens(F.col(text_col)), n)
+        ).alias("gram"),
+    ).select(id_col, F.md5(F.col("gram").cast("binary")).alias("gh"))
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        grams.join(counts, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias(
+                "n_dup_grams"
+            ),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def benchmark_contamination(
     train: DataFrame,
     benchmark: DataFrame,

@@ -267,3 +267,86 @@ def split_oversized(
             ).alias("seg_size"),
         )
     )
+
+
+def group_percent_rank(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Per-group percent_rank normalization (quality-score calibration
+    across languages/sources: rank-normalize so a 0.9 means "top decile
+    *within its group*", comparable across groups with different score
+    distributions).
+
+    Semantics match SQL ``percent_rank() OVER (PARTITION BY group
+    ORDER BY value)`` exactly — ``(rows strictly below) / (n - 1)``,
+    ties share a rank — but the plan is the scalable two-pass
+    histogram shape, NOT a per-row window: a naive window puts an
+    entire group in one task, and groups here (languages) are few and
+    planetary at 100 TB. Instead: (1) groupBy (group, value) builds a
+    histogram whose size is bounded by distinct values (the value
+    should be a bounded-precision integral score, e.g. quality in 1e-7
+    units); (2) one window cumsum over that *histogram* (tiny); (3)
+    equi-join the per-(group, value) rank back onto the rows — row
+    volume shuffles once, on the join key.
+
+    ``value_col`` must be exactly joinable (integral / non-float).
+    """
+    hist = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(group_col)
+    ranks = (
+        hist.withColumn(
+            "_below", F.coalesce(F.sum("_cnt").over(wcum), F.lit(0))
+        )
+        .withColumn("_n", F.sum("_cnt").over(wall))
+        .select(
+            group_col,
+            value_col,
+            F.round(
+                F.col("_below").cast("double")
+                / F.greatest(F.col("_n") - 1, F.lit(1)),
+                6,
+            ).alias(out_col),
+        )
+    )
+    return df.join(ranks, [group_col, value_col])
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_e7_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic importance (weighted Bernoulli) sampling: keep a
+    row with probability ``weight / 1e7`` (weight in integer 1e-7
+    units, e.g. :func:`..text.quality_score_e7` — quality-weighted
+    corpus thinning). The draw is the first 16 bits of ``md5(key)``
+    as a uniform in [0, 1): keep iff ``draw16 / 65536 < weight/1e7``,
+    cross-multiplied so the comparison is pure int64 — no float, no
+    RNG state; the identical sample falls out on any engine, retry, or
+    partition layout (same reproducibility contract as
+    :func:`stratified_sample`, which is the constant-rate special
+    case of this operator).
+
+    Plan shape: scan + per-row filter — zero shuffles, zero UDFs.
+    """
+    draw16 = F.conv(
+        F.substring(
+            F.md5(F.col(key_col).cast("string").cast("binary")), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(
+        draw16 * F.lit(10_000_000).cast("long")
+        < F.col(weight_e7_col).cast("long") * F.lit(65536).cast("long")
+    )

@@ -164,6 +164,65 @@ def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus language-model scoring
+# ---------------------------------------------------------------------------
+
+
+def unigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus's own
+    add-one-smoothed unigram language model — the CCNet-style
+    perplexity quality filter, reduced to its distributable core:
+    ``p(t) = (count(t) + 1) / (total_tokens + vocab)``, document score
+    = mean over token positions of ``-ln p(t)``. Low = in-distribution
+    text, high = noise/outliers.
+
+    Scale shape: ONE wide shuffle (the term-count groupBy, map-side
+    combined); the count table is vocabulary-sized and broadcast back
+    to the exploded token stream, so scoring is a map-side join; the
+    per-doc reduction partial-aggregates. ``total``/``vocab`` are two
+    driver-side scalars (bounded control-plane read, same policy as
+    ``tfidf_top_terms``).
+
+    Float policy: each per-token NLL is rounded to integer 1e-6 units
+    *before* the per-document sum, so the sum is exact integer
+    arithmetic — bit-identical across engines and partition orders
+    (doubles would make the sum order-dependent).
+
+    Returns ``(id, n_tokens, sum_nll_e6, mean_nll)``.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    ).first()
+    denom = float(int(totals["total"]) + int(totals["vocab"]))
+    nll_e6 = F.round(
+        -F.log((F.col("c") + 1).cast("double") / F.lit(denom)) * 1e6, 0
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(counts), "term")
+        .select(F.col(id_col), nll_e6.alias("nll_e6"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("nll_e6").cast("long").alias("sum_nll_e6"),
+        )
+        .withColumn(
+            "mean_nll",
+            F.round(
+                F.col("sum_nll_e6").cast("double")
+                / (F.col("n_tokens") * F.lit(1000000.0)),
+                6,
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,185 @@
+"""Corpus-curation conformance queries (round-4 scope extension):
+duplicated-n-gram analysis, unigram-LM quality scoring, per-group
+rank normalization, weighted sampling, and storage-layout keys.
+
+Same contract as :mod:`.training`: every Spark plan composes
+:mod:`..operators` built-ins; every oracle replicates the exact
+computation in DuckDB SQL (same md5 draws, same integer fixed-point
+arithmetic, same rounding), so the driver's hash-compare verifies the
+operator end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rootstock_collective_state_sync_spark.operators import dedup as D
+from rootstock_collective_state_sync_spark.operators import sampling as SA
+from rootstock_collective_state_sync_spark.operators import text as X
+from rootstock_collective_state_sync_spark.plans.tables import load_table
+from rootstock_collective_state_sync_spark.plans.training import _TOK_CTE
+
+# DuckDB mirror of operators.text.quality_score_e7 (integer 1e-7
+# units; shared by the percentile / importance-sampling oracles).
+_QUALITY_E7_CTE = f"""
+{_TOK_CTE},
+qf AS (
+  SELECT doc_id,
+         greatest(len(toks), 1)::BIGINT AS n_tok,
+         len(list_distinct(toks))::BIGINT AS n_uniq,
+         greatest(length(text), 1)::BIGINT AS n_chars,
+         length(regexp_replace(text, '[^.!?,;]', '', 'g'))::BIGINT AS n_punct
+  FROM tok
+),
+q AS (
+  SELECT doc_id,
+         (5 * least(n_tok * 15625, 1000000)
+          + 4 * ((n_uniq * 1000000) // n_tok)
+          + (1000000 - least(((n_punct * 1000000) // n_chars) * 10,
+                             1000000)))::BIGINT AS q_e7
+  FROM qf
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicated n-gram fraction (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+_DUP_N = 5
+
+
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dup_ngram_stats(docs, n=_DUP_N).orderBy("doc_id")
+
+
+Q_DUP_NGRAM_FRACTION_ORACLE = f"""
+WITH {_TOK_CTE},
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {_DUP_N - 2}),
+                i -> md5(array_to_string(toks[i:i+{_DUP_N - 1}], ' ')))) AS gh
+  FROM tok WHERE len(toks) >= {_DUP_N}
+),
+counts AS (SELECT gh, count(*) AS n_occ FROM g GROUP BY gh),
+per AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+  FROM g JOIN counts USING (gh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(per.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       round(coalesce(per.n_dup_grams, 0)::DOUBLE
+             / greatest(coalesce(per.n_grams, 0), 1), 6) AS dup_fraction
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.unigram_lm_scores(docs).orderBy("doc_id")
+
+
+Q_LM_UNIGRAM_SCORE_ORACLE = f"""
+WITH {_TOK_CTE},
+t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+c AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM c),
+scored AS (
+  SELECT t.doc_id,
+         round(-ln((c.c + 1)::DOUBLE / (tot.total + tot.vocab))
+               * 1000000, 0)::BIGINT AS nll_e6
+  FROM t JOIN c USING (term), tot
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(nll_e6)::BIGINT AS sum_nll_e6,
+       round(sum(nll_e6)::DOUBLE / (count(*) * 1000000.0), 6) AS mean_nll
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group percent-rank normalization
+# ---------------------------------------------------------------------------
+
+
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", X.quality_score_e7(F.col("text")).alias("q_e7")
+    )
+    return (
+        SA.group_percent_rank(scored, value_col="q_e7", group_col="lang")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("q_e7").cast("double") / F.lit(10000000.0)).alias(
+                "quality"
+            ),
+            "pct_rank",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_QUALITY_PERCENTILES_ORACLE = f"""
+WITH {_QUALITY_E7_CTE}
+SELECT d.doc_id, d.lang,
+       q.q_e7::DOUBLE / 10000000.0 AS quality,
+       round(percent_rank() OVER (PARTITION BY d.lang ORDER BY q.q_e7),
+             6) AS pct_rank
+FROM documents d JOIN q ON d.doc_id = q.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# importance sampling
+# ---------------------------------------------------------------------------
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", X.quality_score_e7(F.col("text")).alias("q_e7")
+    )
+    return (
+        SA.importance_sample(scored, weight_e7_col="q_e7")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("q_e7").cast("double") / F.lit(10000000.0)).alias(
+                "quality"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_IMPORTANCE_SAMPLE_ORACLE = f"""
+WITH {_QUALITY_E7_CTE},
+d16 AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(4), k ->
+             (strpos('0123456789abcdef',
+                     substr(md5(doc_id::VARCHAR), k + 1, 1)) - 1)
+             * (1 << (4 * (3 - k)))))::BIGINT AS draw16
+  FROM documents
+)
+SELECT d.doc_id, d.lang, q.q_e7::DOUBLE / 10000000.0 AS quality
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+JOIN d16 ON d.doc_id = d16.doc_id
+WHERE d16.draw16 * 10000000 < q.q_e7 * 65536
+ORDER BY d.doc_id
+"""

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from rootstock_collective_state_sync_spark.plans import analytics as AN
+from rootstock_collective_state_sync_spark.plans import curation as CU
 from rootstock_collective_state_sync_spark.plans import relational as R
 from rootstock_collective_state_sync_spark.plans import training as TR
 from rootstock_collective_state_sync_spark.plans import tpch_extra as TX
@@ -199,6 +200,19 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "epoch_shuffle": QuerySpec(
         TR.q_epoch_shuffle, TR.Q_EPOCH_SHUFFLE_ORACLE, ("sampling",)
+    ),
+    # corpus curation (round 4)
+    "dup_ngram_fraction": QuerySpec(
+        CU.q_dup_ngram_fraction, CU.Q_DUP_NGRAM_FRACTION_ORACLE, ("dedup", "text")
+    ),
+    "lm_unigram_score": QuerySpec(
+        CU.q_lm_unigram_score, CU.Q_LM_UNIGRAM_SCORE_ORACLE, ("text",)
+    ),
+    "quality_percentiles": QuerySpec(
+        CU.q_quality_percentiles, CU.Q_QUALITY_PERCENTILES_ORACLE, ("text", "window")
+    ),
+    "importance_sample": QuerySpec(
+        CU.q_importance_sample, CU.Q_IMPORTANCE_SAMPLE_ORACLE, ("sampling",)
     ),
     # multimodal plumbing
     "multimodal_features": QuerySpec(

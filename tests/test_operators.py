@@ -391,3 +391,91 @@ def test_split_oversized_segments(spark):
         total = {1: 100, 2: 256, 3: 300, 4: 577}[doc_id]
         assert sum(s for _, s in segs) == total
         assert all(s <= 256 for _, s in segs)
+
+
+def test_dup_ngram_stats_planted_repeat(spark):
+    """A doc sharing a 5-gram with another doc (and a repeated 5-gram
+    inside one doc) must show dup positions; unique text shows none."""
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " zeta eta theta iota kappa"),
+            (2, shared + " one two three four five"),
+            (3, "unique words only here nothing repeats ever at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in D.dup_ngram_stats(df, n=5).collect()}
+    assert out[1].n_grams == 6 and out[2].n_grams == 6
+    # only the fully-shared first 5-gram collides between docs 1 and 2
+    assert out[1].n_dup_grams == 1 and out[2].n_dup_grams == 1
+    assert out[3].n_dup_grams == 0
+    # short doc: fewer than n tokens -> zero grams, fraction 0
+    short = spark.createDataFrame([(9, "just four tiny words")], ["doc_id", "text"])
+    r = D.dup_ngram_stats(short, n=5).collect()[0]
+    assert (r.n_grams, r.n_dup_grams, r.dup_fraction) == (0, 0, 0.0)
+
+
+def test_unigram_lm_scores_orders_outliers(spark):
+    """Docs made of corpus-frequent words must score lower NLL than a
+    doc of hapaxes; n_tokens must match the tokenizer."""
+    df = spark.createDataFrame(
+        [
+            (1, "common common common words words"),
+            (2, "common words common words common"),
+            (3, "zyx qwv jkl pqr stu"),  # all rare
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in X.unigram_lm_scores(df).collect()}
+    assert out[1].n_tokens == 5 and out[3].n_tokens == 5
+    assert out[1].mean_nll < out[3].mean_nll
+    assert out[2].mean_nll < out[3].mean_nll
+
+
+def test_group_percent_rank_matches_window_semantics(spark):
+    """The scalable histogram plan must equal SQL percent_rank row for
+    row, including ties."""
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    rows = [(i, "a" if i % 2 else "b", (i * 7) % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "grp", "val"])
+    got = {
+        (r.id): r.pct_rank
+        for r in SA.group_percent_rank(df, "val", "grp").collect()
+    }
+    df.createOrReplaceTempView("gpr_in")
+    want = {
+        r.id: round(r.pr, 6)
+        for r in spark.sql(
+            "SELECT id, percent_rank() OVER (PARTITION BY grp ORDER BY val) pr"
+            " FROM gpr_in"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_importance_sample_rate_tracks_weight(spark):
+    """Keep-rate must track the weight: weight 0 keeps nothing,
+    weight 1e7 keeps everything, and a 50 % weight keeps roughly half
+    (md5 uniformity); the sample must be a deterministic subset."""
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit(5_000_000).alias("w")
+    )
+    kept = SA.importance_sample(df, "w").count()
+    assert 800 < kept < 1200
+    zero = df.withColumn("w", F.lit(0))
+    assert SA.importance_sample(zero, "w").count() == 0
+    full = df.withColumn("w", F.lit(10_000_000))
+    assert SA.importance_sample(full, "w").count() == 2000
+    # determinism + monotonicity: the 50% sample is a subset of a 75% one
+    half = {r.doc_id for r in SA.importance_sample(df, "w").collect()}
+    most = {
+        r.doc_id
+        for r in SA.importance_sample(
+            df.withColumn("w", F.lit(7_500_000)), "w"
+        ).collect()
+    }
+    assert half <= most

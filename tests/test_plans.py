@@ -132,3 +132,30 @@ def test_budget_select_bounded_exchanges(spark):
     p = plan(spark, SPECS["budget_select"].fn(spark, SF_SMOKE), "simple")
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_importance_sample_no_shuffle(spark):
+    """Weighted sampling is a per-row decision: ANY Exchange would
+    shuffle 100 TB for row-local arithmetic."""
+    p = plan(spark, SPECS["importance_sample"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_dup_ngram_fraction_bounded_shuffles(spark):
+    """Two reductions only (gram-hash counts, per-doc rollup); the
+    count join must never become a cartesian or shuffle the exploded
+    gram stream a third time."""
+    p = plan(spark, SPECS["dup_ngram_fraction"].fn(spark, SF_SMOKE), "simple")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in p
+
+
+def test_quality_percentiles_window_on_histogram(spark):
+    """percent_rank must run over the (group, value) histogram, not
+    per row: no single-partition exchange, bounded hash shuffles, and
+    the row stream joins back by equi-join."""
+    p = plan(spark, SPECS["quality_percentiles"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in p
