@@ -11,6 +11,7 @@ explicitly-stubbed multimodal decoders.
 
 from rootstock_collective_state_sync_spark.operators import (
     dedup,
+    layout,
     multimodal,
     rollup,
     sampling,
@@ -22,6 +23,7 @@ from rootstock_collective_state_sync_spark.operators import (
 
 __all__ = [
     "dedup",
+    "layout",
     "multimodal",
     "rollup",
     "sampling",

@@ -183,3 +183,40 @@ JOIN d16 ON d.doc_id = d16.doc_id
 WHERE d16.draw16 * 10000000 < q.q_e7 * 65536
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key
+# ---------------------------------------------------------------------------
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rootstock_collective_state_sync_spark.operators import layout as L
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust_lo = (F.col("o_custkey") % 65536).alias("cust_lo")
+    day_num = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).alias("day_num")
+    base = orders.select("o_orderkey", cust_lo, day_num)
+    return base.select(
+        "o_orderkey",
+        "cust_lo",
+        F.col("day_num").cast("long").alias("day_num"),
+        L.zorder_key(F.col("cust_lo"), F.col("day_num")).alias("zkey"),
+    ).orderBy("o_orderkey")
+
+
+Q_ZORDER_KEY_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         (o_custkey % 65536)::BIGINT AS cust_lo,
+         date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS day_num
+  FROM orders
+)
+SELECT o_orderkey, cust_lo, day_num,
+       list_sum(list_transform(range(16), i ->
+           (((cust_lo >> i) & 1) << (2 * i))
+           + (((day_num >> i) & 1) << (2 * i + 1))))::BIGINT AS zkey
+FROM base ORDER BY o_orderkey
+"""

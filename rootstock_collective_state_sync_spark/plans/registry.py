@@ -214,6 +214,9 @@ SPECS: dict[str, QuerySpec] = {
     "importance_sample": QuerySpec(
         CU.q_importance_sample, CU.Q_IMPORTANCE_SAMPLE_ORACLE, ("sampling",)
     ),
+    "zorder_key": QuerySpec(
+        CU.q_zorder_key, CU.Q_ZORDER_KEY_ORACLE, ("layout", "scalar")
+    ),
     # multimodal plumbing
     "multimodal_features": QuerySpec(
         TR.q_multimodal_features, TR.Q_MULTIMODAL_FEATURES_ORACLE, ("multimodal",)

@@ -159,3 +159,11 @@ def test_quality_percentiles_window_on_histogram(spark):
     assert "Exchange SinglePartition" not in p
     assert p.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in p
+
+
+def test_zorder_key_no_shuffle(spark):
+    """The Morton key is row-local bit arithmetic: no Exchange other
+    than the presentation orderBy."""
+    p = plan(spark, SPECS["zorder_key"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange SinglePartition" not in p
