@@ -85,13 +85,12 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     )
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Binary PPM (netpbm P6): ``P6 <ws> width <ws> height <ws> maxval
-    <single-ws> raw-RGB``, where ``#`` starts a comment running to end
-    of line anywhere in the header. Returns dimensions plus per-channel
-    means computed over the raw samples — real pixel statistics, not a
-    stub. Only maxval <= 255 (1 byte/sample) is supported; 2-byte
-    samples raise."""
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary PPM (netpbm P6) header + raster: ``P6 <ws> width
+    <ws> height <ws> maxval <single-ws> raw-RGB``, where ``#`` starts a
+    comment running to end of line anywhere in the header. Only
+    maxval <= 255 (1 byte/sample) is supported; 2-byte samples raise.
+    Returns ``(width, height, maxval, raster)``."""
     if payload[:2] != b"P6":
         raise ValueError(f"not a P6 PPM: magic {payload[:2]!r}")
     pos = 2
@@ -117,6 +116,14 @@ def decode_ppm(payload: bytes) -> dict:
     raster = payload[pos : pos + n]
     if len(raster) != n:
         raise ValueError(f"truncated PPM raster: want {n}, have {len(raster)}")
+    return width, height, maxval, raster
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Decode a binary PPM (see :func:`_parse_ppm`): dimensions plus
+    per-channel means computed over the raw samples — real pixel
+    statistics, not a stub."""
+    width, height, maxval, raster = _parse_ppm(payload)
     npx = max(width * height, 1)
     return {
         "width": width,
@@ -166,6 +173,104 @@ def decode_wav(payload: bytes) -> dict:
         samples = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
         out["peak"] = max((abs(s) for s in samples), default=0)
     return out
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a binary PPM, re-encoded as P6: out
+    pixel (x, y) samples in pixel ``((x * in_w) DIV out_w,
+    (y * in_h) DIV out_h)`` — integer floor arithmetic, so the result
+    is bit-deterministic (and replicable in the SQL oracle). Vectorized
+    via numpy fancy indexing on the raster array."""
+    import numpy as np
+
+    width, height, maxval, raster = _parse_ppm(payload)
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+    ys = (np.arange(out_h) * height) // out_h
+    xs = (np.arange(out_w) * width) // out_w
+    out = arr[ys][:, xs]
+    header = f"P6\n{out_w} {out_h}\n{maxval}\n".encode()
+    return header + out.tobytes()
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("in_w", T.LongType(), True),
+        T.StructField("in_h", T.LongType(), True),
+        T.StructField("out_w", T.LongType(), True),
+        T.StructField("out_h", T.LongType(), True),
+        T.StructField("out_len", T.LongType(), True),
+        T.StructField("resized_md5", T.StringType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Distributed image resize via Arrow-batched ``mapInPandas``: PPM
+    payloads in, resized PPM payloads (+ dims/md5 audit columns) out.
+    Failures quarantine into ``decode_error`` per row — at 100 TB a
+    corrupt image must not abort the stage. Work is re-balanced by
+    payload content hash first (image sizes are wildly skewed relative
+    to upstream file layout)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                rows["doc_id"].append(doc_id)
+                try:
+                    w, h, _, _ = _parse_ppm(b)
+                    rz = resize_ppm(b, out_w, out_h)
+                    rows["in_w"].append(w)
+                    rows["in_h"].append(h)
+                    rows["out_w"].append(out_w)
+                    rows["out_h"].append(out_h)
+                    rows["out_len"].append(len(rz))
+                    rows["resized_md5"].append(hashlib.md5(rz).hexdigest())
+                    rows["resized"].append(rz)
+                    rows["decode_error"].append(None)
+                except ValueError as e:
+                    for k in ("in_w", "in_h", "out_w", "out_h", "out_len",
+                              "resized_md5", "resized"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame(rows)
+
+    return df.repartition(F.pmod(F.xxhash64("payload"), F.lit(32))).mapInPandas(
+        batches, RESIZE_SCHEMA
+    )
+
+
+def attach_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic PPM fixture generator: each document becomes a
+    real P6 image whose dimensions derive from ``doc_id`` and whose
+    raster is the text's bytes cycled to fill (ASCII corpus -> exact
+    string/byte duality, which is what lets the SQL oracle rebuild the
+    identical image). Real pipelines read actual images with
+    ``spark.read.format("binaryFile")`` instead."""
+    w = (F.lit(8) + F.col("doc_id") % 8).cast("int")
+    h = (F.lit(6) + F.col("doc_id") % 5).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    return (
+        df.withColumn("_w", w)
+        .withColumn("_h", h)
+        .withColumn(
+            "payload",
+            F.concat(
+                header,
+                F.expr(f"rpad({text_col}, CAST(_w * _h * 3 AS INT), {text_col})"),
+            ).cast("binary"),
+        )
+        .select("doc_id", "payload")
+    )
 
 
 def extract_features(df: DataFrame) -> DataFrame:

@@ -220,3 +220,51 @@ SELECT o_orderkey, cust_lo, day_num,
            + (((day_num >> i) & 1) << (2 * i + 1))))::BIGINT AS zkey
 FROM base ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal: real image resize (PPM), full-value oracled
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build deterministic P6 images from the documents table, resize
+    each to 4x3 with the real numpy nearest-neighbor codec, and emit
+    dims + the md5 of the RESIZED image bytes — which the oracle
+    recomputes pixel by pixel in SQL, so the check covers the actual
+    pixel values, not just plumbing."""
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_ppm_payload(docs)
+    return (
+        M.resize_images(media, out_w=4, out_h=3)
+        .select(
+            "doc_id", "in_w", "in_h", "out_w", "out_h", "out_len",
+            "resized_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_MULTIMODAL_RESIZE_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         (8 + doc_id % 8)::BIGINT AS w,
+         (6 + doc_id % 5)::BIGINT AS h,
+         rpad(text, ((8 + doc_id % 8) * (6 + doc_id % 5) * 3)::INT, text)
+           AS raster
+  FROM documents
+)
+SELECT doc_id,
+       w AS in_w, h AS in_h,
+       4::BIGINT AS out_w, 3::BIGINT AS out_h,
+       47::BIGINT AS out_len,
+       md5('P6' || chr(10) || '4 3' || chr(10) || '255' || chr(10) ||
+           array_to_string(list_transform(range(36), j ->
+             substr(raster,
+                    ((((j // 12) * h) // 3) * w
+                     + ((((j % 12) // 3) * w) // 4)) * 3 + (j % 3) + 1,
+                    1)), '')) AS resized_md5
+FROM base ORDER BY doc_id
+"""

@@ -226,6 +226,9 @@ SPECS: dict[str, QuerySpec] = {
         TR.Q_MULTIMODAL_FRAME_SAMPLE_ORACLE,
         ("multimodal",),
     ),
+    "multimodal_resize": QuerySpec(
+        CU.q_multimodal_resize, CU.Q_MULTIMODAL_RESIZE_ORACLE, ("multimodal",)
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)

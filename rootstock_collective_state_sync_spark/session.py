@@ -32,6 +32,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
 
+    # Make this package importable in executor Python workers even
+    # when the driver script runs from a foreign cwd with only a
+    # sys.path insert (cloudpickle serializes mapInPandas closures
+    # that reference module-level functions BY module name, so the
+    # worker must be able to import the package). Must happen before
+    # the JVM launches: workers inherit the gateway's environment.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

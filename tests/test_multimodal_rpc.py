@@ -203,3 +203,42 @@ def test_multicall_no_rpc_raises(spark):
     df = spark.createDataFrame([(b"\x01",)], ["id"])
     with pytest.raises(Exception, match="no RPC endpoint"):
         rpc.multicall_states(df).collect()
+
+
+def test_resize_ppm_nearest_neighbor_exact():
+    """Hand-built 2x2 image upscaled to 4x4: each source pixel must
+    tile a 2x2 block (nearest-neighbor floor mapping)."""
+    from rootstock_collective_state_sync_spark.operators.multimodal import (
+        _parse_ppm,
+        resize_ppm,
+    )
+
+    px = {(0, 0): b"\x10\x20\x30", (1, 0): b"\x40\x50\x60",
+          (0, 1): b"\x70\x80\x90", (1, 1): b"\xa0\xb0\xc0"}
+    raster = px[(0, 0)] + px[(1, 0)] + px[(0, 1)] + px[(1, 1)]
+    ppm = b"P6\n2 2\n255\n" + raster
+    out = resize_ppm(ppm, 4, 4)
+    w, h, maxval, r = _parse_ppm(out)
+    assert (w, h, maxval) == (4, 4, 255)
+    for y in range(4):
+        for x in range(4):
+            want = px[(x // 2, y // 2)]
+            got = r[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]
+            assert got == want, (x, y)
+    # downscale back to 1x1 picks the top-left source pixel
+    assert _parse_ppm(resize_ppm(ppm, 1, 1))[3] == px[(0, 0)]
+
+
+def test_resize_images_quarantines_corrupt_payloads(spark):
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+
+    good = b"P6\n2 1\n255\n" + b"\x01\x02\x03\x04\x05\x06"
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"nonsense bytes"))],
+        "doc_id: long, payload: binary",
+    )
+    out = {r.doc_id: r for r in M.resize_images(df, 2, 2).collect()}
+    assert out[1].decode_error is None and out[1].out_len == len(
+        b"P6\n2 2\n255\n"
+    ) + 12
+    assert out[2].decode_error is not None and out[2].resized is None
