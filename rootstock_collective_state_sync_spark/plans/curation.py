@@ -268,3 +268,29 @@ SELECT doc_id,
                     1)), '')) AS resized_md5
 FROM base ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# training-shard export manifest
+# ---------------------------------------------------------------------------
+
+
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rootstock_collective_state_sync_spark.sinks.export import shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, num_shards=8).orderBy("shard")
+
+
+Q_EXPORT_MANIFEST_ORACLE = """
+SELECT (doc_id % 8)::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       min(doc_id)::BIGINT AS min_id,
+       max(doc_id)::BIGINT AS max_id,
+       sum(list_sum(list_transform(range(8), k ->
+           (strpos('0123456789abcdef',
+                   substr(md5(doc_id::VARCHAR || ':' || text), k + 1, 1)) - 1)
+           * (1::BIGINT << (4 * (7 - k))))))::BIGINT AS checksum
+FROM documents GROUP BY 1 ORDER BY shard
+"""

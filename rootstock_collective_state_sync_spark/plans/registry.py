@@ -217,6 +217,9 @@ SPECS: dict[str, QuerySpec] = {
     "zorder_key": QuerySpec(
         CU.q_zorder_key, CU.Q_ZORDER_KEY_ORACLE, ("layout", "scalar")
     ),
+    "export_manifest": QuerySpec(
+        CU.q_export_manifest, CU.Q_EXPORT_MANIFEST_ORACLE, ("sink", "agg")
+    ),
     # multimodal plumbing
     "multimodal_features": QuerySpec(
         TR.q_multimodal_features, TR.Q_MULTIMODAL_FEATURES_ORACLE, ("multimodal",)

@@ -6,7 +6,20 @@ UPDATE`` writer (``src/handlers/dbUpsert.ts:50-85``), its DDL creator
 schema swap (``src/handlers/schema.ts:10-49``).
 """
 
+from rootstock_collective_state_sync_spark.sinks.export import (
+    export_training_shards,
+    shard_manifest,
+    validate_export,
+)
 from rootstock_collective_state_sync_spark.sinks.table import TableCatalog, VersionedTable
 from rootstock_collective_state_sync_spark.sinks.upsert import merge_upsert, prepare_batch
 
-__all__ = ["TableCatalog", "VersionedTable", "merge_upsert", "prepare_batch"]
+__all__ = [
+    "TableCatalog",
+    "VersionedTable",
+    "export_training_shards",
+    "merge_upsert",
+    "prepare_batch",
+    "shard_manifest",
+    "validate_export",
+]

@@ -533,3 +533,29 @@ def test_write_zordered_files_are_range_clustered(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges: {ranges}"
     # round-trip: no rows lost or duplicated by the re-layout
     assert spark.read.parquet(path).count() == df.count()
+
+
+
+def test_export_shards_roundtrip_and_validate(spark, tmp_path):
+    """Export writes data + manifest; validation passes on the intact
+    export and fails after tampering (a deleted shard)."""
+    import shutil
+
+    from rootstock_collective_state_sync_spark.sinks.export import (
+        export_training_shards,
+        validate_export,
+    )
+    from rootstock_collective_state_sync_spark.plans.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "export")
+    export_training_shards(docs, path, num_shards=4)
+    back = spark.read.parquet(path + "/data")
+    assert back.count() == docs.count()
+    assert back.select("shard").distinct().count() == 4
+    assert validate_export(spark, path).count() == 0
+    # tamper: drop one shard directory -> validation must flag it
+    shutil.rmtree(path + "/data/shard=2")
+    diffs = validate_export(spark, path)
+    assert diffs.count() > 0
+    assert {r.shard for r in diffs.collect()} == {2}
