@@ -472,3 +472,192 @@ def lsh_bucket_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "neighbor_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def _train_pq_codebooks(
+    corpus: DataFrame,
+    num_subspaces: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int = 1024,
+    iters: int = 3,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks, trained driver-side on the same
+    bounded DETERMINISTIC sample policy as the IVF quantizer (the
+    ``sample_size`` lowest md5(id) vectors — no RNG, stable under
+    partitioning/retries; a bounded control-plane collect). Vectors
+    are unit-normalized, then each of the ``num_subspaces`` slices is
+    clustered independently: init = first ``ksub`` sample subvectors,
+    assignment = euclidean argmin (first-min tie-break = numpy
+    argmin), update = member mean, empty cells keep their centroid.
+    Returns ``(num_subspaces, ksub, dim/num_subspaces)``."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string").cast("binary")), F.col("i"))
+        .limit(sample_size)
+        .collect()
+    )
+    S = _l2n(np.array([r.v for r in rows], dtype=np.float64))
+    dim = S.shape[1]
+    if dim % num_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {num_subspaces}")
+    sub = dim // num_subspaces
+    books = []
+    for m in range(num_subspaces):
+        X = S[:, m * sub : (m + 1) * sub]
+        C = X[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def _pq_code_udf(books: np.ndarray):
+    """Arrow-batched PQ encoding: for each subspace one
+    (batch x ksub) distance matrix + argmin — returns the M-byte code
+    word as ``array<int>``."""
+    M, _, sub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def _udf(vec: pd.Series) -> pd.Series:
+        A = _l2n(np.stack(vec.values).astype(np.float64))
+        codes = np.empty((A.shape[0], M), dtype=np.int32)
+        for m in range(M):
+            X = A[:, m * sub : (m + 1) * sub]
+            d2 = ((X[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return _udf
+
+
+def pq_code_assignments(
+    corpus: DataFrame,
+    num_subspaces: int = 8,
+    ksub: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ code word for every vector, long format ``(id, subspace,
+    code)`` — the deterministic heart of the PQ path, value-checkable
+    against an independent SQL replay of the training + assignment.
+    One scan, one Arrow matmul batch stage, zero shuffles."""
+    books = _train_pq_codebooks(corpus, num_subspaces, ksub, id_col, vec_col)
+    enc = _pq_code_udf(books)
+    return (
+        corpus.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+        .select(
+            id_col,
+            F.posexplode("codes").alias("subspace", "code"),
+        )
+        .select(
+            id_col, F.col("subspace").cast("long").alias("subspace"), "code"
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_subspaces: int = 8,
+    ksub: int = 32,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (PQ-flat search, Jégou et al.
+    2011 "Product Quantization for Nearest Neighbor Search"): corpus
+    vectors compress to ``num_subspaces`` small codes; each query
+    precomputes a (subspace x ksub) look-up table of squared
+    distances to every sub-centroid, a candidate's approximate
+    distance is M table lookups + adds — never a full dot product —
+    and the ADC ``shortlist`` per query is re-ranked EXACTLY against
+    raw vectors (the standard two-stage shape: quantization error
+    decides the shortlist, never the final order).
+
+    100 TB shape: the corpus is encoded in one scan (Arrow batches)
+    and NEVER shuffled — 64 float32 dims become 8 ints for the
+    scoring pass; the query side (ids + LUTs) is a broadcast;
+    ADC scoring is pure JVM ``zip_with``/``aggregate`` array
+    arithmetic (no UDF in the per-row hot path); the exact re-rank
+    touches only ``queries x shortlist`` rows, fetched by a broadcast
+    semi-join on the id — the full-vector column is read only for
+    that sliver.
+    """
+    books = _train_pq_codebooks(corpus, num_subspaces, ksub, id_col, vec_col)
+    enc = _pq_code_udf(books)
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("codes")
+    )
+
+    q_rows = queries.select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+    ).collect()
+    q_mat = _l2n(np.array([r.v for r in q_rows], dtype=np.float64))
+    sub = q_mat.shape[1] // num_subspaces
+    lut_rows = []
+    for r, qv in zip(q_rows, q_mat):
+        luts = [
+            [
+                float(((qv[m * sub : (m + 1) * sub] - books[m][c]) ** 2).sum())
+                for c in range(ksub)
+            ]
+            for m in range(num_subspaces)
+        ]
+        lut_rows.append((int(r.i), r.v, luts))
+    qdf = corpus.sparkSession.createDataFrame(
+        lut_rows,
+        f"query_id bigint, q_vec {queries.schema[vec_col].dataType.simpleString()},"
+        " luts array<array<double>>",
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            "codes", "luts", lambda c, l: F.element_at(l, c + F.lit(1))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        coded.join(F.broadcast(qdf.select("query_id", "luts")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank: fetch raw vectors for the shortlist only
+    rer = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qdf.select("query_id", "q_vec")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_vectorized(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cos_sim")
+    )

@@ -294,3 +294,109 @@ SELECT (doc_id % 8)::BIGINT AS shard,
            * (1::BIGINT << (4 * (7 - k))))))::BIGINT AS checksum
 FROM documents GROUP BY 1 ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code word for every embedding — the deterministic heart of
+    the PQ-ADC path, value-checked end-to-end. The oracle replays the
+    SAME algorithm in pure SQL (md5-ordered 1024-vector sample, 3
+    unrolled per-subspace k-means iterations, euclidean argmin over
+    the full table) with no shared code with the numpy path. 8
+    subspaces x 32 centroids over 64 dims (the recall sweet spot for
+    this corpus, see tests/test_operators.py recall floors)."""
+    from rootstock_collective_state_sync_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_code_assignments(emb, num_subspaces=8, ksub=32).orderBy(
+        "vec_id", "subspace"
+    )
+
+
+def _pq_codes_oracle(
+    num_subspaces: int = 8,
+    ksub: int = 32,
+    dim: int = 64,
+    sample: int = 1024,
+    iters: int = 3,
+) -> str:
+    """Generate the unrolled per-subspace k-means DuckDB oracle for
+    :func:`q_pq_codes` — mirrors
+    :func:`operators.similarity._train_pq_codebooks` +
+    :func:`.pq_code_assignments` exactly: subspace is just another
+    grouping column, so all M codebooks train in one SQL pipeline."""
+    sub = dim // num_subspaces
+    parts = [f"""
+WITH samp AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS si, embedding
+  FROM embeddings
+  QUALIFY si < {sample}
+),
+sn AS (
+  SELECT si, d.i // {sub} AS m, d.i % {sub} AS d,
+         embedding[d.i + 1]::DOUBLE
+           / greatest(sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 1e-12) AS x
+  FROM samp, range({dim}) d(i)
+),
+c0 AS (SELECT m, si AS c, d, x AS w FROM sn WHERE si < {ksub})"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+dist{t} AS (
+  SELECT sn.si, sn.m, c.c, sum((sn.x - c.w) * (sn.x - c.w)) AS d2
+  FROM sn JOIN c{t - 1} c ON sn.m = c.m AND sn.d = c.d GROUP BY 1, 2, 3
+),
+a{t} AS (
+  SELECT si, m, c FROM (
+    SELECT si, m, c,
+           row_number() OVER (PARTITION BY si, m ORDER BY d2 ASC, c ASC) AS rn
+    FROM dist{t}
+  ) WHERE rn = 1
+),
+mm{t} AS (
+  SELECT a.m, a.c, sn.d, sum(sn.x) AS s, count(*) AS cnt
+  FROM a{t} a JOIN sn ON a.si = sn.si AND a.m = sn.m GROUP BY 1, 2, 3
+),
+c{t} AS (
+  SELECT m, c, d, s / cnt AS w FROM mm{t}
+  UNION ALL
+  SELECT c.m, c.c, c.d, c.w FROM c{t - 1} c
+  WHERE NOT EXISTS (SELECT 1 FROM a{t} a WHERE a.m = c.m AND a.c = c.c)
+)""")
+    parts.append(f""",
+alln AS (
+  SELECT vec_id, d.i // {sub} AS m, d.i % {sub} AS d,
+         embedding[d.i + 1]::DOUBLE
+           / greatest(sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 1e-12) AS x
+  FROM embeddings, range({dim}) d(i)
+),
+fdist AS (
+  SELECT a.vec_id, a.m, c.c, sum((a.x - c.w) * (a.x - c.w)) AS d2
+  FROM alln a JOIN c{iters} c ON a.m = c.m AND a.d = c.d GROUP BY 1, 2, 3
+)
+SELECT vec_id, m::BIGINT AS subspace, c::INTEGER AS code FROM (
+  SELECT vec_id, m, c,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, c ASC) AS rn
+  FROM fdist
+) WHERE rn = 1 ORDER BY vec_id, subspace""")
+    return "".join(parts)
+
+
+Q_PQ_CODES_ORACLE = _pq_codes_oracle()
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance approximate top-k. No SQL oracle (the
+    full ADC pipeline is checked by parts: codes via ``pq_codes``,
+    recall-vs-brute-force floors in tests/test_operators.py)."""
+    from rootstock_collective_state_sync_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.pq_adc_topk(emb, queries, k=5).orderBy("query_id", "rk")

@@ -169,6 +169,10 @@ SPECS: dict[str, QuerySpec] = {
     "ann_ivf_cells": QuerySpec(
         TR.q_ann_ivf_cells, TR.Q_ANN_IVF_CELLS_ORACLE, ("similarity",)
     ),
+    "pq_codes": QuerySpec(
+        CU.q_pq_codes, CU.Q_PQ_CODES_ORACLE, ("similarity",)
+    ),
+    "pq_topk": QuerySpec(CU.q_pq_topk, None, ("similarity", "bench")),
     # corpus sampling / packing / composition
     "stratified_sample": QuerySpec(
         TR.q_stratified_sample, TR.Q_STRATIFIED_SAMPLE_ORACLE, ("sampling",)

@@ -559,3 +559,35 @@ def test_export_shards_roundtrip_and_validate(spark, tmp_path):
     diffs = validate_export(spark, path)
     assert diffs.count() > 0
     assert {r.shard for r in diffs.collect()} == {2}
+
+
+def test_pq_adc_recall_vs_brute_force(emb):
+    """PQ-ADC top-k must recover most true neighbors (4 subspaces x 16
+    centroids over 64 dims is a coarse 64x compression; recall@5 well
+    above chance) and be fully deterministic across runs."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got1 = S.pq_adc_topk(emb, queries, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got1}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.7, f"PQ-ADC recall@5 {recall:.2f} below 0.7 floor"
+    got2 = {(r.query_id, r.rk): r.neighbor_id
+            for r in S.pq_adc_topk(emb, queries, k=5).collect()}
+    assert {(r.query_id, r.rk): r.neighbor_id for r in got1} == got2
+
+
+def test_pq_codes_compress_and_cover(emb):
+    """Every vector gets exactly one code per subspace, codes use the
+    codebook range, and multiple codebook entries are actually used
+    (k-means didn't collapse)."""
+    codes = S.pq_code_assignments(emb, num_subspaces=8, ksub=32)
+    n_vecs = emb.count()
+    assert codes.count() == n_vecs * 8
+    per = codes.groupBy("vec_id").count().select(F.min("count"), F.max("count")).first()
+    assert (per[0], per[1]) == (8, 8)
+    rng = codes.agg(F.min("code"), F.max("code")).first()
+    assert rng[0] >= 0 and rng[1] <= 31
+    assert codes.select("subspace", "code").distinct().count() >= 32
