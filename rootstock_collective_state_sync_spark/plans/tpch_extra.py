@@ -565,3 +565,126 @@ SELECT l_partkey, l_orderkey, l_linenumber, qty_cents, price_cents FROM (
 WHERE qty_cents * 5 * n_li < sum_qty
 ORDER BY l_partkey, l_orderkey, l_linenumber
 """
+
+
+def q20_supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — the nested-IN / semi-join chain (suppliers having
+    significant availability of some part; reference: TPC-H Q20's
+    ``s_suppkey IN (... ps_availqty > 0.5 * sum(l_quantity) ...)``).
+    Adapted to the synthetic schema (no partsupp table): a supplier
+    qualifies when its shipped quantity of some part exceeds THREE
+    TIMES its fair share (part total / number of suppliers of that
+    part) — a relative predicate, chosen over an absolute share cut
+    because absolute shares shrink as the corpus grows (an absolute
+    cut goes vacuous at sf >= 0.01, the q9 trap). Selective but
+    non-empty at every shipped scale factor: 3/10 suppliers at
+    sf0.001, 99/100 at sf0.01, 544/1000 at sf0.1. Plan: two
+    partial-aggregated reductions (the per-(part, supplier) rollup,
+    then one window over the part), a distinct, and a LEFT SEMI into
+    the supplier dim — no correlated re-scan per outer row."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    hot = (
+        per.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .filter(F.col("supp_qty") * F.col("n_supp") > F.col("part_qty") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(hot, s.s_suppkey == hot.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem GROUP BY 1, 2
+),
+hot AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, supp_qty,
+           sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty,
+           count(*) OVER (PARTITION BY l_partkey) AS n_supp
+    FROM per
+  ) WHERE supp_qty * n_supp > part_qty * 3
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM hot)
+ORDER BY s_suppkey
+"""
+
+
+def q21_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — EXISTS + NOT-EXISTS self-joins on the fact table
+    (reference: TPC-H Q21 "suppliers who kept orders waiting": the
+    only supplier whose line missed its commit date in a
+    multi-supplier order). Adapted to the synthetic schema (no
+    commit/receipt dates): returnflag 'R' stands in for the late
+    line. Plan: the flagged slice LEFT SEMI joins other-supplier
+    lines of the same order (exists) and LEFT ANTI joins
+    other-supplier FLAGGED lines (not exists) — both equi-joins on
+    the order key with a residual supplier inequality, then one
+    partial-aggregated count per supplier."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = l.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
