@@ -661,3 +661,153 @@ def pq_adc_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "neighbor_id", "cos_sim")
     )
+
+
+def _ivfpq_encode_udf(cent: np.ndarray, books: np.ndarray):
+    """Arrow-batched IVFPQ encoding: nearest coarse cell + PQ codes of
+    the RESIDUAL (vector - cell centroid) in one pass — returns
+    ``struct<cell:int, codes:array<int>>``."""
+    M, _, sub = books.shape
+
+    @F.pandas_udf("struct<cell:int, codes:array<int>>")
+    def _udf(vec: pd.Series) -> pd.DataFrame:
+        A = _l2n(np.stack(vec.values).astype(np.float64))
+        cells = np.argmax(A @ cent.T, axis=1)
+        R = A - cent[cells]
+        codes = np.empty((A.shape[0], M), dtype=np.int32)
+        for m in range(M):
+            X = R[:, m * sub : (m + 1) * sub]
+            d2 = ((X[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype(np.int32), "codes": list(codes)}
+        )
+
+    return _udf
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    ksub: int = 32,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + residual-PQ approximate top-k — the composite index
+    FAISS calls IVFPQ (Jégou et al. 2011): coarse spherical-k-means
+    cells bound WHICH corpus rows are touched (nprobe/num_cells of
+    them per query), residual product quantization bounds the COST
+    per touched row (M table lookups instead of a dot product), and
+    an exact re-rank of the ADC shortlist removes quantization error
+    from the final order.
+
+    100 TB shape: one corpus scan encodes (cell, codes) — the scan
+    output is ~9 ints per vector, never the float payload, and is
+    never shuffled; the query side explodes to (query x probed cell)
+    rows carrying per-cell residual LUTs, broadcast into an equi-join
+    on ``cell``; ADC scoring is JVM ``zip_with``/``aggregate``;
+    the exact re-rank fetches raw vectors for queries x shortlist ids
+    only, via broadcast joins. Both quantizers train on the same
+    bounded deterministic md5-ordered sample (control-plane collect).
+    """
+    cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
+
+    # residual PQ: train on (sample vector - its cell centroid)
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string").cast("binary")), F.col("i"))
+        .limit(1024)
+        .collect()
+    )
+    S = _l2n(np.array([r.v for r in rows], dtype=np.float64))
+    Rres = S - cent[np.argmax(S @ cent.T, axis=1)]
+    dim = S.shape[1]
+    if dim % num_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {num_subspaces}")
+    sub = dim // num_subspaces
+    books = []
+    for m in range(num_subspaces):
+        X = Rres[:, m * sub : (m + 1) * sub]
+        C = X[:ksub].copy()
+        for _ in range(3):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    books = np.stack(books)
+
+    enc = _ivfpq_encode_udf(cent, books)
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("e")
+    ).select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes"))
+
+    # query side: per probed cell, the residual-ADC LUT
+    q_rows = queries.select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+    ).collect()
+    q_mat = _l2n(np.array([r.v for r in q_rows], dtype=np.float64))
+    probe_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    probe_rows = []
+    for r, qv, cells in zip(q_rows, q_mat, probe_cells):
+        for cell in cells:
+            qr = qv - cent[cell]
+            luts = [
+                [
+                    float(((qr[m * sub : (m + 1) * sub] - books[m][c]) ** 2).sum())
+                    for c in range(ksub)
+                ]
+                for m in range(num_subspaces)
+            ]
+            probe_rows.append((int(r.i), int(cell), luts))
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, "query_id bigint, cell int, luts array<array<double>>"
+    )
+    qvecs = corpus.sparkSession.createDataFrame(
+        [(int(r.i), r.v) for r in q_rows],
+        f"query_id bigint, q_vec {queries.schema[vec_col].dataType.simpleString()}",
+    )
+
+    adc = F.aggregate(
+        F.zip_with("codes", "luts", lambda c, l: F.element_at(l, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        coded.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    rer = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_vectorized(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cos_sim")
+    )

@@ -400,3 +400,14 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.pq_adc_topk(emb, queries, k=5).orderBy("query_id", "rk")
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + residual-PQ composite approximate top-k. No SQL oracle
+    (checked by parts: cells via ``ann_ivf_cells``, PQ training via
+    ``pq_codes``, recall floor vs brute force in pytest)."""
+    from rootstock_collective_state_sync_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivfpq_topk(emb, queries, k=5).orderBy("query_id", "rk")

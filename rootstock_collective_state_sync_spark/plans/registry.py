@@ -181,6 +181,7 @@ SPECS: dict[str, QuerySpec] = {
         CU.q_pq_codes, CU.Q_PQ_CODES_ORACLE, ("similarity",)
     ),
     "pq_topk": QuerySpec(CU.q_pq_topk, None, ("similarity", "bench")),
+    "ivfpq_topk": QuerySpec(CU.q_ivfpq_topk, None, ("similarity",)),
     # corpus sampling / packing / composition
     "stratified_sample": QuerySpec(
         TR.q_stratified_sample, TR.Q_STRATIFIED_SAMPLE_ORACLE, ("sampling",)

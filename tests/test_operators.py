@@ -591,3 +591,25 @@ def test_pq_codes_compress_and_cover(emb):
     rng = codes.agg(F.min("code"), F.max("code")).first()
     assert rng[0] >= 0 and rng[1] <= 31
     assert codes.select("subspace", "code").distinct().count() >= 32
+
+
+def test_ivfpq_recall_and_probe_monotonicity(emb):
+    """IVFPQ must recover most true neighbors at moderate nprobe, and
+    recall must not fall as nprobe grows (more probed cells = strictly
+    more candidates)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    def rec(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivfpq_topk(emb, queries, k=5, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact)
+    r4 = rec(4)
+    r16 = rec(16)
+    assert r4 >= 0.5, f"IVFPQ recall@5 nprobe=4 {r4:.2f} below 0.5"
+    assert r16 >= r4 - 0.05, f"recall fell with nprobe: {r4:.2f} -> {r16:.2f}"
+    assert r16 >= 0.7, f"IVFPQ full-probe recall {r16:.2f} below 0.7"
