@@ -212,13 +212,13 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+def banded_signatures(
+    signatures: DataFrame, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature and equi-join on (band, band_hash): documents
-    agreeing on every row of at least one band become candidate pairs.
-    Shuffle key is the band hash — linear in corpus size."""
-    banded = (
+    """(id, band, bh): collapse each band's signature rows into one
+    hash — the equi-join key of the LSH candidate stage, and the unit
+    of the persistent signature store for incremental dedup."""
+    return (
         signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(
@@ -235,6 +235,15 @@ def lsh_candidates(
             ).alias("bh")
         )
     )
+
+
+def lsh_candidates(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature and equi-join on (band, band_hash): documents
+    agreeing on every row of at least one band become candidate pairs.
+    Shuffle key is the band hash — linear in corpus size."""
+    banded = banded_signatures(signatures, rows_per_band)
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     return (
@@ -497,3 +506,75 @@ def connected_components(
         return labels
     finally:
         edges.unpersist()
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    shingle_store: DataFrame,
+    band_store: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_docs_per_shingle: int = 100,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Near-dup detection for a NEW batch against an already-indexed
+    corpus — the continuous-ingestion shape: cost scales with
+    ``new x matching``, never with a full-corpus self-join.
+
+    Stores (both plain DataFrames the caller persists in the table
+    sink): ``shingle_store`` = the (id, s) inverted index of every
+    indexed doc; ``band_store`` = their (id, band, bh) LSH signatures.
+    The batch step computes signatures for the new docs only, finds
+    candidates by (band, bh) equi-join against the store plus a
+    new-vs-new self-join, verifies exact Jaccard against the combined
+    shingle sets, and returns ``(pairs, shingle_store', band_store')``
+    with the new docs folded in.
+
+    Cap semantics: the stop-shingle cap is evaluated on the COMBINED
+    document frequency, so verification matches the at-rest pass
+    exactly; stored *band* signatures, however, were computed under
+    the cap state of their own batch — when a shingle crosses the cap
+    between reconciliations, old signatures are stale until the
+    at-rest rebuild (:func:`minhash_lsh_pairs`) refreshes them. That
+    is the standard bounded-staleness trade of incremental LSH; run
+    the at-rest pass on reconciliation cadence.
+    """
+    rows_per_band = num_hashes // bands
+    new_idx = shingle_index(new_docs, text_col, id_col, n)
+    full_idx = shingle_store.unionByName(new_idx)
+    # persisted (like every _capped_index consumer): sizes + both
+    # verification sides reuse it; lives until the caller evaluates
+    capped_full = _capped_index(full_idx, max_docs_per_shingle)
+    new_ids = new_docs.select(F.col(id_col).alias("id"))
+    capped_new = capped_full.join(F.broadcast(new_ids), "id", "left_semi")
+    new_sigs = minhash_signatures(
+        new_docs, num_hashes, text_col, id_col, n, _index=capped_new
+    )
+    new_bands = banded_signatures(new_sigs, rows_per_band).persist()
+
+    a = new_bands.select(F.col("id").alias("id_a"), "band", "bh")
+    old = band_store.select(F.col("id").alias("id_b"), "band", "bh")
+    cand_no = (
+        a.join(old, ["band", "bh"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    b = new_bands.select(F.col("id").alias("id_b"), "band", "bh")
+    cand_nn = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cands = cand_no.unionByName(cand_nn).distinct()
+    pairs = _verified_jaccard(_hashed(capped_full), cands, threshold)
+    return (
+        pairs,
+        full_idx,
+        band_store.unionByName(new_bands.select("id", "band", "bh")),
+    )

@@ -94,3 +94,51 @@ def test_streaming_dedup_key_matches_batch_pass(spark):
     assert len(hashes) == 1
     batch = exact_groups(df).collect()
     assert batch[0].content_hash in hashes
+
+
+def test_incremental_near_dups_matches_at_rest(spark):
+    """Feeding the corpus in two batches through the incremental path
+    must find exactly the pairs the at-rest full pass finds (cap set
+    high so no shingle crosses it between batches — the documented
+    exact-equivalence regime)."""
+    from pyspark.sql import functions as F
+
+    from rootstock_collective_state_sync_spark.operators import dedup as D
+    from rootstock_collective_state_sync_spark.plans.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    cap = 10_000
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        # at-rest uses cap 100; rerun uncapped for the comparison
+    }
+    want_uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D._verified_jaccard(
+            D._hashed(D._capped_index(D.shingle_index(docs), cap)),
+            D.lsh_candidates(
+                D.minhash_signatures(
+                    docs, _index=D._capped_index(D.shingle_index(docs), cap)
+                )
+            ),
+            0.5,
+        ).collect()
+    }
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    empty_sh = spark.createDataFrame([], "id long, s string")
+    empty_bd = spark.createDataFrame([], "id long, band int, bh string")
+    p1, sh, bd = D.incremental_near_dups(
+        b1, empty_sh, empty_bd, threshold=0.5, max_docs_per_shingle=cap
+    )
+    p2, sh, bd = D.incremental_near_dups(
+        b2, sh, bd, threshold=0.5, max_docs_per_shingle=cap
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in p1.collect()}
+    got.update({(r.id_a, r.id_b): r.jaccard for r in p2.collect()})
+    assert got == want_uncapped
+    # sanity: the capped at-rest pass is a subset of the uncapped one
+    assert set(want) <= set(want_uncapped)
