@@ -350,3 +350,39 @@ def importance_sample(
         draw16 * F.lit(10_000_000).cast("long")
         < F.col(weight_e7_col).cast("long") * F.lit(65536).cast("long")
     )
+
+
+def cluster_hash_split(
+    components: DataFrame,
+    holdout_pct: int = 10,
+    id_col: str = "id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Leakage-safe train/holdout split: the split coin is flipped on
+    the near-dup CLUSTER label (see
+    :func:`..operators.dedup.connected_components`), not the document
+    id, so every member of a near-duplicate cluster lands on the same
+    side — paraphrase duplicates can never leak training text into
+    the evaluation set.
+
+    The draw is the first 16 bits of ``md5(component)`` compared as a
+    hex string against ``floor(65536 * holdout_pct / 100)`` — the same
+    deterministic no-RNG contract as :func:`stratified_sample`, and
+    identical on any engine or partition layout.
+
+    Plan shape: per-row projection over the component labels — zero
+    shuffles beyond what produced the components.
+    """
+    if not 0 <= holdout_pct <= 100:
+        raise ValueError(f"holdout_pct must be in [0, 100]: {holdout_pct}")
+    thresh = format(65536 * holdout_pct // 100, "04x")
+    draw = F.substring(
+        F.md5(F.col(comp_col).cast("string").cast("binary")), 1, 4
+    )
+    return components.select(
+        F.col(id_col),
+        F.col(comp_col),
+        F.when(draw < F.lit(thresh), F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -409,6 +409,73 @@ def ivf_cell_assignments(
     return corpus.select(F.col(id_col), assign(F.col(vec_col)).alias("cell"))
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space with the IVF
+    spherical-k-means quantizer, then mark every vector whose cosine
+    similarity to a LOWER-id vector in the SAME cell reaches
+    ``threshold`` as a semantic duplicate — the lowest id in each
+    near-dup group is the keeper.
+
+    Scale shape: pair scoring is confined within cells, so with
+    ``num_cells`` scaled ~n/const the per-cell population stays
+    bounded and total work is O(n · cell_size) — a linear family —
+    instead of global all-pairs O(n²). One shuffle on ``cell`` for the
+    self-join; scoring is one Arrow einsum per batch; centroid
+    training is the same bounded driver-side sample as
+    :func:`ivf_topk`. Cross-cell near-dups are missed by design
+    (SemDeDup's documented recall trade); raise ``num_cells`` recall
+    via :func:`lsh_near_dup_pairs` when completeness matters more
+    than cost.
+
+    Returns one row per corpus vector: ``(id, cell, n_earlier_dups,
+    max_earlier_sim, keep)`` with ``keep = 1`` iff no earlier in-cell
+    vector reaches the threshold.
+    """
+    cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
+    assign = _cell_udf(cent)
+    tagged = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("cell"),
+    )
+    a = tagged.select(
+        F.col("cell"), F.col("id").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = tagged.select(
+        F.col("cell"), F.col("id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            cosine_vectorized(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("id_b")
+        .agg(
+            F.count("*").cast("long").alias("n_earlier_dups"),
+            F.max("cos_sim").alias("max_earlier_sim"),
+        )
+    )
+    return tagged.join(dups, tagged.id == dups.id_b, "left").select(
+        F.col("id").alias(id_col),
+        F.col("cell"),
+        F.coalesce(F.col("n_earlier_dups"), F.lit(0)).cast("long").alias(
+            "n_earlier_dups"
+        ),
+        F.col("max_earlier_sim"),
+        F.col("id_b").isNull().cast("int").alias("keep"),
+    )
+
+
 def _l2n(a: np.ndarray) -> np.ndarray:
     return a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
 

@@ -321,3 +321,49 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "rk", "term", "tfidf")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping token-window chunking: each document
+    becomes ``ceil(n_tokens / stride)`` chunks of up to ``window``
+    tokens, chunk ``i`` covering tokens ``[i*stride, i*stride+window)``
+    (the final chunks are short; consecutive chunks overlap by
+    ``window - stride`` tokens so no retrieval context straddles a
+    hard boundary).
+
+    Scale shape: tokenize + posexplode + slice are all narrow JVM
+    built-ins — ZERO shuffles, no UDFs; output size is
+    n_tokens/stride per document, produced partition-locally. Empty
+    documents still yield one (empty) chunk so the output is total
+    over the corpus.
+    """
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).withColumn(
+        "n_chunks",
+        F.greatest(
+            F.ceil(F.size("toks") / F.lit(stride)).cast("int"), F.lit(1)
+        ),
+    )
+    exploded = base.select(
+        F.col(id_col),
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_id", "_start_idx"
+        ),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * stride + 1, F.lit(window)
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -411,3 +411,130 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivfpq_topk(emb, queries, k=5).orderBy("query_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside IVF cells (round-6 scope extension)
+# ---------------------------------------------------------------------------
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): cluster embeddings with the IVF
+    coarse quantizer, mark vectors cosine-similar to an earlier
+    in-cell vector as duplicates. The oracle replays the ENTIRE
+    pipeline in SQL — the unrolled spherical k-means, the in-cell
+    pairwise cosine, and the keeper rule — so cell assignment,
+    scoring, and dedup policy are all value-checked end-to-end."""
+    from rootstock_collective_state_sync_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, num_cells=16, threshold=0.4).orderBy("vec_id")
+
+
+def _semdedup_oracle() -> str:
+    from rootstock_collective_state_sync_spark.plans.training import (
+        _COS_SQL,
+        _ivf_cells_oracle,
+    )
+
+    return _ivf_cells_oracle(tail=f""",
+tag AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM embeddings e JOIN cells c USING (vec_id)
+),
+pr AS (
+  SELECT b.vec_id AS id_b,
+         {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cs
+  FROM tag a JOIN tag b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+dup AS (
+  SELECT id_b, count(*)::BIGINT AS n_earlier_dups,
+         max(cs) AS max_earlier_sim
+  FROM pr WHERE cs >= 0.4 GROUP BY id_b
+)
+SELECT t.vec_id, t.cell,
+       coalesce(d.n_earlier_dups, 0)::BIGINT AS n_earlier_dups,
+       d.max_earlier_sim,
+       (CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END)::INTEGER AS keep
+FROM tag t LEFT JOIN dup d ON t.vec_id = d.id_b
+ORDER BY t.vec_id""")
+
+
+Q_SEMANTIC_DEDUP_ORACLE = _semdedup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: overlapping token windows
+# ---------------------------------------------------------------------------
+
+_CHUNK_WIN = 32
+_CHUNK_STRIDE = 24
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for retrieval pipelines —
+    shuffle-free posexplode + slice over the shared tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.chunk_documents(
+        docs, window=_CHUNK_WIN, stride=_CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_id")
+
+
+Q_DOC_CHUNKS_ORACLE = f"""
+WITH {_TOK_CTE},
+c AS (
+  SELECT doc_id, toks,
+         greatest(cast(ceil(len(toks) / {_CHUNK_STRIDE}.0) AS BIGINT), 1)
+           AS n_chunks
+  FROM tok
+),
+e AS (
+  SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM c
+)
+SELECT doc_id, chunk_id::INTEGER AS chunk_id,
+       len(toks[chunk_id * {_CHUNK_STRIDE} + 1
+                : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WIN}])::BIGINT
+         AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * {_CHUNK_STRIDE} + 1
+                            : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WIN}], ' ')
+         AS chunk_text
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/holdout split (cluster-granular coin flip)
+# ---------------------------------------------------------------------------
+
+_HOLDOUT_PCT = 10
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware dataset split: documents are split train/holdout
+    by a hash of their MinHash-LSH connected-component label, so a
+    near-duplicate cluster can never straddle the split (no eval
+    contamination through paraphrases). Composes the dedup_clusters
+    pipeline with the deterministic md5 draw."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    comp = D.connected_components(pairs, docs.select("doc_id"))
+    return SA.cluster_hash_split(comp, holdout_pct=_HOLDOUT_PCT).orderBy("id")
+
+
+def _leakage_split_oracle() -> str:
+    from rootstock_collective_state_sync_spark.plans.training import (
+        Q_DEDUP_MINHASH_LSH_ORACLE,
+        _components_oracle,
+    )
+
+    thresh = format(65536 * _HOLDOUT_PCT // 100, "04x")
+    return f"""
+WITH comp AS ({_components_oracle(Q_DEDUP_MINHASH_LSH_ORACLE)})
+SELECT id, component,
+       CASE WHEN substr(md5(component::VARCHAR), 1, 4) < '{thresh}'
+            THEN 'holdout' ELSE 'train' END AS split
+FROM comp ORDER BY id
+"""
+
+
+Q_LEAKAGE_SAFE_SPLIT_ORACLE = _leakage_split_oracle()

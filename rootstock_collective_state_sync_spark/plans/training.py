@@ -439,13 +439,19 @@ def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_cells_oracle(num_cells: int = 16, iters: int = 5, dim: int = 64,
-                      sample: int = 2048) -> str:
+                      sample: int = 2048, tail: str | None = None) -> str:
     """Generate the unrolled-k-means DuckDB oracle for
     :func:`q_ann_ivf_cells`. Each iteration k materializes dot
     products sample x centroids, argmax assignment (first-max
     tie-break = numpy argmax), member-sum centroids re-normalized to
     unit length, with empty cells carrying the previous centroid —
-    exactly :func:`operators.similarity._train_ivf_centroids`."""
+    exactly :func:`operators.similarity._train_ivf_centroids`.
+
+    With ``tail`` set, the final per-vector assignment is exposed as
+    a ``cells(vec_id, cell)`` CTE and ``tail`` (", more_ctes ...
+    SELECT ...") finishes the statement — lets downstream oracles
+    (SemDeDup) build on the replayed quantizer without duplicating
+    the k-means unroll."""
     parts = [f"""
 WITH samp AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
@@ -453,7 +459,7 @@ WITH samp AS (
   FROM embeddings
   QUALIFY si < {sample}
 ),
-sn AS (
+sn AS MATERIALIZED (
   SELECT si, d.i AS d,
          embedding[d.i + 1]::DOUBLE
            / greatest(sqrt(list_sum(list_transform(embedding,
@@ -463,22 +469,22 @@ sn AS (
 c0 AS (SELECT si AS c, d, x AS w FROM sn WHERE si < {num_cells})"""]
     for k in range(1, iters + 1):
         parts.append(f""",
-dot{k} AS (
+dot{k} AS MATERIALIZED (
   SELECT sn.si, c.c, sum(sn.x * c.w) AS dot
   FROM sn JOIN c{k - 1} c ON sn.d = c.d GROUP BY 1, 2
 ),
-a{k} AS (
+a{k} AS MATERIALIZED (
   SELECT si, c FROM (
     SELECT si, c,
            row_number() OVER (PARTITION BY si ORDER BY dot DESC, c ASC) AS rn
     FROM dot{k}
   ) WHERE rn = 1
 ),
-m{k} AS (
+m{k} AS MATERIALIZED (
   SELECT a.c, sn.d, sum(sn.x) AS s
   FROM a{k} a JOIN sn ON a.si = sn.si GROUP BY 1, 2
 ),
-c{k} AS (
+c{k} AS MATERIALIZED (
   SELECT m.c, m.d, m.s / greatest(n.nrm, 1e-12) AS w
   FROM m{k} m JOIN (SELECT c, sqrt(sum(s * s)) AS nrm
                     FROM m{k} GROUP BY c) n ON m.c = n.c
@@ -497,12 +503,22 @@ alln AS (
 fdot AS (
   SELECT a.vec_id, c.c, sum(a.x * c.w) AS dot
   FROM alln a JOIN c{iters} c ON a.d = c.d GROUP BY 1, 2
-)
-SELECT vec_id, c::INTEGER AS cell FROM (
+)""")
+    assignment = f"""SELECT vec_id, c::INTEGER AS cell FROM (
   SELECT vec_id, c,
          row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn
   FROM fdot
-) WHERE rn = 1 ORDER BY vec_id""")
+) WHERE rn = 1"""
+    if tail is None:
+        parts.append(f"\n{assignment} ORDER BY vec_id")
+    else:
+        # MATERIALIZED: downstream tails reference cells more than
+        # once — without the hint DuckDB re-inlines the whole
+        # unrolled-k-means chain per reference and planning explodes
+        parts.append(f""",
+cells AS MATERIALIZED (
+  {assignment}
+){tail}""")
     return "".join(parts)
 
 

@@ -15,29 +15,35 @@ from pyspark.sql import DataFrame, functions as F
 def stream_events_parquet(spark, sf_dir: str) -> DataFrame:
     """Stream the driver's events table through the file source (one
     micro-batch per trigger; in production this is a Kafka/blockstream
-    reader — the downstream plan is identical)."""
-    from rootstock_collective_state_sync_spark.plans.tables import load_table
+    reader — the downstream plan is identical).
 
-    batch_schema = load_table(spark, sf_dir, "events").schema  # post ts-conversion
-    raw_schema = batch_schema  # ts already TimestampType after conversion? no:
-    # the raw file carries TIMESTAMP(NANOS) -> LongType under
-    # nanosAsLong; stream with the raw schema and convert here.
+    ``ts`` encoding is probed from the file rather than assumed: a
+    TIMESTAMP(NANOS) file surfaces as LongType under ``nanosAsLong``
+    and gets the same floor-to-micros conversion as the batch path
+    (``plans/tables.py``); a TIMESTAMP(MICROS) file streams as a
+    native timestamp untouched — the two generations of driver
+    testdata differ here, and hardcoding either breaks the other."""
     from pyspark.sql import types as T
 
-    raw_fields = [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
     stream = (
-        spark.readStream.schema(T.StructType(raw_fields))
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        # integral `div`, not `/`: nanos exceed 2^53 (see load_table)
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # withWatermark requires TIMESTAMP (ltz); session tz is pinned
+        # to UTC in get_spark, so the cast is value-preserving
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(events: DataFrame, size: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -613,3 +613,99 @@ def test_ivfpq_recall_and_probe_monotonicity(emb):
     assert r4 >= 0.5, f"IVFPQ recall@5 nprobe=4 {r4:.2f} below 0.5"
     assert r16 >= r4 - 0.05, f"recall fell with nprobe: {r4:.2f} -> {r16:.2f}"
     assert r16 >= 0.7, f"IVFPQ full-probe recall {r16:.2f} below 0.7"
+
+
+# ---------------------------------------------------------------------------
+# round 6: semantic dedup / chunking / leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_matches_in_cell_brute_force(spark, emb):
+    """keep=0 iff SOME earlier same-cell vector reaches the threshold
+    — verified against an independent pandas recomputation."""
+    import numpy as np
+
+    out = S.semantic_dedup(emb, num_cells=8, threshold=0.4).collect()
+    cells = {r.vec_id: r.cell for r in out}
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    assert len(out) == len(vecs)  # total: one verdict per vector
+    for r in out:
+        earlier = [
+            i for i in vecs
+            if i < r.vec_id and cells[i] == r.cell
+            and round(
+                float(vecs[i] @ vecs[r.vec_id])
+                / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[r.vec_id])),
+                6,
+            ) >= 0.4
+        ]
+        assert (r.keep == 0) == bool(earlier), r
+        assert r.n_earlier_dups == len(earlier), r
+
+
+def test_semantic_dedup_keeper_is_lowest_id(spark):
+    """A planted trio of identical vectors keeps exactly the lowest id."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in (7, 3, 11)]
+    rows += [(1, [0.0, 1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in S.semantic_dedup(
+        df, num_cells=2, threshold=0.95).collect()}
+    trio = [out[7], out[3], out[11]]
+    assert sorted(r.vec_id for r in trio if r.keep == 1) == [3]
+    assert out[11].n_earlier_dups == 2 and out[7].n_earlier_dups == 1
+
+
+def test_chunk_documents_covers_every_token(spark, docs):
+    """Chunks tile the token stream: concatenating each chunk's first
+    `stride` tokens in chunk order reproduces the full token list."""
+    sample = docs.limit(20)
+    toks = {
+        r.doc_id: r.t
+        for r in sample.select(
+            "doc_id", X.tokens(F.col("text")).alias("t")
+        ).collect()
+    }
+    chunks = X.chunk_documents(sample, window=32, stride=24).collect()
+    by_doc: dict = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c.chunk_id)
+        rebuilt: list = []
+        for c in cs:
+            rebuilt.extend(c.chunk_text.split()[:24])
+        assert rebuilt == toks[doc_id], doc_id
+        # overlap: chunk i repeats the last window-stride tokens of i-1
+        for prev, cur in zip(cs, cs[1:]):
+            p, q = prev.chunk_text.split(), cur.chunk_text.split()
+            k = min(len(p) - 24, len(q), 8)
+            if k > 0:
+                assert p[24:24 + k] == q[:k], doc_id
+
+
+def test_chunk_documents_empty_doc_yields_one_empty_chunk(spark):
+    df = spark.createDataFrame([(1, ""), (2, "a b")], ["doc_id", "text"])
+    out = X.chunk_documents(df).collect()
+    assert {(r.doc_id, r.chunk_id, r.n_chunk_tokens) for r in out} == {
+        (1, 0, 0), (2, 0, 2)
+    }
+
+
+def test_cluster_hash_split_is_cluster_atomic(spark, docs):
+    """No near-dup cluster straddles the split, and the holdout rate
+    lands near the requested percentage."""
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    comp = D.connected_components(pairs, docs.select("doc_id"))
+    out = SA.cluster_hash_split(comp, holdout_pct=20)
+    sides = (
+        out.groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert sides == 1  # every cluster entirely on one side
+    frac = out.filter(F.col("split") == "holdout").count() / out.count()
+    assert 0.05 < frac < 0.40

@@ -167,3 +167,19 @@ def test_zorder_key_no_shuffle(spark):
     p = plan(spark, SPECS["zorder_key"].fn(spark, SF_SMOKE), "simple")
     assert "Exchange hashpartitioning" not in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_doc_chunks_no_shuffle(spark):
+    """Chunking is tokenize + posexplode + slice — all narrow. Any
+    hash Exchange would mean shuffling the full corpus to produce a
+    row-local transformation."""
+    p = plan(spark, SPECS["doc_chunks"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_semantic_dedup_joins_on_cell(spark):
+    """SemDeDup's pair scoring must be an equi-join on the cell key —
+    never a nested-loop/cartesian over the corpus."""
+    p = plan(spark, SPECS["semantic_dedup"].fn(spark, SF_SMOKE), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
