@@ -32,6 +32,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, fn in qs.items():
+        # start every query from an empty Spark cache: persisted
+        # intermediates from earlier queries otherwise fight this
+        # query's execution memory and get evicted mid-measurement —
+        # the main source of cross-round bench noise
+        spark.catalog.clearCache()
         fn(spark, sf_dir).count()  # warm-up (JIT, codegen, page cache)
         samples = []
         for _ in range(runs):
