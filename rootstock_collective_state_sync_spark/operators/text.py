@@ -367,3 +367,67 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009)
+    document vectors: every token occurrence adds ±1 to bucket
+    ``md5(token)[:16 bits] mod dim`` (sign from the 5th md5 nibble's
+    low bit), then the per-document vector is l2-normalized. Produces
+    an ``array<double>`` embedding column straight from text — the
+    in-engine featurizer that feeds :mod:`.similarity`'s ANN /
+    SemDeDup operators without an external model.
+
+    Scale shape: explode is narrow; the (doc, bucket) partial sum
+    combines map-side before its shuffle; the per-doc assembly
+    shuffle carries at most ``dim`` entries per document. No UDFs —
+    md5/conv/map_from_entries/transform are all JVM built-ins. The
+    vector never exceeds ``dim`` doubles regardless of document
+    length, so memory per row is bounded by construction.
+    """
+    t = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    h = F.md5(F.col("term").cast("binary"))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % dim).alias(
+        "bucket"
+    )
+    sign = (
+        F.when(
+            F.conv(F.substring(h, 5, 1), 16, 10).cast("int") % 2 == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("s")
+    )
+    sums = (
+        t.select(F.col(id_col), bucket, sign)
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("s").alias("v"))
+    )
+    assembled = sums.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m")
+    )
+    base = df.select(id_col).join(assembled, id_col, "left")
+    nrm = F.coalesce(
+        F.sqrt(
+            F.aggregate(
+                F.map_values(F.col("m")), F.lit(0.0), lambda a, x: a + x * x
+            )
+        ),
+        F.lit(0.0),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.round(
+            F.coalesce(F.col("m")[i], F.lit(0.0))
+            / F.greatest(nrm, F.lit(1e-12)),
+            6,
+        ),
+    )
+    return base.select(F.col(id_col), vec.alias("doc_vec"))

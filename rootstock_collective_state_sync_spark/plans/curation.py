@@ -538,3 +538,47 @@ FROM comp ORDER BY id
 
 
 Q_LEAKAGE_SAFE_SPLIT_ORACLE = _leakage_split_oracle()
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing document vectors (text -> array<double> in-engine)
+# ---------------------------------------------------------------------------
+
+_HASH_DIM = 64
+
+
+def q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick doc vectors, l2-normalized — the in-engine
+    text featurizer for the ANN/SemDeDup stack. The oracle replays
+    the md5 bucketing, signed sums, and normalization in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.hashed_doc_vectors(docs, dim=_HASH_DIM).orderBy("doc_id")
+
+
+Q_HASHED_DOC_VECTORS_ORACLE = f"""
+WITH {_TOK_CTE},
+t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+h AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(4), k ->
+             (strpos('0123456789abcdef',
+                     substr(md5(term), k + 1, 1)) - 1)
+             * (1 << (4 * (3 - k)))))::BIGINT % {_HASH_DIM} AS bucket,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(term), 5, 1)) - 1)
+                   % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM t
+),
+b AS (SELECT doc_id, bucket, sum(s)::DOUBLE AS v FROM h GROUP BY 1, 2),
+n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM b GROUP BY 1),
+grid AS (SELECT d.doc_id, r.i AS bucket FROM documents d, range({_HASH_DIM}) r(i)),
+dense AS (
+  SELECT g.doc_id, g.bucket,
+         round(coalesce(b.v, 0) / greatest(coalesce(n.nrm, 0), 1e-12), 6) AS x
+  FROM grid g
+  LEFT JOIN b ON g.doc_id = b.doc_id AND g.bucket = b.bucket
+  LEFT JOIN n ON g.doc_id = n.doc_id
+)
+SELECT doc_id, list(x ORDER BY bucket) AS doc_vec
+FROM dense GROUP BY doc_id ORDER BY doc_id
+"""

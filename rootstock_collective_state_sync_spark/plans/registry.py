@@ -251,6 +251,9 @@ SPECS: dict[str, QuerySpec] = {
         CU.q_semantic_dedup, CU.Q_SEMANTIC_DEDUP_ORACLE, ("dedup", "similarity")
     ),
     "doc_chunks": QuerySpec(CU.q_doc_chunks, CU.Q_DOC_CHUNKS_ORACLE, ("text",)),
+    "hashed_doc_vectors": QuerySpec(
+        CU.q_hashed_doc_vectors, CU.Q_HASHED_DOC_VECTORS_ORACLE, ("text", "similarity")
+    ),
     "leakage_safe_split": QuerySpec(
         CU.q_leakage_safe_split, CU.Q_LEAKAGE_SAFE_SPLIT_ORACLE, ("dedup", "sampling")
     ),

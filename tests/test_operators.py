@@ -709,3 +709,40 @@ def test_cluster_hash_split_is_cluster_atomic(spark, docs):
     assert sides == 1  # every cluster entirely on one side
     frac = out.filter(F.col("split") == "holdout").count() / out.count()
     assert 0.05 < frac < 0.40
+
+
+def test_hashed_doc_vectors_properties(spark):
+    """Unit norm, dimension, duplicate-text identity, and composition
+    with semantic_dedup: hashing-trick vectors make planted text
+    duplicates semantically identical in-engine."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different subject entirely unrelated"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.doc_vec for r in X.hashed_doc_vectors(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(len(v) == 64 for v in out.values())
+    for i in (1, 2, 3):
+        assert abs(math.sqrt(sum(x * x for x in out[i])) - 1.0) < 1e-4
+    assert out[1] == out[2]  # identical text -> identical vector
+    assert out[1] != out[3]
+    assert all(x == 0.0 for x in out[4])  # empty doc -> zero vector
+
+    # composition: vectors feed semantic_dedup; the planted duplicate
+    # pair is detected (cos=1.0 >= threshold), the distinct doc kept
+    vecs = X.hashed_doc_vectors(df.filter(F.col("doc_id") < 4)).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("doc_vec").cast("array<float>").alias("embedding"),
+    )
+    verdicts = {
+        r.vec_id: r.keep
+        for r in S.semantic_dedup(vecs, num_cells=2, threshold=0.99).collect()
+    }
+    assert verdicts[1] == 1 and verdicts[2] == 0 and verdicts[3] == 1
