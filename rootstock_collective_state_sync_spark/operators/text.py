@@ -431,3 +431,84 @@ def hashed_doc_vectors(
         ),
     )
     return base.select(F.col(id_col), vec.alias("doc_vec"))
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document NLL under the corpus's own add-one-smoothed
+    BIGRAM language model — the next order up from
+    :func:`unigram_lm_scores`: ``p(w2|w1) = (c(w1,w2) + 1) /
+    (c(w1) + vocab)`` (c(w1) = corpus occurrences of w1, vocab =
+    distinct unigrams), score = mean over bigram positions of
+    ``-ln p``. Catches locally-plausible-but-incoherent text that a
+    unigram model scores well.
+
+    Scale shape: bigram pairs form row-locally (zip_with on the token
+    array — narrow); the bigram count table is corpus-sized, so it
+    joins back on the (w1, w2) key via a hash shuffle — NOT broadcast;
+    the unigram table is vocabulary-sized and broadcast. Same integer
+    1e-6 fixed-point policy as the unigram operator: per-position
+    rounding before the per-doc sum keeps sums exact and
+    order-independent.
+
+    Returns ``(id, n_bigrams, sum_nll_e6, mean_nll)``; documents with
+    fewer than 2 tokens get ``n_bigrams = 0`` and a NULL mean.
+    """
+    toks = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    c1 = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = int(c1.count())  # driver-side scalar (bounded, like tfidf)
+    nll_e6 = F.round(
+        -F.log(
+            (F.col("cb") + 1).cast("double")
+            / (F.col("c1") + F.lit(vocab)).cast("double")
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(F.broadcast(c1.withColumnRenamed("term", "w1")), "w1")
+        .select(F.col(id_col), nll_e6.alias("nll_e6"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll_e6").cast("long").alias("sum_nll_e6"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("sum_nll_e6"), F.lit(0)).cast("long").alias(
+                "sum_nll_e6"
+            ),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                F.round(
+                    F.col("sum_nll_e6").cast("double")
+                    / (F.col("n_bigrams") * F.lit(1e6)),
+                    6,
+                ),
+            ).alias("mean_nll"),
+        )
+    )

@@ -582,3 +582,100 @@ dense AS (
 SELECT doc_id, list(x ORDER BY bucket) AS doc_vec
 FROM dense GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring + CCNet-style perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.bigram_lm_scores(docs).orderBy("doc_id")
+
+
+# shared bigram-NLL CTE chain (mirror of operators.text.bigram_lm_scores)
+_BIGRAM_NLL_CTES = f"""
+{_TOK_CTE},
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+  FROM tok WHERE len(toks) >= 2
+),
+b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+c1 AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+v AS (SELECT count(*) AS vocab FROM c1),
+scored AS (
+  SELECT b.doc_id,
+         round(-ln((cb.cb + 1)::DOUBLE / (c1.c + v.vocab))
+               * 1000000, 0)::BIGINT AS nll_e6
+  FROM b JOIN cb USING (w1, w2) JOIN c1 ON b.w1 = c1.term, v
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         sum(nll_e6)::BIGINT AS sum_nll_e6
+  FROM scored GROUP BY doc_id
+)
+"""
+
+Q_LM_BIGRAM_SCORE_ORACLE = f"""
+WITH {_BIGRAM_NLL_CTES}
+SELECT d.doc_id,
+       coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(per.sum_nll_e6, 0)::BIGINT AS sum_nll_e6,
+       CASE WHEN per.n_bigrams IS NULL THEN NULL
+            ELSE round(per.sum_nll_e6::DOUBLE
+                       / (per.n_bigrams * 1000000.0), 6) END AS mean_nll
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents by bigram-LM
+    NLL *within their language* and cut head/middle/tail at the 1/3
+    and 2/3 percent-rank boundaries — the standard corpus-quality
+    tiering step before mixing. Rank value is the integer-floored
+    mean NLL in 1e-6 units (exact cross-engine arithmetic); the rank
+    itself uses the scalable histogram plan, not a per-row window."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = X.bigram_lm_scores(docs).filter(F.col("n_bigrams") > 0)
+    scored = lm.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr("sum_nll_e6 div n_bigrams").alias("lm_e6"),
+    )
+    ranked = SA.group_percent_rank(scored, value_col="lm_e6", group_col="lang")
+    bucket = (
+        F.when(F.col("pct_rank") < 0.333333, F.lit("head"))
+        .when(F.col("pct_rank") < 0.666667, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id", "lang", "lm_e6", "pct_rank", bucket.alias("bucket")
+    ).orderBy("doc_id")
+
+
+Q_CCNET_BUCKETS_ORACLE = f"""
+WITH {_BIGRAM_NLL_CTES},
+sc AS (
+  SELECT d.doc_id, d.lang,
+         (per.sum_nll_e6 // per.n_bigrams)::BIGINT AS lm_e6
+  FROM documents d JOIN per ON d.doc_id = per.doc_id
+  WHERE per.n_bigrams > 0
+),
+rk AS (
+  SELECT doc_id, lang, lm_e6,
+         round(percent_rank() OVER (PARTITION BY lang ORDER BY lm_e6),
+               6) AS pct_rank
+  FROM sc
+)
+SELECT doc_id, lang, lm_e6, pct_rank,
+       CASE WHEN pct_rank < 0.333333 THEN 'head'
+            WHEN pct_rank < 0.666667 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM rk ORDER BY doc_id
+"""

@@ -254,6 +254,12 @@ SPECS: dict[str, QuerySpec] = {
     "hashed_doc_vectors": QuerySpec(
         CU.q_hashed_doc_vectors, CU.Q_HASHED_DOC_VECTORS_ORACLE, ("text", "similarity")
     ),
+    "lm_bigram_score": QuerySpec(
+        CU.q_lm_bigram_score, CU.Q_LM_BIGRAM_SCORE_ORACLE, ("text",)
+    ),
+    "ccnet_buckets": QuerySpec(
+        CU.q_ccnet_buckets, CU.Q_CCNET_BUCKETS_ORACLE, ("text", "sampling")
+    ),
     "leakage_safe_split": QuerySpec(
         CU.q_leakage_safe_split, CU.Q_LEAKAGE_SAFE_SPLIT_ORACLE, ("dedup", "sampling")
     ),
