@@ -47,6 +47,19 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _by_content_hash(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Repartition on the full 64-bit content hash of ``payload`` so the
+    codec stage's parallelism scales with the cluster: with no explicit
+    ``num_partitions`` the hash is spread over the session's
+    ``spark.sql.shuffle.partitions`` (and AQE may coalesce), never a
+    literal cap. Content-hash (rather than upstream layout) keys give
+    even work distribution when payload sizes are wildly skewed."""
+    key = F.xxhash64("payload")
+    if num_partitions is None:
+        return df.repartition(key)
+    return df.repartition(num_partitions, key)
+
+
 def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Turn the documents table into a multimodal fixture: payload =
     UTF-8 bytes of the text (deterministic), media_type = fake/text.
@@ -207,7 +220,9 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
-def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, num_partitions: int | None = None
+) -> DataFrame:
     """Distributed image resize via Arrow-batched ``mapInPandas``: PPM
     payloads in, resized PPM payloads (+ dims/md5 audit columns) out.
     Failures quarantine into ``decode_error`` per row — at 100 TB a
@@ -241,9 +256,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     rows["decode_error"].append(str(e))
             yield pd.DataFrame(rows)
 
-    return df.repartition(F.pmod(F.xxhash64("payload"), F.lit(32))).mapInPandas(
-        batches, RESIZE_SCHEMA
-    )
+    return _by_content_hash(df, num_partitions).mapInPandas(batches, RESIZE_SCHEMA)
 
 
 def attach_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -273,7 +286,7 @@ def attach_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Per-payload feature extraction via ``mapInPandas``: bytes ->
     (size, 8-byte header hex, content md5). Deterministic, so the
     whole stage is oracle-checkable; swap the body for an embedding
@@ -297,12 +310,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    # repartition by content hash: even work distribution regardless
-    # of upstream layout (payload sizes can be wildly skewed)
-    return (
-        df.repartition(F.pmod(F.xxhash64("payload"), F.lit(32)))
-        .mapInPandas(batches, FEATURE_SCHEMA)
-    )
+    return _by_content_hash(df, num_partitions).mapInPandas(batches, FEATURE_SCHEMA)
 
 
 DECODED_SCHEMA = T.StructType(
@@ -315,7 +323,7 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_feature_map(df: DataFrame) -> DataFrame:
+def decode_feature_map(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Distributed decode stage: run :func:`decode_media` over Arrow
     batches, emitting each payload's numeric features as a
     ``map<string,double>`` (uniform schema across media types — PPM
@@ -346,9 +354,7 @@ def decode_feature_map(df: DataFrame) -> DataFrame:
                  "decode_error": errs}
             )
 
-    return df.repartition(F.pmod(F.xxhash64("payload"), F.lit(32))).mapInPandas(
-        batches, DECODED_SCHEMA
-    )
+    return _by_content_hash(df, num_partitions).mapInPandas(batches, DECODED_SCHEMA)
 
 
 def frame_sample(

@@ -365,20 +365,24 @@ def cluster_hash_split(
     side — paraphrase duplicates can never leak training text into
     the evaluation set.
 
-    The draw is the first 16 bits of ``md5(component)`` compared as a
-    hex string against ``floor(65536 * holdout_pct / 100)`` — the same
+    The draw is the first 16 bits of ``md5(component)`` compared
+    NUMERICALLY against ``floor(65536 * holdout_pct / 100)`` — the same
     deterministic no-RNG contract as :func:`stratified_sample`, and
-    identical on any engine or partition layout.
+    identical on any engine or partition layout. (Numeric, not
+    lexicographic: at ``holdout_pct=100`` the threshold is 65536 whose
+    hex form '10000' is 5 chars and would compare wrongly as a string.)
 
     Plan shape: per-row projection over the component labels — zero
     shuffles beyond what produced the components.
     """
     if not 0 <= holdout_pct <= 100:
         raise ValueError(f"holdout_pct must be in [0, 100]: {holdout_pct}")
-    thresh = format(65536 * holdout_pct // 100, "04x")
-    draw = F.substring(
-        F.md5(F.col(comp_col).cast("string").cast("binary")), 1, 4
-    )
+    thresh = 65536 * holdout_pct // 100
+    draw = F.conv(
+        F.substring(F.md5(F.col(comp_col).cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("long")
     return components.select(
         F.col(id_col),
         F.col(comp_col),

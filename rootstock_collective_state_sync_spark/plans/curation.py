@@ -484,7 +484,8 @@ Q_DOC_CHUNKS_ORACLE = f"""
 WITH {_TOK_CTE},
 c AS (
   SELECT doc_id, toks,
-         greatest(cast(ceil(len(toks) / {_CHUNK_STRIDE}.0) AS BIGINT), 1)
+         1 + greatest(cast(ceil((len(toks) - {_CHUNK_WIN})
+                              / {_CHUNK_STRIDE}.0) AS BIGINT), 0)
            AS n_chunks
   FROM tok
 ),
@@ -527,11 +528,17 @@ def _leakage_split_oracle() -> str:
         _components_oracle,
     )
 
-    thresh = format(65536 * _HOLDOUT_PCT // 100, "04x")
+    # numeric 16-bit draw (matches operators/sampling.py cluster_hash_split:
+    # lexicographic hex compare breaks at holdout_pct=100 where the
+    # threshold '10000' is 5 chars)
+    thresh = 65536 * _HOLDOUT_PCT // 100
     return f"""
 WITH comp AS ({_components_oracle(Q_DEDUP_MINHASH_LSH_ORACLE)})
 SELECT id, component,
-       CASE WHEN substr(md5(component::VARCHAR), 1, 4) < '{thresh}'
+       CASE WHEN list_sum(list_transform(range(4), k ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(component::VARCHAR), k + 1, 1)) - 1)
+                 * (1 << (4 * (3 - k)))))::BIGINT < {thresh}
             THEN 'holdout' ELSE 'train' END AS split
 FROM comp ORDER BY id
 """

@@ -25,12 +25,31 @@ def stream_events_parquet(spark, sf_dir: str) -> DataFrame:
     testdata differ here, and hardcoding either breaks the other."""
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        spark.read.option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .schema
-    )
+    # probe under nanosAsLong, then restore the session conf so the
+    # setting doesn't leak to unrelated reads on a shared session —
+    # UNLESS the file really is TIMESTAMP(NANOS): then the streaming
+    # scans themselves need the legacy conf for the lifetime of the
+    # query, so it must stay set (it already is in get_spark sessions).
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        raw_schema = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+    except Exception:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+        raise
+    if not isinstance(raw_schema["ts"].dataType, T.LongType):
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")

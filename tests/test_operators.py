@@ -673,8 +673,13 @@ def test_chunk_documents_covers_every_token(spark, docs):
     for doc_id, cs in by_doc.items():
         cs.sort(key=lambda c: c.chunk_id)
         rebuilt: list = []
-        for c in cs:
+        for c in cs[:-1]:
             rebuilt.extend(c.chunk_text.split()[:24])
+        # the final chunk may carry up to `window` tokens (it is only
+        # emitted when it extends past the previous window's coverage,
+        # and it starts exactly where the first-24s left off)
+        assert len(rebuilt) == cs[-1].chunk_id * 24, doc_id
+        rebuilt.extend(cs[-1].chunk_text.split())
         assert rebuilt == toks[doc_id], doc_id
         # overlap: chunk i repeats the last window-stride tokens of i-1
         for prev, cur in zip(cs, cs[1:]):
@@ -709,6 +714,36 @@ def test_cluster_hash_split_is_cluster_atomic(spark, docs):
     assert sides == 1  # every cluster entirely on one side
     frac = out.filter(F.col("split") == "holdout").count() / out.count()
     assert 0.05 < frac < 0.40
+
+
+def test_chunk_documents_no_redundant_tail(spark):
+    """A document whose tail is fully covered by the previous window
+    must not emit an extra chunk (n=56, window=32, stride=24: chunk 1
+    covers [24, 56) so there is no chunk 2)."""
+    text = " ".join(f"t{i}" for i in range(56))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = sorted(
+        X.chunk_documents(df, window=32, stride=24).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_id for r in out] == [0, 1]
+    assert [r.n_chunk_tokens for r in out] == [32, 32]
+    assert out[1].chunk_text.split()[-1] == "t55"
+
+
+def test_cluster_hash_split_boundary_pcts(spark):
+    """holdout_pct=100 -> every row holdout; 0 -> every row train
+    (regression: the old lexicographic hex compare broke at 100 where
+    the threshold '10000' is 5 chars)."""
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    comp = spark.createDataFrame(
+        [(i, i % 7) for i in range(50)], ["id", "component"]
+    )
+    all_hold = SA.cluster_hash_split(comp, holdout_pct=100)
+    assert all_hold.filter(F.col("split") != "holdout").count() == 0
+    all_train = SA.cluster_hash_split(comp, holdout_pct=0)
+    assert all_train.filter(F.col("split") != "train").count() == 0
 
 
 def test_hashed_doc_vectors_properties(spark):
