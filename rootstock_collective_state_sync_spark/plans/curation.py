@@ -323,12 +323,19 @@ def _pq_codes_oracle(
     dim: int = 64,
     sample: int = 1024,
     iters: int = 3,
+    tail: str | None = None,
 ) -> str:
     """Generate the unrolled per-subspace k-means DuckDB oracle for
     :func:`q_pq_codes` — mirrors
     :func:`operators.similarity._train_pq_codebooks` +
     :func:`.pq_code_assignments` exactly: subspace is just another
-    grouping column, so all M codebooks train in one SQL pipeline."""
+    grouping column, so all M codebooks train in one SQL pipeline.
+
+    With ``tail`` set, the final per-vector code assignment is exposed
+    as a ``codes(vec_id, m, c)`` CTE (plus the trained codebook
+    ``c{iters}`` and normalized vectors ``alln`` still in scope) and
+    ``tail`` (", more_ctes ... SELECT ...") finishes the statement —
+    lets the ADC top-k oracle build on the replayed quantizer."""
     sub = dim // num_subspaces
     parts = [f"""
 WITH samp AS (
@@ -379,12 +386,24 @@ alln AS (
 fdist AS (
   SELECT a.vec_id, a.m, c.c, sum((a.x - c.w) * (a.x - c.w)) AS d2
   FROM alln a JOIN c{iters} c ON a.m = c.m AND a.d = c.d GROUP BY 1, 2, 3
-)
+)""")
+    if tail is None:
+        parts.append(f"""
 SELECT vec_id, m::BIGINT AS subspace, c::INTEGER AS code FROM (
   SELECT vec_id, m, c,
          row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, c ASC) AS rn
   FROM fdist
 ) WHERE rn = 1 ORDER BY vec_id, subspace""")
+    else:
+        parts.append(f""",
+codes AS MATERIALIZED (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, c ASC) AS rn
+    FROM fdist
+  ) WHERE rn = 1
+){tail}""")
     return "".join(parts)
 
 
@@ -392,25 +411,227 @@ Q_PQ_CODES_ORACLE = _pq_codes_oracle()
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance approximate top-k. No SQL oracle (the
-    full ADC pipeline is checked by parts: codes via ``pq_codes``,
-    recall-vs-brute-force floors in tests/test_operators.py)."""
+    """PQ asymmetric-distance approximate top-k, value-checked
+    END-TO-END: codebook training, encoding, the per-query distance
+    LUTs, ADC scoring, the shortlist cut, and the exact re-rank are
+    all deterministic, so the oracle replays every stage in pure SQL
+    on top of the ``pq_codes`` k-means unroll. Recall floors live in
+    tests/test_recall.py."""
     from rootstock_collective_state_sync_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.pq_adc_topk(emb, queries, k=5).orderBy("query_id", "rk")
+    return (
+        S.pq_adc_topk(emb, queries, k=5)
+        .withColumn("rk", F.col("rk").cast("bigint"))
+        .orderBy("query_id", "rk")
+    )
+
+
+def _pq_topk_oracle(ksub: int = 32, shortlist: int = 100, k: int = 5) -> str:
+    """SQL replay of :func:`q_pq_topk` on top of
+    :func:`_pq_codes_oracle`'s ``codes``/``c3``/``alln``: the query
+    LUT is the (subspace, centroid) squared-distance table, ADC is the
+    codes-LUT join summed over subspaces, and the final order comes
+    from the exact cosine re-rank of the shortlist."""
+    from rootstock_collective_state_sync_spark.plans.training import _COS_SQL
+
+    return _pq_codes_oracle(tail=f""",
+lut AS MATERIALIZED (
+  SELECT a.vec_id AS query_id, a.m, c.c, sum((a.x - c.w) * (a.x - c.w)) AS d2
+  FROM alln a JOIN c3 c ON a.m = c.m AND a.d = c.d
+  WHERE a.vec_id < {k}
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id, sum(l.d2) AS adc_dist
+  FROM codes co JOIN lut l ON co.m = l.m AND co.c = l.c
+  WHERE co.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist ASC, neighbor_id ASC) AS ark
+    FROM adc
+  ) WHERE ark <= {shortlist}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_COS_SQL.format(a="qe.embedding", b="ce.embedding")} AS cos_sim
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+)
+SELECT query_id, rk, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM rer
+) WHERE rk <= {k} ORDER BY query_id, rk""")
+
+
+Q_PQ_TOPK_ORACLE = _pq_topk_oracle()
 
 
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + residual-PQ composite approximate top-k. No SQL oracle
-    (checked by parts: cells via ``ann_ivf_cells``, PQ training via
-    ``pq_codes``, recall floor vs brute force in pytest)."""
+    """IVF + residual-PQ composite approximate top-k, value-checked
+    END-TO-END: both quantizers train on deterministic md5-ordered
+    samples with fixed tie-breaks, so the oracle replays the coarse
+    k-means, the residual codebooks, corpus encoding, probe selection,
+    residual ADC, and the exact re-rank in pure SQL. Recall floors
+    live in tests/test_recall.py."""
     from rootstock_collective_state_sync_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivfpq_topk(emb, queries, k=5).orderBy("query_id", "rk")
+    return (
+        S.ivfpq_topk(emb, queries, k=5)
+        .withColumn("rk", F.col("rk").cast("bigint"))
+        .orderBy("query_id", "rk")
+    )
+
+
+def _ivfpq_topk_oracle(
+    num_subspaces: int = 8,
+    ksub: int = 32,
+    dim: int = 64,
+    pq_sample: int = 1024,
+    pq_iters: int = 3,
+    ivf_iters: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    k: int = 5,
+) -> str:
+    """SQL replay of :func:`q_ivfpq_topk`, built on the coarse-
+    quantizer unroll of :func:`_ivf_cells_oracle` (``sn``/``c5``/
+    ``alln``/``fdot``/``cells`` in scope): train residual-PQ codebooks
+    on the first ``pq_sample`` md5-ordered sample residuals, encode
+    the corpus residuals, probe each query's nprobe nearest cells,
+    score candidates by residual ADC, exact-rerank the shortlist."""
+    from rootstock_collective_state_sync_spark.plans.training import (
+        _COS_SQL,
+        _ivf_cells_oracle,
+    )
+
+    sub = dim // num_subspaces
+    cf = f"c{ivf_iters}"  # final coarse centroids CTE
+    parts = [f""",
+sdot AS (
+  SELECT sn.si, c.c, sum(sn.x * c.w) AS dot
+  FROM sn JOIN {cf} c ON sn.d = c.d
+  WHERE sn.si < {pq_sample}
+  GROUP BY 1, 2
+),
+scell AS (
+  SELECT si, c AS cell FROM (
+    SELECT si, c,
+           row_number() OVER (PARTITION BY si ORDER BY dot DESC, c ASC) AS rn
+    FROM sdot
+  ) WHERE rn = 1
+),
+rsn AS MATERIALIZED (
+  SELECT sn.si, sn.d // {sub} AS m, sn.d % {sub} AS dd, sn.x - c.w AS x
+  FROM sn
+  JOIN scell ON sn.si = scell.si
+  JOIN {cf} c ON c.c = scell.cell AND c.d = sn.d
+  WHERE sn.si < {pq_sample}
+),
+rc0 AS (SELECT m, si AS c, dd AS d, x AS w FROM rsn WHERE si < {ksub})"""]
+    for t in range(1, pq_iters + 1):
+        parts.append(f""",
+rdist{t} AS (
+  SELECT rsn.si, rsn.m, c.c, sum((rsn.x - c.w) * (rsn.x - c.w)) AS d2
+  FROM rsn JOIN rc{t - 1} c ON rsn.m = c.m AND rsn.dd = c.d GROUP BY 1, 2, 3
+),
+ra{t} AS (
+  SELECT si, m, c FROM (
+    SELECT si, m, c,
+           row_number() OVER (PARTITION BY si, m ORDER BY d2 ASC, c ASC) AS rn
+    FROM rdist{t}
+  ) WHERE rn = 1
+),
+rm{t} AS (
+  SELECT a.m, a.c, rsn.dd AS d, sum(rsn.x) AS s, count(*) AS cnt
+  FROM ra{t} a JOIN rsn ON a.si = rsn.si AND a.m = rsn.m GROUP BY 1, 2, 3
+),
+rc{t} AS MATERIALIZED (
+  SELECT m, c, d, s / cnt AS w FROM rm{t}
+  UNION ALL
+  SELECT c.m, c.c, c.d, c.w FROM rc{t - 1} c
+  WHERE NOT EXISTS (SELECT 1 FROM ra{t} a WHERE a.m = c.m AND a.c = c.c)
+)""")
+    parts.append(f""",
+rall AS MATERIALIZED (
+  SELECT a.vec_id, a.d // {sub} AS m, a.d % {sub} AS dd, a.x - c.w AS x
+  FROM alln a
+  JOIN cells t ON a.vec_id = t.vec_id
+  JOIN {cf} c ON c.c = t.cell AND c.d = a.d
+),
+kdist AS (
+  SELECT r.vec_id, r.m, c.c, sum((r.x - c.w) * (r.x - c.w)) AS d2
+  FROM rall r JOIN rc{pq_iters} c ON r.m = c.m AND r.dd = c.d GROUP BY 1, 2, 3
+),
+kcodes AS MATERIALIZED (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, c ASC) AS rn
+    FROM kdist
+  ) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS rn
+    FROM fdot WHERE vec_id < {k}
+  ) WHERE rn <= {nprobe}
+),
+qres AS MATERIALIZED (
+  SELECT p.query_id, p.cell, a.d // {sub} AS m, a.d % {sub} AS dd,
+         a.x - c.w AS x
+  FROM probes p
+  JOIN alln a ON a.vec_id = p.query_id
+  JOIN {cf} c ON c.c = p.cell AND c.d = a.d
+),
+lut AS MATERIALIZED (
+  SELECT q.query_id, q.cell, q.m, c.c, sum((q.x - c.w) * (q.x - c.w)) AS d2
+  FROM qres q JOIN rc{pq_iters} c ON q.m = c.m AND q.dd = c.d
+  GROUP BY 1, 2, 3, 4
+),
+adc AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id, sum(l.d2) AS adc_dist
+  FROM kcodes co
+  JOIN cells t ON co.vec_id = t.vec_id
+  JOIN lut l ON l.cell = t.cell AND l.m = co.m AND l.c = co.c
+  WHERE co.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist ASC, neighbor_id ASC) AS ark
+    FROM adc
+  ) WHERE ark <= {shortlist}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_COS_SQL.format(a="qe.embedding", b="ce.embedding")} AS cos_sim
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+)
+SELECT query_id, rk, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM rer
+) WHERE rk <= {k} ORDER BY query_id, rk""")
+    return _ivf_cells_oracle(iters=ivf_iters, tail="".join(parts))
+
+
+Q_IVFPQ_TOPK_ORACLE = _ivfpq_topk_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -169,19 +169,27 @@ SPECS: dict[str, QuerySpec] = {
     "emb_near_dup_lsh": QuerySpec(
         TR.q_emb_near_dup_lsh, TR.Q_EMB_NEAR_DUP_LSH_ORACLE, ("similarity",)
     ),
-    "ann_lsh_topk": QuerySpec(TR.q_ann_lsh_topk, None, ("similarity", "bench")),
+    "ann_lsh_topk": QuerySpec(
+        TR.q_ann_lsh_topk, TR.Q_ANN_LSH_TOPK_ORACLE, ("similarity", "bench")
+    ),
     "ann_lsh_buckets": QuerySpec(
         TR.q_ann_lsh_buckets, TR.Q_ANN_LSH_BUCKETS_ORACLE, ("similarity",)
     ),
-    "ann_ivf_topk": QuerySpec(TR.q_ann_ivf_topk, None, ("similarity", "bench")),
+    "ann_ivf_topk": QuerySpec(
+        TR.q_ann_ivf_topk, TR.Q_ANN_IVF_TOPK_ORACLE, ("similarity", "bench")
+    ),
     "ann_ivf_cells": QuerySpec(
         TR.q_ann_ivf_cells, TR.Q_ANN_IVF_CELLS_ORACLE, ("similarity",)
     ),
     "pq_codes": QuerySpec(
         CU.q_pq_codes, CU.Q_PQ_CODES_ORACLE, ("similarity",)
     ),
-    "pq_topk": QuerySpec(CU.q_pq_topk, None, ("similarity", "bench")),
-    "ivfpq_topk": QuerySpec(CU.q_ivfpq_topk, None, ("similarity",)),
+    "pq_topk": QuerySpec(
+        CU.q_pq_topk, CU.Q_PQ_TOPK_ORACLE, ("similarity", "bench")
+    ),
+    "ivfpq_topk": QuerySpec(
+        CU.q_ivfpq_topk, CU.Q_IVFPQ_TOPK_ORACLE, ("similarity",)
+    ),
     # corpus sampling / packing / composition
     "stratified_sample": QuerySpec(
         TR.q_stratified_sample, TR.Q_STRATIFIED_SAMPLE_ORACLE, ("sampling",)
@@ -248,11 +256,15 @@ SPECS: dict[str, QuerySpec] = {
     # round-6 curation additions (rotate into the driver window in
     # r07 — locally gated by tests/test_conformance.py now)
     "semantic_dedup": QuerySpec(
-        CU.q_semantic_dedup, CU.Q_SEMANTIC_DEDUP_ORACLE, ("dedup", "similarity")
+        CU.q_semantic_dedup,
+        CU.Q_SEMANTIC_DEDUP_ORACLE,
+        ("dedup", "similarity", "bench"),
     ),
     "doc_chunks": QuerySpec(CU.q_doc_chunks, CU.Q_DOC_CHUNKS_ORACLE, ("text",)),
     "hashed_doc_vectors": QuerySpec(
-        CU.q_hashed_doc_vectors, CU.Q_HASHED_DOC_VECTORS_ORACLE, ("text", "similarity")
+        CU.q_hashed_doc_vectors,
+        CU.Q_HASHED_DOC_VECTORS_ORACLE,
+        ("text", "similarity", "bench"),
     ),
     "lm_bigram_score": QuerySpec(
         CU.q_lm_bigram_score, CU.Q_LM_BIGRAM_SCORE_ORACLE, ("text",)
@@ -296,68 +308,73 @@ SPECS: dict[str, QuerySpec] = {
 # r01+r02-green entries (q3/q5/q6, keyset_page, changelog_incremental,
 # broadcast_enrich_diff, union_distinct, enum_label, range_join) — all
 # unchanged and still locally gated by tests/test_conformance.py.
-# r06 window = every registry query whose most recent driver row is
-# r01/r02 (rotated out when the r04/r05 window re-earned rows for the
-# r03/r04 additions), plus the 3 entries that have NEVER had a driver
-# row (q20, q21, ivfpq_topk — added late in r04, after that window was
-# pinned), plus the rows-only sketch/ANN entries so the driver
-# re-witnesses that they run. Exactly 50. Everything rotated out is
-# r04- or r05-green with unchanged code and stays locally gated by
-# tests/test_conformance.py on every pytest run.
+# r07 window = the 6 round-6 queries that have NEVER earned a driver
+# row, + the 4 ANN top-k paths that gained full SQL-replay oracles
+# this round (previously rows-only — their first hash-checked rows),
+# + the 3 multimodal queries whose partitioning changed this round
+# (pmod-32 cap lifted — re-earn rows on the new plan), + 37 queries
+# whose most recent driver row is r04/r05 (rotated out of the r06
+# window), spanning every family: agg/filter/join/temporal/scalar/
+# text/dedup/similarity/sampling/curation. Exactly 50. Rotated out:
+# the 40 r06-green entries plus importance_sample, zorder_key,
+# export_manifest, the four window_* queries and the two approx
+# sketches — all r04/r05/r06-green with unchanged code, still gated
+# locally by tests/test_conformance.py on every pytest run.
 _DRIVER_WINDOW = [
-    # never driver-checked
-    "q20_supplier_part_share",
-    "q21_blamed_supplier",
-    "ivfpq_topk",
-    # last driver-green in r01/r02 — re-earn rows
-    "watermark_max_block",
-    "group_count",
-    "distinct_set",
-    "rollup_status_priority",
-    "q6_forecast_revenue",
-    "pivot_status_by_priority",
-    "cube_counts",
-    "filter_isin_enum",
-    "keyset_page",
-    "changelog_incremental",
-    "broadcast_enrich_diff",
-    "semi_join",
-    "anti_join",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_by_year",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "min_cost_per_part",
-    "exists_subquery",
-    "q4_priority_exists",
-    "q8_market_share",
-    "q12_priority_by_status",
-    "q16_supplier_variety",
-    "q19_disc_revenue",
-    "q11_important_parts",
-    "q22_idle_customers",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "events_json_stats",
-    "running_user_value",
-    "median_value_per_type",
-    "range_join",
-    "unpivot_measures",
-    "grouping_sets",
-    "top1_latest",
-    "topk_per_group",
-    "union_distinct",
-    "except_missing",
-    "enum_label",
-    # rows-only entries (no oracle by design) — re-witness they run
-    "approx_distinct",
-    "approx_quantiles",
+    # never driver-checked (added r06)
+    "semantic_dedup",
+    "doc_chunks",
+    "hashed_doc_vectors",
+    "lm_bigram_score",
+    "ccnet_buckets",
+    "leakage_safe_split",
+    # newly oracled this round (r06 rows had err=no_oracle)
     "ann_lsh_topk",
     "ann_ivf_topk",
     "pq_topk",
+    "ivfpq_topk",
+    # code changed this round (repartition key) — re-earn rows
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # last driver-green in r04/r05 — re-earn rows
+    "q1_pricing_summary",
+    "filter_range_scan",
+    "fk_deref_join",
+    "q9_product_profit",
+    "asof_join",
+    "bigint_arith",
+    "hex_roundtrip",
+    "camel_case",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "ann_cosine_topk",
+    "emb_near_dup_pairs",
+    "emb_near_dup_lsh",
+    "ann_lsh_buckets",
+    "ann_ivf_cells",
+    "pq_codes",
+    "stratified_sample",
+    "pack_sequences",
+    "budget_select",
+    "temperature_mix",
+    "pack_split_sequences",
+    "clean_corpus",
+    "pii_redaction",
+    "vocab_topk",
+    "tfidf_top_terms",
+    "contamination_check",
+    "epoch_shuffle",
+    "dup_ngram_fraction",
+    "lm_unigram_score",
+    "quality_percentiles",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

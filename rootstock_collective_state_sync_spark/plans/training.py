@@ -526,14 +526,61 @@ Q_ANN_IVF_CELLS_ORACLE = _ivf_cells_oracle()
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via sign-LSH bucketing (the scale path).
-    No SQL oracle — recall-vs-brute-force is asserted in
-    tests/test_operators.py instead."""
+    """Approximate ANN via sign-LSH bucketing (the scale path),
+    value-checked END-TO-END: every stage is deterministic (md5
+    hyperplanes, fixed tie-breaks), so the oracle replays bucket
+    assignment, the bucket equi-join, candidate dedup, exact cosine,
+    and the final ranking in pure SQL. Recall-vs-brute-force floors
+    live in tests/test_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_bucket_topk(
-        emb, queries, k=5, num_planes=3, num_tables=4
-    ).orderBy("query_id", "rk")
+    return (
+        S.lsh_bucket_topk(emb, queries, k=5, num_planes=3, num_tables=4)
+        .withColumn("rk", F.col("rk").cast("bigint"))
+        .orderBy("query_id", "rk")
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    """SQL replay of :func:`q_ann_lsh_topk`: recompute the 4x3
+    md5-derived hyperplane buckets, join query x corpus buckets per
+    table, dedup multi-table collisions, exact-rerank with the shared
+    cosine expression."""
+    return f"""
+WITH w(plane, d, wt) AS (VALUES {_lsh_weight_values(4, 3)}),
+proj AS (
+  SELECT e.vec_id, w.plane,
+         sum(e.embedding[w.d + 1]::DOUBLE * w.wt) AS pr
+  FROM embeddings e, w
+  GROUP BY 1, 2
+),
+b AS MATERIALIZED (
+  SELECT vec_id, (plane // 1000)::INTEGER AS tbl,
+         string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane % 1000) AS bits
+  FROM proj GROUP BY vec_id, plane // 1000
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bits = c.bits
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_COS_SQL.format(a="qe.embedding", b="ce.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, rk, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+Q_ANN_LSH_TOPK_ORACLE = _lsh_topk_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -654,17 +701,56 @@ ORDER BY d.doc_id
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (spherical-k-means cells + nprobe search). No SQL
-    oracle: centroids are data-dependent (trained on a deterministic
-    sample), so k-means can't be replayed in DuckDB — correctness is
-    pinned by tests instead (`tests/test_operators.py::
-    test_ivf_topk_recall_and_determinism`: full-probe == brute force,
-    recall floor at nprobe=4, end-to-end determinism)."""
+    """IVF ANN (spherical-k-means cells + nprobe search), value-checked
+    END-TO-END: the quantizer trains on a deterministic md5-ordered
+    sample with fixed tie-breaks, so the oracle replays the unrolled
+    k-means (the ``ann_ivf_cells`` machinery), the per-query nprobe
+    cell selection, candidate scoring, and the final ranking in pure
+    SQL. Recall floors live in tests/test_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 25)
-    return S.ivf_topk(emb, queries, k=5, num_cells=16, nprobe=4).orderBy(
-        "query_id", "rk"
+    return (
+        S.ivf_topk(emb, queries, k=5, num_cells=16, nprobe=4)
+        .withColumn("rk", F.col("rk").cast("bigint"))
+        .orderBy("query_id", "rk")
     )
+
+
+def _ivf_topk_oracle() -> str:
+    """SQL replay of :func:`q_ann_ivf_topk`, built on the unrolled
+    k-means of :func:`_ivf_cells_oracle`: ``fdot`` (every vector's dot
+    with every final centroid) doubles as the probe selector — the
+    nprobe nearest cells per query are its top rows — and ``cells``
+    bounds which corpus rows each query scores."""
+    return _ivf_cells_oracle(tail=f""",
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS rn
+    FROM fdot WHERE vec_id < 25
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, t.vec_id AS neighbor_id
+  FROM probes p JOIN cells t ON p.cell = t.cell
+  WHERE t.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_COS_SQL.format(a="qe.embedding", b="ce.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, rk, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY query_id, rk""")
+
+
+Q_ANN_IVF_TOPK_ORACLE = _ivf_topk_oracle()
 
 
 # ---------------------------------------------------------------------------
