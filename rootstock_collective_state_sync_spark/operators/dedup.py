@@ -450,29 +450,40 @@ def connected_components(
     ``pairs`` is (id_a, id_b) undirected; ``nodes`` supplies the full
     id universe so singletons resolve to themselves.
 
-    Scale shape: each round is ONE shuffle (edge join + min
-    aggregation) and propagates labels one hop, so rounds needed =
-    component diameter — tiny for dedup graphs (stars/chains of
-    near-copies), bounded by ``max_iters`` for safety. The label
-    frontier is checked driver-side as a scalar count per round
-    (control-plane read, like the engine's watermark); persisted and
-    checkpoint-unpersisted per round so lineage stays O(1), not
-    O(iterations). For adversarial long-chain graphs swap in the
-    large-star/small-star variant; the contract is identical.
+    Scale shape: each round is one edge join + min aggregation plus a
+    pointer-jumping join (``component <- label(component)`` — valid
+    because a label is always the id of a REACHABLE node, so its own
+    label is reachable too), so label distance DOUBLES per round on
+    top of the one-hop neighbor propagation: rounds needed =
+    O(log2(diameter)), and ``max_iters=25`` covers any graph a real
+    corpus can produce (diameter 2^25). If the loop still hasn't
+    converged at ``max_iters`` it raises instead of returning silently
+    wrong labels. The convergence frontier is checked driver-side as a
+    scalar count per round (control-plane read, like the engine's
+    watermark); labels are persisted and unpersisted per round so
+    lineage stays O(1), not O(iterations).
 
     Returns ``(id, component)`` with ``component = min(id) over the
     component`` — deterministic on any engine.
     """
-    sess = pairs.sparkSession
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .persist()
     )
+    # localCheckpoint, not persist: each round references the previous
+    # label table THREE times (edge join, self-update, pointer jump),
+    # so without lineage truncation the logical plan grows 3^rounds and
+    # driver-side planning — not the data — becomes the bottleneck.
+    # Eager localCheckpoint materializes the round AND cuts the plan at
+    # O(1) depth; superseded checkpoint RDDs are dropped by the context
+    # cleaner when the previous DataFrame goes out of scope. (On a
+    # cluster with executor churn, set a reliable checkpoint dir and
+    # swap in .checkpoint() — same contract.)
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).persist()
+    ).localCheckpoint(eager=True)
     try:
         for _ in range(max_iters):
             # neighbor minimum in one aggregation pass
@@ -481,29 +492,38 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("component").alias("n_min"))
             )
+            # pointer jumping against the SAME label snapshot: the
+            # label of my current label is reachable and <= it
+            ptr = labels.select(
+                F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+            )
+            new_comp = F.least(
+                F.col("component"),
+                F.coalesce(F.col("n_min"), F.col("component")),
+                F.coalesce(F.col("_pcomp"), F.col("component")),
+            )
             # carry the improved-label flag through the update itself:
-            # one join per round, convergence probe is a count on the
-            # already-cached result (no second labels join)
+            # the convergence probe is a count on the checkpointed
+            # result (no second labels join)
             upd = (
                 labels.join(neigh, labels.id == neigh.src, "left")
+                .join(ptr, F.col("component") == F.col("_pid"), "left")
                 .select(
                     "id",
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
-                    ).alias("component"),
-                    (
-                        F.col("n_min").isNotNull()
-                        & (F.col("n_min") < F.col("component"))
-                    ).alias("_improved"),
+                    new_comp.alias("component"),
+                    (new_comp < F.col("component")).alias("_improved"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = upd.filter(F.col("_improved")).count()  # scalar probe
-            labels.unpersist()
             labels = upd.drop("_improved")
             if changed == 0:
-                break
-        return labels
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter > 2^max_iters?!) — raise max_iters; refusing "
+            "to return partially-propagated labels"
+        )
     finally:
         edges.unpersist()
 

@@ -25,6 +25,11 @@ Scale design (replaces the reference's serial driver loop,
 - **Column pruning (X2)** arrives via the ``columns`` option (the
   Python DS API has no required-column pushdown yet); FK columns are
   always fetched as ``{ id }`` and flattened.
+- **Limit pushdown** arrives via the ``limit`` option (the Python DS
+  API has no ``pushLimit`` hook yet, so a ``df.limit(n)`` cannot reach
+  the reader): caps rows fetched per partition and sizes the wire
+  ``first:`` accordingly — ``limit=N`` with one partition fetches
+  exactly one page of N.
 - Records are converted to the entity's compiled ``StructType`` at
   the edge: ``0x…`` hex -> bytes, numeric strings -> Decimal(38,0),
   nested FK objects -> scalar ids.
@@ -188,6 +193,15 @@ class SubgraphReader(DataSourceReader):
         self.num_partitions = int(options.get("num_partitions", 1))
         self.transport_path = options.get("transport")
         self.hex_shadow = str(options.get("uint256_shadow", "false")).lower() == "true"
+        # limit-N pushdown (reference pushes `first: N`,
+        # subgraphQueryBuilder.ts:177-179): the Python DataSource API
+        # has no pushLimit hook yet, so `df.limit(n)` over this source
+        # cannot reach the reader — the `limit` OPTION is the
+        # workaround. It caps rows fetched PER PARTITION (sized to
+        # `first:` on the wire, so a limit-N single-partition read is
+        # exactly one page of N); Spark still applies its own limit on
+        # top, making the end-to-end semantics exact.
+        self.limit = int(options["limit"]) if "limit" in options else None
         self.pushed_where: dict[str, Any] = {}
 
     # -- pushdown ----------------------------------------------------------
@@ -234,15 +248,26 @@ class SubgraphReader(DataSourceReader):
         ctx = load_entities(self.config_path)
         entity = ctx[self.entity_name]
         client = self._client()
+        remaining = self.limit
+        page_size = (
+            self.page_size if remaining is None else min(self.page_size, remaining)
+        )
+        if page_size == 0:
+            return
         for page in client.paginate(
             ctx,
             self.entity_name,
-            page_size=self.page_size,
+            page_size=page_size,
             where=self.pushed_where or None,
             start_cursor=partition.lower if partition.lower != "0x00" else "0x00",
             id_upper_bound=partition.upper,
         ):
+            if remaining is not None:
+                page = page[:remaining]
+                remaining -= len(page)
             yield from records_to_rows(ctx, entity, page, hex_shadow=self.hex_shadow)
+            if remaining is not None and remaining <= 0:
+                return
 
 
 class SubgraphDataSource(DataSource):

@@ -5,13 +5,25 @@ Parity targets: the reference's block watcher / strategy pipeline
 reorg cleanup (``reorgCleanupStrategy.ts``).
 """
 
-from rootstock_collective_state_sync_spark.streaming.chain import Block, ChainClient, StaticChain
+from rootstock_collective_state_sync_spark.streaming.chain import (
+    CHAINS,
+    Block,
+    ChainClient,
+    ChainRpcError,
+    ChainSpec,
+    HttpChain,
+    StaticChain,
+)
 from rootstock_collective_state_sync_spark.streaming.sync import SyncEngine
 from rootstock_collective_state_sync_spark.streaming.reorg import ReorgManager
 
 __all__ = [
     "Block",
+    "CHAINS",
     "ChainClient",
+    "ChainRpcError",
+    "ChainSpec",
+    "HttpChain",
     "StaticChain",
     "SyncEngine",
     "ReorgManager",

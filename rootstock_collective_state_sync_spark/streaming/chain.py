@@ -2,19 +2,22 @@
 
 The reference talks to the chain through viem (``watchBlocks`` +
 ``getBlock``, ``src/watchers/blockWatcher.ts:162-174``,
-``reorgCleanupStrategy.ts:33-36``); the engine needs exactly two
-control-plane reads: the head block and a block header by number.
-Implementations: an RPC-backed client in production (driver-side HTTP;
-header reads are control plane, never a DataFrame op) and
-deterministic in-memory / file-backed chains for tests.
+``reorgCleanupStrategy.ts:33-36``) against a named chain registry
+(``src/client/createClient.ts:1-25``, ``src/config/chain.ts:15-24``);
+the engine needs exactly two control-plane reads: the head block and
+a block header by number. Implementations: :class:`HttpChain` (plain
+JSON-RPC 2.0 over an injectable transport — driver-side HTTP; header
+reads are control plane, never a DataFrame op) and deterministic
+in-memory / file-backed chains for tests.
 """
 
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
+import urllib.request
+from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Protocol
+from typing import Callable, Protocol
 
 
 @dataclass(frozen=True)
@@ -29,6 +32,117 @@ class ChainClient(Protocol):
     def head_block(self) -> Block: ...
 
     def get_block(self, number: int) -> Block | None: ...
+
+
+#: (url, json-rpc request body) -> json-rpc response body — same
+#: injectable-transport shape as ``sources.graphql.Transport``, so
+#: tests swap sockets for an in-process fake.
+RpcTransport = Callable[[str, dict], dict]
+
+
+def http_rpc_transport(url: str, body: dict) -> dict:
+    """Default transport: JSON-RPC 2.0 POST (production path)."""
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+class ChainRpcError(RuntimeError):
+    pass
+
+
+@dataclass(frozen=True)
+class ChainSpec:
+    """A named chain: id + default public RPC endpoint (all public
+    knowledge — Rootstock docs; parity ``config/chain.ts:15-24``)."""
+
+    chain_id: int
+    name: str
+    rpc_url: str
+    currency: str
+
+
+#: Named registry, keyed like the reference's ``CHAINS`` map
+#: (``config/chain.ts:20-24``): mainnet/testnet from the public
+#: Rootstock nodes, regtest a local node.
+CHAINS: dict[str, ChainSpec] = {
+    "mainnet": ChainSpec(30, "Rootstock Mainnet", "https://public-node.rsk.co", "RBTC"),
+    "testnet": ChainSpec(
+        31, "Rootstock Testnet", "https://public-node.testnet.rsk.co", "tRBTC"
+    ),
+    "regtest": ChainSpec(33, "RSK Regtest", "http://localhost:4444", "tRBTC"),
+}
+
+
+def _hex_int(v: str | int) -> int:
+    return int(v, 16) if isinstance(v, str) else int(v)
+
+
+@dataclass
+class HttpChain:
+    """JSON-RPC chain client (``eth_blockNumber`` implied by
+    ``eth_getBlockByNumber('latest')``; parity with viem's
+    ``getBlock``/``watchBlocks`` reads, ``createClient.ts:19-22``).
+    The transport is injectable exactly like
+    :class:`..sources.graphql.SubgraphClient`'s, so every sync/reorg
+    e2e runs against an in-process fake — and production swaps in
+    :func:`http_rpc_transport` with a registry URL."""
+
+    rpc_url: str
+    transport: RpcTransport = field(default=http_rpc_transport)
+    _next_id: int = 1
+
+    @classmethod
+    def from_network(
+        cls, network: str, transport: RpcTransport = http_rpc_transport
+    ) -> "HttpChain":
+        """Resolve a named chain (reference ``createClient.ts:8-17``
+        semantics: non-string config is a TypeError, unknown names
+        raise with the offending value)."""
+        if not network:
+            raise TypeError("network name is required")
+        if not isinstance(network, str):
+            raise TypeError("only a single network name is supported")
+        spec = CHAINS.get(network)
+        if spec is None:
+            raise ValueError(f"Unsupported network: {network}")
+        return cls(rpc_url=spec.rpc_url, transport=transport)
+
+    def _call(self, method: str, params: list) -> dict | str | None:
+        body = {
+            "jsonrpc": "2.0",
+            "id": self._next_id,
+            "method": method,
+            "params": params,
+        }
+        self._next_id += 1
+        resp = self.transport(self.rpc_url, body)
+        if "error" in resp and resp["error"]:
+            raise ChainRpcError(f"{method}: {resp['error']}")
+        return resp.get("result")
+
+    def _to_block(self, raw: dict) -> Block:
+        return Block(
+            number=_hex_int(raw["number"]),
+            hash=raw["hash"],
+            timestamp=_hex_int(raw.get("timestamp", 0)),
+            parent_hash=raw.get("parentHash", ""),
+        )
+
+    def head_block(self) -> Block:
+        raw = self._call("eth_getBlockByNumber", ["latest", False])
+        if raw is None:
+            raise ChainRpcError("node returned no latest block")
+        return self._to_block(raw)
+
+    def get_block(self, number: int) -> Block | None:
+        raw = self._call("eth_getBlockByNumber", [hex(number), False])
+        return None if raw is None else self._to_block(raw)
 
 
 class StaticChain:

@@ -275,6 +275,49 @@ def test_datasource_filter_pushdown_results(spark, subgraph_df):
     assert len(got) == len(want)
 
 
+def test_datasource_limit_option_fetches_one_page(spark):
+    """Golden limit pushdown: a limit-5 single-partition read issues
+    exactly ONE HTTP request whose wire query asks `first: 5` — never
+    a full page-size crawl trimmed client-side."""
+    from rootstock_collective_state_sync_spark.sources.subgraph_source import (
+        SubgraphDataSource,
+        SubgraphReader,
+    )
+
+    # reader-level golden (driver-side, so the request log is visible)
+    fake_subgraph.LIMIT_REQUESTS.clear()
+    r = SubgraphReader(
+        {
+            "url": "fake://endpoint",
+            "config_path": str(FIXTURE),
+            "entity": "VoteCast",
+            "page_size": "7",
+            "limit": "5",
+            "transport": "tests.fake_subgraph:counting_transport",
+        }
+    )
+    [part] = r.partitions()
+    rows = list(r.read(part))
+    assert len(rows) == 5
+    reqs = fake_subgraph.LIMIT_REQUESTS
+    assert len(reqs) == 1, "limit-5 read must be one HTTP round-trip"
+    assert "first: 5" in reqs[0]
+
+    # end-to-end through the Spark scan (executor-side transport)
+    spark.dataSource.register(SubgraphDataSource)
+    df = (
+        spark.read.format("subgraph")
+        .option("url", "fake://endpoint")
+        .option("config_path", str(FIXTURE))
+        .option("entity", "VoteCast")
+        .option("page_size", 7)
+        .option("limit", 5)
+        .option("transport", "tests.fake_subgraph:transport")
+        .load()
+    )
+    assert df.count() == 5
+
+
 def test_push_filters_translation(ctx):
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, IsNull
 

@@ -295,6 +295,36 @@ def test_connected_components_transitive_chains(spark):
     }
 
 
+def test_connected_components_long_path_graph(spark):
+    """Adversarial diameter: a 100-node path (diameter 99) must resolve
+    to ONE component labeled 0 — pointer jumping makes label distance
+    double per round, so this needs ~log2(100) rounds, far inside
+    max_iters=25 (plain one-hop propagation would silently exit at 25
+    with wrong labels)."""
+    n = 100
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    got = {
+        r.id: r.component
+        for r in D.connected_components(pairs, nodes).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """max_iters too small for the diameter -> loud RuntimeError, never
+    silently wrong labels."""
+    n = 40  # diameter 39 > 2^3 doublings
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, nodes, max_iters=3)
+
+
 def test_budget_select_greedy_semantics(spark):
     """Exact greedy contract: full high-score buckets first, boundary
     bucket in key order until the remainder is spent, total never

@@ -1,0 +1,76 @@
+"""Recall-floor pins for the approximate-similarity stack.
+
+Per-path recall floors vs :func:`brute_force_topk` live in
+tests/test_operators.py (LSH/IVF/PQ/IVFPQ, smoke + correctness
+scale); this module pins what those can't: the DEFAULT parameter
+values the recall derivations assume (an accidental plane/probe/
+codebook default edit would silently tank production recall while
+explicit-config tests stay green), and the docstring-derived 0.8
+near-dup recall claim at the 8x4 default itself.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+from pyspark.sql import functions as F
+
+from rootstock_collective_state_sync_spark.operators import similarity as S
+from rootstock_collective_state_sync_spark.plans.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def _defaults(fn) -> dict:
+    return {
+        k: p.default
+        for k, p in inspect.signature(fn).parameters.items()
+        if p.default is not inspect.Parameter.empty
+    }
+
+
+def test_recall_critical_defaults_are_pinned():
+    """The documented recall derivations hold at THESE defaults
+    (operators/similarity.py): 8 tables x 4 planes keeps near-dup
+    recall ~0.8 at cos 0.4 (4x8 drops to ~0.2); nprobe=4 of 16 cells
+    holds IVF recall >= 0.55; 8x32 codebooks + shortlist 100 hold
+    PQ/IVFPQ floors. Changing a default means re-deriving and
+    re-measuring — update the floors AND this pin together."""
+    nd = _defaults(S.lsh_near_dup_pairs)
+    assert (nd["num_tables"], nd["num_planes"], nd["threshold"]) == (8, 4, 0.4)
+    ivf = _defaults(S.ivf_topk)
+    assert (ivf["num_cells"], ivf["nprobe"], ivf["k"]) == (16, 4, 5)
+    pq = _defaults(S.pq_adc_topk)
+    assert (pq["num_subspaces"], pq["ksub"], pq["shortlist"]) == (8, 32, 100)
+    ipq = _defaults(S.ivfpq_topk)
+    assert (
+        ipq["num_cells"], ipq["nprobe"], ipq["num_subspaces"],
+        ipq["ksub"], ipq["shortlist"],
+    ) == (16, 4, 8, 32, 100)
+    lsh = _defaults(S.lsh_bucket_topk)
+    assert (lsh["num_planes"], lsh["num_tables"]) == (8, 1)
+
+
+def test_lsh_near_dup_default_recall_floor(spark):
+    """The 8x4 DEFAULT (not an explicit config) recovers >= 0.8 of
+    true cos>=0.4 near-dup pairs on the sf0.001 embeddings — the
+    derivation in lsh_near_dup_pairs' docstring, measured: per-table
+    collision P = (1 - theta/pi)^4, 1-(1-P)^8 ~ 0.83 at cos 0.4."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").cache()
+    try:
+        exact = {
+            (r.id_a, r.id_b)
+            for r in S.near_dup_pairs(emb, threshold=0.4).collect()
+        }
+        assert exact, "fixture should contain cos>=0.4 pairs"
+        lsh = {
+            (r.id_a, r.id_b) for r in S.lsh_near_dup_pairs(emb).collect()
+        }
+        assert lsh <= exact  # exact verify => no false positives
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.8, (
+            f"default 8x4 near-dup recall {recall:.2f} below the 0.8 "
+            "docstring derivation — a default or bucketing regression"
+        )
+    finally:
+        emb.unpersist()
