@@ -243,3 +243,29 @@ def make_multicall_fn(
         return out
 
     return multicall_fn
+
+
+def multicall_fn_for_network(
+    network: str,
+    governor_address: str,
+    multicall_address: str = MULTICALL3_ADDRESS,
+    post: PostFn = http_json_rpc,
+    block_tag: str = "latest",
+):
+    """:func:`make_multicall_fn` with the RPC URL resolved from the
+    named chain registry (``streaming.chain.CHAINS`` — parity
+    ``createClient.ts:8-17`` + ``config/chain.ts:15-24``), so the S6
+    enrichment path composes with the same mainnet/testnet/regtest
+    names the chain client uses."""
+    from rootstock_collective_state_sync_spark.streaming.chain import CHAINS
+
+    spec = CHAINS.get(network)
+    if spec is None:
+        raise ValueError(f"Unsupported network: {network}")
+    return make_multicall_fn(
+        spec.rpc_url,
+        governor_address,
+        multicall_address=multicall_address,
+        post=post,
+        block_tag=block_tag,
+    )

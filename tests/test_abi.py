@@ -125,6 +125,24 @@ def test_make_multicall_fn_end_to_end():
     assert len(posted) == 1  # empty batch never posts
 
 
+def test_multicall_fn_for_network_resolves_registry():
+    """S6 x chain-registry glue: the named network resolves to its
+    registry RPC URL, the call itself is the normal aggregate3 path."""
+    from rootstock_collective_state_sync_spark.streaming.chain import CHAINS
+
+    seen_urls = []
+
+    def fake_post(url, payload):
+        seen_urls.append(url)
+        return {"jsonrpc": "2.0", "id": 1, "result": "0x" + _encode_results([]).hex()}
+
+    fn = abi.multicall_fn_for_network("testnet", "0x" + "cd" * 20, post=fake_post)
+    fn(["0x01"])
+    assert seen_urls == [CHAINS["testnet"].rpc_url]
+    with pytest.raises(ValueError, match="Unsupported network"):
+        abi.multicall_fn_for_network("sepolia", "0x" + "cd" * 20)
+
+
 def test_multicall_states_skips_dropped_ids(spark):
     """mapInPandas enrichment tolerates ids the RPC could not answer."""
     from rootstock_collective_state_sync_spark.sources.rpc import multicall_states
