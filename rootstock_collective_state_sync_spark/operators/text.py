@@ -34,6 +34,30 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+#: BPE-ish pre-tokenizer regex (GPT-2 style, reduced to the portable
+#: subset Java (Spark) and RE2 (DuckDB) evaluate identically — no
+#: lookahead, explicit space instead of \s): contraction suffixes,
+#: space-prefixed letter runs, digit runs capped at 3 (modern BPE
+#: vocabularies chunk numbers), punctuation runs. Spaces are consumed
+#: by the ` ?` prefixes, so no space-only matches exist.
+BPE_SPLIT_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9 ]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokens of the lower-cased text (see
+    :data:`BPE_SPLIT_RE`). Approximates an LLM tokenizer's
+    pre-tokenization pass — the distributable stand-in for exact BPE
+    token counting (merge tables are vocabulary assets, not engine
+    code; real counts plug in as a pandas_udf over the same plan)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Estimated LLM token count: one per BPE-ish pre-token. Pure JVM
+    regex — codegen, no UDF, linear scan."""
+    return F.size(bpe_tokens(col))
+
+
 def word_shingles(tok: Column, n: int = 3) -> Column:
     """Word n-gram shingles over a token array; empty when fewer than
     ``n`` tokens (guarded: Spark's ``sequence(1, 0)`` would descend)."""

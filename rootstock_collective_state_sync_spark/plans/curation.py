@@ -907,3 +907,43 @@ SELECT doc_id, lang, lm_e6, pct_rank,
             ELSE 'tail' END AS bucket
 FROM rk ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM token counting: whitespace + BPE-ish pre-tokenizer estimate
+# ---------------------------------------------------------------------------
+
+
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts both ways a training pipeline needs
+    them: cheap whitespace/alnum tokens (dedup/quality features) and
+    the BPE-ish pre-tokenizer estimate (context-length budgeting,
+    cost estimation). Both are pure JVM regex passes — codegen, no
+    shuffle; the oracle replays the identical portable regex in RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = X.token_count(F.col("text")).cast("bigint")
+    bpe = X.bpe_token_count(F.col("text")).cast("bigint")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(
+            bpe.cast("double") / F.greatest(ws, F.lit(1)).cast("double"), 6
+        ).alias("bpe_per_ws"),
+    ).orderBy("doc_id")
+
+
+Q_LLM_TOKEN_COUNT_ORACLE = f"""
+WITH {_TOK_CTE},
+b AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text),
+             '{X.BPE_SPLIT_RE.replace("'", "''")}'))::BIGINT AS n_bpe
+  FROM documents
+)
+SELECT t.doc_id,
+       len(t.toks)::BIGINT AS n_ws_tokens,
+       b.n_bpe AS n_bpe_tokens,
+       round(b.n_bpe::DOUBLE / greatest(len(t.toks), 1), 6) AS bpe_per_ws
+FROM tok t JOIN b USING (doc_id) ORDER BY t.doc_id
+"""

@@ -275,6 +275,10 @@ SPECS: dict[str, QuerySpec] = {
     "leakage_safe_split": QuerySpec(
         CU.q_leakage_safe_split, CU.Q_LEAKAGE_SAFE_SPLIT_ORACLE, ("dedup", "sampling")
     ),
+    # round-7 addition
+    "llm_token_count": QuerySpec(
+        CU.q_llm_token_count, CU.Q_LLM_TOKEN_COUNT_ORACLE, ("text",)
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
@@ -317,11 +321,13 @@ SPECS: dict[str, QuerySpec] = {
 # window), spanning every family: agg/filter/join/temporal/scalar/
 # text/dedup/similarity/sampling/curation. Exactly 50. Rotated out:
 # the 40 r06-green entries plus importance_sample, zorder_key,
-# export_manifest, the four window_* queries and the two approx
-# sketches — all r04/r05/r06-green with unchanged code, still gated
-# locally by tests/test_conformance.py on every pytest run.
+# export_manifest, quality_percentiles, the four window_* queries and
+# the two approx sketches — all r04/r05/r06-green with unchanged code,
+# still gated locally by tests/test_conformance.py on every pytest
+# run.
 _DRIVER_WINDOW = [
-    # never driver-checked (added r06)
+    # never driver-checked (added r06/r07)
+    "llm_token_count",
     "semantic_dedup",
     "doc_chunks",
     "hashed_doc_vectors",
@@ -374,7 +380,6 @@ _DRIVER_WINDOW = [
     "epoch_shuffle",
     "dup_ngram_fraction",
     "lm_unigram_score",
-    "quality_percentiles",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

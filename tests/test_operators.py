@@ -746,6 +746,34 @@ def test_cluster_hash_split_is_cluster_atomic(spark, docs):
     assert 0.05 < frac < 0.40
 
 
+def test_bpe_token_count_shapes(spark):
+    """BPE-ish pre-tokenizer: contractions split off, digit runs chunk
+    in threes, punctuation runs are one token, leading spaces fold
+    into the following token — so the estimate tracks subword
+    tokenizers, not whitespace words."""
+    df = spark.createDataFrame(
+        [
+            (1, "it's fine"),          # it + 's + fine
+            (2, "price 123456"),        # price + 123 + 456
+            (3, "wait... what?!"),      # wait + ... + what + ?!
+            (4, ""),                    # empty -> 0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n, r.toks)
+        for r in df.select(
+            "doc_id",
+            X.bpe_token_count(F.col("text")).alias("n"),
+            X.bpe_tokens(F.col("text")).alias("toks"),
+        ).collect()
+    }
+    assert out[1] == (3, ["it", "'s", " fine"])
+    assert out[2] == (3, ["price", " 123", "456"])
+    assert out[3] == (4, ["wait", "...", " what", "?!"])
+    assert out[4] == (0, [])
+
+
 def test_chunk_documents_no_redundant_tail(spark):
     """A document whose tail is fully covered by the previous window
     must not emit an extra chunk (n=56, window=32, stride=24: chunk 1
