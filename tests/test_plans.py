@@ -183,3 +183,42 @@ def test_semantic_dedup_joins_on_cell(spark):
     p = plan(spark, SPECS["semantic_dedup"].fn(spark, SF_SMOKE), "simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_llm_token_count_no_shuffle(spark):
+    """Token counting (whitespace + BPE-ish regex) is row-local JVM
+    regex: any hash Exchange would shuffle the corpus for per-row
+    arithmetic."""
+    p = plan(spark, SPECS["llm_token_count"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_pq_topk_partial_topk_and_broadcast(spark):
+    """PQ-ADC shortlist must execute as WindowGroupLimit (per-partition
+    partial top-k, no full global sort of the scored stream) and the
+    query LUT side must broadcast — the corpus is never shuffled for
+    scoring."""
+    p = plan(spark, SPECS["pq_topk"].fn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ann_lsh_topk_bucket_equi_join(spark):
+    """Candidate generation must be a broadcast equi-join on the
+    bucket struct: a SortMergeJoin or nested loop here means the
+    corpus is shuffled per query table."""
+    p = plan(spark, SPECS["ann_lsh_topk"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivfpq_topk_probe_broadcast(spark):
+    """IVFPQ's cell-bounded ADC: the probe/LUT side broadcasts into
+    the coded corpus scan; the shortlist rank is a partial top-k."""
+    p = plan(spark, SPECS["ivfpq_topk"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
