@@ -598,3 +598,88 @@ def incremental_near_dups(
         full_idx,
         band_store.unionByName(new_bands.select("id", "band", "bh")),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span removal (Lee et al. 2022, token-window variant)
+# ---------------------------------------------------------------------------
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring deduplication at span granularity ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022,
+    arXiv:2107.06499 — reduced to token windows): every ``n``-token
+    span that occurs more than once in the corpus keeps only its FIRST
+    occurrence (min ``(doc_id, start)``); all other occurrences have
+    their tokens removed from the document. Unlike document-level dedup
+    this strips boilerplate repeated INSIDE otherwise-unique documents.
+
+    Returns one row per input document: ``(id, n_tokens, n_kept,
+    clean_text)`` — documents whose every token is covered by removed
+    spans come back with empty ``clean_text``, never dropped.
+
+    Scale shape: span hashes are md5 over token windows (JVM built-ins,
+    no UDF); the first-occurrence decision is ONE window pass
+    partitioned by the 32-byte span hash (shuffle carries (hash, doc,
+    start) — never text); only NON-first occurrences explode into
+    their n covered positions (blow-up is n x duplicated-spans, not
+    n x corpus); the kept-token reassembly is an anti-join plus one
+    per-doc aggregation. Everything is deterministic — value-checkable
+    against the SQL oracle end to end.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    starts = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "id",
+        F.explode(starts).alias("start"),
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("start") + 1, n)).cast("binary")
+        ).alias("gh"),
+    )
+    w = Window.partitionBy("gh").orderBy("id", "start")
+    removed = (
+        grams.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)  # every occurrence but the first
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    kept = toks.join(removed, ["id", "pos"], "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -947,3 +947,65 @@ SELECT t.doc_id,
        round(b.n_bpe::DOUBLE / greatest(len(t.toks), 1), 6) AS bpe_per_ws
 FROM tok t JOIN b USING (doc_id) ORDER BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span removal (Lee et al. 2022 token-window variant)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5
+
+
+def q_drop_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-span removal: every 5-token span occurring
+    more than once keeps only its first (doc_id, start) occurrence;
+    later occurrences lose their tokens. The oracle replays span
+    hashing, the global first-occurrence window, position coverage,
+    and text reassembly in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.drop_duplicate_spans(docs, n=_SPAN_N).orderBy("doc_id")
+
+
+Q_DROP_DUP_SPANS_ORACLE = f"""
+WITH {_TOK_CTE},
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(greatest(len(toks) - {_SPAN_N} + 1, 0)))::INTEGER AS start
+  FROM tok
+),
+g AS (
+  SELECT doc_id, start,
+         md5(array_to_string(toks[start + 1 : start + {_SPAN_N}], ' ')) AS gh
+  FROM st
+),
+rk AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, start) AS rk
+  FROM g
+),
+rem AS (
+  SELECT DISTINCT doc_id, start + r.i AS pos
+  FROM rk, range({_SPAN_N}) r(i) WHERE rk > 1
+),
+tp AS (
+  SELECT doc_id, toks, unnest(range(len(toks)))::INTEGER AS pos FROM tok
+),
+tt AS (
+  SELECT doc_id, pos, toks[pos + 1] AS tok FROM tp
+),
+kept AS (
+  SELECT tt.doc_id, tt.pos, tt.tok
+  FROM tt LEFT JOIN rem ON tt.doc_id = rem.doc_id AND tt.pos = rem.pos
+  WHERE rem.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM tok t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""

@@ -275,9 +275,12 @@ SPECS: dict[str, QuerySpec] = {
     "leakage_safe_split": QuerySpec(
         CU.q_leakage_safe_split, CU.Q_LEAKAGE_SAFE_SPLIT_ORACLE, ("dedup", "sampling")
     ),
-    # round-7 addition
+    # round-7 additions
     "llm_token_count": QuerySpec(
         CU.q_llm_token_count, CU.Q_LLM_TOKEN_COUNT_ORACLE, ("text",)
+    ),
+    "drop_dup_spans": QuerySpec(
+        CU.q_drop_dup_spans, CU.Q_DROP_DUP_SPANS_ORACLE, ("dedup", "text")
     ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
@@ -321,13 +324,14 @@ SPECS: dict[str, QuerySpec] = {
 # window), spanning every family: agg/filter/join/temporal/scalar/
 # text/dedup/similarity/sampling/curation. Exactly 50. Rotated out:
 # the 40 r06-green entries plus importance_sample, zorder_key,
-# export_manifest, quality_percentiles, the four window_* queries and
-# the two approx sketches — all r04/r05/r06-green with unchanged code,
-# still gated locally by tests/test_conformance.py on every pytest
-# run.
+# export_manifest, quality_percentiles, lm_unigram_score, the four
+# window_* queries and the two approx sketches — all r04/r05/r06-green
+# with unchanged code, still gated locally by tests/test_conformance.py
+# on every pytest run.
 _DRIVER_WINDOW = [
     # never driver-checked (added r06/r07)
     "llm_token_count",
+    "drop_dup_spans",
     "semantic_dedup",
     "doc_chunks",
     "hashed_doc_vectors",
@@ -379,7 +383,6 @@ _DRIVER_WINDOW = [
     "contamination_check",
     "epoch_shuffle",
     "dup_ngram_fraction",
-    "lm_unigram_score",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

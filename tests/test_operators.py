@@ -746,6 +746,31 @@ def test_cluster_hash_split_is_cluster_atomic(spark, docs):
     assert 0.05 < frac < 0.40
 
 
+def test_drop_duplicate_spans_planted(spark):
+    """A 5-token span repeated across (and within) documents survives
+    only at its first (doc_id, start) occurrence; untouched text is
+    reassembled verbatim; fully-duplicated docs come back empty but
+    present."""
+    boiler = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta"),       # first occurrence: kept whole
+            (2, f"gamma {boiler} delta"),       # loses the 5 boiler tokens
+            (3, boiler),                         # fully duplicated -> empty
+            (4, "unique words only here"),      # < 5 tokens of overlap: kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in D.drop_duplicate_spans(df, n=5).collect()}
+    assert out[1].clean_text == f"{boiler} alpha beta"
+    assert out[1].n_kept == 7
+    assert out[2].clean_text == "gamma delta"
+    assert (out[2].n_tokens, out[2].n_kept) == (7, 2)
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[4].clean_text == "unique words only here"
+    assert len(out) == 4  # every input doc present
+
+
 def test_bpe_token_count_shapes(spark):
     """BPE-ish pre-tokenizer: contractions split off, digit runs chunk
     in threes, punctuation runs are one token, leading spaces fold
