@@ -222,3 +222,13 @@ def test_ivfpq_topk_probe_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+
+def test_drop_dup_spans_bounded_shuffles(spark):
+    """Span dedup is window-over-hash + anti-join + per-doc rollup:
+    bounded hash exchanges, never a cartesian, and no single-partition
+    funnel of the exploded token stream."""
+    p = plan(spark, SPECS["drop_dup_spans"].fn(spark, SF_SMOKE), "simple")
+    assert p.count("Exchange hashpartitioning") <= 4
+    assert "CartesianProduct" not in p
+    assert "Exchange SinglePartition" not in p
