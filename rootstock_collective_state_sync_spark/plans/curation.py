@@ -1009,3 +1009,52 @@ SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
 FROM tok t LEFT JOIN agg a USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization of the embedding corpus
+# ---------------------------------------------------------------------------
+
+
+def q_emb_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with an in-row fidelity
+    witness (cosine of original vs dequantized). The oracle replays
+    the scale, the floor-based half-up codes, dequantization, and the
+    cosine in SQL."""
+    from rootstock_collective_state_sync_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb).orderBy("vec_id")
+
+
+def _int8_quant_oracle() -> str:
+    from rootstock_collective_state_sync_spark.plans.training import _COS_SQL
+
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0
+           AS scale
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding,
+             v -> floor(v::DOUBLE / greatest(scale, 1e-30) + 0.5)::INTEGER)
+           AS codes
+  FROM s
+),
+d AS (
+  SELECT vec_id, embedding, scale, codes,
+         list_transform(codes, x -> x::DOUBLE * scale) AS dq
+  FROM c
+)
+SELECT vec_id, round(scale, 6) AS scale, codes,
+       CASE WHEN scale > 0
+            THEN {_COS_SQL.format(a="embedding", b="dq")}
+            END AS cos_fidelity
+FROM d ORDER BY vec_id
+"""
+
+
+Q_EMB_INT8_QUANT_ORACLE = _int8_quant_oracle()

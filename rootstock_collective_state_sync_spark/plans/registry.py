@@ -282,6 +282,9 @@ SPECS: dict[str, QuerySpec] = {
     "drop_dup_spans": QuerySpec(
         CU.q_drop_dup_spans, CU.Q_DROP_DUP_SPANS_ORACLE, ("dedup", "text")
     ),
+    "emb_int8_quant": QuerySpec(
+        CU.q_emb_int8_quant, CU.Q_EMB_INT8_QUANT_ORACLE, ("similarity",)
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
@@ -324,14 +327,15 @@ SPECS: dict[str, QuerySpec] = {
 # window), spanning every family: agg/filter/join/temporal/scalar/
 # text/dedup/similarity/sampling/curation. Exactly 50. Rotated out:
 # the 40 r06-green entries plus importance_sample, zorder_key,
-# export_manifest, quality_percentiles, lm_unigram_score, the four
-# window_* queries and the two approx sketches — all r04/r05/r06-green
-# with unchanged code, still gated locally by tests/test_conformance.py
-# on every pytest run.
+# export_manifest, quality_percentiles, lm_unigram_score,
+# epoch_shuffle, the four window_* queries and the two approx sketches
+# — all r04/r05/r06-green with unchanged code, still gated locally by
+# tests/test_conformance.py on every pytest run.
 _DRIVER_WINDOW = [
     # never driver-checked (added r06/r07)
     "llm_token_count",
     "drop_dup_spans",
+    "emb_int8_quant",
     "semantic_dedup",
     "doc_chunks",
     "hashed_doc_vectors",
@@ -381,7 +385,6 @@ _DRIVER_WINDOW = [
     "vocab_topk",
     "tfidf_top_terms",
     "contamination_check",
-    "epoch_shuffle",
     "dup_ngram_fraction",
 ]
 

@@ -746,6 +746,24 @@ def test_cluster_hash_split_is_cluster_atomic(spark, docs):
     assert 0.05 < frac < 0.40
 
 
+def test_quantize_int8_fidelity_and_bounds(spark, emb):
+    """int8 quantization: codes stay in [-127, 127], the max-magnitude
+    element hits ±127 exactly, cosine fidelity vs the original stays
+    ≥ 0.999 on real embeddings, and the all-zero vector quantizes to
+    zero codes with scale 0 and NULL fidelity."""
+    out = S.quantize_int8(emb).collect()
+    assert out
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r.codes)
+        assert max(abs(c) for c in r.codes) == 127
+        assert r.cos_fidelity is not None and r.cos_fidelity >= 0.999
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id bigint, embedding array<float>"
+    )
+    z = S.quantize_int8(zero).first()
+    assert z.scale == 0.0 and z.codes == [0] * 8 and z.cos_fidelity is None
+
+
 def test_drop_duplicate_spans_planted(spark):
     """A 5-token span repeated across (and within) documents survives
     only at its first (doc_id, start) occurrence; untouched text is
