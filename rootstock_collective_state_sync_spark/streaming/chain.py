@@ -95,6 +95,12 @@ class HttpChain:
 
     rpc_url: str
     transport: RpcTransport = field(default=http_rpc_transport)
+    #: transient-transport retries (parity with viem's default
+    #: retryCount=3). Only TRANSPORT exceptions retry — a JSON-RPC
+    #: `error` member is the node answering and retrying it would
+    #: just repeat the answer.
+    retries: int = 3
+    retry_backoff_s: float = 0.15
     _next_id: int = 1
 
     @classmethod
@@ -114,6 +120,8 @@ class HttpChain:
         return cls(rpc_url=spec.rpc_url, transport=transport)
 
     def _call(self, method: str, params: list) -> dict | str | None:
+        import time
+
         body = {
             "jsonrpc": "2.0",
             "id": self._next_id,
@@ -121,10 +129,23 @@ class HttpChain:
             "params": params,
         }
         self._next_id += 1
-        resp = self.transport(self.rpc_url, body)
-        if "error" in resp and resp["error"]:
-            raise ChainRpcError(f"{method}: {resp['error']}")
-        return resp.get("result")
+        last: Exception | None = None
+        for attempt in range(self.retries + 1):
+            try:
+                resp = self.transport(self.rpc_url, body)
+            except ChainRpcError:
+                raise  # a fake/typed protocol error is not transient
+            except Exception as e:  # transport failure: retry
+                last = e
+                if attempt < self.retries and self.retry_backoff_s > 0:
+                    time.sleep(self.retry_backoff_s * (2**attempt))
+                continue
+            if "error" in resp and resp["error"]:
+                raise ChainRpcError(f"{method}: {resp['error']}")
+            return resp.get("result")
+        raise ChainRpcError(
+            f"{method}: transport failed after {self.retries + 1} attempts"
+        ) from last
 
     def _to_block(self, raw: dict) -> Block:
         return Block(

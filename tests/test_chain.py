@@ -94,6 +94,49 @@ def test_http_chain_rpc_error_surfaces():
         chain.head_block()
 
 
+def test_http_chain_retries_transient_transport_failures():
+    """Transport exceptions retry up to `retries` times (viem parity);
+    JSON-RPC `error` responses do NOT retry — the node answered."""
+    calls = {"n": 0}
+
+    def flaky(url, body):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise ConnectionError("boom")
+        return {
+            "jsonrpc": "2.0", "id": body["id"],
+            "result": {"number": "0x1", "hash": "0xaa", "timestamp": "0x0",
+                       "parentHash": ""},
+        }
+
+    chain = HttpChain("fake://rpc", transport=flaky, retry_backoff_s=0.0)
+    assert chain.get_block(1).hash == "0xaa"
+    assert calls["n"] == 3  # 2 failures + 1 success
+
+    always = {"n": 0}
+
+    def dead(url, body):
+        always["n"] += 1
+        raise ConnectionError("down")
+
+    chain2 = HttpChain("fake://rpc", transport=dead, retries=2, retry_backoff_s=0.0)
+    with pytest.raises(ChainRpcError, match="after 3 attempts"):
+        chain2.get_block(1)
+    assert always["n"] == 3
+
+    rpc_err = {"n": 0}
+
+    def erroring(url, body):
+        rpc_err["n"] += 1
+        return {"jsonrpc": "2.0", "id": body["id"],
+                "error": {"code": -32000, "message": "nope"}}
+
+    chain3 = HttpChain("fake://rpc", transport=erroring, retry_backoff_s=0.0)
+    with pytest.raises(ChainRpcError, match="nope"):
+        chain3.get_block(1)
+    assert rpc_err["n"] == 1  # protocol errors never retry
+
+
 def test_http_chain_request_ids_increment():
     seen = []
 
