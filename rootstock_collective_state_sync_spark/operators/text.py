@@ -548,3 +548,84 @@ def bigram_lm_scores(
             ).alias("mean_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality / domain filtering (logistic head over hashed features)
+# ---------------------------------------------------------------------------
+
+
+def train_logistic_head(
+    df: DataFrame,
+    label_col,
+    dim: int = 64,
+    sample_size: int = 512,
+    iters: int = 10,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[list[float], float]:
+    """Train the classifier-filter head the GPT-3/CCNet-style pipelines
+    use to keep "looks like the target domain" documents: full-batch
+    logistic regression over the in-engine hashed-feature vectors
+    (:func:`hashed_doc_vectors`), trained DRIVER-SIDE on a bounded
+    DETERMINISTIC sample (the ``sample_size`` lowest md5(id) docs —
+    same control-plane-collect policy as the IVF/PQ quantizers: cost
+    is O(sample x dim), independent of corpus size, no RNG).
+
+    Zero-initialized weights, ``iters`` full-batch gradient steps at
+    fixed ``lr`` — every arithmetic step is replayable in SQL, so the
+    whole train-then-score pipeline is value-checkable end to end.
+    Returns ``(weights[dim], bias)``.
+    """
+    import numpy as np
+
+    vecs = hashed_doc_vectors(df, dim=dim, id_col=id_col, text_col=text_col)
+    lab = df.select(F.col(id_col), label_col.cast("double").alias("y"))
+    rows = (
+        vecs.join(lab, id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r.doc_vec for r in rows], dtype=np.float64)
+    y = np.array([r.y for r in rows], dtype=np.float64)
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    n = float(len(rows))
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        e = p - y
+        w -= lr * (X.T @ e) / n
+        b -= lr * float(e.mean())
+    return [float(v) for v in w], float(b)
+
+
+def score_logistic_head(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document under a trained head: ``sigmoid(w . v +
+    b)`` over the hashed-feature vector, rounded to 6 dp. The weight
+    vector ships as a literal array inside the plan (broadcast by
+    value); the dot product is JVM ``zip_with``/``aggregate`` —
+    codegen, no UDF, no extra shuffle beyond the featurizer's own.
+    Returns ``(id, score)``.
+    """
+    vecs = hashed_doc_vectors(df, dim=dim, id_col=id_col, text_col=text_col)
+    wcol = F.array(*[F.lit(float(x)) for x in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col("doc_vec"), wcol, lambda a, b_: a * b_),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return vecs.select(
+        F.col(id_col),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(float(bias))))), 6
+        ).alias("score"),
+    )

@@ -783,8 +783,10 @@ def q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.hashed_doc_vectors(docs, dim=_HASH_DIM).orderBy("doc_id")
 
 
-Q_HASHED_DOC_VECTORS_ORACLE = f"""
-WITH {_TOK_CTE},
+# CTE chain producing `dense(doc_id, bucket, x)` — the 6-dp-rounded
+# l2-normalized hashed feature grid. Shared by the hashed-vector
+# oracle and the logistic-head classifier oracle.
+_HASH_DENSE_CTES = f"""{_TOK_CTE},
 t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
 h AS (
   SELECT doc_id,
@@ -800,13 +802,16 @@ h AS (
 b AS (SELECT doc_id, bucket, sum(s)::DOUBLE AS v FROM h GROUP BY 1, 2),
 n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM b GROUP BY 1),
 grid AS (SELECT d.doc_id, r.i AS bucket FROM documents d, range({_HASH_DIM}) r(i)),
-dense AS (
+dense AS MATERIALIZED (
   SELECT g.doc_id, g.bucket,
          round(coalesce(b.v, 0) / greatest(coalesce(n.nrm, 0), 1e-12), 6) AS x
   FROM grid g
   LEFT JOIN b ON g.doc_id = b.doc_id AND g.bucket = b.bucket
   LEFT JOIN n ON g.doc_id = n.doc_id
-)
+)"""
+
+Q_HASHED_DOC_VECTORS_ORACLE = f"""
+WITH {_HASH_DENSE_CTES}
 SELECT doc_id, list(x ORDER BY bucket) AS doc_vec
 FROM dense GROUP BY doc_id ORDER BY doc_id
 """
@@ -1058,3 +1063,108 @@ FROM d ORDER BY vec_id
 
 
 Q_EMB_INT8_QUANT_ORACLE = _int8_quant_oracle()
+
+
+# ---------------------------------------------------------------------------
+# model-based quality/domain filter (logistic head over hashed features)
+# ---------------------------------------------------------------------------
+
+_CLF_SAMPLE = 512
+# 50 full-batch steps at lr 5.0: margin(in-domain vs out) ≈ 0.25 on
+# the sf0.01 corpus (10 @ 0.5 leaves it at 0.02 — underfit); the
+# oracle unrolls 4 CTEs per step, well within DuckDB's planner.
+_CLF_ITERS = 50
+_CLF_LR = 5.0
+
+
+def q_domain_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier-filter pattern of the GPT-3/CCNet data pipelines,
+    fully in-engine: train a logistic head driver-side on a bounded
+    md5-ordered sample, then broadcast-score every document. The
+    in-domain target is content-derived (documents mentioning 'spark'
+    — a learnable stand-in for "looks like the reference corpus"; the
+    synthetic table's lang column is deliberately uncorrelated with
+    its text, so a lang target would only prove the model can fail).
+    The oracle replays the hashed features, the 10 unrolled full-batch
+    gradient steps, and the final sigmoid scoring in pure SQL —
+    training AND inference are both value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.array_contains(X.tokens(F.col("text")), "spark").cast("int")
+    w, b = X.train_logistic_head(
+        docs,
+        label_col=label,
+        dim=_HASH_DIM,
+        sample_size=_CLF_SAMPLE,
+        iters=_CLF_ITERS,
+        lr=_CLF_LR,
+    )
+    scores = X.score_logistic_head(docs, w, b, dim=_HASH_DIM)
+    return (
+        docs.select("doc_id", label.alias("label"))
+        .join(scores, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _domain_classifier_oracle(
+    dim: int = _HASH_DIM,
+    sample: int = _CLF_SAMPLE,
+    iters: int = _CLF_ITERS,
+    lr: float = _CLF_LR,
+) -> str:
+    """Unrolled full-batch logistic-regression replay: w0 = 0, each
+    iteration computes per-sample sigmoid, the averaged gradient, and
+    the updated (w, b) as materialized 64-row / 1-row CTEs — exactly
+    :func:`operators.text.train_logistic_head`'s numpy loop."""
+    parts = [f"""
+WITH {_HASH_DENSE_CTES},
+samp AS MATERIALIZED (
+  SELECT doc_id, y FROM (
+    SELECT t.doc_id,
+           CASE WHEN list_contains(t.toks, 'spark') THEN 1.0 ELSE 0.0 END AS y,
+           row_number() OVER (ORDER BY md5(t.doc_id::VARCHAR), t.doc_id) AS rn
+    FROM tok t
+  ) WHERE rn <= {sample}
+),
+scnt AS (SELECT count(*)::DOUBLE AS cnt FROM samp),
+sdense AS MATERIALIZED (
+  SELECT d.doc_id, d.bucket, d.x FROM dense d JOIN samp USING (doc_id)
+),
+w0 AS (SELECT r.i AS j, 0.0 AS w FROM range({dim}) r(i)),
+b0 AS (SELECT 0.0 AS b)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+z{t} AS (
+  SELECT d.doc_id, sum(d.x * w.w) AS dot
+  FROM sdense d JOIN w{t - 1} w ON d.bucket = w.j GROUP BY 1
+),
+e{t} AS MATERIALIZED (
+  SELECT s.doc_id, 1.0 / (1.0 + exp(-(z.dot + b.b))) - s.y AS e
+  FROM samp s JOIN z{t} z USING (doc_id), b{t - 1} b
+),
+w{t} AS MATERIALIZED (
+  SELECT w.j, w.w - {lr} * g.gs / sc.cnt AS w
+  FROM w{t - 1} w
+  JOIN (SELECT d.bucket AS j, sum(e.e * d.x) AS gs
+        FROM e{t} e JOIN sdense d USING (doc_id) GROUP BY 1) g ON w.j = g.j,
+       scnt sc
+),
+b{t} AS MATERIALIZED (
+  SELECT b.b - {lr} * ge.gsum / sc.cnt AS b
+  FROM b{t - 1} b, (SELECT sum(e) AS gsum FROM e{t}) ge, scnt sc
+)""")
+    parts.append(f""",
+fz AS (
+  SELECT d.doc_id, sum(d.x * w.w) AS dot
+  FROM dense d JOIN w{iters} w ON d.bucket = w.j GROUP BY 1
+)
+SELECT t.doc_id,
+       (CASE WHEN list_contains(t.toks, 'spark') THEN 1 ELSE 0 END)::INTEGER
+         AS label,
+       round(1.0 / (1.0 + exp(-(fz.dot + b.b))), 6) AS score
+FROM tok t JOIN fz ON t.doc_id = fz.doc_id, b{iters} b
+ORDER BY t.doc_id""")
+    return "".join(parts)
+
+
+Q_DOMAIN_CLASSIFIER_ORACLE = _domain_classifier_oracle()

@@ -285,6 +285,11 @@ SPECS: dict[str, QuerySpec] = {
     "emb_int8_quant": QuerySpec(
         CU.q_emb_int8_quant, CU.Q_EMB_INT8_QUANT_ORACLE, ("similarity",)
     ),
+    "domain_classifier_score": QuerySpec(
+        CU.q_domain_classifier_score,
+        CU.Q_DOMAIN_CLASSIFIER_ORACLE,
+        ("text", "sampling"),
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
@@ -328,14 +333,15 @@ SPECS: dict[str, QuerySpec] = {
 # text/dedup/similarity/sampling/curation. Exactly 50. Rotated out:
 # the 40 r06-green entries plus importance_sample, zorder_key,
 # export_manifest, quality_percentiles, lm_unigram_score,
-# epoch_shuffle, the four window_* queries and the two approx sketches
-# — all r04/r05/r06-green with unchanged code, still gated locally by
-# tests/test_conformance.py on every pytest run.
+# epoch_shuffle, camel_case, the four window_* queries and the two
+# approx sketches — all r04/r05/r06-green with unchanged code, still
+# gated locally by tests/test_conformance.py on every pytest run.
 _DRIVER_WINDOW = [
     # never driver-checked (added r06/r07)
     "llm_token_count",
     "drop_dup_spans",
     "emb_int8_quant",
+    "domain_classifier_score",
     "semantic_dedup",
     "doc_chunks",
     "hashed_doc_vectors",
@@ -359,7 +365,6 @@ _DRIVER_WINDOW = [
     "asof_join",
     "bigint_arith",
     "hex_roundtrip",
-    "camel_case",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

@@ -746,6 +746,33 @@ def test_cluster_hash_split_is_cluster_atomic(spark, docs):
     assert 0.05 < frac < 0.40
 
 
+def test_logistic_head_learns_separable_labels(spark):
+    """The driver-trained head must actually LEARN: on a vocabulary-
+    separable synthetic corpus the mean in-domain score must exceed
+    the out-of-domain mean by a wide margin; scores live in (0,1);
+    train+score is deterministic end to end."""
+    rows = []
+    for i in range(60):
+        rows.append((i, f"alpha beta gamma delta w{i % 7} epsilon", 1))
+    for i in range(60, 120):
+        rows.append((i, f"zeta eta theta iota w{i % 7} kappa", 0))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    label = F.col("y")
+    w1, b1 = X.train_logistic_head(df, label_col=label, sample_size=120)
+    w2, b2 = X.train_logistic_head(df, label_col=label, sample_size=120)
+    assert w1 == w2 and b1 == b2  # deterministic sample + GD
+    scored = (
+        df.select("doc_id", "y")
+        .join(X.score_logistic_head(df, w1, b1), "doc_id")
+        .collect()
+    )
+    assert all(0.0 <= r.score <= 1.0 for r in scored)
+    pos = [r.score for r in scored if r.y == 1]
+    neg = [r.score for r in scored if r.y == 0]
+    margin = sum(pos) / len(pos) - sum(neg) / len(neg)
+    assert margin > 0.3, f"classifier failed to separate: margin {margin:.3f}"
+
+
 def test_quantize_int8_fidelity_and_bounds(spark, emb):
     """int8 quantization: codes stay in [-127, 127], the max-magnitude
     element hits ±127 exactly, cosine fidelity vs the original stays
