@@ -383,3 +383,72 @@ def frame_sample(
             yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
 
     return df.mapInPandas(batches, schema)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("ahash", T.StringType(), True),
+        T.StructField("gray_total", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame, grid: int = 8, num_partitions: int | None = None
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded images: nearest-
+    neighbor-sample the PPM to ``grid x grid`` (the same sampling
+    arithmetic as :func:`resize_ppm`, already pixel-exact against the
+    SQL oracle), integer-grayscale each cell ((r+g+b)//3), and emit
+    one bit per cell — 1 iff ``gray * grid² > sum(grays)`` (strict,
+    integer-exact; no float mean). Visually-near-identical images
+    land within a few Hamming bits, so downstream near-dup mining is
+    the same banded equi-join :func:`..dedup.simhash` uses — this is
+    the image leg of the dedup stack.
+
+    Decode failures quarantine per row (``decode_error``), never
+    abort the batch. Arrow-batched ``mapInPandas`` over the content-
+    hash partitioning — scales with the cluster, no literal caps.
+    """
+    import numpy as np
+
+    cells = grid * grid
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes, totals, errs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(doc_id)
+                try:
+                    rz = resize_ppm(bytes(payload), grid, grid)
+                    _, _, _, raster = _parse_ppm(rz)
+                    a = (
+                        np.frombuffer(raster, dtype=np.uint8)
+                        .astype(np.int64)
+                        .reshape(cells, 3)
+                    )
+                    grays = a.sum(axis=1) // 3
+                    total = int(grays.sum())
+                    hashes.append(
+                        "".join(
+                            "1" if int(g) * cells > total else "0" for g in grays
+                        )
+                    )
+                    totals.append(total)
+                    errs.append(None)
+                except ValueError as e:
+                    hashes.append(None)
+                    totals.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "ahash": hashes,
+                    "gray_total": totals,
+                    "decode_error": errs,
+                }
+            )
+
+    return _by_content_hash(df, num_partitions).mapInPandas(batches, AHASH_SCHEMA)

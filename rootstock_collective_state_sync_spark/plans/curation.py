@@ -1168,3 +1168,54 @@ ORDER BY t.doc_id""")
 
 
 Q_DOMAIN_CLASSIFIER_ORACLE = _domain_classifier_oracle()
+
+
+# ---------------------------------------------------------------------------
+# multimodal: perceptual average-hash over decoded images
+# ---------------------------------------------------------------------------
+
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual aHash of every synthetic P6 image — the image leg of
+    the dedup stack, value-checked down to the pixel: the oracle
+    rebuilds the image, replays the 8x8 nearest-neighbor sampling,
+    integer grayscale, and the strict bit rule in SQL."""
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_ppm_payload(docs)
+    return (
+        M.image_ahash(media, grid=8)
+        .select("doc_id", "ahash", "gray_total")
+        .orderBy("doc_id")
+    )
+
+
+Q_IMAGE_AHASH_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         (8 + doc_id % 8)::BIGINT AS w,
+         (6 + doc_id % 5)::BIGINT AS h,
+         rpad(text, ((8 + doc_id % 8) * (6 + doc_id % 5) * 3)::INT, text)
+           AS raster
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(64), i ->
+             (ord(substr(raster,
+                  (((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) * 3 + 1)::INT, 1))
+            + ord(substr(raster,
+                  (((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) * 3 + 2)::INT, 1))
+            + ord(substr(raster,
+                  (((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) * 3 + 3)::INT, 1))
+             ) // 3) AS grays
+  FROM base
+)
+SELECT doc_id,
+       array_to_string(list_transform(grays,
+           x -> CASE WHEN x * 64 > list_sum(grays) THEN '1' ELSE '0' END), '')
+         AS ahash,
+       list_sum(grays)::BIGINT AS gray_total
+FROM g ORDER BY doc_id
+"""

@@ -290,6 +290,9 @@ SPECS: dict[str, QuerySpec] = {
         CU.Q_DOMAIN_CLASSIFIER_ORACLE,
         ("text", "sampling"),
     ),
+    "image_ahash": QuerySpec(
+        CU.q_image_ahash, CU.Q_IMAGE_AHASH_ORACLE, ("multimodal", "dedup")
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
@@ -333,15 +336,17 @@ SPECS: dict[str, QuerySpec] = {
 # text/dedup/similarity/sampling/curation. Exactly 50. Rotated out:
 # the 40 r06-green entries plus importance_sample, zorder_key,
 # export_manifest, quality_percentiles, lm_unigram_score,
-# epoch_shuffle, camel_case, the four window_* queries and the two
-# approx sketches — all r04/r05/r06-green with unchanged code, still
-# gated locally by tests/test_conformance.py on every pytest run.
+# epoch_shuffle, camel_case, vocab_topk, the four window_* queries and
+# the two approx sketches — all r04/r05/r06-green with unchanged code,
+# still gated locally by tests/test_conformance.py on every pytest
+# run.
 _DRIVER_WINDOW = [
     # never driver-checked (added r06/r07)
     "llm_token_count",
     "drop_dup_spans",
     "emb_int8_quant",
     "domain_classifier_score",
+    "image_ahash",
     "semantic_dedup",
     "doc_chunks",
     "hashed_doc_vectors",
@@ -387,7 +392,6 @@ _DRIVER_WINDOW = [
     "pack_split_sequences",
     "clean_corpus",
     "pii_redaction",
-    "vocab_topk",
     "tfidf_top_terms",
     "contamination_check",
     "dup_ngram_fraction",

@@ -242,3 +242,32 @@ def test_resize_images_quarantines_corrupt_payloads(spark):
         b"P6\n2 2\n255\n"
     ) + 12
     assert out[2].decode_error is not None and out[2].resized is None
+
+
+def test_image_ahash_dedup_properties(spark):
+    """aHash is an image near-dup signal: byte-identical images hash
+    identically, a small content edit flips few bits, a different
+    image flips many; corrupt payloads quarantine instead of killing
+    the batch."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 12
+    edited = base.replace("gamma", "gamme", 1)
+    other = "completely different words entirely unrelated here " * 12
+    # ids congruent mod 8 AND mod 5: attach_ppm_payload derives image
+    # dims from doc_id, and the identical-content property needs
+    # identical geometry
+    docs = spark.createDataFrame(
+        [(1, base), (41, base), (81, edited), (121, other)], ["doc_id", "text"]
+    )
+    media = M.attach_ppm_payload(docs)
+    out = {r.doc_id: r for r in M.image_ahash(media).collect()}
+    assert all(r.decode_error is None for r in out.values())
+    assert all(len(r.ahash) == 64 and set(r.ahash) <= {"0", "1"}
+               for r in out.values())
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert out[1].ahash == out[41].ahash           # identical content
+    assert ham(out[1].ahash, out[81].ahash) <= 8   # one-word edit: near
+    assert ham(out[1].ahash, out[121].ahash) > 8   # different image: far
+
+    bad = spark.createDataFrame([(9, b"NOT A PPM")], "doc_id long, payload binary")
+    q = M.image_ahash(bad).first()
+    assert q.ahash is None and "P6" in q.decode_error
