@@ -452,3 +452,64 @@ def image_ahash(
             )
 
     return _by_content_hash(df, num_partitions).mapInPandas(batches, AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    grid: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs at scale: band the 64-bit
+    :func:`image_ahash` into ``bands`` chunks, equi-join on (band,
+    chunk) — by pigeonhole a pair within ``max_hamming`` bits is
+    GUARANTEED a band collision whenever ``max_hamming < bands``
+    (each differing bit ruins at most one band), so the 8-band
+    default makes the ≤6-bit search exact, not approximate — then
+    verify the exact Hamming distance on candidates only. Same
+    linear-shuffle design as the SimHash text path: the join key is
+    an 8-bit chunk, never the image, and no all-pairs stage exists.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``,
+    ``hamming <= max_hamming``.
+    """
+    hashes = image_ahash(df, grid=grid, num_partitions=num_partitions).filter(
+        F.col("ahash").isNotNull()
+    )
+    width = (grid * grid) // bands
+    banded = hashes.select(
+        F.col("doc_id"),
+        "ahash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, substring(ahash, b * {width} + 1, {width}) AS chunk))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "ahash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"), "band", "chunk"
+    )
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()  # dedup multi-band collisions before the verify
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split("ha", ""),
+            F.split("hb", ""),
+            lambda x, y: (x != y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

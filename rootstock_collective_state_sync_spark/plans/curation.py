@@ -1191,8 +1191,10 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_IMAGE_AHASH_ORACLE = """
-WITH base AS (
+# CTE chain producing `hsh(doc_id, ahash, gray_total)` — the pixel-
+# exact aHash replay, shared by the hash oracle and the image
+# near-dup-pairs oracle.
+_AHASH_CTES = """base AS (
   SELECT doc_id,
          (8 + doc_id % 8)::BIGINT AS w,
          (6 + doc_id % 5)::BIGINT AS h,
@@ -1211,11 +1213,46 @@ g AS (
                   (((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) * 3 + 3)::INT, 1))
              ) // 3) AS grays
   FROM base
+),
+hsh AS MATERIALIZED (
+  SELECT doc_id,
+         array_to_string(list_transform(grays,
+             x -> CASE WHEN x * 64 > list_sum(grays) THEN '1' ELSE '0' END), '')
+           AS ahash,
+         list_sum(grays)::BIGINT AS gray_total
+  FROM g
+)"""
+
+Q_IMAGE_AHASH_ORACLE = f"""
+WITH {_AHASH_CTES}
+SELECT doc_id, ahash, gray_total FROM hsh ORDER BY doc_id
+"""
+
+
+def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup mining end-to-end: banded aHash candidates +
+    exact Hamming verify. With 8 bands a <=6-bit pair ALWAYS collides
+    (pigeonhole), so the oracle is the brute-force all-pairs Hamming
+    scan — a match proves the banded plan loses nothing."""
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_ppm_payload(docs)
+    return M.image_near_dup_pairs(media, max_hamming=6, bands=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+Q_IMAGE_NEAR_DUP_ORACLE = f"""
+WITH {_AHASH_CTES},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         list_sum(list_transform(range(64), i ->
+             CASE WHEN substr(a.ahash, (i + 1)::INT, 1)
+                       <> substr(b.ahash, (i + 1)::INT, 1)
+                  THEN 1 ELSE 0 END))::BIGINT AS hamming
+  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
 )
-SELECT doc_id,
-       array_to_string(list_transform(grays,
-           x -> CASE WHEN x * 64 > list_sum(grays) THEN '1' ELSE '0' END), '')
-         AS ahash,
-       list_sum(grays)::BIGINT AS gray_total
-FROM g ORDER BY doc_id
+SELECT id_a, id_b, hamming FROM pairs
+WHERE hamming <= 6 ORDER BY id_a, id_b
 """

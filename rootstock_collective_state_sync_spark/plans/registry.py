@@ -293,6 +293,11 @@ SPECS: dict[str, QuerySpec] = {
     "image_ahash": QuerySpec(
         CU.q_image_ahash, CU.Q_IMAGE_AHASH_ORACLE, ("multimodal", "dedup")
     ),
+    "image_near_dup_pairs": QuerySpec(
+        CU.q_image_near_dup_pairs,
+        CU.Q_IMAGE_NEAR_DUP_ORACLE,
+        ("multimodal", "dedup"),
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
@@ -336,10 +341,10 @@ SPECS: dict[str, QuerySpec] = {
 # text/dedup/similarity/sampling/curation. Exactly 50. Rotated out:
 # the 40 r06-green entries plus importance_sample, zorder_key,
 # export_manifest, quality_percentiles, lm_unigram_score,
-# epoch_shuffle, camel_case, vocab_topk, the four window_* queries and
-# the two approx sketches — all r04/r05/r06-green with unchanged code,
-# still gated locally by tests/test_conformance.py on every pytest
-# run.
+# epoch_shuffle, camel_case, vocab_topk, text_fingerprint, the four
+# window_* queries and the two approx sketches — all r04/r05/r06-green
+# with unchanged code, still gated locally by tests/test_conformance.py
+# on every pytest run.
 _DRIVER_WINDOW = [
     # never driver-checked (added r06/r07)
     "llm_token_count",
@@ -347,6 +352,7 @@ _DRIVER_WINDOW = [
     "emb_int8_quant",
     "domain_classifier_score",
     "image_ahash",
+    "image_near_dup_pairs",
     "semantic_dedup",
     "doc_chunks",
     "hashed_doc_vectors",
@@ -373,7 +379,6 @@ _DRIVER_WINDOW = [
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
