@@ -271,3 +271,18 @@ def test_image_ahash_dedup_properties(spark):
     bad = spark.createDataFrame([(9, b"NOT A PPM")], "doc_id long, payload binary")
     q = M.image_ahash(bad).first()
     assert q.ahash is None and "P6" in q.decode_error
+
+
+def test_image_near_dup_pairs_finds_planted_pair(spark):
+    """Byte-identical images (same text, same geometry) surface as a
+    hamming-0 pair; unrelated images stay out at the <=6 threshold."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 12
+    other = "completely different words entirely unrelated here " * 12
+    docs = spark.createDataFrame(
+        [(1, base), (41, base), (121, other)], ["doc_id", "text"]
+    )
+    media = M.attach_ppm_payload(docs)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in M.image_near_dup_pairs(media).collect()}
+    assert pairs.get((1, 41)) == 0
+    assert (1, 121) not in pairs and (41, 121) not in pairs
