@@ -1,0 +1,102 @@
+"""Heuristic-quality / fusion / audio conformance queries (round-7
+scope extension): Gopher-style rule filtering, reciprocal-rank fusion
+of ANN retrievers, and frame-level audio energy over real PCM WAV
+payloads.
+
+Same contract as :mod:`.training`: every Spark plan composes
+:mod:`..operators` built-ins; every oracle replays the exact
+computation in DuckDB SQL (same integer arithmetic, same rounding),
+so the driver's hash-compare verifies the operator end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rootstock_collective_state_sync_spark.operators import rules as RL
+from rootstock_collective_state_sync_spark.operators.text import STOPWORDS
+from rootstock_collective_state_sync_spark.plans.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style heuristic quality rules
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule audit (Rae et al. 2021 §A1.1): every
+    feature, every per-rule flag, and the aggregate keep flag — the
+    kill-rate audit a curation pipeline runs before deleting anything.
+    Pure JVM projection over the scan; the oracle replays every
+    feature and threshold in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = RL.gopher_quality(docs)
+    rule_cols = [c for c in out.columns if c.startswith(("rule_", "gopher_"))]
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "frac_bullet_lines",
+        "frac_ellipsis_lines",
+        "frac_alpha_words",
+        "n_stop_hits",
+        *[F.col(c).cast("int").alias(c) for c in rule_cols],
+    ).orderBy("doc_id")
+
+
+_STOP_EN_SQL = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+
+Q_GOPHER_QUALITY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r]+'),
+                     x -> x <> '') AS words,
+         string_split(text, chr(10)) AS lns,
+         length(regexp_replace(text, '[^#]', '', 'g'))::BIGINT AS n_hash,
+         len(regexp_extract_all(text, '\\.\\.\\.'))::BIGINT AS n_ellipsis,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         round(coalesce(list_sum(list_transform(words,
+                   x -> length(x)::DOUBLE)), 0.0)
+               / greatest(len(words), 1), 6) AS mean_word_len,
+         round((n_hash + n_ellipsis)::DOUBLE
+               / greatest(len(words), 1), 6) AS symbol_word_ratio,
+         round(len(list_filter(lns,
+                   l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+               / greatest(len(lns), 1), 6) AS frac_bullet_lines,
+         round(len(list_filter(lns,
+                   l -> regexp_matches(trim(l), '\\.\\.\\.$')))::DOUBLE
+               / greatest(len(lns), 1), 6) AS frac_ellipsis_lines,
+         round(len(list_filter(words,
+                   x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+               / greatest(len(words), 1), 6) AS frac_alpha_words,
+         len(list_intersect(list_distinct(toks),
+             [{_STOP_EN_SQL}]))::BIGINT AS n_stop_hits
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
+       n_stop_hits,
+       (n_words >= 50 AND n_words <= 100000)::INTEGER AS rule_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0)::INTEGER
+         AS rule_mean_word_len,
+       (symbol_word_ratio <= 0.1)::INTEGER AS rule_symbol_ratio,
+       (frac_bullet_lines <= 0.9)::INTEGER AS rule_bullet_lines,
+       (frac_ellipsis_lines <= 0.3)::INTEGER AS rule_ellipsis_lines,
+       (frac_alpha_words >= 0.8)::INTEGER AS rule_alpha_words,
+       (n_stop_hits >= 2)::INTEGER AS rule_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND frac_bullet_lines <= 0.9
+        AND frac_ellipsis_lines <= 0.3
+        AND frac_alpha_words >= 0.8
+        AND n_stop_hits >= 2)::INTEGER AS gopher_keep
+FROM f ORDER BY doc_id
+"""

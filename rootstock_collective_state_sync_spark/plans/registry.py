@@ -17,6 +17,7 @@ from rootstock_collective_state_sync_spark.plans import analytics as AN
 from rootstock_collective_state_sync_spark.plans import curation as CU
 from rootstock_collective_state_sync_spark.plans import relational as R
 from rootstock_collective_state_sync_spark.plans import training as TR
+from rootstock_collective_state_sync_spark.plans import quality as Q
 from rootstock_collective_state_sync_spark.plans import tpch_extra as TX
 from rootstock_collective_state_sync_spark.plans import windows as W
 
@@ -297,6 +298,9 @@ SPECS: dict[str, QuerySpec] = {
         CU.q_image_near_dup_pairs,
         CU.Q_IMAGE_NEAR_DUP_ORACLE,
         ("multimodal", "dedup"),
+    ),
+    "gopher_quality": QuerySpec(
+        Q.q_gopher_quality, Q.Q_GOPHER_QUALITY_ORACLE, ("text", "filter")
     ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
