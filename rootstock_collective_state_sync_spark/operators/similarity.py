@@ -923,3 +923,119 @@ def quantize_int8(
         codes.alias("codes"),
         F.when(absmax > 0, cosine(x, dequant)).alias("cos_fidelity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_l2_udf = None
+
+
+def sq_l2_vectorized(a: Column, b: Column) -> Column:
+    """Arrow-batched squared L2 distance (Pandas UDF, einsum over the
+    difference matrix), rounded to 6 dp for cross-engine determinism.
+    Squared — not rooted — distance: sqrt is monotonic so rankings are
+    identical, and skipping it keeps the oracle's arithmetic simpler
+    and exactly replayable."""
+    global _l2_udf
+    if _l2_udf is None:
+
+        @F.pandas_udf("double")
+        def _udf(x: pd.Series, y: pd.Series) -> pd.Series:
+            A = np.stack(x.values).astype(np.float64)
+            B = np.stack(y.values).astype(np.float64)
+            d = A - B
+            return pd.Series(np.round(np.einsum("ij,ij->i", d, d), 6))
+
+        _l2_udf = _udf
+    return _l2_udf(a, b)
+
+
+def brute_force_topk_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by squared L2 distance (ascending) — the second,
+    norm-sensitive retriever of the fusion stack. Same plan shape as
+    :func:`brute_force_topk`: queries broadcast, corpus never
+    shuffled, window ranks only scored pairs."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            sq_l2_vectorized(F.col("q_vec"), F.col("c_vec")).alias("sq_l2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_l2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "sq_l2")
+    )
+
+
+#: fixed-point RRF unit: points = RRF_SCALE DIV (k + rank). Integer
+#: division on both engines — float summation order can never skew a
+#: fused rank.
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    topk: int = 5,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retriever
+    rankings: each list contributes ``RRF_SCALE DIV (k_const + rank)``
+    fixed-point points per (query, candidate); candidates are summed
+    across lists and re-ranked. Points are integers so the fusion is
+    bit-deterministic on any engine and partitioning — no float
+    accumulation order in the ranking key.
+
+    Plan shape: union of the (already tiny: queries x k rows) ranked
+    lists, one groupBy on (query, candidate), one window top-k. The
+    expensive work happened in the retrievers; fusion itself is
+    control-plane sized. Scales with query count, not corpus size.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    pts = F.expr(f"CAST({RRF_SCALE} DIV ({k_const} + {rank_col}) AS BIGINT)")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            pts.alias("pts"),
+        )
+        for r in rankings
+    ]
+    allpts = parts[0]
+    for p in parts[1:]:
+        allpts = allpts.unionByName(p)
+    fused = allpts.groupBy("query_id", "neighbor_id").agg(
+        F.sum("pts").alias("rrf_pts"), F.count("*").cast("bigint").alias("n_lists")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_pts").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rrf_rank") <= topk)
+        .select("query_id", "rrf_rank", "neighbor_id", "rrf_pts", "n_lists")
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from rootstock_collective_state_sync_spark.operators import rules as RL
 from rootstock_collective_state_sync_spark.operators.text import STOPWORDS
 from rootstock_collective_state_sync_spark.plans.tables import load_table
+from rootstock_collective_state_sync_spark.plans.training import _COS_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -99,4 +100,81 @@ SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
         AND frac_alpha_words >= 0.8
         AND n_stop_hits >= 2)::INTEGER AS gopher_keep
 FROM f ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion of two exact retrievers
+# ---------------------------------------------------------------------------
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion end-to-end: the cosine ranking and the
+    (norm-sensitive) squared-L2 ranking of the same query set, fused
+    with fixed-point reciprocal-rank scoring. The oracle replays both
+    retrievers AND the integer fusion in SQL — rank-exact."""
+    from rootstock_collective_state_sync_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cos = S.brute_force_topk(emb, queries, k=10)
+    l2 = S.brute_force_topk_l2(emb, queries, k=10)
+    return S.rrf_fuse([cos, l2], k_const=60, topk=5).orderBy(
+        "query_id", "rrf_rank"
+    )
+
+
+_SQL2_SQL = """
+round(
+  list_sum(list_transform(range(1, len({a}) + 1),
+           i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)
+              * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), 6)
+"""
+
+Q_RRF_FUSION_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+cos_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="q.qv", b="c.embedding")} AS s
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+cos_rk AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id ASC) AS rk
+  FROM cos_scored
+),
+l2_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_SQL2_SQL.format(a="q.qv", b="c.embedding")} AS s
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+l2_rk AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s ASC, neighbor_id ASC) AS rk
+  FROM l2_scored
+),
+pts AS (
+  SELECT query_id, neighbor_id, 1000000000 // (60 + rk) AS pts
+  FROM cos_rk WHERE rk <= 10
+  UNION ALL
+  SELECT query_id, neighbor_id, 1000000000 // (60 + rk) AS pts
+  FROM l2_rk WHERE rk <= 10
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         sum(pts)::BIGINT AS rrf_pts, count(*)::BIGINT AS n_lists
+  FROM pts GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_pts DESC, neighbor_id ASC)::BIGINT
+              AS rrf_rank
+  FROM fused
+)
+SELECT query_id, rrf_rank, neighbor_id, rrf_pts, n_lists
+FROM ranked WHERE rrf_rank <= 5 ORDER BY query_id, rrf_rank
 """

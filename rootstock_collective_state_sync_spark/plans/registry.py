@@ -302,6 +302,9 @@ SPECS: dict[str, QuerySpec] = {
     "gopher_quality": QuerySpec(
         Q.q_gopher_quality, Q.Q_GOPHER_QUALITY_ORACLE, ("text", "filter")
     ),
+    "rrf_fusion": QuerySpec(
+        Q.q_rrf_fusion, Q.Q_RRF_FUSION_ORACLE, ("similarity",)
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
