@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -512,4 +513,152 @@ def image_near_dup_pairs(
     return (
         cand.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV fixture + frame-level energy
+# ---------------------------------------------------------------------------
+
+
+def attach_wav_payload(
+    df: DataFrame, text_col: str = "text", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic PCM WAV fixture generator: each document becomes
+    a real RIFF/WAVE file (mono, 16-bit, ``sample_rate`` Hz) whose
+    sample count derives from ``doc_id`` and whose samples are the
+    text's bytes cycled and centered (``(byte - 128) * 256``) — exact
+    integer duality with the text, which is what lets the SQL oracle
+    rebuild the identical waveform. Real pipelines read actual audio
+    with ``spark.read.format("binaryFile")`` instead."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def wav(doc_id: int, text: str) -> bytes:
+            ns = 64 + doc_id % 64
+            raw = (text * (ns // max(len(text), 1) + 1))[:ns] if text else "\0" * ns
+            samples = [(ord(c) - 128) * 256 for c in raw]
+            data = struct.pack(f"<{ns}h", *samples)
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack(
+                    "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+                )
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        wav(int(d), str(t))
+                        for d, t in zip(pdf["doc_id"], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(batches, schema)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_no", T.LongType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("is_silence", T.IntegerType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    frame: int = 16,
+    silence_threshold: int = 16 * 4096 * 4096,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Frame-level audio energy over PCM WAV payloads: the payload is
+    parsed through the RIFF walker (:func:`decode_wav` semantics),
+    samples are grouped into non-overlapping ``frame``-sample windows
+    (trailing partial frame dropped), and each frame emits its exact
+    integer energy (sum of squared samples), peak amplitude, and a
+    silence flag (``energy < silence_threshold``) — the
+    voice-activity-detection primitive an audio curation pipeline runs
+    before transcription. All-integer arithmetic end to end, so the
+    SQL oracle replays it bit-exactly.
+
+    Scale design: Arrow-batched ``mapInPandas`` after a content-hash
+    repartition (audio payload sizes are wildly skewed); per-row
+    errors quarantine into ``decode_error`` instead of failing the
+    stage; energy fits int64 up to ~2^19 samples/frame at full scale.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in it:
+            rows: dict[str, list] = {k.name: [] for k in AUDIO_FRAME_SCHEMA}
+
+            def emit(doc_id, frame_no, energy, peak, sil, err):
+                rows["doc_id"].append(doc_id)
+                rows["frame_no"].append(frame_no)
+                rows["energy"].append(energy)
+                rows["peak"].append(peak)
+                rows["is_silence"].append(sil)
+                rows["decode_error"].append(err)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                try:
+                    meta = decode_wav(b)
+                    if meta["audio_format"] != 1 or meta["bits_per_sample"] != 16:
+                        raise ValueError("only 16-bit PCM supported")
+                    # re-walk to the data chunk for the raw samples
+                    pos, data = 12, None
+                    while pos + 8 <= len(b):
+                        cid = b[pos : pos + 4]
+                        (size,) = struct.unpack_from("<I", b, pos + 4)
+                        if cid == b"data":
+                            data = b[pos + 8 : pos + 8 + size]
+                            break
+                        pos += 8 + size + (size & 1)
+                    n = len(data) // 2
+                    samples = np.frombuffer(
+                        data[: n * 2], dtype="<i2"
+                    ).astype(np.int64)
+                    nf = n // frame
+                    if nf == 0:
+                        emit(doc_id, None, None, None, None, "no full frame")
+                        continue
+                    fr = samples[: nf * frame].reshape(nf, frame)
+                    energies = (fr * fr).sum(axis=1)
+                    peaks = np.abs(fr).max(axis=1)
+                    for i in range(nf):
+                        emit(
+                            doc_id,
+                            i,
+                            int(energies[i]),
+                            int(peaks[i]),
+                            int(energies[i] < silence_threshold),
+                            None,
+                        )
+                except (ValueError, TypeError, IndexError) as e:
+                    emit(doc_id, None, None, None, None, str(e))
+            yield pd.DataFrame(rows)
+
+    return _by_content_hash(df, num_partitions).mapInPandas(
+        batches, AUDIO_FRAME_SCHEMA
     )

@@ -178,3 +178,53 @@ ranked AS (
 SELECT query_id, rrf_rank, neighbor_id, rrf_pts, n_lists
 FROM ranked WHERE rrf_rank <= 5 ORDER BY query_id, rrf_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# audio: frame-level energy over real PCM WAV payloads
+# ---------------------------------------------------------------------------
+
+
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation plumbing end-to-end, value-checked to the
+    sample: documents -> real RIFF/WAVE payloads -> RIFF walk ->
+    int16 samples -> per-frame integer energy / peak / silence flag.
+    The oracle rebuilds the identical waveform from the text bytes and
+    replays the exact integer frame arithmetic in SQL."""
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        M.audio_frame_energy(M.attach_wav_payload(docs), frame=16)
+        .select("doc_id", "frame_no", "energy", "peak", "is_silence")
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+Q_AUDIO_FRAME_ENERGY_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         (64 + doc_id % 64)::BIGINT AS ns,
+         rpad(text, (64 + doc_id % 64)::INT, text) AS raw
+  FROM documents
+),
+s AS (
+  SELECT doc_id, (ns // 16)::BIGINT AS nf,
+         list_transform(range(ns),
+             i -> ((ord(substr(raw, (i + 1)::INT, 1)) - 128) * 256)::BIGINT)
+           AS samples
+  FROM base
+),
+fr AS (
+  SELECT doc_id, r.i::BIGINT AS frame_no,
+         list_sum(list_transform(range(16),
+             j -> samples[(r.i * 16 + j + 1)::INT]
+                * samples[(r.i * 16 + j + 1)::INT]))::BIGINT AS energy,
+         list_max(list_transform(range(16),
+             j -> abs(samples[(r.i * 16 + j + 1)::INT])))::BIGINT AS peak
+  FROM s, range(8) r(i) WHERE r.i < nf
+)
+SELECT doc_id, frame_no, energy, peak,
+       (energy < 268435456)::INTEGER AS is_silence
+FROM fr ORDER BY doc_id, frame_no
+"""

@@ -305,6 +305,11 @@ SPECS: dict[str, QuerySpec] = {
     "rrf_fusion": QuerySpec(
         Q.q_rrf_fusion, Q.Q_RRF_FUSION_ORACLE, ("similarity",)
     ),
+    "audio_frame_energy": QuerySpec(
+        Q.q_audio_frame_energy,
+        Q.Q_AUDIO_FRAME_ENERGY_ORACLE,
+        ("multimodal",),
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
