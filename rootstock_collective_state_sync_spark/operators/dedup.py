@@ -184,6 +184,23 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _minhash_wide(idx: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, h0..h{n-1}): the MinHash signature as ONE wide aggregation
+    — ``num_hashes`` min columns over the shingle rows, instead of
+    exploding every shingle ``num_hashes``-fold and aggregating the
+    multiplied rows. Same md5("i:shingle") values, but the hash-agg
+    touches each index row once and the shuffle carries a single
+    map-side-combined row of ``num_hashes`` partial mins per id."""
+    return idx.groupBy("id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")).cast("binary"))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
@@ -195,20 +212,23 @@ def minhash_signatures(
     """(id, i, h): for each of ``num_hashes`` seeded hash functions,
     the min md5("i:shingle") over the doc's shingle set. md5's hex
     output is compared lexicographically — a portable stand-in for the
-    classic (a*x+b) mod p permutation family."""
+    classic (a*x+b) mod p permutation family.
+
+    Computed via :func:`_minhash_wide` (one aggregation pass, no seed
+    explode) and reshaped to rows after the agg — the explode then
+    multiplies ids, not shingles."""
     idx = shingle_index(df, text_col, id_col, n) if _index is None else _index
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
-    return (
-        idx.select("id", "s", seeds)
-        .select(
-            "id",
-            "i",
-            F.md5(
-                F.concat_ws(":", F.col("i").cast("string"), F.col("s")).cast("binary")
-            ).alias("h"),
-        )
-        .groupBy("id", "i")
-        .agg(F.min("h").alias("h"))
+    wide = _minhash_wide(idx, num_hashes)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("i"), F.col(f"h{i}").alias("h")
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return wide.select("id", F.explode(pairs).alias("p")).select(
+        "id", F.col("p.i").alias("i"), F.col("p.h").alias("h")
     )
 
 
@@ -274,11 +294,41 @@ def minhash_lsh_pairs(
     capped = _capped_index(
         shingle_index(df, text_col, id_col, n), max_docs_per_shingle=100
     )
-    # persisted: the banding self-join consumes the signatures twice
-    # (both sides) — uncached, each side would recompute the whole
-    # explode+md5+min pipeline
-    sigs = minhash_signatures(df, num_hashes, _index=capped).persist()
-    cands = lsh_candidates(sigs, bands, rows_per_band)
+    # wide signature + in-row banding: one aggregation produces both
+    # the signature and every band hash — no (id, i) or (id, band)
+    # re-shuffles. Persisted because the candidate self-join consumes
+    # the banded rows twice (both sides).
+    wide = _minhash_wide(capped, num_hashes)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    ).cast("binary")
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        wide.select("id", F.explode(band_entries).alias("p"))
+        .select("id", F.col("p.band").alias("band"), F.col("p.bh").alias("bh"))
+        .persist()
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    cands = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     return _verified_jaccard(_hashed(capped), cands, threshold)
 
 
