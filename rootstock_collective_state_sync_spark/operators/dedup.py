@@ -355,33 +355,33 @@ def simhash(
         )
         .withColumn("h", F.substring(F.md5(F.col("t").cast("binary")), 1, bits // 4))
     )
-    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    votes = (
-        tok.select("id", "h", j)
-        .withColumn("nib", F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1))
-        .withColumn("nibv", F.instr(F.lit("0123456789abcdef"), F.col("nib")) - 1)
-        .withColumn(
-            # shiftright's Python API wants a literal shift; the SQL
-            # form accepts a column expression
-            "bit",
-            F.expr("shiftright(nibv, cast(3 - j % 4 AS int)) & 1"),
+    # one wide aggregation: `bits` per-row vote expressions summed per
+    # id, instead of exploding every token `bits`-fold and aggregating
+    # the multiplied rows twice ((id, j) then (id)). Same votes, same
+    # sign rule; the shuffle carries one map-side-combined row of
+    # `bits` partial sums per id.
+    votes = []
+    for j in range(bits):
+        nibv = (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.col("h"), j // 4 + 1, 1),
+            )
+            - 1
         )
-        .withColumn("vote", F.when(F.col("bit") == 1, 1).otherwise(-1))
-        .groupBy("id", "j")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.withColumn("c", F.when(F.col("v") > 0, "1").otherwise("0"))
-        .groupBy("id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "c"))),
-                    lambda x: x["c"],
-                ),
-            ).alias("simhash")
+        bit = F.shiftright(nibv, 3 - j % 4).bitwiseAND(F.lit(1))
+        votes.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{j}")
         )
+    wide = tok.groupBy("id").agg(*votes)
+    return wide.select(
+        "id",
+        F.concat(
+            *[
+                F.when(F.col(f"v{j}") > 0, "1").otherwise("0")
+                for j in range(bits)
+            ]
+        ).alias("simhash"),
     )
 
 
