@@ -278,3 +278,42 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build from the event log: per-user validity
+    intervals of the tracked state (event_type), consecutive
+    duplicate states collapsed, last interval open. The batch twin of
+    the sync engine's keyed diff-upsert — and the oracle replays the
+    change detection and interval closing in SQL."""
+    from rootstock_collective_state_sync_spark.operators.scd import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        scd2_intervals(
+            ev, key_col="user_id", ts_col="ts",
+            state_cols=["event_type"], order_col="event_id",
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+Q_SCD2_INTERVALS_ORACLE = """
+WITH ch AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+f AS (SELECT * FROM ch WHERE chg = 1),
+iv AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS valid_to
+  FROM f
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       (valid_to IS NULL)::INTEGER AS is_current
+FROM iv ORDER BY user_id, valid_from
+"""
