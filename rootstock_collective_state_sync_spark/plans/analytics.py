@@ -317,3 +317,62 @@ SELECT user_id, event_type, valid_from, valid_to,
        (valid_to IS NULL)::INTEGER AS is_current
 FROM iv ORDER BY user_id, valid_from
 """
+
+
+def q_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the hourly volume series
+    of every event-type pair — the time-series co-movement scan a
+    monitoring pipeline runs over synced event tables. The hour x
+    type matrix is densified (missing cells are true zeros, and
+    leaving them out would silently drop anti-correlated hours)
+    before the pair self-join; both the densify and the correlation
+    replay exactly in SQL.
+
+    Scale shape: the raw scan aggregates down to (hours x types) rows
+    — tiny — before any join; the pair join and corr run on the
+    aggregate, never on raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    hours = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    types = ev.select("event_type").distinct()
+    dense = (
+        hours.crossJoin(types)
+        .join(h, ["hr", "event_type"], "left")
+        .select("hr", "event_type", F.coalesce("n", F.lit(0.0)).alias("n"))
+    )
+    a = dense.select(
+        "hr", F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    b = dense.select(
+        "hr", F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "hr")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.round(F.corr("na", "nb"), 6).alias("r"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+Q_EVENT_TYPE_CORRELATION_ORACLE = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2
+),
+hours AS (SELECT DISTINCT date_trunc('hour', ts) AS hr FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+  SELECT hours.hr, types.event_type, coalesce(h.n, 0) AS n
+  FROM hours CROSS JOIN types
+  LEFT JOIN h ON h.hr = hours.hr AND h.event_type = types.event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       round(corr(a.n, b.n), 6) AS r
+FROM dense a JOIN dense b ON a.hr = b.hr AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

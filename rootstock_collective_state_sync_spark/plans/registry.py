@@ -121,6 +121,11 @@ SPECS: dict[str, QuerySpec] = {
     "scd2_intervals": QuerySpec(
         AN.q_scd2_intervals, AN.Q_SCD2_INTERVALS_ORACLE, ("temporal", "cdc")
     ),
+    "event_type_correlation": QuerySpec(
+        AN.q_event_type_correlation,
+        AN.Q_EVENT_TYPE_CORRELATION_ORACLE,
+        ("analytics", "agg"),
+    ),
     "unpivot_measures": QuerySpec(
         AN.q_unpivot_measures, AN.Q_UNPIVOT_ORACLE, ("analytics", "setop")
     ),
@@ -350,7 +355,7 @@ SPECS: dict[str, QuerySpec] = {
 # (6 from r06 + 9 new this round: llm_token_count, drop_dup_spans,
 # emb_int8_quant, domain_classifier_score, image_ahash,
 # image_near_dup_pairs, gopher_quality, rrf_fusion,
-# audio_frame_energy, scd2_intervals), + the 4 ANN top-k paths that gained full
+# audio_frame_energy, scd2_intervals, event_type_correlation), + the 4 ANN top-k paths that gained full
 # SQL-replay oracles this round (previously rows-only — their first
 # hash-checked rows), + the 3 multimodal queries whose partitioning
 # changed this round (pmod-32 cap lifted — re-earn rows on the new
@@ -369,6 +374,7 @@ _DRIVER_WINDOW = [
     # never driver-checked (added r06/r07)
     "gopher_quality",
     "scd2_intervals",
+    "event_type_correlation",
     "rrf_fusion",
     "audio_frame_energy",
     "llm_token_count",
@@ -419,7 +425,6 @@ _DRIVER_WINDOW = [
     "temperature_mix",
     "clean_corpus",
     "pii_redaction",
-    "contamination_check",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
