@@ -1,0 +1,110 @@
+"""Graph centrality over similarity graphs: kNN edges + fixed-point
+PageRank.
+
+Companion to the connected-components resolver in
+:mod:`.dedup` — where CC answers "which documents are the same",
+PageRank over the kNN graph answers "which are the most central /
+representative", the signal used to pick cluster exemplars and to
+diversity-rank retrieval shortlists.
+
+Arithmetic is integer fixed-point (1e-9 units, floor division) end to
+end: float PageRank sums in partition order, so two engines (or two
+partitionings of the same engine) disagree in the last ulps; with
+integer ranks every engine computes bit-identical scores, which is
+what lets the DuckDB oracle replay all iterations exactly — the same
+determinism contract as the md5-based samplers. Floor division leaks
+a bounded amount of rank mass per iteration (documented trade; ranks
+are ordinal signals, not probabilities).
+
+Scale design: one shuffle per iteration (the contribution groupBy);
+each iteration's result is persisted and the previous unpersisted, so
+lineage stays O(1) like the CC loop. Iteration count is fixed (a
+control-plane constant) — no data-dependent driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+PR_SCALE = 1_000_000_000
+
+
+def knn_edges(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetrized k-nearest-neighbor edges (src, dst) by cosine:
+    each vector points at its top-``k`` neighbors (deterministic
+    tie-break on neighbor id), then edges are mirrored and deduped —
+    an undirected similarity graph where every node has out-degree
+    >= k (no dangling nodes, which keeps PageRank teleport-simple).
+
+    Built on :func:`..similarity.brute_force_topk` — swap in the LSH
+    or IVF retriever for the 100 TB corpus; the edge contract is
+    identical."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    top = brute_force_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+    fwd = top.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-point PageRank: ``iters`` rounds of
+
+        r'(v) = (100 - damping_pct) * scale // (100 * N)
+              + damping_pct * SUM_{u->v}(r(u) // out_deg(u)) // 100
+
+    over integer ranks in ``scale`` units. Returns (id, pr) — the
+    iteration-``iters`` rank per node, bit-identical on any engine.
+
+    N (node count) is a control-plane scalar; degrees are a
+    broadcastable aggregate; each iteration is one groupBy shuffle.
+    """
+    nodes = edges.select(F.col("src").alias("id")).distinct().persist()
+    n = nodes.count()  # control-plane scalar
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0).cast("bigint"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    teleport = (100 - damping_pct) * scale // (100 * n)
+    r = nodes.withColumn("pr", F.lit(scale // n).cast("bigint")).persist()
+    for _ in range(iters):
+        contrib = (
+            edges.join(r.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                # integer DIV, never float `/`: a double quotient can
+                # round up across an integer boundary before the cast
+                F.expr("pr DIV deg").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        nxt = (
+            nodes.join(sums, "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    f"CAST({teleport} + ({damping_pct} * coalesce(s, 0))"
+                    " DIV 100 AS BIGINT)"
+                ).alias("pr"),
+            )
+            .persist()
+        )
+        nxt.count()  # materialize before dropping the parent
+        r.unpersist()
+        r = nxt
+    nodes.unpersist()
+    return r

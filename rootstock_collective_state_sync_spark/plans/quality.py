@@ -228,3 +228,77 @@ SELECT doc_id, frame_no, energy, peak,
        (energy < 268435456)::INTEGER AS is_silence
 FROM fr ORDER BY doc_id, frame_no
 """
+
+
+# ---------------------------------------------------------------------------
+# graph centrality: fixed-point PageRank over the kNN similarity graph
+# ---------------------------------------------------------------------------
+
+_PR_K = 3
+_PR_ITERS = 5
+_PR_DAMPING = 85
+
+
+def q_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed algorithm end-to-end: kNN cosine edges
+    (symmetrized) -> 5 rounds of integer fixed-point PageRank. Every
+    stage is deterministic (rounded cosine ranking, integer rank
+    arithmetic), so the oracle replays the edge build AND all five
+    iterations as materialized CTEs — bit-exact."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = G.knn_edges(emb, k=_PR_K)
+    return (
+        G.pagerank_fixed(edges, iters=_PR_ITERS, damping_pct=_PR_DAMPING)
+        .select(F.col("id").alias("vec_id"), "pr")
+        .orderBy("vec_id")
+    )
+
+
+def _pagerank_oracle(
+    k: int = _PR_K, iters: int = _PR_ITERS, damping: int = _PR_DAMPING
+) -> str:
+    from rootstock_collective_state_sync_spark.operators.graph import PR_SCALE
+
+    parts = [f"""
+WITH scored AS (
+  SELECT q.vec_id AS src, c.vec_id AS dst,
+         {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS s
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY s DESC, dst ASC) AS rn
+  FROM scored
+),
+fwd AS (SELECT src, dst FROM rk WHERE rn <= {k}),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+  )
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+r0 AS MATERIALIZED (SELECT id, ({PR_SCALE} // n)::BIGINT AS pr FROM nodes, nn)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+s{t} AS (
+  SELECT e.dst AS id, sum(r.pr // d.deg)::BIGINT AS s
+  FROM e JOIN r{t - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+  GROUP BY 1
+),
+r{t} AS MATERIALIZED (
+  SELECT nodes.id,
+         (((100 - {damping})::BIGINT * {PR_SCALE}) // (100 * nn.n)
+          + ({damping} * coalesce(s{t}.s, 0)) // 100)::BIGINT AS pr
+  FROM nodes LEFT JOIN s{t} ON nodes.id = s{t}.id, nn
+)""")
+    parts.append(f"""
+SELECT id AS vec_id, pr FROM r{iters} ORDER BY vec_id""")
+    return "".join(parts)
+
+
+Q_SIMILARITY_PAGERANK_ORACLE = _pagerank_oracle()

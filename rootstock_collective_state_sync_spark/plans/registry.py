@@ -318,6 +318,11 @@ SPECS: dict[str, QuerySpec] = {
         Q.Q_AUDIO_FRAME_ENERGY_ORACLE,
         ("multimodal",),
     ),
+    "similarity_pagerank": QuerySpec(
+        Q.q_similarity_pagerank,
+        Q.Q_SIMILARITY_PAGERANK_ORACLE,
+        ("similarity", "graph"),
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
@@ -355,7 +360,7 @@ SPECS: dict[str, QuerySpec] = {
 # (6 from r06 + 9 new this round: llm_token_count, drop_dup_spans,
 # emb_int8_quant, domain_classifier_score, image_ahash,
 # image_near_dup_pairs, gopher_quality, rrf_fusion,
-# audio_frame_energy, scd2_intervals, event_type_correlation), + the 4 ANN top-k paths that gained full
+# audio_frame_energy, scd2_intervals, event_type_correlation, similarity_pagerank), + the 4 ANN top-k paths that gained full
 # SQL-replay oracles this round (previously rows-only — their first
 # hash-checked rows), + the 3 multimodal queries whose partitioning
 # changed this round (pmod-32 cap lifted — re-earn rows on the new
@@ -375,6 +380,7 @@ _DRIVER_WINDOW = [
     "gopher_quality",
     "scd2_intervals",
     "event_type_correlation",
+    "similarity_pagerank",
     "rrf_fusion",
     "audio_frame_energy",
     "llm_token_count",
@@ -423,7 +429,6 @@ _DRIVER_WINDOW = [
     "pack_sequences",
     "budget_select",
     "temperature_mix",
-    "clean_corpus",
     "pii_redaction",
 ]
 

@@ -1,0 +1,57 @@
+"""Unit tests for kNN-graph PageRank: planted star graph (hub must
+out-rank leaves), rank determinism across partitionings, and edge
+symmetry."""
+
+from __future__ import annotations
+
+from rootstock_collective_state_sync_spark.operators import graph as G
+
+EDGE_SCHEMA = "src long, dst long"
+
+
+def _star_edges(spark, leaves=5):
+    # hub 0 <-> leaves 1..n (symmetrized)
+    rows = []
+    for i in range(1, leaves + 1):
+        rows.append((0, i))
+        rows.append((i, 0))
+    return spark.createDataFrame(rows, EDGE_SCHEMA)
+
+
+def test_star_hub_dominates(spark):
+    pr = {
+        r["id"]: r["pr"]
+        for r in G.pagerank_fixed(_star_edges(spark), iters=5).collect()
+    }
+    hub, leaf = pr[0], pr[1]
+    assert hub > leaf
+    assert all(pr[i] == leaf for i in range(2, 6))  # leaves symmetric
+    # hub absorbs all damped mass each round: leaves only ever hold
+    # teleport + their share of the hub
+    assert hub > 2 * leaf
+
+
+def test_rank_deterministic_across_partitionings(spark):
+    e = _star_edges(spark, leaves=8)
+    a = {r["id"]: r["pr"] for r in G.pagerank_fixed(e, iters=4).collect()}
+    b = {
+        r["id"]: r["pr"]
+        for r in G.pagerank_fixed(e.repartition(7), iters=4).collect()
+    }
+    assert a == b
+
+
+def test_knn_edges_symmetric_no_self(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.1, 0.9]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    edges = {(r["src"], r["dst"]) for r in G.knn_edges(emb, k=1).collect()}
+    assert all(s != d for s, d in edges)
+    assert edges == {(s, d) for d, s in edges}  # symmetric
+    assert (0, 1) in edges and (2, 3) in edges
