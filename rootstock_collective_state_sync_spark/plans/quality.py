@@ -302,3 +302,76 @@ SELECT id AS vec_id, pr FROM r{iters} ORDER BY vec_id""")
 
 
 Q_SIMILARITY_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# dedup keeper selection: highest-quality exemplar per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup keeper pipeline composed end-to-end: MinHash-LSH
+    pairs -> connected components -> per-cluster exemplar by quality
+    score (tie-break doc_id) with cluster size. This is the row a
+    curation job actually keeps; the oracle replays pair generation,
+    the transitive closure, the quality score, and the keeper window
+    in one SQL statement."""
+    from pyspark.sql import Window
+
+    from rootstock_collective_state_sync_spark.operators import dedup as D
+    from rootstock_collective_state_sync_spark.operators.text import quality_score_e7
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    comp = D.connected_components(pairs, docs.select("doc_id"))
+    scored = docs.select(
+        F.col("doc_id").alias("id"), quality_score_e7(F.col("text")).alias("q_e7")
+    )
+    j = comp.join(scored, "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("q_e7").desc(), F.col("id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("id").alias("exemplar_id"),
+            F.col("q_e7").cast("bigint").alias("q_e7"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("component")
+    )
+
+
+def _cluster_exemplars_oracle() -> str:
+    from rootstock_collective_state_sync_spark.plans.training import (
+        _QUALITY_E7_CTES,
+        Q_DEDUP_CLUSTERS_ORACLE,
+    )
+
+    return f"""
+WITH comp AS (
+  SELECT * FROM ({Q_DEDUP_CLUSTERS_ORACLE})
+),
+q AS (
+  SELECT qe7.doc_id AS id, qe7.score::BIGINT AS q_e7
+  FROM (WITH {_QUALITY_E7_CTES.strip()} SELECT * FROM qe7) qe7
+),
+j AS (
+  SELECT c.id, c.component, q.q_e7,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.q_e7 DESC, c.id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.component)::BIGINT AS cluster_size
+  FROM comp c JOIN q ON c.id = q.id
+)
+SELECT component, id AS exemplar_id, q_e7, cluster_size
+FROM j WHERE rn = 1 ORDER BY component
+"""
+
+
+Q_CLUSTER_EXEMPLARS_ORACLE = _cluster_exemplars_oracle()
