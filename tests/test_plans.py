@@ -232,3 +232,46 @@ def test_drop_dup_spans_bounded_shuffles(spark):
     assert p.count("Exchange hashpartitioning") <= 4
     assert "CartesianProduct" not in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_gopher_quality_scan_speed(spark):
+    # single projection over the scan: no exchange except the final
+    # presentation sort, no UDF, only (doc_id, text) read
+    p = plan(spark, SPECS["gopher_quality"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in p.split("Sort")[0] or p.count("Exchange") <= 1
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_scd2_single_keyed_exchange(spark):
+    # both window passes share one hash exchange on the key; the only
+    # other exchange is the final presentation orderBy
+    p = plan(spark, SPECS["scd2_intervals"].fn(spark, SF_SMOKE), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 2
+    assert "CartesianProduct" not in p
+
+
+def test_event_type_correlation_aggregates_before_join(spark):
+    # the pair join runs on the (hours x types) aggregate, never on
+    # raw events: every join input is post-aggregation
+    p = plan(spark, SPECS["event_type_correlation"].fn(spark, SF_SMOKE))
+    assert p.count("HashAggregate") >= 4  # partial+final for h and dense sides
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_rrf_fusion_no_corpus_shuffle(spark):
+    # queries broadcast against the corpus in both retrievers; no
+    # sort-merge join anywhere
+    p = plan(spark, SPECS["rrf_fusion"].fn(spark, SF_SMOKE))
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_audio_frame_energy_arrow_batched(spark):
+    # codec work is Arrow-batched mapInPandas (no row-at-a-time UDF)
+    # after a content-hash rebalance
+    p = plan(spark, SPECS["audio_frame_energy"].fn(spark, SF_SMOKE))
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
