@@ -11,10 +11,13 @@ explicitly-stubbed multimodal decoders.
 
 from rootstock_collective_state_sync_spark.operators import (
     dedup,
+    graph,
     layout,
     multimodal,
     rollup,
+    rules,
     sampling,
+    scd,
     similarity,
     skew,
     temporal,
@@ -23,10 +26,13 @@ from rootstock_collective_state_sync_spark.operators import (
 
 __all__ = [
     "dedup",
+    "graph",
     "layout",
     "multimodal",
     "rollup",
+    "rules",
     "sampling",
+    "scd",
     "similarity",
     "skew",
     "temporal",
