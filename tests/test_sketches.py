@@ -1,0 +1,82 @@
+"""Accuracy bounds for the two rows-only approximate sketches: the
+driver can't hash-check them (algorithms differ per engine), so these
+pin each sketch against its exact companion with the published error
+bound — an accuracy regression now fails loudly instead of sailing
+through the rows-only gate."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from rootstock_collective_state_sync_spark.plans.registry import SPECS
+from rootstock_collective_state_sync_spark.plans.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_approx_distinct_within_hll_error(spark):
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in SPECS["approx_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    # approx_count_distinct default rsd = 5%; allow 3 sigma + slack
+    # for tiny cardinalities
+    for t, n in exact.items():
+        assert abs(got[t] - n) <= max(3, 0.15 * n), (t, got[t], n)
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    got = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in SPECS["approx_quantiles"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "value")
+    rows = ev.collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    # percentile_approx(accuracy=10000) guarantees rank error
+    # <= n/10000; with n << 10000 here the sketch is exact up to
+    # element selection — require the answer to BE an element at a
+    # rank within 1 of the target
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for p, gotv in zip((0.5, 0.9, 0.99), got[t]):
+            target = int(p * n)
+            window = vals[max(0, target - 2) : min(n, target + 3)]
+            assert gotv in vals, (t, p, gotv)
+            assert min(window) <= gotv <= max(window) or gotv in window, (
+                t, p, gotv, window,
+            )
+
+
+def test_approx_distinct_matches_duckdb_direction(spark):
+    """Cross-engine sanity: both engines' sketches should agree with
+    each other within combined error — catches a mis-specified rsd."""
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in SPECS["approx_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    duck = {
+        t: n
+        for t, n in con.execute(
+            "SELECT event_type, approx_count_distinct(user_id)"
+            " FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    for t in got:
+        assert abs(got[t] - duck[t]) <= max(3, 0.2 * duck[t])
