@@ -1,0 +1,62 @@
+"""Small-file compaction: content preserved exactly, file count
+collapsed to the size target, range clustering honored."""
+
+from __future__ import annotations
+
+import os
+
+from rootstock_collective_state_sync_spark.sinks.compact import (
+    compact_parquet,
+    dataset_bytes,
+)
+
+
+def _fragmented(spark, path, n_files=20, rows_per=50):
+    df = spark.range(n_files * rows_per).withColumnRenamed("id", "k")
+    df.repartition(n_files).write.parquet(str(path))
+    return df
+
+
+def test_compaction_preserves_rows_and_collapses_files(spark, tmp_path):
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _fragmented(spark, src)
+    stats = compact_parquet(spark, str(src), str(dst), target_file_bytes=10**9)
+    assert stats["in_files"] == 20
+    assert stats["out_files"] == 1
+    assert stats["rows"] == 1000
+    got = sorted(r["k"] for r in spark.read.parquet(str(dst)).collect())
+    assert got == list(range(1000))
+
+
+def test_compaction_size_target_splits_output(spark, tmp_path):
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _fragmented(spark, src)
+    in_bytes = dataset_bytes(spark.read.parquet(str(src)))
+    stats = compact_parquet(
+        spark, str(src), str(dst), target_file_bytes=max(1, in_bytes // 4)
+    )
+    assert 3 <= stats["out_files"] <= 5  # ceil(in/target) = 4 +/- empty parts
+
+
+def test_range_clustered_output_is_min_max_prunable(spark, tmp_path):
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _fragmented(spark, src)
+    in_bytes = dataset_bytes(spark.read.parquet(str(src)))
+    compact_parquet(
+        spark,
+        str(src),
+        str(dst),
+        target_file_bytes=max(1, in_bytes // 4),
+        sort_cols=["k"],
+    )
+    # every output file covers a disjoint k-range: per-file min/max
+    # spans must not overlap (this is what makes pruning effective)
+    spans = []
+    for f in sorted(os.listdir(dst)):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            pdf = spark.read.parquet(os.path.join(str(dst), f)).toPandas()
+            if len(pdf):
+                spans.append((pdf["k"].min(), pdf["k"].max()))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans
