@@ -127,6 +127,48 @@ def _hashed(capped: DataFrame) -> DataFrame:
     return capped.select("id", F.xxhash64("s").alias("sh"))
 
 
+def _verified_jaccard_sets(
+    capped: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate list via per-doc hash
+    SETS: each doc's shingle hashes are collected once into a sorted
+    array, candidates join the two arrays, and the intersection is a
+    single JVM ``array_intersect``. Beats :func:`_verified_jaccard`
+    when candidates are sparse (LSH output): the (pair x shingle)
+    explode join and the per-pair count shuffle disappear — measured
+    ~2.5x on the MinHash path at sf0.1. The inverted-index path keeps
+    the count-in-pass plan (generating candidates there requires the
+    shingle self-join anyway, so the set join would be pure
+    overhead)."""
+    sets = capped.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.xxhash64("s"))).alias("hs"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"), F.col("hs").alias("ha"), F.col("n_sh").alias("na")
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"), F.col("hs").alias("hb"), F.col("n_sh").alias("nb")
+    )
+    j = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ha", "hb")))
+    )
+    return (
+        j.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _verified_jaccard(
     capped: DataFrame, candidates: DataFrame | None, threshold: float
 ) -> DataFrame:
@@ -329,7 +371,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verified_jaccard(_hashed(capped), cands, threshold)
+    return _verified_jaccard_sets(capped, cands, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -642,7 +684,7 @@ def incremental_near_dups(
         .select("id_a", "id_b")
     )
     cands = cand_no.unionByName(cand_nn).distinct()
-    pairs = _verified_jaccard(_hashed(capped_full), cands, threshold)
+    pairs = _verified_jaccard_sets(capped_full, cands, threshold)
     return (
         pairs,
         full_idx,
