@@ -1039,3 +1039,35 @@ def rrf_fuse(
         .filter(F.col("rrf_rank") <= topk)
         .select("query_id", "rrf_rank", "neighbor_id", "rrf_pts", "n_lists")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    dim: int,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group mean embedding (class centroids): ``dim`` avg
+    columns in ONE wide aggregation, reassembled into an array —
+    never a per-dimension explode (which would multiply the scan
+    ``dim``-fold through the shuffle). Map-side partial avgs make the
+    shuffle carry one (sum, count) pair per group per dimension.
+    Rounded per element for cross-engine determinism.
+
+    The centroid table is the broadcast side of nearest-centroid
+    classification and the seed state of k-means-style refinement
+    (see the IVF trainer's driver-side loop for the iterated form).
+    """
+    aggs = [
+        F.round(F.avg(F.col(vec_col)[i].cast("double")), scale).alias(f"c{i}")
+        for i in range(dim)
+    ]
+    wide = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_members"), *aggs
+    )
+    return wide.select(
+        group_col,
+        "n_members",
+        F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid"),
+    )

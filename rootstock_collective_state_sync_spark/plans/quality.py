@@ -375,3 +375,31 @@ FROM j WHERE rn = 1 ORDER BY component
 
 
 Q_CLUSTER_EXEMPLARS_ORACLE = _cluster_exemplars_oracle()
+
+
+# ---------------------------------------------------------------------------
+# class centroids: per-label mean embedding as one wide aggregation
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the nearest-centroid classifier's
+    model table), computed as a single 64-column wide aggregation —
+    no per-dimension explode. Element-rounded, so the oracle replays
+    every average exactly."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, dim=_EMB_DIM).orderBy("label")
+
+
+Q_LABEL_CENTROIDS_ORACLE = f"""
+SELECT label, count(*)::BIGINT AS n_members,
+       [{", ".join(f"round(avg(embedding[{i + 1}]::DOUBLE), 6)" for i in range(64))}]
+         AS centroid
+FROM embeddings GROUP BY label ORDER BY label
+"""

@@ -328,6 +328,9 @@ SPECS: dict[str, QuerySpec] = {
         Q.Q_CLUSTER_EXEMPLARS_ORACLE,
         ("dedup", "graph", "sampling"),
     ),
+    "label_centroids": QuerySpec(
+        Q.q_label_centroids, Q.Q_LABEL_CENTROIDS_ORACLE, ("similarity", "agg")
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
@@ -365,7 +368,7 @@ SPECS: dict[str, QuerySpec] = {
 # (6 from r06 + 9 new this round: llm_token_count, drop_dup_spans,
 # emb_int8_quant, domain_classifier_score, image_ahash,
 # image_near_dup_pairs, gopher_quality, rrf_fusion,
-# audio_frame_energy, scd2_intervals, event_type_correlation, similarity_pagerank, cluster_exemplars), + the 4 ANN top-k paths that gained full
+# audio_frame_energy, scd2_intervals, event_type_correlation, similarity_pagerank, cluster_exemplars, label_centroids), + the 4 ANN top-k paths that gained full
 # SQL-replay oracles this round (previously rows-only — their first
 # hash-checked rows), + the 3 multimodal queries whose partitioning
 # changed this round (pmod-32 cap lifted — re-earn rows on the new
@@ -387,6 +390,7 @@ _DRIVER_WINDOW = [
     "event_type_correlation",
     "similarity_pagerank",
     "cluster_exemplars",
+    "label_centroids",
     "rrf_fusion",
     "audio_frame_energy",
     "llm_token_count",
@@ -432,7 +436,6 @@ _DRIVER_WINDOW = [
     "ann_ivf_cells",
     "pq_codes",
     "stratified_sample",
-    "pack_sequences",
     "temperature_mix",
     "pii_redaction",
 ]
