@@ -1071,3 +1071,52 @@ def label_centroids(
         "n_members",
         F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid"),
     )
+
+
+def nearest_centroid_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by squared L2
+    (deterministic tie-break on centroid label). The centroid table
+    (tiny: one row per class) is broadcast; scoring is a JVM
+    ``zip_with``/``aggregate`` pass — the corpus is scanned once and
+    never shuffled; the only wide op is the per-vector argmin window
+    over ``n_classes`` scored rows.
+
+    Returns (id, assigned, sq_l2) — nearest-centroid classification,
+    and the assignment step of a k-means iteration.
+    """
+    c = centroids.select(
+        F.col(label_col).alias("assigned"), F.col(centroid_col).alias("cv")
+    )
+    scored = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).join(F.broadcast(c)).select(
+        "id",
+        "assigned",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "v",
+                    "cv",
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+            6,
+        ).alias("sq_l2"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("sq_l2").asc(), F.col("assigned").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "assigned", "sq_l2")
+    )

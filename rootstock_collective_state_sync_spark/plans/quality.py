@@ -403,3 +403,52 @@ SELECT label, count(*)::BIGINT AS n_members,
          AS centroid
 FROM embeddings GROUP BY label ORDER BY label
 """
+
+
+def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification end-to-end: train (centroids =
+    one wide agg) + infer (broadcast centroids, JVM zip_with scoring,
+    argmin window) + evaluate (label x assigned confusion counts).
+    The oracle replays training, scoring, argmin, and the confusion
+    aggregation in one SQL statement."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        label_centroids,
+        nearest_centroid_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb, dim=_EMB_DIM)
+    assigned = nearest_centroid_assign(emb, cents)
+    truth = emb.select(F.col("vec_id").alias("id"), F.col("label").alias("true_label"))
+    return (
+        assigned.join(truth, "id")
+        .groupBy("true_label", "assigned")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "assigned")
+    )
+
+
+Q_NEAREST_CENTROID_CONFUSION_ORACLE = f"""
+WITH cents AS (
+  SELECT label AS assigned,
+         [{", ".join(f"round(avg(embedding[{i + 1}]::DOUBLE), 6)" for i in range(64))}]
+           AS cv
+  FROM embeddings GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id AS id, e.label AS true_label, c.assigned,
+         round(list_sum(list_transform(range(1, 65),
+             i -> (e.embedding[i]::DOUBLE - c.cv[i])
+                * (e.embedding[i]::DOUBLE - c.cv[i]))), 6) AS sq_l2
+  FROM embeddings e, cents c
+),
+arg AS (
+  SELECT id, true_label, assigned,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY sq_l2 ASC, assigned ASC) AS rn
+  FROM scored
+)
+SELECT true_label, assigned, count(*)::BIGINT AS n
+FROM arg WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

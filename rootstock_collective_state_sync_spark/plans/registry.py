@@ -331,6 +331,11 @@ SPECS: dict[str, QuerySpec] = {
     "label_centroids": QuerySpec(
         Q.q_label_centroids, Q.Q_LABEL_CENTROIDS_ORACLE, ("similarity", "agg")
     ),
+    "nearest_centroid_confusion": QuerySpec(
+        Q.q_nearest_centroid_confusion,
+        Q.Q_NEAREST_CENTROID_CONFUSION_ORACLE,
+        ("similarity", "agg"),
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
@@ -368,7 +373,7 @@ SPECS: dict[str, QuerySpec] = {
 # (6 from r06 + 9 new this round: llm_token_count, drop_dup_spans,
 # emb_int8_quant, domain_classifier_score, image_ahash,
 # image_near_dup_pairs, gopher_quality, rrf_fusion,
-# audio_frame_energy, scd2_intervals, event_type_correlation, similarity_pagerank, cluster_exemplars, label_centroids), + the 4 ANN top-k paths that gained full
+# audio_frame_energy, scd2_intervals, event_type_correlation, similarity_pagerank, cluster_exemplars, label_centroids, nearest_centroid_confusion), + the 4 ANN top-k paths that gained full
 # SQL-replay oracles this round (previously rows-only — their first
 # hash-checked rows), + the 3 multimodal queries whose partitioning
 # changed this round (pmod-32 cap lifted — re-earn rows on the new
@@ -391,6 +396,7 @@ _DRIVER_WINDOW = [
     "similarity_pagerank",
     "cluster_exemplars",
     "label_centroids",
+    "nearest_centroid_confusion",
     "rrf_fusion",
     "audio_frame_energy",
     "llm_token_count",
@@ -436,7 +442,6 @@ _DRIVER_WINDOW = [
     "ann_ivf_cells",
     "pq_codes",
     "stratified_sample",
-    "temperature_mix",
     "pii_redaction",
 ]
 
