@@ -369,25 +369,31 @@ SPECS: dict[str, QuerySpec] = {
 # r01+r02-green entries (q3/q5/q6, keyset_page, changelog_incremental,
 # broadcast_enrich_diff, union_distinct, enum_label, range_join) — all
 # unchanged and still locally gated by tests/test_conformance.py.
-# r07 window = the 15 queries that have NEVER earned a driver row
-# (6 from r06 + 9 new this round: llm_token_count, drop_dup_spans,
-# emb_int8_quant, domain_classifier_score, image_ahash,
-# image_near_dup_pairs, gopher_quality, rrf_fusion,
-# audio_frame_energy, scd2_intervals, event_type_correlation, similarity_pagerank, cluster_exemplars, label_centroids, nearest_centroid_confusion), + the 4 ANN top-k paths that gained full
-# SQL-replay oracles this round (previously rows-only — their first
-# hash-checked rows), + the 3 multimodal queries whose partitioning
-# changed this round (pmod-32 cap lifted — re-earn rows on the new
-# plan), + 28 queries whose most recent driver row is r04/r05
-# (rotated out of the r06 window), spanning every family:
-# agg/filter/join/temporal/scalar/text/dedup/similarity/sampling/
-# curation. Exactly 50. Rotated out: the 40 r06-green entries plus
-# importance_sample, zorder_key, export_manifest,
-# quality_percentiles, lm_unigram_score, epoch_shuffle, camel_case,
-# vocab_topk, text_fingerprint, pack_split_sequences,
-# tfidf_top_terms, emb_near_dup_lsh, the four window_* queries and
-# the two approx sketches — all r04/r05/r06-green with unchanged
-# code, still gated locally by tests/test_conformance.py on every
-# pytest run.
+# r07 window = the 21 queries that have NEVER earned a driver row
+# (6 from r06: semantic_dedup, doc_chunks, hashed_doc_vectors,
+# lm_bigram_score, ccnet_buckets, leakage_safe_split; 15 new this
+# round: llm_token_count, drop_dup_spans, emb_int8_quant,
+# domain_classifier_score, image_ahash, image_near_dup_pairs,
+# gopher_quality, rrf_fusion, audio_frame_energy, scd2_intervals,
+# event_type_correlation, similarity_pagerank, cluster_exemplars,
+# label_centroids, nearest_centroid_confusion), + the 4 ANN top-k
+# paths that gained full SQL-replay oracles this round (previously
+# rows-only — their first hash-checked rows), + the 3 multimodal
+# queries whose partitioning changed this round (pmod-32 cap lifted
+# — re-earn rows on the new plan), + 22 queries whose most recent
+# driver row is r04/r05 (rotated out of the r06 window) — including
+# the dedup family, whose MinHash/SimHash/verification plans changed
+# this round — spanning every family: agg/filter/join/temporal/
+# scalar/text/dedup/similarity/sampling/curation. Exactly 50.
+# Rotated out: the 40 r06-green entries plus importance_sample,
+# zorder_key, export_manifest, quality_percentiles,
+# lm_unigram_score, epoch_shuffle, camel_case, vocab_topk,
+# text_fingerprint, pack_split_sequences, pack_sequences,
+# tfidf_top_terms, emb_near_dup_lsh, dup_ngram_fraction,
+# contamination_check, clean_corpus, budget_select, temperature_mix,
+# the four window_* queries and the two approx sketches — all
+# r04/r05/r06-green with unchanged code, still gated locally by
+# tests/test_conformance.py on every pytest run.
 _DRIVER_WINDOW = [
     # never driver-checked (added r06/r07)
     "gopher_quality",
