@@ -1,0 +1,127 @@
+"""Declarative curation pipelines: a list-of-stages spec compiled
+into one lazy DataFrame chain.
+
+The reference engine is config-driven (entities + strategies from
+YAML); this is the same stance applied to corpus curation — a
+pipeline is DATA (a list of ``{"stage": ..., params}`` dicts, JSON/
+YAML-serializable, diffable, reviewable), not code. Every stage maps
+onto an already-oracled operator, so a spec inherits the conformance
+guarantees of its parts.
+
+Compilation is lazy: the whole spec becomes ONE logical plan and
+Catalyst optimizes across stage boundaries (filter stages merge into
+the scan; nothing materializes between stages). ``audit=True`` trades
+that laziness for per-stage row counts — the kill-rate report every
+curation run wants — by counting each prefix (cheap at audit time:
+prefixes share the scan via cache).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from rootstock_collective_state_sync_spark.operators import dedup as D
+from rootstock_collective_state_sync_spark.operators import rules as RL
+from rootstock_collective_state_sync_spark.operators import sampling as SA
+from rootstock_collective_state_sync_spark.operators.text import (
+    quality_score_e7,
+    token_count,
+)
+
+
+def _stage_gopher_filter(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    flags = RL.gopher_quality(df, **{k: v for k, v in p.items() if k != "stage"})
+    return df.join(
+        flags.filter(F.col("gopher_keep")).select(F.col("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+
+
+def _stage_exact_dedup(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    keepers = D.exact_groups(df).select(F.col("keeper_id").alias("doc_id"))
+    return df.join(keepers, "doc_id", "left_semi")
+
+
+def _stage_near_dedup(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    pairs = D.minhash_lsh_pairs(
+        df, threshold=p.get("threshold", 0.5)
+    ).select("id_a", "id_b")
+    comp = D.connected_components(pairs, df.select("doc_id"))
+    w = Window.partitionBy("component").orderBy(F.col("id").asc())
+    keepers = (
+        comp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias("doc_id"))
+    )
+    return df.join(keepers, "doc_id", "left_semi")
+
+
+def _stage_quality_floor(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    return df.filter(quality_score_e7(F.col("text")) >= int(p["min_e7"]))
+
+
+def _stage_token_cap(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    return df.filter(token_count(F.col("text")) <= int(p["max_tokens"]))
+
+
+def _stage_sample(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    return SA.stratified_sample(
+        df,
+        key_col=p.get("key_col", "doc_id"),
+        strata_col=p.get("strata_col", "source"),
+        rates=dict(p.get("rates", {})),
+        default_rate=float(p.get("default_rate", 0.0)),
+    )
+
+
+STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
+    "gopher_filter": _stage_gopher_filter,
+    "exact_dedup": _stage_exact_dedup,
+    "near_dedup": _stage_near_dedup,
+    "quality_floor": _stage_quality_floor,
+    "token_cap": _stage_token_cap,
+    "sample": _stage_sample,
+}
+
+
+def compile_pipeline(df: DataFrame, spec: list[dict[str, Any]]) -> DataFrame:
+    """Fold the spec into one lazy plan. Unknown stages fail loudly at
+    compile time, not mid-job."""
+    unknown = [s.get("stage") for s in spec if s.get("stage") not in STAGES]
+    if unknown:
+        raise ValueError(
+            f"unknown pipeline stages {unknown}; known: {sorted(STAGES)}"
+        )
+    out = df
+    for s in spec:
+        out = STAGES[s["stage"]](out, s)
+    return out
+
+
+def run_pipeline(
+    df: DataFrame, spec: list[dict[str, Any]], audit: bool = False
+) -> tuple[DataFrame, list[dict[str, Any]]]:
+    """Compile and (optionally) audit: with ``audit=True`` each
+    stage's surviving row count is measured (the kill-rate report);
+    the input is cached for the prefix counts and released after."""
+    out = compile_pipeline(df, spec)
+    trail: list[dict[str, Any]] = []
+    if audit:
+        cached = df.persist()
+        try:
+            prev = cached.count()
+            trail.append({"stage": "input", "rows": prev})
+            cur = cached
+            for s in spec:
+                cur = STAGES[s["stage"]](cur, s)
+                n = cur.count()
+                trail.append(
+                    {"stage": s["stage"], "rows": n, "killed": prev - n}
+                )
+                prev = n
+        finally:
+            cached.unpersist()
+    return out, trail

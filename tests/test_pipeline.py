@@ -1,0 +1,61 @@
+"""Declarative curation pipeline: compile-time stage validation,
+end-to-end run over real testdata, audit kill-rate trail, and
+determinism of the composed plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from rootstock_collective_state_sync_spark.plans.pipeline import (
+    compile_pipeline,
+    run_pipeline,
+)
+from rootstock_collective_state_sync_spark.plans.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+SPEC = [
+    {"stage": "token_cap", "max_tokens": 80},
+    {"stage": "quality_floor", "min_e7": 4_000_000},
+    {"stage": "exact_dedup"},
+    {"stage": "near_dedup", "threshold": 0.5},
+    {
+        "stage": "sample",
+        "rates": {"src0": 1.0, "src1": 1.0},
+        "default_rate": 0.5,
+    },
+]
+
+
+def test_unknown_stage_fails_at_compile_time(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError, match="unknown pipeline stages"):
+        compile_pipeline(docs, [{"stage": "typo_dedup"}])
+
+
+def test_pipeline_end_to_end_with_audit(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out, trail = run_pipeline(docs, SPEC, audit=True)
+    assert trail[0]["stage"] == "input" and trail[0]["rows"] == 500
+    # monotone: every stage only removes rows
+    rows = [t["rows"] for t in trail]
+    assert all(a >= b for a, b in zip(rows, rows[1:]))
+    # every stage reports, and killed adds up
+    assert [t["stage"] for t in trail[1:]] == [s["stage"] for s in SPEC]
+    assert all(t["killed"] == p - t["rows"] for t, p in zip(trail[1:], rows))
+    # the lazy compiled plan agrees with the audited chain
+    assert out.count() == trail[-1]["rows"]
+    # stages actually filtered something on this corpus
+    assert 0 < trail[-1]["rows"] < 500
+
+
+def test_pipeline_is_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = {r["doc_id"] for r in compile_pipeline(docs, SPEC).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in compile_pipeline(docs.repartition(13), SPEC)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
