@@ -452,3 +452,58 @@ SELECT true_label, assigned, count(*)::BIGINT AS n
 FROM arg WHERE rn = 1
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion: the batch twin of the stream-stream interval join
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> purchase-within-1h funnel over the event log — the
+    BATCH form of :func:`..streaming.joins.followup_events` (tested
+    batch==stream in tests/test_streaming_joins.py), rolled up to
+    per-hour-of-day conversion counts. Driver-checking this query
+    value-checks the interval-join semantics the streaming path
+    shares."""
+    from rootstock_collective_state_sync_spark.streaming.joins import (
+        followup_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    joined = followup_events(ev)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.hour("ts").alias("hr"), F.col("event_id").alias("l_event_id")
+    )
+    conv = (
+        joined.select("l_event_id").distinct()
+    )
+    return (
+        signups.join(conv, "l_event_id", "left")
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count(conv["l_event_id"]).alias("n_converted"),
+        )
+        .orderBy("hr")
+    )
+
+
+Q_FUNNEL_CONVERSION_ORACLE = """
+WITH s AS (
+  SELECT event_id AS l_event_id, user_id, ts, hour(ts) AS hr
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT DISTINCT s.l_event_id
+  FROM s JOIN p ON p.user_id = s.user_id
+   AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+)
+SELECT s.hr, count(*)::BIGINT AS n_signups,
+       count(conv.l_event_id)::BIGINT AS n_converted
+FROM s LEFT JOIN conv ON s.l_event_id = conv.l_event_id
+GROUP BY 1 ORDER BY 1
+"""

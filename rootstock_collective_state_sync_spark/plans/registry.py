@@ -336,6 +336,11 @@ SPECS: dict[str, QuerySpec] = {
         Q.Q_NEAREST_CENTROID_CONFUSION_ORACLE,
         ("similarity", "agg"),
     ),
+    "funnel_conversion": QuerySpec(
+        Q.q_funnel_conversion,
+        Q.Q_FUNNEL_CONVERSION_ORACLE,
+        ("analytics", "temporal", "join"),
+    ),
     # event-time windows (streaming scope, batch-checkable)
     "window_tumbling": QuerySpec(
         W.q_window_tumbling, W.Q_WINDOW_TUMBLING_ORACLE, ("window",)
@@ -376,7 +381,7 @@ SPECS: dict[str, QuerySpec] = {
 # domain_classifier_score, image_ahash, image_near_dup_pairs,
 # gopher_quality, rrf_fusion, audio_frame_energy, scd2_intervals,
 # event_type_correlation, similarity_pagerank, cluster_exemplars,
-# label_centroids, nearest_centroid_confusion), + the 4 ANN top-k
+# label_centroids, nearest_centroid_confusion, funnel_conversion), + the 4 ANN top-k
 # paths that gained full SQL-replay oracles this round (previously
 # rows-only — their first hash-checked rows), + the 3 multimodal
 # queries whose partitioning changed this round (pmod-32 cap lifted
@@ -403,6 +408,7 @@ _DRIVER_WINDOW = [
     "cluster_exemplars",
     "label_centroids",
     "nearest_centroid_confusion",
+    "funnel_conversion",
     "rrf_fusion",
     "audio_frame_energy",
     "llm_token_count",
@@ -447,7 +453,6 @@ _DRIVER_WINDOW = [
     "ann_lsh_buckets",
     "ann_ivf_cells",
     "pq_codes",
-    "stratified_sample",
     "pii_redaction",
 ]
 
