@@ -130,3 +130,133 @@ def gopher_quality(
         *[c.alias(n) for n, c in rules.items()],
         keep.alias("gopher_keep"),
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_bigram_char_frac: float = 0.20,
+    max_dup_trigram_char_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher §A1.1 *repetition* signal family (the half of the Gopher
+    table :func:`gopher_quality` doesn't cover): per document,
+
+    - ``frac_dup_lines``      — duplicate line occurrences / lines
+      (a line counts as duplicate on its 2nd+ occurrence),
+    - ``frac_dup_line_chars`` — characters inside those duplicate
+      occurrences / all line characters,
+    - ``top_bigram_char_frac``   — characters covered by the most
+      frequent *repeated* word 2-gram (count ≥ 2; a once-occurring
+      bigram is coverage, not repetition) / total token characters,
+    - ``dup_trigram_char_frac``  — characters inside word 3-grams that
+      occur more than once / all 3-gram characters (every occurrence
+      of a duplicated 3-gram counts — a documented simplification of
+      Gopher's overlap-deduped span accounting),
+
+    plus per-rule flags and the conjunction ``rep_keep`` (default
+    thresholds are the published Gopher cut-offs for the matching
+    rows of their table).
+
+    Plan shape / 100 TB: one explode of (line | 2-gram | 3-gram)
+    occurrences tagged by kind, ONE partial-aggregated shuffle on
+    ``(id, kind, gram)`` to count occurrences, one per-doc rollup, and
+    a doc-keyed join back to the per-doc denominators — every shuffle
+    row is a (doc_id, short gram) pair, linear in corpus token count,
+    never quadratic. The top-bigram argmax is a ``max(struct(count,
+    charlen, gram))`` — deterministic under any partitioning, and
+    exactly replayable in SQL (the oracle uses the same struct-max).
+    """
+    lns = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), lns.alias("lns"), toks.alias("toks")
+    )
+    meta = base.select(
+        "id",
+        F.size("lns").cast("bigint").alias("n_lines"),
+        F.aggregate(
+            "toks", F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+        ).alias("token_chars"),
+    )
+
+    def _grams(n: int) -> Column:
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    occ = (
+        base.select("id", F.lit("L").alias("kind"), F.explode("lns").alias("g"))
+        .unionAll(
+            base.select("id", F.lit("B").alias("kind"), F.explode(_grams(2)).alias("g"))
+        )
+        .unionAll(
+            base.select("id", F.lit("T").alias("kind"), F.explode(_grams(3)).alias("g"))
+        )
+    )
+    cnt = occ.groupBy("id", "kind", "g").agg(F.count("*").alias("c"))
+    is_l, is_b, is_t = (F.col("kind") == k for k in ("L", "B", "T"))
+    glen = F.length("g")
+    sig = cnt.groupBy("id").agg(
+        F.sum(F.when(is_l, F.col("c"))).alias("line_occ"),
+        F.sum(F.when(is_l, F.col("c") - 1)).alias("dup_line_occ"),
+        F.sum(F.when(is_l, F.col("c") * glen)).alias("line_chars"),
+        F.sum(F.when(is_l, (F.col("c") - 1) * glen)).alias("dup_line_chars"),
+        F.max(
+            F.when(
+                is_b & (F.col("c") > 1),
+                F.struct(F.col("c"), (glen - 1).alias("l"), F.col("g")),
+            )
+        ).alias("topb"),
+        F.sum(F.when(is_t, F.col("c") * (glen - 2))).alias("tri_chars"),
+        F.sum(F.when(is_t & (F.col("c") > 1), F.col("c") * (glen - 2))).alias(
+            "dup_tri_chars"
+        ),
+    )
+    j = meta.join(sig, "id", "left")
+    z = F.lit(0).cast("bigint")
+    fracs = {
+        "frac_dup_lines": _frac(
+            F.coalesce("dup_line_occ", z), F.coalesce("line_occ", z)
+        ),
+        "frac_dup_line_chars": _frac(
+            F.coalesce("dup_line_chars", z), F.coalesce("line_chars", z)
+        ),
+        "top_bigram_char_frac": _frac(
+            F.coalesce(F.col("topb.c") * F.col("topb.l"), z), F.col("token_chars")
+        ),
+        "dup_trigram_char_frac": _frac(
+            F.coalesce("dup_tri_chars", z), F.coalesce("tri_chars", z)
+        ),
+    }
+    rules = {
+        "rule_dup_lines": fracs["frac_dup_lines"] <= max_dup_line_frac,
+        "rule_dup_line_chars": fracs["frac_dup_line_chars"]
+        <= max_dup_line_char_frac,
+        "rule_top_bigram": fracs["top_bigram_char_frac"]
+        <= max_top_bigram_char_frac,
+        "rule_dup_trigram": fracs["dup_trigram_char_frac"]
+        <= max_dup_trigram_char_frac,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return j.select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        "token_chars",
+        *[c.alias(n) for n, c in fracs.items()],
+        *[c.alias(n) for n, c in rules.items()],
+        keep.alias("rep_keep"),
+    )

@@ -507,3 +507,101 @@ SELECT s.hr, count(*)::BIGINT AS n_signups,
 FROM s LEFT JOIN conv ON s.l_event_id = conv.l_event_id
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (the other half of the §A1.1 table)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition audit: duplicate-line fractions,
+    top-2-gram coverage, duplicated-3-gram coverage, per-rule flags and
+    the ``rep_keep`` conjunction. One tagged gram explode, one counted
+    shuffle, one per-doc rollup — linear at any corpus size; the
+    oracle replays every count, the struct-max tie-break, and every
+    threshold in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = RL.repetition_signals(docs)
+    rule_cols = [c for c in out.columns if c.startswith(("rule_", "rep_"))]
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "token_chars",
+        "frac_dup_lines",
+        "frac_dup_line_chars",
+        "top_bigram_char_frac",
+        "dup_trigram_char_frac",
+        *[F.col(c).cast("int").alias(c) for c in rule_cols],
+    ).orderBy("doc_id")
+
+
+Q_REPETITION_SIGNALS_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                     x -> trim(x)), x -> x <> '') AS lns,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, len(lns)::BIGINT AS n_lines,
+         coalesce(list_sum(list_transform(toks,
+                  t -> length(t)::BIGINT)), 0)::BIGINT AS token_chars
+  FROM base
+),
+occ AS (
+  SELECT doc_id, 'L' AS kind, unnest(lns) AS g FROM base
+  UNION ALL
+  SELECT doc_id, 'B', unnest(list_transform(range(len(toks) - 1),
+           i -> toks[i + 1] || ' ' || toks[i + 2]))
+  FROM base WHERE len(toks) >= 2
+  UNION ALL
+  SELECT doc_id, 'T', unnest(list_transform(range(len(toks) - 2),
+           i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))
+  FROM base WHERE len(toks) >= 3
+),
+cnt AS (
+  SELECT doc_id, kind, g, count(*)::BIGINT AS c
+  FROM occ GROUP BY doc_id, kind, g
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN kind = 'L' THEN c END) AS line_occ,
+         sum(CASE WHEN kind = 'L' THEN c - 1 END) AS dup_line_occ,
+         sum(CASE WHEN kind = 'L' THEN c * length(g) END) AS line_chars,
+         sum(CASE WHEN kind = 'L' THEN (c - 1) * length(g) END)
+           AS dup_line_chars,
+         max(CASE WHEN kind = 'B' AND c > 1 THEN
+             {'c': c, 'l': length(g)::BIGINT - 1, 'v': g} END) AS topb,
+         sum(CASE WHEN kind = 'T' THEN c * (length(g) - 2) END) AS tri_chars,
+         sum(CASE WHEN kind = 'T' AND c > 1 THEN c * (length(g) - 2) END)
+           AS dup_tri_chars
+  FROM cnt GROUP BY doc_id
+),
+f AS (
+  SELECT m.doc_id, m.n_lines, m.token_chars,
+         round(coalesce(dup_line_occ, 0)::DOUBLE
+               / greatest(coalesce(line_occ, 0), 1), 6) AS frac_dup_lines,
+         round(coalesce(dup_line_chars, 0)::DOUBLE
+               / greatest(coalesce(line_chars, 0), 1), 6)
+           AS frac_dup_line_chars,
+         round(coalesce(topb.c * topb.l, 0)::DOUBLE
+               / greatest(m.token_chars, 1), 6) AS top_bigram_char_frac,
+         round(coalesce(dup_tri_chars, 0)::DOUBLE
+               / greatest(coalesce(tri_chars, 0), 1), 6)
+           AS dup_trigram_char_frac
+  FROM meta m LEFT JOIN sig s ON m.doc_id = s.doc_id
+)
+SELECT doc_id, n_lines, token_chars, frac_dup_lines, frac_dup_line_chars,
+       top_bigram_char_frac, dup_trigram_char_frac,
+       (frac_dup_lines <= 0.30)::INTEGER AS rule_dup_lines,
+       (frac_dup_line_chars <= 0.20)::INTEGER AS rule_dup_line_chars,
+       (top_bigram_char_frac <= 0.20)::INTEGER AS rule_top_bigram,
+       (dup_trigram_char_frac <= 0.18)::INTEGER AS rule_dup_trigram,
+       (frac_dup_lines <= 0.30 AND frac_dup_line_chars <= 0.20
+        AND top_bigram_char_frac <= 0.20
+        AND dup_trigram_char_frac <= 0.18)::INTEGER AS rep_keep
+FROM f ORDER BY doc_id
+"""

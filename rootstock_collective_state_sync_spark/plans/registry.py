@@ -313,6 +313,9 @@ SPECS: dict[str, QuerySpec] = {
     "rrf_fusion": QuerySpec(
         Q.q_rrf_fusion, Q.Q_RRF_FUSION_ORACLE, ("similarity",)
     ),
+    "repetition_signals": QuerySpec(
+        Q.q_repetition_signals, Q.Q_REPETITION_SIGNALS_ORACLE, ("text", "filter")
+    ),
     "audio_frame_energy": QuerySpec(
         Q.q_audio_frame_energy,
         Q.Q_AUDIO_FRAME_ENERGY_ORACLE,

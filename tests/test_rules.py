@@ -57,3 +57,48 @@ def test_alpha_fraction_rule(spark):
     out = _run(spark, [(1, text)])
     assert abs(out[1]["frac_alpha_words"] - 0.2) < 1e-9
     assert out[1]["rule_alpha_words"] is False
+
+
+def _rep(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r.asDict() for r in RL.repetition_signals(df).collect()
+    }
+
+
+def test_repetition_clean_doc_keeps(spark):
+    out = _rep(spark, [(1, "alpha beta gamma\ndelta epsilon zeta\neta theta")])
+    r = out[1]
+    assert r["frac_dup_lines"] == 0.0
+    assert r["dup_trigram_char_frac"] == 0.0
+    assert r["rep_keep"] is True
+
+
+def test_repetition_duplicate_lines_flagged(spark):
+    # 4 lines, 3 of them the same 10-char line -> 2/4 dup occurrences
+    text = "same line!\nsame line!\nsame line!\nunique tail"
+    r = _rep(spark, [(1, text)])[1]
+    assert r["n_lines"] == 4
+    assert r["frac_dup_lines"] == 0.5
+    # dup chars = 2*10 / (3*10 + 11)
+    assert r["frac_dup_line_chars"] == round(20 / 41, 6)
+    assert r["rule_dup_lines"] is False
+    assert r["rep_keep"] is False
+
+
+def test_repetition_top_bigram_dominates(spark):
+    # "ha ha" repeated: bigram (ha, ha) covers most token chars
+    r = _rep(spark, [(1, "ha ha ha ha ha ha ha ha one two")])[1]
+    # tokens: 8x'ha' + 'one' 'two' = 16 + 6 = 22 chars; bigram 'ha ha'
+    # occurs 7 times, charlen 4 -> 28/22 capped? no cap: ratio > 0.2
+    assert r["token_chars"] == 22
+    assert r["top_bigram_char_frac"] == round(28 / 22, 6)
+    assert r["rule_top_bigram"] is False
+
+
+def test_repetition_empty_and_tokenless_docs(spark):
+    out = _rep(spark, [(1, ""), (2, "!!! ??? ---")])
+    assert out[1]["frac_dup_lines"] == 0.0
+    assert out[1]["rep_keep"] is True
+    assert out[2]["token_chars"] == 0
+    assert out[2]["top_bigram_char_frac"] == 0.0
