@@ -775,3 +775,76 @@ def drop_duplicate_spans(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style cross-document LINE dedup (Wenzek et al. 2020 §3.1):
+    a (trimmed, non-empty) line occurring in at least ``min_docs``
+    DISTINCT documents is boilerplate — navigation chrome, cookie
+    banners, license footers — and is stripped from every document;
+    the surviving lines are re-joined with ``\\n``. Whitespace
+    normalization (trim + blank-line drop) is part of the operator's
+    contract so the result is layout-deterministic.
+
+    Returns one row per input document: the id, the cleaned
+    ``text``, ``n_lines`` (before), ``n_removed``, and
+    ``frac_removed``; documents that were pure boilerplate come back
+    with empty text, never dropped (the caller decides).
+
+    Plan shape / 100 TB: the document text never rides a line-level
+    shuffle. (1) an exploded projection of (doc, position,
+    xxhash64(line)) — 16-byte rows; (2) one count-distinct-doc shuffle
+    keyed on the 8-byte line hash; (3) the boilerplate positions are
+    joined hash-to-hash and collected per doc into a small int array;
+    (4) ONE corpus-wide doc-keyed join attaches that array and an
+    in-row higher-order filter rebuilds the text. Two metadata
+    shuffles + one corpus shuffle, all linear; no driver-side state.
+    """
+    lns = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    base = df.withColumn("_lns", lns)
+    pos_hash = base.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.transform("_lns", lambda l: F.xxhash64(l))).alias(
+            "_pos", "_h"
+        ),
+    )
+    boiler = (
+        pos_hash.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_h")
+    )
+    bad_pos = (
+        pos_hash.join(boiler, "_h")
+        .groupBy("_id")
+        .agg(F.collect_list("_pos").alias("_bad"))
+    )
+    joined = base.join(
+        bad_pos, base[id_col] == bad_pos["_id"], "left"
+    ).drop("_id")
+    bad = F.coalesce(F.col("_bad"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform("_lns", lambda l, i: F.struct(l.alias("l"), i.alias("i"))),
+        lambda s: ~F.array_contains(bad, s["i"]),
+    )
+    n_lines = F.size("_lns").cast("bigint")
+    n_removed = F.size(bad).cast("bigint")
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["l"]), "\n").alias(text_col),
+        n_lines.alias("n_lines"),
+        n_removed.alias("n_removed"),
+        F.round(
+            n_removed.cast("double")
+            / F.greatest(n_lines, F.lit(1)).cast("double"),
+            6,
+        ).alias("frac_removed"),
+    )

@@ -605,3 +605,51 @@ SELECT doc_id, n_lines, token_chars, frac_dup_lines, frac_dup_line_chars,
         AND dup_trigram_char_frac <= 0.18)::INTEGER AS rep_keep
 FROM f ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-document line dedup (boilerplate strip)
+# ---------------------------------------------------------------------------
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip lines shared by >= 3 distinct documents and return every
+    cleaned document (full text hash-compared), plus removal audit
+    counts. The Spark plan joins on 8-byte xxhash64 line keys; the
+    oracle replays the same semantics keyed on the line strings
+    themselves — a value-hash match proves the hashed join loses
+    nothing on this corpus."""
+    from rootstock_collective_state_sync_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        DD.strip_boilerplate_lines(docs, min_docs=3)
+        .select("doc_id", "text", "n_lines", "n_removed", "frac_removed")
+        .orderBy("doc_id")
+    )
+
+
+Q_LINE_DEDUP_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                     x -> trim(x)), x -> x <> '') AS lns
+  FROM documents
+),
+ph AS (SELECT doc_id, unnest(lns) AS g FROM base),
+boiler AS (
+  SELECT g FROM ph GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+),
+bset AS (SELECT coalesce(list(g), []) AS bs FROM boiler)
+SELECT b.doc_id,
+       array_to_string(list_filter(b.lns, l -> NOT list_contains(bs, l)),
+                       chr(10)) AS text,
+       len(b.lns)::BIGINT AS n_lines,
+       (len(b.lns) - len(list_filter(b.lns,
+            l -> NOT list_contains(bs, l))))::BIGINT AS n_removed,
+       round((len(b.lns) - len(list_filter(b.lns,
+            l -> NOT list_contains(bs, l))))::DOUBLE
+            / greatest(len(b.lns), 1), 6) AS frac_removed
+FROM base b CROSS JOIN bset
+ORDER BY doc_id
+"""

@@ -316,6 +316,9 @@ SPECS: dict[str, QuerySpec] = {
     "repetition_signals": QuerySpec(
         Q.q_repetition_signals, Q.Q_REPETITION_SIGNALS_ORACLE, ("text", "filter")
     ),
+    "line_dedup": QuerySpec(
+        Q.q_line_dedup, Q.Q_LINE_DEDUP_ORACLE, ("dedup", "text")
+    ),
     "audio_frame_energy": QuerySpec(
         Q.q_audio_frame_energy,
         Q.Q_AUDIO_FRAME_ENERGY_ORACLE,

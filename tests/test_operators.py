@@ -909,3 +909,45 @@ def test_hashed_doc_vectors_properties(spark):
         for r in S.semantic_dedup(vecs, num_cells=2, threshold=0.99).collect()
     }
     assert verdicts[1] == 1 and verdicts[2] == 0 and verdicts[3] == 1
+
+
+def test_strip_boilerplate_lines_planted(spark):
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        strip_boilerplate_lines,
+    )
+
+    footer = "c 2020 example corp all rights reserved"
+    rows = [
+        (1, f"unique alpha\n{footer}\nunique beta"),
+        (2, f"{footer}\nsomething else entirely"),
+        (3, f"third doc body\n\n  {footer}  "),
+        (4, footer),  # pure boilerplate -> empty text, row kept
+        (5, "no boilerplate here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in strip_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["text"] == "unique alpha\nunique beta"
+    assert out[1]["n_removed"] == 1 and out[1]["n_lines"] == 3
+    assert out[2]["text"] == "something else entirely"
+    assert out[3]["text"] == "third doc body"  # trim + blank-drop contract
+    assert out[4]["text"] == "" and out[4]["frac_removed"] == 1.0
+    assert out[5]["n_removed"] == 0
+
+
+def test_strip_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        strip_boilerplate_lines,
+    )
+
+    # the repeated line occurs 3 times but in only 2 distinct docs
+    rows = [(1, "dup line\ndup line\nbody"), (2, "dup line\nother")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in strip_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
