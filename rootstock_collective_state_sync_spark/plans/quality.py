@@ -653,3 +653,46 @@ SELECT b.doc_id,
 FROM base b CROSS JOIN bset
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned selective join
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per customer for ONE market segment's customers, with
+    the orders fact Bloom-pruned at scan time before any exchange.
+    Bloom false positives are removed by the join itself, so the
+    oracle is the plain SQL join — a value match proves the pruning
+    is lossless end-to-end."""
+    from rootstock_collective_state_sync_spark.operators.bloom import (
+        bloom_pruned_join,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        bloom_pruned_join(orders, cust, on="o_custkey", m_bits=1 << 16)
+        .groupBy("o_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+Q_BLOOM_PRUNED_JOIN_ORACLE = """
+SELECT o.o_custkey, c.c_name,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS sum_total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_custkey, c.c_name
+ORDER BY o.o_custkey
+"""

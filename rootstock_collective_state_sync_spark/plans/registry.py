@@ -319,6 +319,9 @@ SPECS: dict[str, QuerySpec] = {
     "line_dedup": QuerySpec(
         Q.q_line_dedup, Q.Q_LINE_DEDUP_ORACLE, ("dedup", "text")
     ),
+    "bloom_pruned_join": QuerySpec(
+        Q.q_bloom_pruned_join, Q.Q_BLOOM_PRUNED_JOIN_ORACLE, ("join", "filter")
+    ),
     "audio_frame_energy": QuerySpec(
         Q.q_audio_frame_energy,
         Q.Q_AUDIO_FRAME_ENERGY_ORACLE,

@@ -951,3 +951,43 @@ def test_strip_boilerplate_counts_distinct_docs_not_occurrences(spark):
         for r in strip_boilerplate_lines(df, min_docs=3).collect()
     }
     assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from rootstock_collective_state_sync_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+        bloom_pruned_join,
+    )
+    from pyspark.sql import functions as F
+
+    dim = spark.range(0, 100).select((F.col("id") * 7).alias("k"))
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    words = build_bloom(dim, "k", m_bits=1 << 12, k=5)
+    probe = fact.select(
+        "k", bloom_might_contain(words, F.col("k"), 1 << 12).alias("hit")
+    )
+    hits = {r["k"] for r in probe.filter("hit").collect()}
+    true_keys = {i * 7 for i in range(100)}
+    assert true_keys <= hits  # no false negative, ever
+    # 4096 bits / 100 keys -> FPR well under 50%; prune must bite
+    assert len(hits) < 20000 * 0.5
+    # composed join is result-exact vs the plain join
+    got = sorted(
+        r["k"] for r in bloom_pruned_join(fact, dim, "k", m_bits=1 << 12).collect()
+    )
+    assert got == sorted(true_keys)
+
+
+def test_bloom_rejects_unsafe_join_types(spark):
+    import pytest as _pytest
+    from rootstock_collective_state_sync_spark.operators.bloom import (
+        bloom_pruned_join,
+        build_bloom,
+    )
+
+    df = spark.range(1).selectExpr("id as k")
+    with _pytest.raises(ValueError):
+        bloom_pruned_join(df, df, "k", how="left")
+    with _pytest.raises(ValueError):
+        build_bloom(df, "k", m_bits=100)
