@@ -848,3 +848,68 @@ def strip_boilerplate_lines(
             6,
         ).alias("frac_removed"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_docs_per_shingle: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ``containment(A in B) =
+    |S_A ∩ S_B| / |S_A|`` over word-``n``-gram sets (Broder 1997's
+    second resemblance measure). Catches the pairs symmetric Jaccard
+    structurally misses — a short document quoted wholesale inside a
+    much longer one has Jaccard ≈ |A|/|B| (tiny) but containment ≈ 1.
+    Training pipelines use it to drop subset documents and to find
+    quote-expansion chains.
+
+    Returns ``(id_small, id_big, containment)`` where ``id_small`` is
+    the CONTAINED document (smaller shingle set; ties broken by id),
+    containment rounded to 6 dp, pairs with containment >=
+    ``threshold``.
+
+    Plan shape / 100 TB: same linear skeleton as
+    :func:`ngram_jaccard_pairs` — persisted stop-shingle-capped
+    inverted index, 8-byte hashed keys, candidates generated by the
+    index self-join (never all-pairs), intersections counted in-pass.
+    The only change is the scoring projection: divide by the smaller
+    set size instead of the union. The stop-shingle cap bounds
+    fan-out exactly as there.
+    """
+    idx = shingle_index(df, text_col, id_col, n)
+    capped = _capped_index(idx, max_docs_per_shingle)
+    hashed = _hashed(capped)
+    sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = hashed.select(F.col("id").alias("id_a"), "sh")
+    b = hashed.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    j = inter.join(sa, "id_a").join(sb, "id_b")
+    small_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        j.select(
+            F.when(small_first, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "id_small"
+            ),
+            F.when(small_first, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "id_big"
+            ),
+            F.round(
+                F.col("inter").cast("double")
+                / F.least("na", "nb").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -159,6 +159,9 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(
         TR.q_dedup_ngram_jaccard, TR.Q_DEDUP_NGRAM_JACCARD_ORACLE, ("dedup", "bench")
     ),
+    "containment_pairs": QuerySpec(
+        TR.q_containment_pairs, TR.Q_CONTAINMENT_PAIRS_ORACLE, ("dedup",)
+    ),
     "dedup_minhash_lsh": QuerySpec(
         TR.q_dedup_minhash_lsh, TR.Q_DEDUP_MINHASH_LSH_ORACLE, ("dedup", "bench")
     ),

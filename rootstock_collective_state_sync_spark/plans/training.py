@@ -1158,3 +1158,39 @@ SELECT seg_key, shard,
        seg_size AS size
 FROM cum ORDER BY seg_key
 """
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups: |A ∩ B| / min(|A|, |B|) over
+    the same capped shingle index as `dedup_ngram_jaccard` — catches
+    subset/quote pairs whose symmetric Jaccard is diluted by the
+    bigger document. Oracle replays index, cap, intersection, the
+    smaller-side orientation, and the threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.5).orderBy(
+        "id_small", "id_big"
+    )
+
+
+Q_CONTAINMENT_PAIRS_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+pair AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT CASE WHEN sa.n_sh < sb.n_sh
+                OR (sa.n_sh = sb.n_sh AND id_a < id_b)
+              THEN id_a ELSE id_b END AS id_small,
+         CASE WHEN sa.n_sh < sb.n_sh
+                OR (sa.n_sh = sb.n_sh AND id_a < id_b)
+              THEN id_b ELSE id_a END AS id_big,
+         round(inter::DOUBLE / least(sa.n_sh, sb.n_sh), 6) AS containment
+  FROM pair
+  JOIN sizes sa ON pair.id_a = sa.id
+  JOIN sizes sb ON pair.id_b = sb.id
+)
+SELECT * FROM scored WHERE containment >= 0.5
+ORDER BY id_small, id_big
+"""

@@ -991,3 +991,22 @@ def test_bloom_rejects_unsafe_join_types(spark):
         bloom_pruned_join(df, df, "k", how="left")
     with _pytest.raises(ValueError):
         build_bloom(df, "k", m_bits=100)
+
+
+def test_containment_catches_subset_doc(spark):
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel"
+    padding = " ".join(f"word{i} next{i} more{i}" for i in range(30))
+    rows = [(1, quote), (2, f"{padding} {quote} {padding}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = containment_pairs(df, threshold=0.8).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_small"], r["id_big"]) == (1, 2)
+    assert r["containment"] == 1.0  # every shingle of doc1 is in doc2
+    # symmetric Jaccard misses the same pair at the same threshold
+    assert ngram_jaccard_pairs(df, threshold=0.8).count() == 0
