@@ -162,6 +162,9 @@ SPECS: dict[str, QuerySpec] = {
     "containment_pairs": QuerySpec(
         TR.q_containment_pairs, TR.Q_CONTAINMENT_PAIRS_ORACLE, ("dedup",)
     ),
+    "source_kl_drift": QuerySpec(
+        TR.q_source_kl_drift, TR.Q_SOURCE_KL_DRIFT_ORACLE, ("text", "analytics")
+    ),
     "dedup_minhash_lsh": QuerySpec(
         TR.q_dedup_minhash_lsh, TR.Q_DEDUP_MINHASH_LSH_ORACLE, ("dedup", "bench")
     ),

@@ -1194,3 +1194,53 @@ scored AS (
 SELECT * FROM scored WHERE containment >= 0.5
 ORDER BY id_small, id_big
 """
+
+
+def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(P_source || P_corpus) over the top-64 corpus
+    tokens, fixed-point e9 summation. The oracle replays vocabulary
+    selection (count-desc/token-asc), add-one smoothing, the per-term
+    e9 rounding, and the integer sum."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        source_kl_divergence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_kl_divergence(docs, vocab_size=64).orderBy("source")
+
+
+Q_SOURCE_KL_DRIFT_ORACLE = """
+WITH tk AS (
+  SELECT source AS src,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+  FROM documents
+),
+corpus AS (SELECT term, count(*)::BIGINT AS c_all FROM tk GROUP BY term),
+vocab AS (
+  SELECT term, c_all FROM corpus ORDER BY c_all DESC, term ASC LIMIT 64
+),
+vtot AS (SELECT sum(c_all)::BIGINT AS n_all, count(*)::BIGINT AS v FROM vocab),
+sc AS (
+  SELECT t.src, t.term, count(*)::BIGINT AS c_src
+  FROM tk t JOIN vocab USING (term) GROUP BY t.src, t.term
+),
+st AS (SELECT src, sum(c_src)::BIGINT AS n_src FROM sc GROUP BY src),
+grid AS (
+  SELECT st.src, st.n_src, v.term, v.c_all, coalesce(sc.c_src, 0) AS c_src
+  FROM st CROSS JOIN vocab v
+  LEFT JOIN sc ON sc.src = st.src AND sc.term = v.term
+),
+terms AS (
+  SELECT src, n_src,
+         round(((c_src + 1)::DOUBLE / (n_src + vtot.v))
+               * ln(((c_src + 1)::DOUBLE / (n_src + vtot.v))
+                    / ((c_all + 1)::DOUBLE / (vtot.n_all + vtot.v)))
+               * 1e9, 0)::BIGINT AS t9
+  FROM grid CROSS JOIN vtot
+)
+SELECT src AS source, n_src AS n_tokens,
+       sum(t9)::BIGINT AS kl_e9,
+       round(sum(t9)::DOUBLE / 1e9, 6) AS kl
+FROM terms GROUP BY src, n_src ORDER BY source
+"""

@@ -1010,3 +1010,28 @@ def test_containment_catches_subset_doc(spark):
     assert r["containment"] == 1.0  # every shingle of doc1 is in doc2
     # symmetric Jaccard misses the same pair at the same threshold
     assert ngram_jaccard_pairs(df, threshold=0.8).count() == 0
+
+
+def test_source_kl_divergence_orders_drift(spark):
+    from rootstock_collective_state_sync_spark.operators.text import (
+        source_kl_divergence,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = (
+        [(i, common, "typical") for i in range(10)]
+        # drifted source: disjoint vocabulary
+        + [(100 + i, "zzz qqq xxx vvv kkk jjj www yyy", "drifted") for i in range(3)]
+        # mild source: mostly common + a little novelty
+        + [(200 + i, common + " novelty", "mild") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r.asDict()
+        for r in source_kl_divergence(df, vocab_size=16).collect()
+    }
+    assert set(out) == {"typical", "drifted", "mild"}
+    # the disjoint-vocabulary source separates by an order of magnitude;
+    # the mild/typical ordering is smoothing-sensitive and not asserted
+    assert out["drifted"]["kl"] > 5 * max(out["mild"]["kl"], out["typical"]["kl"])
+    assert all(r["kl_e9"] >= 0 for r in out.values())  # KL non-negativity
