@@ -376,3 +376,68 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
 FROM dense a JOIN dense b ON a.hr = b.hr AND a.event_type < b.event_type
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-seen
+    day, and for each (cohort_day, day_offset) the count and fraction
+    of the cohort active that day. Two linear aggregations and one
+    user-keyed join — the fact stream is never self-joined row-wise
+    (activity is reduced to distinct (user, day) first).
+
+    100 TB shape: the (user, day) distinct is the only event-volume
+    shuffle (map-side combined); cohorts (one row per user) broadcast
+    back onto it; the final matrix is days x offsets — control-plane
+    sized."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort_sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    joined = activity.join(F.broadcast(cohorts), "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"),
+        "user_id",
+    )
+    return (
+        joined.groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("int").alias("day_offset"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+Q_RETENTION_COHORTS_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_day, count(*)::BIGINT AS n_cohort
+  FROM cohorts GROUP BY cohort_day
+),
+m AS (
+  SELECT c.cohort_day, (a.day - c.cohort_day)::INTEGER AS day_offset,
+         count(DISTINCT a.user_id)::BIGINT AS n_active
+  FROM activity a JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT m.cohort_day, m.day_offset, m.n_active, s.n_cohort,
+       round(m.n_active::DOUBLE / s.n_cohort, 6) AS retention
+FROM m JOIN sizes s USING (cohort_day)
+ORDER BY cohort_day, day_offset
+"""

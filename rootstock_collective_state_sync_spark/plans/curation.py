@@ -1256,3 +1256,27 @@ pairs AS (
 SELECT id_a, id_b, hamming FROM pairs
 WHERE hamming <= 6 ORDER BY id_a, id_b
 """
+
+
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image leg of dedup-cluster resolution: banded-aHash near-dup
+    pairs resolved into connected components (component = min doc_id
+    reachable). Composes two already-oracled stages; the oracle replays
+    the aHash pipeline, the all-pairs Hamming ground truth, AND the
+    transitive closure via recursive CTE — proving the banded plan +
+    log-round CC composition end-to-end."""
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_ppm_payload(docs)
+    pairs = M.image_near_dup_pairs(media, max_hamming=6, bands=8).select(
+        "id_a", "id_b"
+    )
+    return D.connected_components(pairs, docs.select("doc_id")).orderBy("id")
+
+
+from rootstock_collective_state_sync_spark.plans.training import (
+    _components_oracle as _cc_oracle,
+)
+
+Q_IMAGE_DEDUP_CLUSTERS_ORACLE = _cc_oracle(Q_IMAGE_NEAR_DUP_ORACLE)

@@ -121,6 +121,9 @@ SPECS: dict[str, QuerySpec] = {
     "scd2_intervals": QuerySpec(
         AN.q_scd2_intervals, AN.Q_SCD2_INTERVALS_ORACLE, ("temporal", "cdc")
     ),
+    "retention_cohorts": QuerySpec(
+        AN.q_retention_cohorts, AN.Q_RETENTION_COHORTS_ORACLE, ("analytics", "agg")
+    ),
     "event_type_correlation": QuerySpec(
         AN.q_event_type_correlation,
         AN.Q_EVENT_TYPE_CORRELATION_ORACLE,
@@ -312,6 +315,11 @@ SPECS: dict[str, QuerySpec] = {
         CU.q_image_near_dup_pairs,
         CU.Q_IMAGE_NEAR_DUP_ORACLE,
         ("multimodal", "dedup"),
+    ),
+    "image_dedup_clusters": QuerySpec(
+        CU.q_image_dedup_clusters,
+        CU.Q_IMAGE_DEDUP_CLUSTERS_ORACLE,
+        ("multimodal", "dedup", "graph"),
     ),
     "gopher_quality": QuerySpec(
         Q.q_gopher_quality, Q.Q_GOPHER_QUALITY_ORACLE, ("text", "filter")
