@@ -408,20 +408,26 @@ SPECS: dict[str, QuerySpec] = {
 # paths that gained full SQL-replay oracles this round (previously
 # rows-only — their first hash-checked rows), + the 3 multimodal
 # queries whose partitioning changed this round (pmod-32 cap lifted
-# — re-earn rows on the new plan), + 22 queries whose most recent
-# driver row is r04/r05 (rotated out of the r06 window) — including
-# the dedup family, whose MinHash/SimHash/verification plans changed
-# this round — spanning every family: agg/filter/join/temporal/
-# scalar/text/dedup/similarity/sampling/curation. Exactly 50.
+# — re-earn rows on the new plan), + 7 queries added mid-round-7
+# (repetition_signals, line_dedup, bloom_pruned_join,
+# containment_pairs, source_kl_drift, retention_cohorts,
+# image_dedup_clusters — never driver-checked), + 14 queries whose
+# most recent driver row is r04/r05 (rotated out of the r06 window)
+# — including the dedup family, whose MinHash/SimHash/verification
+# plans changed this round — spanning every family: agg/filter/
+# join/temporal/text/dedup/similarity/curation. Exactly 50.
 # Rotated out: the 40 r06-green entries plus importance_sample,
 # zorder_key, export_manifest, quality_percentiles,
 # lm_unigram_score, epoch_shuffle, camel_case, vocab_topk,
 # text_fingerprint, pack_split_sequences, pack_sequences,
 # tfidf_top_terms, emb_near_dup_lsh, dup_ngram_fraction,
 # contamination_check, clean_corpus, budget_select, temperature_mix,
-# the four window_* queries and the two approx sketches — all
-# r04/r05/r06-green with unchanged code, still gated locally by
-# tests/test_conformance.py on every pytest run.
+# the four window_* queries, the two approx sketches, and (to make
+# room for the mid-round additions) seven r05-green unchanged
+# entries (q9_product_profit, bigint_arith, hex_roundtrip,
+# text_token_stats, text_quality_score, text_lang_id,
+# pii_redaction) — all r04/r05/r06-green with unchanged code, still
+# gated locally by tests/test_conformance.py on every pytest run.
 _DRIVER_WINDOW = [
     # never driver-checked (added r06/r07)
     "gopher_quality",
@@ -455,17 +461,19 @@ _DRIVER_WINDOW = [
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",
+    # new this session (never driver-checked)
+    "repetition_signals",
+    "line_dedup",
+    "bloom_pruned_join",
+    "containment_pairs",
+    "source_kl_drift",
+    "retention_cohorts",
+    "image_dedup_clusters",
     # last driver-green in r04/r05 — re-earn rows
     "q1_pricing_summary",
     "filter_range_scan",
     "fk_deref_join",
-    "q9_product_profit",
     "asof_join",
-    "bigint_arith",
-    "hex_roundtrip",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -476,7 +484,6 @@ _DRIVER_WINDOW = [
     "ann_lsh_buckets",
     "ann_ivf_cells",
     "pq_codes",
-    "pii_redaction",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
