@@ -124,3 +124,64 @@ def range_join(
         )
         .drop("_bkt")
     )
+
+
+def time_decayed_score(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    lookback: int = 8,
+    decay_num: int = 9,
+    decay_den: int = 10,
+) -> DataFrame:
+    """Per-key exponentially time-decayed running score — the
+    recency-weighted engagement signal behind feature stores and
+    freshness-weighted sampling: at each event,
+    ``score = Σ_{d=0..lookback-1} value[t-d] · (decay_num/decay_den)^d``
+    over the key's last ``lookback`` events in (ts, id) order.
+
+    Fixed-point contract (the package float policy): values are
+    snapped to integer 1e-6 units, each term is
+    ``value_e6 · num^d div den^d`` — EXACT integer arithmetic
+    (``div``, not float division), so results are bit-identical on
+    any engine or partition layout. Requires non-negative values
+    (truncating vs flooring division diverge below zero); raises at
+    plan level is impossible, so the contract is documented and the
+    conformance oracle would catch a violation.
+
+    Plan shape / 100 TB: one window over (key, ts, id) — a single
+    hash-partitioned sort shuffle on the key, bounded frame of
+    ``lookback`` rows, no self-join, no explode. Skewed keys (one
+    user = 1% of events) are the usual window caveat; mitigate
+    upstream with :mod:`..operators.skew` salting if a key outgrows
+    an executor.
+
+    Returns input keys + ``(score_e6, score)``.
+    """
+    ts_col, id_col = order_cols
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    p9 = ", ".join(str(decay_num**d) for d in range(lookback))
+    p10 = ", ".join(str(decay_den**d) for d in range(lookback))
+    vals = F.collect_list(
+        F.round(F.col(value_col) * 1e6, 0).cast("long")
+    ).over(w)
+    score_e6 = F.expr(
+        f"""aggregate(
+              transform(_vals, (x, i) ->
+                x * element_at(array({p9}), size(_vals) - i)
+                  div element_at(array({p10}), size(_vals) - i)),
+              0L, (acc, t) -> acc + t)"""
+    )
+    return (
+        df.withColumn("_vals", vals)
+        .withColumn("score_e6", score_e6)
+        .withColumn(
+            "score", F.round(F.col("score_e6").cast("double") / 1e6, 6)
+        )
+        .drop("_vals")
+    )

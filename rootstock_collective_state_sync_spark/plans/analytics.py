@@ -441,3 +441,41 @@ SELECT m.cohort_day, m.day_offset, m.n_active, s.n_cohort,
 FROM m JOIN sizes s USING (cohort_day)
 ORDER BY cohort_day, day_offset
 """
+
+
+def q_time_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user engagement score at every event
+    (decay 9/10, lookback 8). Exact integer arithmetic end to end —
+    the oracle replays the window frame, the e6 snap, and the
+    truncating fixed-point division."""
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        time_decayed_score,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_decayed_score(ev).select(
+        "event_id", "user_id", "score_e6", "score"
+    ).orderBy("event_id")
+
+
+Q_TIME_DECAYED_SCORE_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id,
+         list(round(value * 1e6, 0)::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id,
+         list_sum(list_transform(range(len(vals)), i ->
+             vals[i + 1]
+             * ([1,9,81,729,6561,59049,531441,4782969])[len(vals) - i]
+             // ([1,10,100,1000,10000,100000,1000000,10000000])[len(vals) - i]
+         ))::BIGINT AS score_e6
+  FROM v
+)
+SELECT event_id, user_id, score_e6,
+       round(score_e6::DOUBLE / 1e6, 6) AS score
+FROM s ORDER BY event_id
+"""

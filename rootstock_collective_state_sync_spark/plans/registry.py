@@ -121,6 +121,11 @@ SPECS: dict[str, QuerySpec] = {
     "scd2_intervals": QuerySpec(
         AN.q_scd2_intervals, AN.Q_SCD2_INTERVALS_ORACLE, ("temporal", "cdc")
     ),
+    "time_decayed_score": QuerySpec(
+        AN.q_time_decayed_score,
+        AN.Q_TIME_DECAYED_SCORE_ORACLE,
+        ("analytics", "temporal", "window"),
+    ),
     "retention_cohorts": QuerySpec(
         AN.q_retention_cohorts, AN.Q_RETENTION_COHORTS_ORACLE, ("analytics", "agg")
     ),
@@ -469,10 +474,10 @@ _DRIVER_WINDOW = [
     "source_kl_drift",
     "retention_cohorts",
     "image_dedup_clusters",
+    "time_decayed_score",
     # last driver-green in r04/r05 — re-earn rows
     "q1_pricing_summary",
     "filter_range_scan",
-    "fk_deref_join",
     "asof_join",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -76,3 +76,29 @@ def test_range_join_end_exclusive(spark):
         [("i", _t(9), _t(11))], "iid string, start timestamp, end timestamp"
     )
     assert range_join(points, intervals).count() == 0
+
+
+def test_time_decayed_score_exact_fixed_point(spark):
+    from datetime import datetime
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        time_decayed_score,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0), "u", 10.0),
+        (2, datetime(2024, 1, 1, 1), "u", 20.0),
+        (3, datetime(2024, 1, 1, 2), "u", 40.0),
+        (9, datetime(2024, 1, 1, 0), "v", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, value double"
+    )
+    out = {
+        r["event_id"]: r["score_e6"]
+        for r in time_decayed_score(df).collect()
+    }
+    # event 2: 20e6 + 10e6*9//10 ; event 3: 40e6 + 20e6*9//10 + 10e6*81//100
+    assert out[1] == 10_000_000
+    assert out[2] == 20_000_000 + 9_000_000
+    assert out[3] == 40_000_000 + 18_000_000 + 8_100_000
+    assert out[9] == 5_000_000  # keys independent
