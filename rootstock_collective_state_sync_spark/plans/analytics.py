@@ -479,3 +479,93 @@ SELECT event_id, user_id, score_e6,
        round(score_e6::DOUBLE / 1e6, 6) AS score
 FROM s ORDER BY event_id
 """
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly scan: z-score of each (event_type, hour) count
+    against that type's own hourly distribution, over the same
+    densified hour x type matrix as `event_type_correlation` (missing
+    cells are true zeros). Moments come from exact integer sums
+    (n, Σx, Σx²), so mean/std/z are bit-determined doubles on both
+    engines; |z| > 3 flags the anomaly.
+
+    Scale shape: raw events reduce to (hours x types) rows before
+    anything else; per-type moments are a second aggregation of that
+    tiny frame; no window over raw data, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hours = ev.select(F.date_trunc("hour", F.col("ts")).alias("hr")).distinct()
+    types = ev.select("event_type").distinct()
+    dense = (
+        hours.crossJoin(types)
+        .join(h, ["hr", "event_type"], "left")
+        .select("hr", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    mom = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("cnt")
+    var = (
+        F.col("cnt").cast("double") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) / (F.col("cnt").cast("double") * (F.col("cnt") - 1))
+    z = F.when(
+        F.col("var_") > 0,
+        (F.col("n") - F.col("mean_")) / F.sqrt("var_"),
+    ).otherwise(F.lit(0.0))
+    return (
+        dense.join(
+            F.broadcast(
+                mom.select(
+                    "event_type", mean.alias("mean_"), var.alias("var_")
+                )
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "hr",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("mean_"), 6).alias("mean_n"),
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 3).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+Q_HOURLY_ANOMALIES_ORACLE = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+hours AS (SELECT DISTINCT date_trunc('hour', ts) AS hr FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+  SELECT hours.hr, types.event_type, coalesce(h.n, 0) AS n
+  FROM hours CROSS JOIN types
+  LEFT JOIN h ON h.hr = hours.hr AND h.event_type = types.event_type
+),
+mom AS (
+  SELECT event_type, count(*)::BIGINT AS cnt,
+         sum(n)::BIGINT AS sx, sum(n * n)::BIGINT AS sxx
+  FROM dense GROUP BY event_type
+),
+j AS (
+  SELECT d.event_type, d.hr, d.n,
+         sx::DOUBLE / cnt AS mean_,
+         (cnt::DOUBLE * sxx - sx::DOUBLE * sx)
+           / (cnt::DOUBLE * (cnt - 1)) AS var_
+  FROM dense d JOIN mom USING (event_type)
+)
+SELECT event_type, hr, n,
+       round(mean_, 6) AS mean_n,
+       round(CASE WHEN var_ > 0 THEN (n - mean_) / sqrt(var_)
+                  ELSE 0.0 END, 6) AS z,
+       (abs(CASE WHEN var_ > 0 THEN (n - mean_) / sqrt(var_)
+                 ELSE 0.0 END) > 3)::INTEGER AS is_anomaly
+FROM j ORDER BY event_type, hr
+"""

@@ -129,6 +129,9 @@ SPECS: dict[str, QuerySpec] = {
     "retention_cohorts": QuerySpec(
         AN.q_retention_cohorts, AN.Q_RETENTION_COHORTS_ORACLE, ("analytics", "agg")
     ),
+    "hourly_anomalies": QuerySpec(
+        AN.q_hourly_anomalies, AN.Q_HOURLY_ANOMALIES_ORACLE, ("analytics", "agg")
+    ),
     "event_type_correlation": QuerySpec(
         AN.q_event_type_correlation,
         AN.Q_EVENT_TYPE_CORRELATION_ORACLE,
@@ -475,9 +478,9 @@ _DRIVER_WINDOW = [
     "retention_cohorts",
     "image_dedup_clusters",
     "time_decayed_score",
+    "hourly_anomalies",
     # last driver-green in r04/r05 — re-earn rows
     "q1_pricing_summary",
-    "filter_range_scan",
     "asof_join",
     "dedup_exact",
     "dedup_ngram_jaccard",
