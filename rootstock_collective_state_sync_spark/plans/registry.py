@@ -173,6 +173,9 @@ SPECS: dict[str, QuerySpec] = {
     "containment_pairs": QuerySpec(
         TR.q_containment_pairs, TR.Q_CONTAINMENT_PAIRS_ORACLE, ("dedup",)
     ),
+    "bpe_merges": QuerySpec(
+        TR.q_bpe_merges, TR.Q_BPE_MERGES_ORACLE, ("text",)
+    ),
     "source_kl_drift": QuerySpec(
         TR.q_source_kl_drift, TR.Q_SOURCE_KL_DRIFT_ORACLE, ("text", "analytics")
     ),
@@ -479,8 +482,8 @@ _DRIVER_WINDOW = [
     "image_dedup_clusters",
     "time_decayed_score",
     "hourly_anomalies",
+    "bpe_merges",
     # last driver-green in r04/r05 — re-earn rows
-    "q1_pricing_summary",
     "asof_join",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -1244,3 +1244,68 @@ SELECT src AS source, n_src AS n_tokens,
        round(sum(t9)::DOUBLE / 1e9, 6) AS kl
 FROM terms GROUP BY src, n_src ORDER BY source
 """
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training distilled: 6 BPE merge rounds learned from
+    the corpus word-frequency table. The oracle unrolls every round —
+    weighted pair counts, the (count desc, pair asc) argmax, and the
+    leftmost-non-overlapping merge application — in SQL, so the driver
+    hash-checks the whole training loop."""
+    from rootstock_collective_state_sync_spark.operators.bpe import (
+        bpe_merge_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_table(spark, docs, num_merges=6).orderBy("round")
+
+
+def _bpe_oracle(num_merges: int) -> str:
+    parts = [
+        """
+WITH wf AS (
+  SELECT t AS w, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS t
+    FROM documents
+  ) GROUP BY t
+),
+w0 AS (
+  SELECT w,
+         '[' || array_to_string(list_transform(range(length(w)),
+                i -> w[i+1:i+1]), '][') || ']' AS sym,
+         cnt
+  FROM wf
+)"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT s.l AS l, s.rr AS rr, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt,
+           unnest(CASE WHEN len(syms) >= 2
+                  THEN list_transform(range(len(syms) - 1),
+                       i -> {{'l': syms[i+1], 'rr': syms[i+2]}})
+                  ELSE [] END) AS s
+    FROM (SELECT cnt,
+                 string_split_regex(sym[2:length(sym)-1], '\\]\\[') AS syms
+          FROM w{r - 1})
+  ) GROUP BY 1, 2
+),
+b{r} AS (SELECT l, rr, n FROM p{r} ORDER BY n DESC, l ASC, rr ASC LIMIT 1),
+m{r} AS (SELECT {r} AS "round", l AS "left", rr AS "right", n FROM b{r}),
+w{r} AS (
+  SELECT w.w,
+         CASE WHEN b.l IS NOT NULL
+              THEN replace(w.sym, '[' || b.l || '][' || b.rr || ']',
+                           '[' || b.l || b.rr || ']')
+              ELSE w.sym END AS sym,
+         w.cnt
+  FROM w{r - 1} w LEFT JOIN b{r} b ON TRUE
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{r}" for r in range(1, num_merges + 1))
+    parts.append(f'\nSELECT * FROM ({union}) ORDER BY "round"')
+    return "".join(parts)
+
+
+Q_BPE_MERGES_ORACLE = _bpe_oracle(6)

@@ -1035,3 +1035,25 @@ def test_source_kl_divergence_orders_drift(spark):
     # the mild/typical ordering is smoothing-sensitive and not asserted
     assert out["drifted"]["kl"] > 5 * max(out["mild"]["kl"], out["typical"]["kl"])
     assert all(r["kl_e9"] >= 0 for r in out.values())  # KL non-negativity
+
+
+def test_bpe_learns_expected_merges(spark):
+    from rootstock_collective_state_sync_spark.operators.bpe import (
+        learn_bpe_merges,
+    )
+
+    # "lowlow lower newest" style classic: 'lo' dominates
+    rows = [(1, "low low low lowest"), (2, "low lower")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = learn_bpe_merges(df, num_merges=3)
+    assert [(m["left"], m["right"]) for m in merges][:2] == [
+        ("l", "o"),   # all 6 word occurrences contain 'lo'
+        ("lo", "w"),  # then 'low' fuses
+    ]
+    assert merges[0]["n"] == 6
+    # left-to-right non-overlap: 'aaaa' yields (a,a) count 3 first round
+    df2 = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    m2 = learn_bpe_merges(df2, num_merges=2)
+    assert (m2[0]["left"], m2[0]["right"], m2[0]["n"]) == ("a", "a", 3)
+    # after merging: [aa][aa] -> round 2 merges (aa, aa)
+    assert (m2[1]["left"], m2[1]["right"]) == ("aa", "aa")
