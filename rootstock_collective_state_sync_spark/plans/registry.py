@@ -419,14 +419,15 @@ SPECS: dict[str, QuerySpec] = {
 # paths that gained full SQL-replay oracles this round (previously
 # rows-only — their first hash-checked rows), + the 3 multimodal
 # queries whose partitioning changed this round (pmod-32 cap lifted
-# — re-earn rows on the new plan), + 7 queries added mid-round-7
+# — re-earn rows on the new plan), + 10 queries added mid-round-7
 # (repetition_signals, line_dedup, bloom_pruned_join,
 # containment_pairs, source_kl_drift, retention_cohorts,
-# image_dedup_clusters — never driver-checked), + 14 queries whose
-# most recent driver row is r04/r05 (rotated out of the r06 window)
-# — including the dedup family, whose MinHash/SimHash/verification
-# plans changed this round — spanning every family: agg/filter/
-# join/temporal/text/dedup/similarity/curation. Exactly 50.
+# image_dedup_clusters, time_decayed_score, hourly_anomalies,
+# bpe_merges — never driver-checked), + 11 queries whose most
+# recent driver row is r04/r05 (rotated out of the r06 window) —
+# including the dedup family, whose MinHash/SimHash/verification
+# plans changed this round — spanning agg/join/temporal/text/
+# dedup/similarity. Exactly 50.
 # Rotated out: the 40 r06-green entries plus importance_sample,
 # zorder_key, export_manifest, quality_percentiles,
 # lm_unigram_score, epoch_shuffle, camel_case, vocab_topk,
@@ -434,8 +435,9 @@ SPECS: dict[str, QuerySpec] = {
 # tfidf_top_terms, emb_near_dup_lsh, dup_ngram_fraction,
 # contamination_check, clean_corpus, budget_select, temperature_mix,
 # the four window_* queries, the two approx sketches, and (to make
-# room for the mid-round additions) seven r05-green unchanged
-# entries (q9_product_profit, bigint_arith, hex_roundtrip,
+# room for the mid-round additions) ten r05-green unchanged
+# entries (q1_pricing_summary, filter_range_scan, fk_deref_join,
+# q9_product_profit, bigint_arith, hex_roundtrip,
 # text_token_stats, text_quality_score, text_lang_id,
 # pii_redaction) — all r04/r05/r06-green with unchanged code, still
 # gated locally by tests/test_conformance.py on every pytest run.
