@@ -122,3 +122,63 @@ def bpe_merge_table(
     return spark.createDataFrame(
         rows, "round int, left string, right string, n bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[Row] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table to the corpus: segment every word
+    with the merges IN LEARNED ORDER (each is a leftmost
+    non-overlapping replace over the bracket encoding — identical to
+    the trainer's application step, so train→encode round-trips).
+
+    Returns one row per document: ``(id, n_words, n_tokens,
+    fertility)`` where ``n_tokens`` is the subword count after
+    segmentation and fertility = tokens per word — THE tokenizer
+    health metric (a fertility jump on a new corpus slice means the
+    vocabulary doesn't fit it).
+
+    Plan shape / 100 TB: pure per-row projection — the merge table is
+    a handful of literals baked into the expression (no join, no
+    shuffle, no UDF); ``num_merges`` chained ``replace`` calls stay
+    inside one WholeStageCodegen span at scan speed.
+    """
+    pairs = [
+        (m["left"], m["right"]) if isinstance(m, Row) else m for m in merges
+    ]
+    toks = tokens(F.col(text_col))
+    sym = F.array_join(
+        F.transform(
+            toks,
+            lambda w: F.concat(
+                F.lit("["),
+                F.array_join(F.split(w, ""), "]["),
+                F.lit("]"),
+            ),
+        ),
+        " ",
+    )
+    # NB: per-word encodings are joined with a space, so a merge
+    # pattern '[a][b]' can never span a word boundary.
+    enc = sym
+    for l, r in pairs:
+        enc = F.replace(enc, F.lit(f"[{l}][{r}]"), F.lit(f"[{l}{r}]"))
+    n_words = F.size(toks).cast("bigint")
+    # token count = bracket-open count over the encoded string
+    n_tokens = (
+        F.length(enc) - F.length(F.replace(enc, F.lit("["), F.lit("")))
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.when(n_words > 0, n_tokens).otherwise(F.lit(0)).alias("n_tokens"),
+        F.round(
+            F.when(
+                n_words > 0, n_tokens.cast("double") / n_words.cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("fertility"),
+    )

@@ -1260,7 +1260,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(spark, docs, num_merges=6).orderBy("round")
 
 
-def _bpe_oracle(num_merges: int) -> str:
+def _bpe_rounds(num_merges: int) -> str:
     parts = [
         """
 WITH wf AS (
@@ -1303,9 +1303,57 @@ w{r} AS (
          w.cnt
   FROM w{r - 1} w LEFT JOIN b{r} b ON TRUE
 )""")
-    union = "\nUNION ALL\n".join(f"SELECT * FROM m{r}" for r in range(1, num_merges + 1))
-    parts.append(f'\nSELECT * FROM ({union}) ORDER BY "round"')
     return "".join(parts)
 
 
+def _bpe_oracle(num_merges: int) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{r}" for r in range(1, num_merges + 1)
+    )
+    return _bpe_rounds(num_merges) + f'\nSELECT * FROM ({union}) ORDER BY "round"'
+
+
 Q_BPE_MERGES_ORACLE = _bpe_oracle(6)
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer loop closed: learn 6 merges, encode the corpus with
+    them, report per-document subword counts and fertility. The
+    oracle reuses the unrolled training replay — the final round's
+    word-segmentation table IS the encoder (merges never cross word
+    boundaries), so per-doc token counts are a word-level join + sum."""
+    from rootstock_collective_state_sync_spark.operators.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, num_merges=6)
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
+Q_BPE_FERTILITY_ORACLE = _bpe_rounds(6) + """,
+seg AS (
+  SELECT w, (length(sym) - length(replace(sym, '[', '')))::BIGINT AS ntok
+  FROM w6
+),
+dt AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS w
+  FROM documents
+),
+agg AS (
+  SELECT dt.doc_id, count(*)::BIGINT AS n_words,
+         sum(seg.ntok)::BIGINT AS n_tokens
+  FROM dt JOIN seg USING (w) GROUP BY dt.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       round(CASE WHEN coalesce(a.n_words, 0) > 0
+                  THEN a.n_tokens::DOUBLE / a.n_words
+                  ELSE 0.0 END, 6) AS fertility
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""

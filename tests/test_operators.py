@@ -1057,3 +1057,27 @@ def test_bpe_learns_expected_merges(spark):
     assert (m2[0]["left"], m2[0]["right"], m2[0]["n"]) == ("a", "a", 3)
     # after merging: [aa][aa] -> round 2 merges (aa, aa)
     assert (m2[1]["left"], m2[1]["right"]) == ("aa", "aa")
+
+
+def test_bpe_encode_fertility_drops_with_merges(spark):
+    from rootstock_collective_state_sync_spark.operators.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lowest"), (2, "low lower")],
+        "doc_id long, text string",
+    )
+    base = {r["doc_id"]: r for r in bpe_encode(df, []).collect()}
+    assert base[1]["n_tokens"] == 3 + 3 + 3 + 6  # chars, no merges
+    assert base[1]["fertility"] == round(15 / 4, 6)
+    merges = learn_bpe_merges(df, num_merges=3)
+    enc = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    # merges only ever reduce token counts, never change word counts
+    for d in (1, 2):
+        assert enc[d]["n_words"] == base[d]["n_words"]
+        assert enc[d]["n_tokens"] < base[d]["n_tokens"]
+    # 'low' fused to a single symbol by merges 1-2 => 3 words x 1 token
+    # plus lowest (l..t): 'low'+'est'-ish segmentation, still >= 1
+    assert enc[2]["n_tokens"] >= 2
