@@ -275,3 +275,44 @@ def test_audio_frame_energy_arrow_batched(spark):
     p = plan(spark, SPECS["audio_frame_energy"].fn(spark, SF_SMOKE))
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_repetition_signals_bounded_shuffles(spark):
+    """One tagged-gram count shuffle, one per-doc rollup, one doc-keyed
+    join — a 4th corpus-volume exchange would mean the gram stream is
+    being re-shuffled."""
+    p = plan(spark, SPECS["repetition_signals"].fn(spark, SF_SMOKE), "simple")
+    assert p.count("Exchange hashpartitioning") <= 5
+    assert "CartesianProduct" not in p
+
+
+def test_line_dedup_text_only_in_doc_join(spark):
+    """Boilerplate strip: the line-level shuffles carry (doc, pos,
+    hash) only; full text appears in exactly one doc-keyed join."""
+    p = plan(spark, SPECS["line_dedup"].fn(spark, SF_SMOKE), "simple")
+    # count shuffle + collect shuffle + doc join (2 sides) + sort
+    assert p.count("Exchange hashpartitioning") <= 5
+
+
+def test_bloom_pruned_join_broadcasts_dim(spark):
+    """The bloom-pruned join must keep the fact un-shuffled into a
+    BroadcastHashJoin; the bitmap probe itself is scan-side."""
+    p = plan(spark, SPECS["bloom_pruned_join"].fn(spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_time_decayed_score_single_window_exchange(spark):
+    """The decay score is ONE window pass: exactly one hash exchange
+    (the key partitioning), nothing else."""
+    p = plan(spark, SPECS["time_decayed_score"].fn(spark, SF_SMOKE), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_bpe_fertility_scan_speed(spark):
+    """Encoding with a learned merge table is chained literal
+    replaces — a pure projection; any hash exchange is a regression.
+    (The training loop runs its own bounded jobs beforehand; this
+    gates the ENCODE plan.)"""
+    p = plan(spark, SPECS["bpe_fertility"].fn(spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in p
