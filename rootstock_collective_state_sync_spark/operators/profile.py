@@ -1,0 +1,62 @@
+"""Generic table profiling: per-column null / distinct / min / max.
+
+The data-quality report every warehouse ships (`ANALYZE`, dbt source
+freshness, Deequ): one row per column with row count, null count,
+exact distinct count, and canonicalized min/max. Profiling is how a
+100 TB ingest decides partition keys, spots schema drift, and catches
+silently-null columns before a backfill bakes them in.
+
+Design:
+
+- one aggregation JOB per column, all sharing the single cached scan;
+  each is a global aggregate (partial map-side reduction, a 1-row
+  exchange) plus an exact ``count_distinct`` (one hash shuffle of the
+  column's values — at 100 TB swap in ``approx_count_distinct`` via
+  ``exact=False`` and the report notes it).
+- min/max are CANONICALIZED to strings so the report schema is stable
+  across column types AND engines: fractional numerics via
+  ``decimal(38,6)`` (fixed scale — Java's ``Double.toString``
+  scientific notation never leaks), integers/dates/timestamps/strings
+  via plain casts. This exact canonicalization is what the DuckDB
+  oracle replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, FloatType
+
+
+def _canon(df: DataFrame, c: str):
+    if isinstance(df.schema[c].dataType, (DoubleType, FloatType)):
+        return F.col(c).cast("decimal(38,6)").cast("string")
+    return F.col(c).cast("string")
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """One row per profiled column:
+    ``(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)``."""
+    cols = columns or df.columns
+    parts = []
+    for c in cols:
+        s = _canon(df, c)
+        nd = (
+            F.count_distinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(F.col(c))
+        )
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(F.col(c))).alias("n_nulls"),
+                nd.cast("bigint").alias("n_distinct"),
+                F.min(s).alias("min_val"),
+                F.max(s).alias("max_val"),
+            ).select(F.lit(c).alias("col_name"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

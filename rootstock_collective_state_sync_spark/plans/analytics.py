@@ -569,3 +569,47 @@ SELECT event_type, hr, n,
                  ELSE 0.0 END) > 3)::INTEGER AS is_anomaly
 FROM j ORDER BY event_type, hr
 """
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table: per column, row/null
+    counts, exact distinct count, canonicalized min/max. The oracle
+    replays the per-type canonicalization (decimal(38,6) for
+    fractional numerics) column by column."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        profile_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders).orderBy("col_name")
+
+
+def _profile_oracle(cols: list[tuple[str, bool]]) -> str:
+    parts = []
+    for c, fractional in cols:
+        expr = f"({c}::DECIMAL(38,6))::VARCHAR" if fractional else f"{c}::VARCHAR"
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({expr}) AS min_val,
+       max({expr}) AS max_val
+FROM orders""")
+    return (
+        "SELECT * FROM ("
+        + "\nUNION ALL\n".join(parts)
+        + ") ORDER BY col_name"
+    )
+
+
+Q_PROFILE_ORDERS_ORACLE = _profile_oracle(
+    [
+        ("o_orderkey", False),
+        ("o_custkey", False),
+        ("o_orderstatus", False),
+        ("o_totalprice", True),
+        ("o_orderdate", False),
+        ("o_orderpriority", False),
+    ]
+)
