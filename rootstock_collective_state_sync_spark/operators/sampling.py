@@ -390,3 +390,61 @@ def cluster_hash_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization (outlier clamping) at exact nearest-rank
+    percentiles: values below the group's p{lo}/above p{hi} are clamped
+    to those bounds — the robust-scaling step run before value-weighted
+    sampling or reward modeling so a single pathological row can't
+    dominate a mixture weight.
+
+    Percentiles are CONCRETE ORDER STATISTICS (rank = ceil(p·n/100),
+    computed with integer arithmetic — no float interpolation), picked
+    by (value, id) ordering, so bounds are raw stored doubles and the
+    whole result is bit-identical across engines — the same
+    no-interpolation trick as the exact-median query.
+
+    Plan shape / 100 TB: one window pass over (group, value) to rank,
+    a group-count-sized bounds table broadcast back, and a row-local
+    clamp. The window sort is the only data-volume shuffle.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        n.alias("_n"),
+    )
+    r_lo = F.floor((F.col("_n") * lo_pct + 99) / 100)
+    r_hi = F.floor((F.col("_n") * hi_pct + 99) / 100)
+    bounds = (
+        ranked.filter((F.col("_rn") == r_lo) | (F.col("_rn") == r_hi))
+        .groupBy(group_col)
+        .agg(
+            F.min(value_col).alias("_lo"),
+            F.max(value_col).alias("_hi"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            clamped.alias(f"{value_col}_wins"),
+            (F.col(value_col) < F.col("_lo")).cast("int").alias("clipped_lo"),
+            (F.col(value_col) > F.col("_hi")).cast("int").alias("clipped_hi"),
+        )
+    )

@@ -613,3 +613,38 @@ Q_PROFILE_ORDERS_ORACLE = _profile_oracle(
         ("o_orderpriority", False),
     ]
 )
+
+
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p5/p95 winsorization of event values — exact
+    nearest-rank bounds (integer ceil-rank, no interpolation), clamp
+    + clip audit flags, replayed rank-for-rank in SQL."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        winsorize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return winsorize(ev).orderBy("event_id")
+
+
+Q_WINSORIZE_VALUES_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM ranked
+  WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+  GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, b.lo), b.hi) AS value_wins,
+       (e.value < b.lo)::INTEGER AS clipped_lo,
+       (e.value > b.hi)::INTEGER AS clipped_hi
+FROM events e JOIN bounds b USING (event_type)
+ORDER BY e.event_id
+"""
