@@ -353,7 +353,7 @@ SPECS: dict[str, QuerySpec] = {
         Q.q_repetition_signals, Q.Q_REPETITION_SIGNALS_ORACLE, ("text", "filter")
     ),
     "line_dedup": QuerySpec(
-        Q.q_line_dedup, Q.Q_LINE_DEDUP_ORACLE, ("dedup", "text")
+        Q.q_line_dedup, Q.Q_LINE_DEDUP_ORACLE, ("dedup", "text", "bench")
     ),
     "bloom_pruned_join": QuerySpec(
         Q.q_bloom_pruned_join, Q.Q_BLOOM_PRUNED_JOIN_ORACLE, ("join", "filter")

@@ -1081,3 +1081,30 @@ def test_bpe_encode_fertility_drops_with_merges(spark):
     # 'low' fused to a single symbol by merges 1-2 => 3 words x 1 token
     # plus lowest (l..t): 'low'+'est'-ish segmentation, still >= 1
     assert enc[2]["n_tokens"] >= 2
+
+
+def test_winsorize_is_idempotent_and_clamps(spark):
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        winsorize,
+    )
+
+    rows = [(i, "t", float(i)) for i in range(1, 101)]  # values 1..100
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    w1 = winsorize(df, lo_pct=5, hi_pct=95)
+    out = {r["event_id"]: r for r in w1.collect()}
+    # nearest-rank p5 of 1..100 = 5th value = 5.0; p95 = 95.0
+    assert out[1]["value_wins"] == 5.0 and out[1]["clipped_lo"] == 1
+    assert out[100]["value_wins"] == 95.0 and out[100]["clipped_hi"] == 1
+    assert out[50]["value_wins"] == 50.0
+    assert sum(r["clipped_lo"] for r in out.values()) == 4
+    assert sum(r["clipped_hi"] for r in out.values()) == 5
+    # idempotence: winsorizing the winsorized values changes nothing
+    again = winsorize(
+        w1.select("event_id", "event_type", F.col("value_wins").alias("value")),
+        lo_pct=5,
+        hi_pct=95,
+    )
+    assert all(
+        r["value"] == r["value_wins"] and not r["clipped_lo"] and not r["clipped_hi"]
+        for r in again.collect()
+    )
