@@ -18,7 +18,7 @@ too large to broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 SALT = "__salt"
 
@@ -67,3 +67,44 @@ def salted_join(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return big_salted.join(dim_replicated, [on, SALT], how).drop(SALT)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: the top-``top_k`` heaviest keys
+    with their row share and a skew factor (key count / mean key
+    count). This is the report you run BEFORE picking a shuffle key
+    at 100 TB — a skew factor over ~20 on the planned join key means
+    :func:`salted_join` / AQE skew handling, not a plain hash join.
+
+    Plan: one map-side-combined count shuffle on the key, a 2-row
+    global aggregate for totals, and a top-k window cut — the raw
+    table is touched once.
+
+    Returns ``(key, n_rows, row_share, skew_factor, rk)`` ordered by
+    weight, ties broken by key ascending for determinism.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_keys")
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("row_share"),
+            F.round(
+                F.col("n_rows") * F.col("_keys") / F.col("_total"), 6
+            ).alias("skew_factor"),
+            "rk",
+        )
+    )

@@ -648,3 +648,37 @@ SELECT e.event_id, e.event_type, e.value,
 FROM events e JOIN bounds b USING (event_type)
 ORDER BY e.event_id
 """
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest join keys on orders.o_custkey with row share
+    and skew factor — the pre-shuffle diagnostic for key choice.
+    Exact-rational rounding replayed in SQL."""
+    from rootstock_collective_state_sync_spark.operators.skew import (
+        skew_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return skew_report(orders, "o_custkey", top_k=10).orderBy("rk")
+
+
+Q_SKEW_REPORT_ORACLE = """
+WITH counts AS (
+  SELECT o_custkey::VARCHAR AS key, count(*)::BIGINT AS n_rows
+  FROM orders GROUP BY 1
+),
+totals AS (
+  SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS keys FROM counts
+),
+ranked AS (
+  SELECT key, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, key ASC)::BIGINT AS rk
+  FROM counts
+)
+SELECT r.key, r.n_rows,
+       round(r.n_rows::DOUBLE / t.total, 6) AS row_share,
+       round(r.n_rows::DOUBLE * t.keys / t.total, 6) AS skew_factor,
+       r.rk
+FROM ranked r CROSS JOIN totals t
+WHERE r.rk <= 10 ORDER BY r.rk
+"""
