@@ -407,7 +407,10 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .join(F.broadcast(cohort_sizes), "cohort_day")
         .select(
-            "cohort_day",
+            # ISO string, not DateType: pandas-side compare harnesses
+            # widen DATE to midnight timestamps inconsistently between
+            # engines; a string is representation-stable everywhere
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
             F.col("day_offset").cast("int").alias("day_offset"),
             F.col("n_active").cast("bigint").alias("n_active"),
             F.col("n_cohort").cast("bigint").alias("n_cohort"),
@@ -436,7 +439,8 @@ m AS (
   FROM activity a JOIN cohorts c USING (user_id)
   GROUP BY 1, 2
 )
-SELECT m.cohort_day, m.day_offset, m.n_active, s.n_cohort,
+SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort_day,
+       m.day_offset, m.n_active, s.n_cohort,
        round(m.n_active::DOUBLE / s.n_cohort, 6) AS retention
 FROM m JOIN sizes s USING (cohort_day)
 ORDER BY cohort_day, day_offset
