@@ -43,6 +43,9 @@ SPECS: dict[str, QuerySpec] = {
     "cube_counts": QuerySpec(R.q_cube_counts, R.Q_CUBE_ORACLE, ("agg",)),
     "approx_distinct": QuerySpec(R.q_approx_distinct, None, ("agg",)),
     "approx_quantiles": QuerySpec(AN.q_approx_quantiles, None, ("agg", "sketch")),
+    "heavy_hitter_tokens": QuerySpec(
+        TR.q_heavy_hitter_tokens, None, ("agg", "sketch", "text")
+    ),
     # filters
     "filter_range_scan": QuerySpec(R.q_filter_range_scan, R.Q_FILTER_RANGE_ORACLE, ("filter",)),
     "filter_isin_enum": QuerySpec(R.q_filter_isin_enum, R.Q_FILTER_ISIN_ORACLE, ("filter",)),

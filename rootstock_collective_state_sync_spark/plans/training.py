@@ -1357,3 +1357,20 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries(64) top-10 corpus tokens — the bounded-memory
+    heavy-hitter scan that replaces a full token-keyed shuffle at
+    100 TB. Rows-only by design (the decrement schedule depends on
+    partition layout, like the HLL/GK sketches); the accuracy
+    contract (no false negatives above N/(m+1), est <= true <=
+    est_upper) is pinned in tests/test_sketches.py."""
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from rootstock_collective_state_sync_spark.operators.text import tokens as _tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tok(F.col("text"))).alias("t"))
+    return heavy_hitters(spark, tok, "t", m=64, top_k=10)

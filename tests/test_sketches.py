@@ -80,3 +80,49 @@ def test_approx_distinct_matches_duckdb_direction(spark):
     }
     for t in got:
         assert abs(got[t] - duck[t]) <= max(3, 0.2 * duck[t])
+
+
+def test_misra_gries_bounds_and_no_false_negatives(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from rootstock_collective_state_sync_spark.operators.text import tokens
+    from rootstock_collective_state_sync_spark.plans.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    exact = Counter(r["t"] for r in tok.collect())
+    n = sum(exact.values())
+    m = 16
+    out = heavy_hitters(spark, tok, "t", m=m, top_k=10).collect()
+    assert out, "corpus has heavy tokens"
+    est = {r["item"]: (r["est"], r["est_upper"]) for r in out}
+    # bounded estimate error: est <= true <= est_upper
+    for item, (lo, hi) in est.items():
+        assert lo <= exact[item] <= hi, (item, lo, exact[item], hi)
+    # no false negative above N/(m+1) among the top-k report: every
+    # item heavier than the MG threshold AND inside the true top-10
+    # by a margin must be present
+    thresh = n / (m + 1)
+    must_have = {t for t, c in exact.most_common(5) if c > thresh}
+    assert must_have <= set(est), (must_have, set(est))
+
+
+def test_misra_gries_rank_order_deterministic_ties(spark):
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in ["a"] * 50 + ["b"] * 30 + ["c"] * 30 + ["d"] * 5],
+        "v string",
+    ).repartition(4)
+    out = heavy_hitters(spark, df, "v", m=8, top_k=3).collect()
+    assert out[0]["item"] == "a"
+    assert {r["item"] for r in out[:3]} == {"a", "b", "c"}
+    assert [r["rk"] for r in out] == [1, 2, 3]
