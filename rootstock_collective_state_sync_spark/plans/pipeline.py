@@ -77,6 +77,38 @@ def _stage_sample(df: DataFrame, p: dict[str, Any]) -> DataFrame:
     )
 
 
+def _stage_repetition_filter(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    flags = RL.repetition_signals(
+        df, **{k: v for k, v in p.items() if k != "stage"}
+    )
+    return df.join(
+        flags.filter(F.col("rep_keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+
+
+def _stage_line_dedup(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Transform stage (rewrites text, keeps every row): strip lines
+    shared by >= min_docs documents, then drop docs left empty if
+    drop_empty."""
+    cleaned = D.strip_boilerplate_lines(
+        df, min_docs=int(p.get("min_docs", 3))
+    ).select("doc_id", "text")
+    out = df.drop("text").join(cleaned, "doc_id")
+    if p.get("drop_empty", True):
+        out = out.filter(F.length("text") > 0)
+    return out
+
+
+def _stage_containment_dedup(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Drop documents CONTAINED in a bigger one (keep the superset)."""
+    pairs = D.containment_pairs(df, threshold=float(p.get("threshold", 0.8)))
+    return df.join(
+        pairs.select(F.col("id_small").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+
+
 STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
     "gopher_filter": _stage_gopher_filter,
     "exact_dedup": _stage_exact_dedup,
@@ -84,6 +116,9 @@ STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
     "quality_floor": _stage_quality_floor,
     "token_cap": _stage_token_cap,
     "sample": _stage_sample,
+    "repetition_filter": _stage_repetition_filter,
+    "line_dedup": _stage_line_dedup,
+    "containment_dedup": _stage_containment_dedup,
 }
 
 

@@ -59,3 +59,32 @@ def test_pipeline_is_deterministic(spark):
         .collect()
     }
     assert a == b
+
+
+def test_new_stages_compose_with_audit(spark):
+    from rootstock_collective_state_sync_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from rootstock_collective_state_sync_spark.plans.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spec = [
+        {"stage": "line_dedup", "min_docs": 3},
+        {"stage": "repetition_filter"},
+        {"stage": "containment_dedup", "threshold": 0.8},
+        {"stage": "exact_dedup"},
+    ]
+    out, trail = run_pipeline(docs, spec, audit=True)
+    rows = out.count()
+    assert rows > 0
+    stages = [t["stage"] for t in trail]
+    assert stages == ["input", "line_dedup", "repetition_filter",
+                      "containment_dedup", "exact_dedup"]
+    # monotone survivors, and the trail is consistent
+    counts = [t["rows"] for t in trail]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] == rows
+    assert all(t.get("killed", 0) >= 0 for t in trail[1:])
+    # text column survives the line_dedup rewrite
+    assert "text" in out.columns
