@@ -95,3 +95,100 @@ def user_running_totals(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming twin of the batch decayed score (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+#
+# NOTE on API choice: Spark 4's transformWithStateInPandas would be
+# the natural fit (ListState + TTL), but its state server requires
+# google.protobuf, absent from this container; applyInPandasWithState
+# expresses the same per-key bounded state (the last lookback-1 terms
+# ride in an array<bigint> state column) with no extra dependency.
+
+DECAY_OUTPUT_SCHEMA = "event_id bigint, user_id bigint, score_e6 bigint"
+DECAY_STATE_SCHEMA = "recent array<bigint>, last_ts_ms bigint"
+
+
+def _decay_step(
+    key, pdfs, state: GroupState, lookback: int, num: int, den: int,
+    idle_ms: int,
+):
+    (user,) = key
+    if state.hasTimedOut:
+        state.remove()  # idle key: free the (tiny) window state
+        yield pd.DataFrame(
+            {"event_id": [], "user_id": [], "score_e6": []}
+        ).astype({"event_id": "int64", "user_id": "int64", "score_e6": "int64"})
+        return
+    recent, _ = state.get if state.exists else ([], 0)
+    prior = list(recent or [])
+    out_ids, out_scores = [], []
+    max_ts_ms = 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            v = int(round(float(row["value"]) * 1e6))
+            window = (prior + [v])[-lookback:]
+            n = len(window)
+            out_ids.append(int(row["event_id"]))
+            out_scores.append(
+                sum(
+                    x * num ** (n - 1 - i) // den ** (n - 1 - i)
+                    for i, x in enumerate(window)
+                )
+            )
+            prior = window
+        ms = int(pdf["ts"].max().timestamp() * 1000)
+        max_ts_ms = max(max_ts_ms, ms)
+    keep = prior[-(lookback - 1):] if lookback > 1 else []
+    state.update((keep, max_ts_ms))
+    state.setTimeoutTimestamp(max_ts_ms + idle_ms)
+    yield pd.DataFrame(
+        {
+            "event_id": out_ids,
+            "user_id": [int(user)] * len(out_ids),
+            "score_e6": out_scores,
+        }
+    )
+
+
+def stream_decayed_scores(
+    events: DataFrame,
+    lookback: int = 8,
+    decay_num: int = 9,
+    decay_den: int = 10,
+    watermark: str = "1 hour",
+    idle_minutes: int = 30,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`..operators.temporal.time_decayed_score`: per user, the
+    state is just the last ``lookback - 1`` value_e6 terms (an
+    array<bigint>), evicted after ``idle_minutes`` past the watermark
+    — O(lookback) longs per ACTIVE key, so unbounded key cardinality
+    never grows state. Emits the identical exact-integer score the
+    batch window computes (asserted by the batch==stream e2e test).
+
+    Ordering contract: per-key event-time order must hold across
+    micro-batches (time-split triggers / sorted replay); within a
+    batch rows are sorted here.
+    """
+    idle_ms = idle_minutes * 60_000
+
+    def fn(key, pdfs, state):
+        yield from _decay_step(
+            key, pdfs, state, lookback, decay_num, decay_den, idle_ms
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DECAY_OUTPUT_SCHEMA,
+            stateStructType=DECAY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

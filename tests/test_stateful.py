@@ -105,3 +105,73 @@ def test_stateful_state_not_resurrected(spark, stream_dir, tmp_path):
     # live @10:00, terminal eviction, then a FRESH accumulation @14:00
     assert (100, 1, True) in seq
     assert (500, 1, False) in seq
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas: batch==stream equivalence for decay scores
+# ---------------------------------------------------------------------------
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def decay_stream_dir(spark, tmp_path):
+    """Two time-split micro-batches (no key timeline interleave):
+    batch 1 = events before 12:00, batch 2 = the rest."""
+    rows = [
+        (1, _t(10, 0), 7, 10.0),
+        (2, _t(10, 30), 7, 20.0),
+        (3, _t(11, 0), 8, 5.0),
+        (4, _t(13, 0), 7, 40.0),
+        (5, _t(13, 30), 8, 2.5),
+        (6, _t(14, 0), 7, 1.0),
+    ]
+    d = tmp_path / "decay_stream"
+    d.mkdir()
+    b1 = spark.createDataFrame([r for r in rows if r[1] < _t(12)], EV_SCHEMA)
+    b2 = spark.createDataFrame([r for r in rows if r[1] >= _t(12)], EV_SCHEMA)
+    b1.coalesce(1).write.parquet(str(d / "a_batch1"))
+    b2.coalesce(1).write.parquet(str(d / "b_batch2"))
+    return d, rows
+
+
+def test_stream_decayed_scores_match_batch(spark, decay_stream_dir):
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        time_decayed_score,
+    )
+    from rootstock_collective_state_sync_spark.streaming.stateful import (
+        stream_decayed_scores,
+    )
+
+    d, rows = decay_stream_dir
+    ev = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    q = (
+        stream_decayed_scores(ev)
+        .writeStream.format("memory")
+        .queryName("decay_scores")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["score_e6"]
+        for r in spark.sql("select * from decay_scores").collect()
+    }
+    batch_df = spark.createDataFrame(rows, EV_SCHEMA)
+    want = {
+        r["event_id"]: r["score_e6"]
+        for r in time_decayed_score(batch_df).collect()
+    }
+    assert got == want and len(got) == 6
