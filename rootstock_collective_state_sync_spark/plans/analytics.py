@@ -686,3 +686,57 @@ SELECT r.key, r.n_rows,
 FROM ranked r CROSS JOIN totals t
 WHERE r.rk <= 10 ORDER BY r.rk
 """
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    timeline: for every (prev_type, next_type) pair, the transition
+    count and row-normalized probability. The behavioral-sequence
+    summary recommendation/abuse pipelines start from.
+
+    Scale shape: ONE window pass per user timeline (key-partitioned
+    sort — same exchange the sessionizer uses) feeding a
+    types²-sized aggregate; probabilities come from exact integer
+    counts. No self-join of the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("n_out"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+Q_EVENT_TRANSITIONS_ORACLE = """
+WITH steps AS (
+  SELECT user_id,
+         event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, count(*)::BIGINT AS n
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT prev_type, sum(n)::BIGINT AS n_out FROM counts GROUP BY 1)
+SELECT c.prev_type, c.next_type, c.n,
+       round(c.n::DOUBLE / t.n_out, 6) AS p
+FROM counts c JOIN totals t USING (prev_type)
+ORDER BY c.prev_type, c.next_type
+"""

@@ -132,6 +132,11 @@ SPECS: dict[str, QuerySpec] = {
     "retention_cohorts": QuerySpec(
         AN.q_retention_cohorts, AN.Q_RETENTION_COHORTS_ORACLE, ("analytics", "agg")
     ),
+    "event_transitions": QuerySpec(
+        AN.q_event_transitions,
+        AN.Q_EVENT_TRANSITIONS_ORACLE,
+        ("analytics", "temporal", "window"),
+    ),
     "skew_report": QuerySpec(
         AN.q_skew_report, AN.Q_SKEW_REPORT_ORACLE, ("analytics", "agg")
     ),
@@ -436,12 +441,13 @@ SPECS: dict[str, QuerySpec] = {
 # paths that gained full SQL-replay oracles this round (previously
 # rows-only — their first hash-checked rows), + the 3 multimodal
 # queries whose partitioning changed this round (pmod-32 cap lifted
-# — re-earn rows on the new plan), + 14 queries added mid-round-7
+# — re-earn rows on the new plan), + 15 queries added mid-round-7
 # (repetition_signals, line_dedup, bloom_pruned_join,
 # containment_pairs, source_kl_drift, retention_cohorts,
 # image_dedup_clusters, time_decayed_score, hourly_anomalies,
 # bpe_merges, bpe_fertility, profile_orders, winsorize_values,
-# skew_report — never driver-checked), + 7 queries whose most
+# skew_report, event_transitions — never driver-checked), + 6
+# queries whose most
 # recent driver row is r04/r05 (rotated out of the r06 window) —
 # including the dedup family, whose MinHash/SimHash/verification
 # plans changed this round — spanning agg/join/temporal/text/
@@ -453,10 +459,10 @@ SPECS: dict[str, QuerySpec] = {
 # tfidf_top_terms, emb_near_dup_lsh, dup_ngram_fraction,
 # contamination_check, clean_corpus, budget_select, temperature_mix,
 # the four window_* queries, the two approx sketches, and (to make
-# room for the mid-round additions) fourteen r05-green unchanged
+# room for the mid-round additions) fifteen r05-green unchanged
 # entries (q1_pricing_summary, filter_range_scan, fk_deref_join,
 # q9_product_profit, asof_join, dedup_exact, emb_near_dup_pairs,
-# ann_lsh_buckets, bigint_arith, hex_roundtrip,
+# ann_lsh_buckets, ann_ivf_cells, bigint_arith, hex_roundtrip,
 # text_token_stats, text_quality_score, text_lang_id,
 # pii_redaction) — all r04/r05/r06-green with unchanged code, still
 # gated locally by tests/test_conformance.py on every pytest run.
@@ -508,13 +514,13 @@ _DRIVER_WINDOW = [
     "profile_orders",
     "winsorize_values",
     "skew_report",
+    "event_transitions",
     # last driver-green in r04/r05 — re-earn rows
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
     "ann_cosine_topk",
-    "ann_ivf_cells",
     "pq_codes",
 ]
 
