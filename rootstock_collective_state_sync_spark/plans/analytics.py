@@ -740,3 +740,75 @@ SELECT c.prev_type, c.next_type, c.n,
 FROM counts c JOIN totals t USING (prev_type)
 ORDER BY c.prev_type, c.next_type
 """
+
+
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily event volume: least-squares
+    slope of count-per-day against day index, plus direction flag.
+    Every moment (n, Σx, Σy, Σxy, Σx²) is an exact integer sum —
+    counts and day indexes are integers — so the slope double is
+    bit-determined on any engine or partition order.
+
+    Scale shape: events reduce to (type, day) counts first; the
+    regression runs on that tiny frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    base = daily.agg(F.min("day").alias("d0")).first()["d0"]
+    d = daily.withColumn("x", F.datediff("day", F.lit(base)).cast("bigint"))
+    mom = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / denom.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return mom.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("sy").cast("bigint").alias("n_events"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.when(F.round(slope, 6) > 0, F.lit(1))
+        .when(F.round(slope, 6) < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("direction"),
+    ).orderBy("event_type")
+
+
+Q_TREND_SLOPES_ORACLE = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT min(day) AS d0 FROM daily),
+d AS (
+  SELECT event_type, (day - d0)::BIGINT AS x, y
+  FROM daily CROSS JOIN base
+),
+mom AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n AS n_days, sy AS n_events,
+       round(CASE WHEN n * sxx - sx * sx <> 0
+                  THEN (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)
+                  ELSE 0.0 END, 6) AS slope_per_day,
+       CASE WHEN round(CASE WHEN n * sxx - sx * sx <> 0
+                  THEN (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)
+                  ELSE 0.0 END, 6) > 0 THEN 1
+            WHEN round(CASE WHEN n * sxx - sx * sx <> 0
+                  THEN (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)
+                  ELSE 0.0 END, 6) < 0 THEN -1
+            ELSE 0 END::INTEGER AS direction
+FROM mom ORDER BY event_type
+"""

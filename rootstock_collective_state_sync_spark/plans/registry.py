@@ -132,6 +132,9 @@ SPECS: dict[str, QuerySpec] = {
     "retention_cohorts": QuerySpec(
         AN.q_retention_cohorts, AN.Q_RETENTION_COHORTS_ORACLE, ("analytics", "agg")
     ),
+    "trend_slopes": QuerySpec(
+        AN.q_trend_slopes, AN.Q_TREND_SLOPES_ORACLE, ("analytics", "agg")
+    ),
     "event_transitions": QuerySpec(
         AN.q_event_transitions,
         AN.Q_EVENT_TRANSITIONS_ORACLE,
@@ -430,42 +433,38 @@ SPECS: dict[str, QuerySpec] = {
 # r01+r02-green entries (q3/q5/q6, keyset_page, changelog_incremental,
 # broadcast_enrich_diff, union_distinct, enum_label, range_join) — all
 # unchanged and still locally gated by tests/test_conformance.py.
-# r07 window = the 21 queries that have NEVER earned a driver row
-# (6 from r06: semantic_dedup, doc_chunks, hashed_doc_vectors,
-# lm_bigram_score, ccnet_buckets, leakage_safe_split; 15 new this
-# round: llm_token_count, drop_dup_spans, emb_int8_quant,
-# domain_classifier_score, image_ahash, image_near_dup_pairs,
-# gopher_quality, rrf_fusion, audio_frame_energy, scd2_intervals,
-# event_type_correlation, similarity_pagerank, cluster_exemplars,
-# label_centroids, nearest_centroid_confusion, funnel_conversion), + the 4 ANN top-k
-# paths that gained full SQL-replay oracles this round (previously
-# rows-only — their first hash-checked rows), + the 3 multimodal
-# queries whose partitioning changed this round (pmod-32 cap lifted
-# — re-earn rows on the new plan), + 15 queries added mid-round-7
+# r07 window = the 22 queries that had never earned a driver row at
+# round start (6 from r06: semantic_dedup, doc_chunks,
+# hashed_doc_vectors, lm_bigram_score, ccnet_buckets,
+# leakage_safe_split; 16 new early-r07: llm_token_count,
+# drop_dup_spans, emb_int8_quant, domain_classifier_score,
+# image_ahash, image_near_dup_pairs, gopher_quality, rrf_fusion,
+# audio_frame_energy, scd2_intervals, event_type_correlation,
+# similarity_pagerank, cluster_exemplars, label_centroids,
+# nearest_centroid_confusion, funnel_conversion), + the 4 ANN top-k
+# paths that gained full SQL-replay oracles this round (first
+# hash-checked rows), + the 3 multimodal queries whose partitioning
+# changed (pmod-32 cap lifted), + 16 queries added mid-round-7
 # (repetition_signals, line_dedup, bloom_pruned_join,
 # containment_pairs, source_kl_drift, retention_cohorts,
 # image_dedup_clusters, time_decayed_score, hourly_anomalies,
 # bpe_merges, bpe_fertility, profile_orders, winsorize_values,
-# skew_report, event_transitions — never driver-checked), + 6
-# queries whose most
-# recent driver row is r04/r05 (rotated out of the r06 window) —
-# including the dedup family, whose MinHash/SimHash/verification
-# plans changed this round — spanning agg/join/temporal/text/
-# dedup/similarity. Exactly 50.
-# Rotated out: the 40 r06-green entries plus importance_sample,
-# zorder_key, export_manifest, quality_percentiles,
-# lm_unigram_score, epoch_shuffle, camel_case, vocab_topk,
-# text_fingerprint, pack_split_sequences, pack_sequences,
-# tfidf_top_terms, emb_near_dup_lsh, dup_ngram_fraction,
-# contamination_check, clean_corpus, budget_select, temperature_mix,
-# the four window_* queries, the two approx sketches, and (to make
-# room for the mid-round additions) fifteen r05-green unchanged
-# entries (q1_pricing_summary, filter_range_scan, fk_deref_join,
-# q9_product_profit, asof_join, dedup_exact, emb_near_dup_pairs,
-# ann_lsh_buckets, ann_ivf_cells, bigint_arith, hex_roundtrip,
-# text_token_stats, text_quality_score, text_lang_id,
-# pii_redaction) — all r04/r05/r06-green with unchanged code, still
-# gated locally by tests/test_conformance.py on every pytest run.
+# skew_report, event_transitions, trend_slopes — never
+# driver-checked), + 5 re-earn anchors: the dedup family
+# (dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
+# dedup_clusters — MinHash/SimHash/verification plans changed this
+# round) and ann_cosine_topk (the recall-floor baseline the four
+# approximate paths are measured against). Exactly 50.
+# Rotated out: the 40 r06-green entries plus 20 r04/r05-green
+# unchanged entries (q1_pricing_summary, filter_range_scan,
+# fk_deref_join, q9_product_profit, asof_join, dedup_exact,
+# emb_near_dup_pairs, ann_lsh_buckets, ann_ivf_cells, pq_codes,
+# bigint_arith, hex_roundtrip, text_token_stats,
+# text_quality_score, text_lang_id, pii_redaction,
+# importance_sample, zorder_key, export_manifest, camel_case) and
+# the rest of the multi-round-green tail — all still gated locally
+# by tests/test_conformance.py (every oracled query, every pytest
+# run) and by tools/strict_check.py's driver simulation at sf0.01.
 _DRIVER_WINDOW = [
     # never driver-checked (added r06/r07)
     "gopher_quality",
@@ -515,13 +514,13 @@ _DRIVER_WINDOW = [
     "winsorize_values",
     "skew_report",
     "event_transitions",
+    "trend_slopes",
     # last driver-green in r04/r05 — re-earn rows
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
     "ann_cosine_topk",
-    "pq_codes",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
