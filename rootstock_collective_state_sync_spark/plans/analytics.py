@@ -812,3 +812,68 @@ SELECT event_type, n AS n_days, sy AS n_events,
             ELSE 0 END::INTEGER AS direction
 FROM mom ORDER BY event_type
 """
+
+
+def q_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between event_type and
+    day-of-week: per contingency cell, observed vs expected count,
+    the cell's chi² contribution, and an over-representation flag.
+    The seasonality/bias scan a mixture pipeline runs before trusting
+    a time-sliced sample. Expected counts and contributions are exact
+    rationals over integer marginals — bit-determined doubles.
+
+    Scale shape: the event stream reduces to a (types × 7) cell table
+    first; marginals and the flag math run on that tiny frame
+    (broadcast joins)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_m = cells.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    col_m = cells.groupBy("dow").agg(F.sum("o").alias("col_n"))
+    total = cells.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = (F.col("o") - e) * (F.col("o") - e) / e
+    return (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "dow",
+            F.col("o").cast("bigint").alias("o"),
+            F.round(e, 6).alias("e"),
+            F.round(contrib, 6).alias("chi2_contrib"),
+            (F.col("o") > e).cast("int").alias("over"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+Q_CHI_SQUARE_CELLS_ORACLE = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts)::INTEGER AS dow, count(*)::BIGINT AS o
+  FROM events GROUP BY 1, 2
+),
+row_m AS (SELECT event_type, sum(o)::BIGINT AS row_n FROM cells GROUP BY 1),
+col_m AS (SELECT dow, sum(o)::BIGINT AS col_n FROM cells GROUP BY 1),
+total AS (SELECT sum(o)::BIGINT AS n FROM cells)
+SELECT c.event_type, c.dow, c.o,
+       round(r.row_n::DOUBLE * m.col_n::DOUBLE / t.n::DOUBLE, 6) AS e,
+       round((c.o - r.row_n::DOUBLE * m.col_n::DOUBLE / t.n::DOUBLE)
+             * (c.o - r.row_n::DOUBLE * m.col_n::DOUBLE / t.n::DOUBLE)
+             / (r.row_n::DOUBLE * m.col_n::DOUBLE / t.n::DOUBLE), 6)
+         AS chi2_contrib,
+       (c.o > r.row_n::DOUBLE * m.col_n::DOUBLE / t.n::DOUBLE)::INTEGER
+         AS over
+FROM cells c
+JOIN row_m r USING (event_type)
+JOIN col_m m USING (dow)
+CROSS JOIN total t
+ORDER BY c.event_type, c.dow
+"""

@@ -132,6 +132,9 @@ SPECS: dict[str, QuerySpec] = {
     "retention_cohorts": QuerySpec(
         AN.q_retention_cohorts, AN.Q_RETENTION_COHORTS_ORACLE, ("analytics", "agg")
     ),
+    "chi_square_cells": QuerySpec(
+        AN.q_chi_square_cells, AN.Q_CHI_SQUARE_CELLS_ORACLE, ("analytics", "agg")
+    ),
     "trend_slopes": QuerySpec(
         AN.q_trend_slopes, AN.Q_TREND_SLOPES_ORACLE, ("analytics", "agg")
     ),
@@ -449,16 +452,17 @@ SPECS: dict[str, QuerySpec] = {
 # containment_pairs, source_kl_drift, retention_cohorts,
 # image_dedup_clusters, time_decayed_score, hourly_anomalies,
 # bpe_merges, bpe_fertility, profile_orders, winsorize_values,
-# skew_report, event_transitions, trend_slopes — never
-# driver-checked), + 5 re-earn anchors: the dedup family
+# skew_report, event_transitions, trend_slopes, chi_square_cells —
+# never driver-checked), + 4 re-earn anchors: the dedup family
 # (dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
-# dedup_clusters — MinHash/SimHash/verification plans changed this
-# round) and ann_cosine_topk (the recall-floor baseline the four
-# approximate paths are measured against). Exactly 50.
+# dedup_clusters), whose MinHash/SimHash/verification plans changed
+# this round. Exactly 50.
 # Rotated out: the 40 r06-green entries plus 20 r04/r05-green
 # unchanged entries (q1_pricing_summary, filter_range_scan,
 # fk_deref_join, q9_product_profit, asof_join, dedup_exact,
 # emb_near_dup_pairs, ann_lsh_buckets, ann_ivf_cells, pq_codes,
+# ann_cosine_topk (unchanged recall baseline, pinned every pytest
+# run by tests/test_recall.py),
 # bigint_arith, hex_roundtrip, text_token_stats,
 # text_quality_score, text_lang_id, pii_redaction,
 # importance_sample, zorder_key, export_manifest, camel_case) and
@@ -515,12 +519,12 @@ _DRIVER_WINDOW = [
     "skew_report",
     "event_transitions",
     "trend_slopes",
+    "chi_square_cells",
     # last driver-green in r04/r05 — re-earn rows
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "ann_cosine_topk",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
