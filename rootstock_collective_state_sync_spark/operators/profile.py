@@ -27,10 +27,14 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType, FloatType
 
 
-def _canon(df: DataFrame, c: str):
+def _canon(df: DataFrame, c, col):
+    """Canonicalize an already-aggregated native-typed value. Order of
+    operations matters: min/max MUST run on the native type first —
+    aggregating canonicalized strings would compare lexicographically
+    ('2.5' > '10')."""
     if isinstance(df.schema[c].dataType, (DoubleType, FloatType)):
-        return F.col(c).cast("decimal(38,6)").cast("string")
-    return F.col(c).cast("string")
+        return col.cast("decimal(38,6)").cast("string")
+    return col.cast("string")
 
 
 def profile_table(
@@ -41,7 +45,6 @@ def profile_table(
     cols = columns or df.columns
     parts = []
     for c in cols:
-        s = _canon(df, c)
         nd = (
             F.count_distinct(F.col(c))
             if exact
@@ -52,8 +55,8 @@ def profile_table(
                 F.count(F.lit(1)).alias("n_rows"),
                 (F.count(F.lit(1)) - F.count(F.col(c))).alias("n_nulls"),
                 nd.cast("bigint").alias("n_distinct"),
-                F.min(s).alias("min_val"),
-                F.max(s).alias("max_val"),
+                _canon(df, c, F.min(F.col(c))).alias("min_val"),
+                _canon(df, c, F.max(F.col(c))).alias("max_val"),
             ).select(F.lit(c).alias("col_name"), "*")
         )
     out = parts[0]

@@ -591,14 +591,18 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _profile_oracle(cols: list[tuple[str, bool]]) -> str:
     parts = []
     for c, fractional in cols:
-        expr = f"({c}::DECIMAL(38,6))::VARCHAR" if fractional else f"{c}::VARCHAR"
+        # aggregate on the NATIVE type, canonicalize the result —
+        # min/max over canonicalized strings would compare
+        # lexicographically ('2.5' > '10')
+        lo = f"(min({c})::DECIMAL(38,6))::VARCHAR" if fractional else f"min({c})::VARCHAR"
+        hi = f"(max({c})::DECIMAL(38,6))::VARCHAR" if fractional else f"max({c})::VARCHAR"
         parts.append(f"""
 SELECT '{c}' AS col_name,
        count(*)::BIGINT AS n_rows,
        (count(*) - count({c}))::BIGINT AS n_nulls,
        count(DISTINCT {c})::BIGINT AS n_distinct,
-       min({expr}) AS min_val,
-       max({expr}) AS max_val
+       {lo} AS min_val,
+       {hi} AS max_val
 FROM orders""")
     return (
         "SELECT * FROM ("

@@ -1108,3 +1108,36 @@ def test_winsorize_is_idempotent_and_clamps(spark):
         r["value"] == r["value_wins"] and not r["clipped_lo"] and not r["clipped_hi"]
         for r in again.collect()
     )
+
+
+def test_skew_report_flags_heavy_key(spark):
+    from rootstock_collective_state_sync_spark.operators.skew import skew_report
+
+    rows = [(1, "hot")] * 90 + [(1, f"k{i}") for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, k) for i, (_, k) in enumerate(rows)], "id long, k string"
+    )
+    out = skew_report(df, "k", top_k=3).collect()
+    assert out[0]["key"] == "hot" and out[0]["n_rows"] == 90
+    assert out[0]["row_share"] == 0.9
+    # 11 distinct keys, mean ~9.09 rows -> skew factor 90*11/100
+    assert out[0]["skew_factor"] == round(90 * 11 / 100, 6)
+    assert [r["rk"] for r in out] == [1, 2, 3]
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "a", None), (4, "b", 10.0)],
+        "id long, s string, v double",
+    )
+    out = {r["col_name"]: r.asDict() for r in profile_table(df).collect()}
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 3
+    assert out["v"]["min_val"] == "1.500000"  # decimal(38,6) canon
+    assert out["v"]["max_val"] == "10.000000"
+    assert out["id"]["min_val"] == "1" and out["id"]["max_val"] == "4"
+    assert all(r["n_rows"] == 4 for r in out.values())
