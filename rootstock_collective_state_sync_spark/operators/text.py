@@ -703,3 +703,74 @@ def source_kl_divergence(
             F.round(F.col("kl_e9").cast("double") / 1e9, 6).alias("kl"),
         )
     )
+
+
+def vocab_edit_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_word_len: int = 24,
+) -> DataFrame:
+    """Typo/variant mining: all vocabulary word pairs at Levenshtein
+    distance exactly 1, found WITHOUT an all-pairs scan via the
+    deletion-neighborhood trick (a FastSS/SymSpell-style spell join):
+    two words at edit distance 1 (insert/delete/substitute) always
+    share an entry in {word} ∪ {word minus one char}, so an equi-join
+    on those variants generates the only candidates worth verifying.
+    The verify step is the built-in ``levenshtein`` — JVM-side here,
+    identical function in the SQL oracle.
+
+    Output: ``(canonical, variant, n_canonical, n_variant)`` with the
+    more frequent word as canonical (ties: lexicographically smaller)
+    — the normalization table a curation pipeline folds rare
+    variants with.
+
+    Plan shape / 100 TB: vocabulary-sized, not corpus-sized — one
+    token-count shuffle, then ≤(len+1) variant rows per DISTINCT word
+    (len capped at ``max_word_len``), an 8-byte-hash equi-join, and
+    per-candidate verification. Never quadratic in the vocabulary.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(
+            (F.col("n") >= min_count) & (F.length("w") <= max_word_len)
+        )
+    )
+    # deletion at position i (1-indexed): prefix [1, i-1] + suffix [i+1, end]
+    variants = F.array_union(
+        F.array(F.col("w")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.concat(
+                F.col("w").substr(F.lit(1), i - 1),
+                F.col("w").substr(i + 1, F.length("w")),
+            ),
+        ),
+    )
+    ev = words.select(
+        "w", "n", F.explode(variants).alias("v")
+    ).select("w", "n", F.xxhash64("v").alias("vh"))
+    a = ev.select(
+        F.col("w").alias("wa"), F.col("n").alias("na"), "vh"
+    )
+    b = ev.select(
+        F.col("w").alias("wb"), F.col("n").alias("nb"), "vh"
+    )
+    cand = (
+        a.join(b, "vh")
+        .filter(F.col("wa") < F.col("wb"))
+        .select("wa", "na", "wb", "nb")
+        .distinct()
+    )
+    verified = cand.filter(F.levenshtein("wa", "wb") == 1)
+    a_first = (F.col("na") > F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("wa") < F.col("wb"))
+    )
+    return verified.select(
+        F.when(a_first, F.col("wa")).otherwise(F.col("wb")).alias("canonical"),
+        F.when(a_first, F.col("wb")).otherwise(F.col("wa")).alias("variant"),
+        F.when(a_first, F.col("na")).otherwise(F.col("nb")).alias("n_canonical"),
+        F.when(a_first, F.col("nb")).otherwise(F.col("na")).alias("n_variant"),
+    )

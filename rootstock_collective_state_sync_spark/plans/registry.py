@@ -204,6 +204,9 @@ SPECS: dict[str, QuerySpec] = {
     "bpe_fertility": QuerySpec(
         TR.q_bpe_fertility, TR.Q_BPE_FERTILITY_ORACLE, ("text",)
     ),
+    "vocab_edit_pairs": QuerySpec(
+        TR.q_vocab_edit_pairs, TR.Q_VOCAB_EDIT_PAIRS_ORACLE, ("text", "dedup")
+    ),
     "source_kl_drift": QuerySpec(
         TR.q_source_kl_drift, TR.Q_SOURCE_KL_DRIFT_ORACLE, ("text", "analytics")
     ),
@@ -453,10 +456,13 @@ SPECS: dict[str, QuerySpec] = {
 # image_dedup_clusters, time_decayed_score, hourly_anomalies,
 # bpe_merges, bpe_fertility, profile_orders, winsorize_values,
 # skew_report, event_transitions, trend_slopes, chi_square_cells —
-# never driver-checked), + 4 re-earn anchors: the dedup family
-# (dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
-# dedup_clusters), whose MinHash/SimHash/verification plans changed
-# this round. Exactly 50.
+# never driver-checked; also vocab_edit_pairs), + 3 re-earn
+# anchors (dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash),
+# whose MinHash/SimHash/verification plans changed this round.
+# dedup_clusters (same changed substrate) ceded its slot to a
+# never-checked query; its r07 evidence is the green
+# tools/strict_check.py driver simulation at sf0.01 plus the local
+# conformance gate. Exactly 50.
 # Rotated out: the 40 r06-green entries plus 20 r04/r05-green
 # unchanged entries (q1_pricing_summary, filter_range_scan,
 # fk_deref_join, q9_product_profit, asof_join, dedup_exact,
@@ -520,11 +526,11 @@ _DRIVER_WINDOW = [
     "event_transitions",
     "trend_slopes",
     "chi_square_cells",
+    "vocab_edit_pairs",
     # last driver-green in r04/r05 — re-earn rows
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_clusters",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

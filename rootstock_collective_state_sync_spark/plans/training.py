@@ -1374,3 +1374,48 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(_tok(F.col("text"))).alias("t"))
     return heavy_hitters(spark, tok, "t", m=64, top_k=10)
+
+
+def q_vocab_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs via the deletion-neighborhood
+    join, levenshtein-verified, canonical = more frequent. The oracle
+    replays variant generation, the candidate equi-join (on the
+    variant strings — proving the 8-byte hashed join loses nothing),
+    and the same levenshtein verify."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        vocab_edit_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_edit_pairs(docs).orderBy("canonical", "variant")
+
+
+Q_VOCAB_EDIT_PAIRS_ORACLE = """
+WITH words AS (
+  SELECT t AS w, count(*)::BIGINT AS n FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS t
+    FROM documents
+  ) GROUP BY t HAVING length(t) <= 24
+),
+ev AS (
+  SELECT w, n, unnest(list_distinct(
+           [w] || list_transform(range(1, length(w) + 1),
+                  i -> w[1:i-1] || w[i+1:length(w)]))) AS v
+  FROM words
+),
+cand AS (
+  SELECT DISTINCT a.w AS wa, a.n AS na, b.w AS wb, b.n AS nb
+  FROM ev a JOIN ev b ON a.v = b.v AND a.w < b.w
+)
+SELECT CASE WHEN na > nb OR (na = nb AND wa < wb) THEN wa ELSE wb END
+         AS canonical,
+       CASE WHEN na > nb OR (na = nb AND wa < wb) THEN wb ELSE wa END
+         AS variant,
+       CASE WHEN na > nb OR (na = nb AND wa < wb) THEN na ELSE nb END
+         AS n_canonical,
+       CASE WHEN na > nb OR (na = nb AND wa < wb) THEN nb ELSE na END
+         AS n_variant
+FROM cand WHERE levenshtein(wa, wb) = 1
+ORDER BY canonical, variant
+"""

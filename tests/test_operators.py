@@ -1141,3 +1141,27 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     assert out["v"]["max_val"] == "10.000000"
     assert out["id"]["min_val"] == "1" and out["id"]["max_val"] == "4"
     assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_vocab_edit_pairs_finds_planted_typos(spark):
+    from rootstock_collective_state_sync_spark.operators.text import (
+        vocab_edit_pairs,
+    )
+
+    text = " ".join(
+        ["hello"] * 10 + ["helo"] * 2      # deletion
+        + ["world"] * 8 + ["worlds"] * 1   # insertion
+        + ["spark"] * 5 + ["spork"] * 1    # substitution
+        + ["unrelated"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    pairs = {
+        (r["canonical"], r["variant"]): (r["n_canonical"], r["n_variant"])
+        for r in vocab_edit_pairs(df).collect()
+    }
+    assert pairs[("hello", "helo")] == (10, 2)
+    assert pairs[("world", "worlds")] == (8, 1)
+    assert pairs[("spark", "spork")] == (5, 1)
+    assert all(c != v for c, v in pairs)
+    # no ED-2 pair leaks through ('hello' vs 'helos' etc. absent)
+    assert ("hello", "world") not in pairs
