@@ -63,3 +63,44 @@ def profile_table(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def histogram(
+    df: DataFrame, col: str, bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: ``(bin, lo, hi, n)``
+    with every bin emitted (empty bins -> n = 0) so downstream
+    plotting/drift comparison never mis-aligns axes.
+
+    Determinism: bounds are the exact stored min/max; bin assignment
+    is ``floor((x - min) / width)`` on doubles — identical
+    correctly-rounded IEEE ops on any engine — clamped so ``x = max``
+    lands in the last bin.
+
+    Plan shape: one global min/max aggregate (2-value control-plane
+    read), then a single map-side-combined count shuffle of bin ids —
+    the column is scanned twice but never re-shuffled raw.
+    """
+    lo_hi = df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).first()
+    lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bin_ = F.least(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(bins - 1),
+    )
+    counts = df.select(bin_.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = df.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("hi"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+        .orderBy("bin")
+    )

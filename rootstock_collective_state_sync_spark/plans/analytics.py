@@ -881,3 +881,38 @@ JOIN col_m m USING (dow)
 CROSS JOIN total t
 ORDER BY c.event_type, c.dow
 """
+
+
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of order totals, empty bins
+    included — the profiler's distribution companion, bin-for-bin
+    replayed in SQL."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        histogram,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", bins=20)
+
+
+Q_HISTOGRAM_TOTALPRICE_ORACLE = """
+WITH b AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+p AS (
+  SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 20 ELSE 1.0 END AS width
+  FROM b
+),
+assigned AS (
+  SELECT least(floor((o.o_totalprice - p.lo) / p.width)::INTEGER, 19) AS bin
+  FROM orders o CROSS JOIN p
+),
+counts AS (SELECT bin, count(*)::BIGINT AS n FROM assigned GROUP BY bin),
+spine AS (SELECT unnest(range(20))::INTEGER AS bin)
+SELECT s.bin,
+       round(p.lo + s.bin * p.width, 6) AS lo,
+       round(p.lo + (s.bin + 1) * p.width, 6) AS hi,
+       coalesce(c.n, 0) AS n
+FROM spine s CROSS JOIN p LEFT JOIN counts c USING (bin)
+ORDER BY s.bin
+"""

@@ -151,6 +151,11 @@ SPECS: dict[str, QuerySpec] = {
         AN.Q_WINSORIZE_VALUES_ORACLE,
         ("analytics", "sampling"),
     ),
+    "histogram_totalprice": QuerySpec(
+        AN.q_histogram_totalprice,
+        AN.Q_HISTOGRAM_TOTALPRICE_ORACLE,
+        ("analytics", "agg"),
+    ),
     "profile_orders": QuerySpec(
         AN.q_profile_orders, AN.Q_PROFILE_ORDERS_ORACLE, ("analytics", "agg")
     ),
@@ -456,13 +461,14 @@ SPECS: dict[str, QuerySpec] = {
 # image_dedup_clusters, time_decayed_score, hourly_anomalies,
 # bpe_merges, bpe_fertility, profile_orders, winsorize_values,
 # skew_report, event_transitions, trend_slopes, chi_square_cells —
-# never driver-checked; also vocab_edit_pairs), + 3 re-earn
-# anchors (dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash),
-# whose MinHash/SimHash/verification plans changed this round.
-# dedup_clusters (same changed substrate) ceded its slot to a
-# never-checked query; its r07 evidence is the green
-# tools/strict_check.py driver simulation at sf0.01 plus the local
-# conformance gate. Exactly 50.
+# never driver-checked; also vocab_edit_pairs and
+# histogram_totalprice), + 2 re-earn anchors (dedup_ngram_jaccard,
+# dedup_minhash_lsh), whose MinHash/verification plans changed this
+# round. dedup_simhash and dedup_clusters (same changed substrate)
+# ceded their slots to never-checked queries; their r07 evidence is
+# the green tools/strict_check.py driver simulation at sf0.01 (all
+# 131 oracled queries checked this round) plus the local conformance
+# gate on every pytest run. Exactly 50.
 # Rotated out: the 40 r06-green entries plus 20 r04/r05-green
 # unchanged entries (q1_pricing_summary, filter_range_scan,
 # fk_deref_join, q9_product_profit, asof_join, dedup_exact,
@@ -527,10 +533,10 @@ _DRIVER_WINDOW = [
     "trend_slopes",
     "chi_square_cells",
     "vocab_edit_pairs",
+    "histogram_totalprice",
     # last driver-green in r04/r05 — re-earn rows
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -1165,3 +1165,21 @@ def test_vocab_edit_pairs_finds_planted_typos(spark):
     assert all(c != v for c, v in pairs)
     # no ED-2 pair leaks through ('hello' vs 'helos' etc. absent)
     assert ("hello", "world") not in pairs
+
+
+def test_histogram_covers_all_bins_and_counts(spark):
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "x double"
+    )
+    out = histogram(df, "x", bins=10).collect()
+    assert len(out) == 10
+    assert [r["n"] for r in out] == [10] * 10
+    assert out[0]["lo"] == 0.0 and out[-1]["hi"] == 99.0
+    # max value lands in the last bin (clamped), empty bins emitted
+    df2 = spark.createDataFrame([(0.0,), (100.0,)], "x double")
+    out2 = histogram(df2, "x", bins=4).collect()
+    assert [r["n"] for r in out2] == [1, 0, 0, 1]
