@@ -448,3 +448,73 @@ def winsorize(
             (F.col(value_col) > F.col("_hi")).cast("int").alias("clipped_hi"),
         )
     )
+
+
+def quantile_align(
+    df: DataFrame,
+    score_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile normalization across sources: each row's score is
+    replaced by the GLOBAL score at the same rank fraction, so
+    per-source score distributions become comparable (a quality model
+    that drifts stricter on one crawl no longer starves that source in
+    a global-threshold selection).
+
+    All integer, nearest-rank: within its source a row has rank ``r``
+    of ``n_s`` (score, id ordered); its global target rank is
+    ``ceil(r·N / n_s)`` by exact integer arithmetic, and the aligned
+    value is the global order statistic at that rank, located via the
+    cumulative counts of DISTINCT scores — no interpolation, no
+    floats, bit-identical anywhere.
+
+    Plan shape / 100 TB: per-source ranks are a source-partitioned
+    window (scalable); the global side never sorts the corpus — it
+    aggregates to DISTINCT score counts (bounded by the score domain,
+    here e7-integer quality scores) and takes one small single-
+    partition cumsum window over that; the lookup is a broadcast
+    range join of rows against that cumulative table.
+    """
+    n_total = df.count()
+    w_src = Window.partitionBy(source_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(score_col),
+        F.row_number().over(w_src).alias("_r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(source_col))
+        .alias("_ns"),
+    ).withColumn(
+        # exact integer ceil-division (SQL `div`, never a float)
+        "_g",
+        F.expr(f"(_r * {n_total}L + _ns - 1) div _ns").cast("bigint"),
+    )
+    dist = (
+        df.groupBy(F.col(score_col).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_cum",
+            F.sum("_c").over(
+                Window.orderBy("_s").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .select("_s", (F.col("_cum") - F.col("_c")).alias("_lo"), "_cum")
+    )
+    return (
+        ranked.join(
+            F.broadcast(dist),
+            (F.col("_g") > F.col("_lo")) & (F.col("_g") <= F.col("_cum")),
+        )
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col(score_col),
+            F.col("_s").alias(f"{score_col}_aligned"),
+        )
+    )

@@ -1280,3 +1280,49 @@ from rootstock_collective_state_sync_spark.plans.training import (
 )
 
 Q_IMAGE_DEDUP_CLUSTERS_ORACLE = _cc_oracle(Q_IMAGE_NEAR_DUP_ORACLE)
+
+
+def q_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scores quantile-normalized across sources — each doc
+    mapped to the global score at its source-local rank fraction.
+    Exact integer ranks, nearest-rank lookup via distinct-score
+    cumulative counts, fully SQL-replayed."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        quantile_align,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", X.quality_score_e7(F.col("text")).alias("q_e7")
+    )
+    return quantile_align(scored, "q_e7").orderBy("doc_id")
+
+
+Q_QUANTILE_ALIGN_ORACLE = f"""
+WITH {_QUALITY_E7_CTE},
+scored AS (
+  SELECT d.doc_id, d.source, q.q_e7
+  FROM documents d JOIN q USING (doc_id)
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM scored),
+ranked AS (
+  SELECT doc_id, source, q_e7,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY q_e7 ASC, doc_id ASC) AS r,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM scored
+),
+g AS (
+  SELECT ranked.*, (r * tot.n + ns - 1) // ns AS gk
+  FROM ranked CROSS JOIN tot
+),
+dist AS (
+  SELECT q_e7 AS s, count(*) AS c,
+         sum(count(*)) OVER (ORDER BY q_e7
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored GROUP BY q_e7
+)
+SELECT g.doc_id, g.source, g.q_e7, d.s AS q_e7_aligned
+FROM g JOIN dist d ON g.gk > d.cum - d.c AND g.gk <= d.cum
+ORDER BY g.doc_id
+"""

@@ -337,6 +337,9 @@ SPECS: dict[str, QuerySpec] = {
     "ccnet_buckets": QuerySpec(
         CU.q_ccnet_buckets, CU.Q_CCNET_BUCKETS_ORACLE, ("text", "sampling")
     ),
+    "quantile_align": QuerySpec(
+        CU.q_quantile_align, CU.Q_QUANTILE_ALIGN_ORACLE, ("sampling", "text")
+    ),
     "leakage_safe_split": QuerySpec(
         CU.q_leakage_safe_split, CU.Q_LEAKAGE_SAFE_SPLIT_ORACLE, ("dedup", "sampling")
     ),
@@ -461,14 +464,15 @@ SPECS: dict[str, QuerySpec] = {
 # image_dedup_clusters, time_decayed_score, hourly_anomalies,
 # bpe_merges, bpe_fertility, profile_orders, winsorize_values,
 # skew_report, event_transitions, trend_slopes, chi_square_cells —
-# never driver-checked; also vocab_edit_pairs and
-# histogram_totalprice), + 2 re-earn anchors (dedup_ngram_jaccard,
-# dedup_minhash_lsh), whose MinHash/verification plans changed this
-# round. dedup_simhash and dedup_clusters (same changed substrate)
-# ceded their slots to never-checked queries; their r07 evidence is
-# the green tools/strict_check.py driver simulation at sf0.01 (all
-# 131 oracled queries checked this round) plus the local conformance
-# gate on every pytest run. Exactly 50.
+# never driver-checked; also vocab_edit_pairs,
+# histogram_totalprice and quantile_align), + 1 re-earn anchor
+# (dedup_minhash_lsh), whose signature/verification plans changed
+# this round. dedup_ngram_jaccard, dedup_simhash and dedup_clusters
+# (same changed substrate) ceded their slots to never-checked
+# queries; their r07 evidence is the green tools/strict_check.py
+# driver simulation at sf0.01 (all oracled queries checked this
+# round) plus the local conformance gate on every pytest run.
+# Exactly 50.
 # Rotated out: the 40 r06-green entries plus 20 r04/r05-green
 # unchanged entries (q1_pricing_summary, filter_range_scan,
 # fk_deref_join, q9_product_profit, asof_join, dedup_exact,
@@ -534,8 +538,8 @@ _DRIVER_WINDOW = [
     "chi_square_cells",
     "vocab_edit_pairs",
     "histogram_totalprice",
+    "quantile_align",
     # last driver-green in r04/r05 — re-earn rows
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
 ]
 
