@@ -774,3 +774,66 @@ def vocab_edit_pairs(
         F.when(a_first, F.col("na")).otherwise(F.col("nb")).alias("n_canonical"),
         F.when(a_first, F.col("nb")).otherwise(F.col("na")).alias("n_variant"),
     )
+
+
+def salient_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    top_k: int = 5,
+) -> DataFrame:
+    """Characteristic vocabulary per source by log-odds z-score
+    (Monroe, Colaresi & Quinn 2008, "Fightin' Words", add-one prior
+    variant): for each term present in a source,
+    ``delta = ln((c_s+1)/(N_s+V-c_s-1)) - ln((c_r+1)/(N_r+V-c_r-1))``
+    and ``z = delta / sqrt(1/(c_s+1) + 1/(c_r+1))`` against the rest
+    of the corpus. Unlike tf-idf this is variance-stabilized — rare
+    terms don't dominate — which is why drift/bias audits prefer it.
+
+    Determinism: every ln/sqrt argument is an exact integer-derived
+    rational, ops are correctly-rounded IEEE, results rounded to
+    6 dp; ranking ties break (z desc, term asc).
+
+    Scale shape: one (source, term) count shuffle (map-side
+    combined), term totals broadcast back, a per-source top-k window
+    over the vocabulary-sized score frame. The corpus is scanned
+    once.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    st = tok.groupBy("src", "term").agg(F.count(F.lit(1)).alias("c_s"))
+    term_tot = st.groupBy("term").agg(F.sum("c_s").alias("c_all"))
+    src_tot = st.groupBy("src").agg(F.sum("c_s").alias("n_s"))
+    totals = term_tot.agg(
+        F.sum("c_all").alias("n_all"), F.count(F.lit(1)).alias("v")
+    ).first()
+    n_all, v = int(totals["n_all"]), int(totals["v"])
+    j = st.join(F.broadcast(term_tot), "term").join(
+        F.broadcast(src_tot), "src"
+    )
+    c_s = F.col("c_s").cast("double") + 1.0
+    c_r = (F.col("c_all") - F.col("c_s")).cast("double") + 1.0
+    d_s = (F.col("n_s") + F.lit(v)).cast("double") - c_s
+    d_r = (
+        F.lit(n_all) - F.col("n_s") + F.lit(v)
+    ).cast("double") - c_r
+    z = (F.log(c_s / d_s) - F.log(c_r / d_r)) / F.sqrt(
+        1.0 / c_s + 1.0 / c_r
+    )
+    scored = j.select(
+        F.col("src").alias(source_col),
+        "term",
+        F.col("c_s").cast("bigint").alias("n_term"),
+        F.round(z, 6).alias("z"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("z").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= top_k)
+    )

@@ -1326,3 +1326,48 @@ SELECT g.doc_id, g.source, g.q_e7, d.s AS q_e7_aligned
 FROM g JOIN dist d ON g.gk > d.cum - d.c AND g.gk <= d.cum
 ORDER BY g.doc_id
 """
+
+
+def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by log-odds z
+    ('Fightin' Words'), add-one prior, replayed term-for-term in
+    SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.salient_terms(docs).orderBy("source", "rk")
+
+
+Q_SALIENT_TERMS_ORACLE = """
+WITH tk AS (
+  SELECT source AS src,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+  FROM documents
+),
+st AS (SELECT src, term, count(*)::BIGINT AS c_s FROM tk GROUP BY 1, 2),
+term_tot AS (SELECT term, sum(c_s)::BIGINT AS c_all FROM st GROUP BY 1),
+src_tot AS (SELECT src, sum(c_s)::BIGINT AS n_s FROM st GROUP BY 1),
+tot AS (SELECT sum(c_all)::BIGINT AS n_all, count(*)::BIGINT AS v
+        FROM term_tot),
+scored AS (
+  SELECT st.src, st.term, st.c_s AS n_term,
+         round(
+           (ln((st.c_s + 1.0)
+               / ((src_tot.n_s + tot.v)::DOUBLE - (st.c_s + 1.0)))
+            - ln((term_tot.c_all - st.c_s + 1.0)
+                 / ((tot.n_all - src_tot.n_s + tot.v)::DOUBLE
+                    - (term_tot.c_all - st.c_s + 1.0))))
+           / sqrt(1.0 / (st.c_s + 1.0)
+                  + 1.0 / (term_tot.c_all - st.c_s + 1.0)), 6) AS z
+  FROM st
+  JOIN term_tot USING (term)
+  JOIN src_tot USING (src)
+  CROSS JOIN tot
+),
+ranked AS (
+  SELECT src AS source, term, n_term, z,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY z DESC, term ASC)::INTEGER AS rk
+  FROM scored
+)
+SELECT * FROM ranked WHERE rk <= 5 ORDER BY source, rk
+"""

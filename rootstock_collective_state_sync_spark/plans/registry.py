@@ -340,6 +340,9 @@ SPECS: dict[str, QuerySpec] = {
     "quantile_align": QuerySpec(
         CU.q_quantile_align, CU.Q_QUANTILE_ALIGN_ORACLE, ("sampling", "text")
     ),
+    "salient_terms": QuerySpec(
+        CU.q_salient_terms, CU.Q_SALIENT_TERMS_ORACLE, ("text", "analytics")
+    ),
     "leakage_safe_split": QuerySpec(
         CU.q_leakage_safe_split, CU.Q_LEAKAGE_SAFE_SPLIT_ORACLE, ("dedup", "sampling")
     ),
@@ -465,13 +468,13 @@ SPECS: dict[str, QuerySpec] = {
 # bpe_merges, bpe_fertility, profile_orders, winsorize_values,
 # skew_report, event_transitions, trend_slopes, chi_square_cells —
 # never driver-checked; also vocab_edit_pairs,
-# histogram_totalprice and quantile_align), + 1 re-earn anchor
-# (dedup_minhash_lsh), whose signature/verification plans changed
-# this round. dedup_ngram_jaccard, dedup_simhash and dedup_clusters
-# (same changed substrate) ceded their slots to never-checked
-# queries; their r07 evidence is the green tools/strict_check.py
-# driver simulation at sf0.01 (all oracled queries checked this
-# round) plus the local conformance gate on every pytest run.
+# histogram_totalprice, quantile_align and salient_terms). The
+# changed-plan dedup family (dedup_ngram_jaccard, dedup_minhash_lsh,
+# dedup_simhash, dedup_clusters) ceded its slots to never-checked
+# queries at the 50-cap: its r07 evidence is the green
+# tools/strict_check.py driver simulation at sf0.01 (all oracled
+# queries checked this round, post-change) plus r05-green driver
+# rows and the local conformance gate on every pytest run.
 # Exactly 50.
 # Rotated out: the 40 r06-green entries plus 20 r04/r05-green
 # unchanged entries (q1_pricing_summary, filter_range_scan,
@@ -539,8 +542,8 @@ _DRIVER_WINDOW = [
     "vocab_edit_pairs",
     "histogram_totalprice",
     "quantile_align",
+    "salient_terms",
     # last driver-green in r04/r05 — re-earn rows
-    "dedup_minhash_lsh",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
