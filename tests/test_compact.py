@@ -60,3 +60,49 @@ def test_range_clustered_output_is_min_max_prunable(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, spans
+
+
+def test_dynamic_overwrite_replaces_only_incoming_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rootstock_collective_state_sync_spark.sinks.partitioned import (
+        read_partition,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "ptab")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 11.0),
+         (3, "d2", 20.0), (4, "d3", 30.0)],
+        "id long, day string, v double",
+    )
+    write_partitioned(base, path, ["day"])
+    # backfill day 2 only: day 1 and 3 must survive untouched
+    fix = spark.createDataFrame(
+        [(30, "d2", 21.5)], "id long, day string, v double"
+    )
+    write_partitioned(fix, path, ["day"])
+    allr = {
+        (r["id"], r["day"]) for r in spark.read.parquet(path).collect()
+    }
+    assert allr == {
+        (1, "d1"), (2, "d1"),
+        (30, "d2"),            # replaced
+        (4, "d3"),             # intact
+    }
+    # partition pruning reaches the scan
+    pruned = read_partition(spark, path, day="d3")
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan and pruned.count() == 1
+    # static overwrite (the footgun) really does clobber -> documented
+    write_partitioned(fix, path, ["day"], dynamic_overwrite=False)
+    assert spark.read.parquet(path).count() == 1
+    # conf restored, not leaked
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        in (None, "static")
+    )
