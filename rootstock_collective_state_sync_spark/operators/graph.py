@@ -108,3 +108,89 @@ def pagerank_fixed(
         r = nxt
     nodes.unpersist()
     return r
+
+
+def label_propagation(
+    emb: DataFrame,
+    k: int = 3,
+    iters: int = 3,
+    seed_mod: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation over the kNN similarity
+    graph (Zhu & Ghahramani 2002, hard-label variant): nodes with
+    ``id % seed_mod == 0`` are masked "unlabeled"; each round every
+    masked node takes the MAJORITY label among its neighbors' current
+    labels (ties -> smallest label; no labeled neighbor -> keep
+    previous). Seeded nodes never change. Evaluating the propagated
+    labels against the held-out truth measures how much labeling
+    effort the similarity graph can replace.
+
+    Determinism: integer vote counts, ``min(struct(-votes, label))``
+    argmax, synchronous rounds — bit-identical anywhere; the oracle
+    unrolls every round.
+
+    Scale shape: each round is ONE edge-keyed join (edges carry two
+    8-byte ids) + a votes aggregate, with O(1) lineage via
+    persist/unpersist — the same loop discipline as
+    :func:`pagerank_fixed` and the CC resolver.
+
+    Returns ``(id, label_true, seeded, label_prop, correct)`` —
+    ``label_prop`` may be null if a masked node never saw a labeled
+    neighbor; ``correct`` is null there too.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label_true"),
+        (F.col(id_col) % seed_mod != 0).alias("seeded"),
+    ).persist()
+    edges = knn_edges(emb, k=k, id_col=id_col, vec_col=vec_col).persist()
+    edges.count()
+    cur = base.select(
+        "id", F.when(F.col("seeded"), F.col("label_true")).alias("cur")
+    ).persist()
+    cur.count()
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                cur.select(F.col("id").alias("dst"), F.col("cur").alias("lbl")),
+                "dst",
+            )
+            .filter(F.col("lbl").isNotNull())
+            .groupBy(F.col("src").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = votes.groupBy("id").agg(
+            F.min(F.struct((-F.col("n")).alias("negn"), F.col("lbl"))).alias(
+                "m"
+            )
+        )
+        nxt = (
+            base.join(best, "id", "left")
+            .join(cur, "id")
+            .select(
+                "id",
+                F.when(F.col("seeded"), F.col("label_true"))
+                .otherwise(F.coalesce(F.col("m.lbl"), F.col("cur")))
+                .alias("cur"),
+            )
+            .persist()
+        )
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    out = base.join(cur, "id").select(
+        "id",
+        "label_true",
+        F.col("seeded").cast("int").alias("seeded"),
+        F.col("cur").alias("label_prop"),
+        F.when(
+            F.col("cur").isNotNull(),
+            (F.col("cur") == F.col("label_true")).cast("int"),
+        ).alias("correct"),
+    )
+    base.unpersist()
+    edges.unpersist()
+    return out

@@ -340,6 +340,11 @@ SPECS: dict[str, QuerySpec] = {
     "quantile_align": QuerySpec(
         CU.q_quantile_align, CU.Q_QUANTILE_ALIGN_ORACLE, ("sampling", "text")
     ),
+    "label_propagation": QuerySpec(
+        Q.q_label_propagation,
+        Q.Q_LABEL_PROPAGATION_ORACLE,
+        ("similarity", "graph"),
+    ),
     "salient_terms": QuerySpec(
         CU.q_salient_terms, CU.Q_SALIENT_TERMS_ORACLE, ("text", "analytics")
     ),
@@ -468,7 +473,9 @@ SPECS: dict[str, QuerySpec] = {
 # bpe_merges, bpe_fertility, profile_orders, winsorize_values,
 # skew_report, event_transitions, trend_slopes, chi_square_cells —
 # never driver-checked; also vocab_edit_pairs,
-# histogram_totalprice, quantile_align and salient_terms). The
+# histogram_totalprice, quantile_align, salient_terms and
+# label_propagation; skew_report ceded its slot at the 50-cap —
+# strict-sim green at sf0.01, locally gated). The
 # changed-plan dedup family (dedup_ngram_jaccard, dedup_minhash_lsh,
 # dedup_simhash, dedup_clusters) ceded its slots to never-checked
 # queries at the 50-cap: its r07 evidence is the green
@@ -535,7 +542,6 @@ _DRIVER_WINDOW = [
     "bpe_fertility",
     "profile_orders",
     "winsorize_values",
-    "skew_report",
     "event_transitions",
     "trend_slopes",
     "chi_square_cells",
@@ -543,7 +549,7 @@ _DRIVER_WINDOW = [
     "histogram_totalprice",
     "quantile_align",
     "salient_terms",
-    # last driver-green in r04/r05 — re-earn rows
+    "label_propagation",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

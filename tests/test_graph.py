@@ -55,3 +55,29 @@ def test_knn_edges_symmetric_no_self(spark):
     assert all(s != d for s, d in edges)
     assert edges == {(s, d) for d, s in edges}  # symmetric
     assert (0, 1) in edges and (2, 3) in edges
+
+
+def test_label_propagation_recovers_held_out_labels(spark):
+    from pyspark.sql import functions as F
+
+    from rootstock_collective_state_sync_spark.operators.graph import (
+        label_propagation,
+    )
+    from rootstock_collective_state_sync_spark.plans.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = label_propagation(emb, k=3, iters=3, seed_mod=5)
+    rows = out.collect()
+    seeded = [r for r in rows if r["seeded"] == 1]
+    masked = [r for r in rows if r["seeded"] == 0]
+    # seeded nodes never change
+    assert all(r["label_prop"] == r["label_true"] for r in seeded)
+    assert masked, "mask must hold out some nodes"
+    resolved = [r for r in masked if r["label_prop"] is not None]
+    # with k=3 over near-random embeddings most masked nodes still
+    # reach a labeled neighbor within 3 rounds
+    assert len(resolved) >= 0.9 * len(masked)
+    # determinism: a second run is identical
+    again = label_propagation(emb, k=3, iters=3, seed_mod=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
