@@ -1120,3 +1120,89 @@ def nearest_centroid_assign(
         .filter(F.col("rn") == 1)
         .select("id", "assigned", "sq_l2")
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-center coreset (greedy farthest-point
+    traversal, Gonzalez 1985): start from the smallest id, then k-1
+    times pick the point farthest (squared L2, exact-rational doubles,
+    ties -> smallest id) from the already-chosen set. The classic
+    diversity-maximizing sample — a 2-approximation of the k-center
+    optimum — used to pick maximally-spread training exemplars where
+    random sampling would oversample dense clusters.
+
+    Returns ``(round, vec_id, dist_sq)`` — dist_sq is the squared
+    distance to the previously-chosen set at selection time (round 1
+    = the seed, dist_sq 0).
+
+    Scale shape / 100 TB: the corpus is never self-joined — each of
+    the k rounds joins the corpus against ONE broadcast center row,
+    takes a running element-wise min of the distance column, and
+    argmaxes with a 1-row driver collect (k bounded control-plane
+    reads, the IVF-trainer policy). Total cost O(n·k) with k tiny;
+    persist/unpersist keeps lineage O(1).
+    """
+    from pyspark.sql import Window
+
+    def _dist_to(center_vec):
+        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), arr, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    first = emb.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    chosen = [(1, int(first[id_col]), 0.0)]
+    cur = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _dist_to(first[vec_col]).alias("d"),
+    ).persist()
+    cur.count()
+    for rnd in range(2, k + 1):
+        far = (
+            cur.filter(~F.col("id").isin([c[1] for c in chosen]))
+            .orderBy(F.col("d").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((rnd, int(far["id"]), float(far["d"])))
+        center = emb.filter(F.col(id_col) == far["id"]).collect()[0][vec_col]
+        nxt = cur.select(
+            "id",
+            "v",
+            F.least(
+                F.col("d"),
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(float(x)) for x in center]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ),
+            ).alias("d"),
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        chosen, "round int, vec_id bigint, dist_sq double"
+    )

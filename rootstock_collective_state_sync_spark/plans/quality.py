@@ -767,3 +767,63 @@ ORDER BY base.id""")
 
 
 Q_LABEL_PROPAGATION_ORACLE = _label_prop_oracle()
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset (greedy farthest-point)
+# ---------------------------------------------------------------------------
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-point diversity coreset by greedy farthest-point traversal —
+    every greedy round (argmax with ties -> smallest id, running min
+    of rounded squared distances) unrolled in the oracle."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=8).orderBy("round")
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    d2 = _SQL2_SQL.format(a="e.embedding", b="s.v")
+    parts = [f"""
+WITH c1 AS (SELECT min(vec_id) AS id FROM embeddings),
+s1 AS (
+  SELECT e.embedding AS v FROM embeddings e JOIN c1 ON e.vec_id = c1.id
+),
+d1 AS MATERIALIZED (
+  SELECT e.vec_id AS id, e.embedding AS v, {d2} AS d
+  FROM embeddings e CROSS JOIN s1 s
+),
+ch1 AS (SELECT id FROM c1)"""]
+    for r in range(2, k + 1):
+        d2r = _SQL2_SQL.format(a="e.v", b="s.v")
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT id, d FROM d{r - 1}
+  WHERE id NOT IN (SELECT id FROM ch{r - 1})
+  ORDER BY d DESC, id ASC LIMIT 1
+),
+ch{r} AS MATERIALIZED (
+  SELECT id FROM ch{r - 1} UNION SELECT id FROM p{r}
+),
+s{r} AS (SELECT d.v FROM d{r - 1} d JOIN p{r} USING (id)),
+d{r} AS MATERIALIZED (
+  SELECT e.id, e.v, least(e.d, {d2r}) AS d
+  FROM d{r - 1} e CROSS JOIN s{r} s
+)""")
+    rounds = ["SELECT 1 AS \"round\", id AS vec_id, 0.0 AS dist_sq FROM c1"]
+    rounds += [
+        f'SELECT {r} AS "round", id AS vec_id, d AS dist_sq FROM p{r}'
+        for r in range(2, k + 1)
+    ]
+    parts.append(
+        '\nSELECT * FROM (' + "\nUNION ALL\n".join(rounds)
+        + ') ORDER BY "round"'
+    )
+    return "".join(parts)
+
+
+Q_KCENTER_CORESET_ORACLE = _kcenter_oracle()

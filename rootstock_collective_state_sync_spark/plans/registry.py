@@ -340,6 +340,11 @@ SPECS: dict[str, QuerySpec] = {
     "quantile_align": QuerySpec(
         CU.q_quantile_align, CU.Q_QUANTILE_ALIGN_ORACLE, ("sampling", "text")
     ),
+    "kcenter_coreset": QuerySpec(
+        Q.q_kcenter_coreset,
+        Q.Q_KCENTER_CORESET_ORACLE,
+        ("similarity", "sampling"),
+    ),
     "label_propagation": QuerySpec(
         Q.q_label_propagation,
         Q.Q_LABEL_PROPAGATION_ORACLE,
@@ -516,7 +521,6 @@ _DRIVER_WINDOW = [
     "semantic_dedup",
     "doc_chunks",
     "hashed_doc_vectors",
-    "lm_bigram_score",
     "ccnet_buckets",
     "leakage_safe_split",
     # newly oracled this round (r06 rows had err=no_oracle)
@@ -550,6 +554,7 @@ _DRIVER_WINDOW = [
     "quantile_align",
     "salient_terms",
     "label_propagation",
+    "kcenter_coreset",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
