@@ -479,8 +479,9 @@ SPECS: dict[str, QuerySpec] = {
 # skew_report, event_transitions, trend_slopes, chi_square_cells —
 # never driver-checked; also vocab_edit_pairs,
 # histogram_totalprice, quantile_align, salient_terms and
-# label_propagation; skew_report ceded its slot at the 50-cap —
-# strict-sim green at sf0.01, locally gated). The
+# label_propagation, kcenter_coreset; skew_report and
+# audio_frame_energy ceded slots at the 50-cap — both strict-sim
+# green at sf0.01, locally gated every pytest run). The
 # changed-plan dedup family (dedup_ngram_jaccard, dedup_minhash_lsh,
 # dedup_simhash, dedup_clusters) ceded its slots to never-checked
 # queries at the 50-cap: its r07 evidence is the green
@@ -511,7 +512,6 @@ _DRIVER_WINDOW = [
     "nearest_centroid_confusion",
     "funnel_conversion",
     "rrf_fusion",
-    "audio_frame_energy",
     "llm_token_count",
     "drop_dup_spans",
     "emb_int8_quant",
@@ -521,6 +521,7 @@ _DRIVER_WINDOW = [
     "semantic_dedup",
     "doc_chunks",
     "hashed_doc_vectors",
+    "lm_bigram_score",
     "ccnet_buckets",
     "leakage_safe_split",
     # newly oracled this round (r06 rows had err=no_oracle)
