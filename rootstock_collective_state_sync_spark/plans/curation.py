@@ -1371,3 +1371,58 @@ ranked AS (
 )
 SELECT * FROM ranked WHERE rk <= 5 ORDER BY source, rk
 """
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the cheap heuristic quality score predict the Gopher keep
+    decision? Exact tie-aware ROC-AUC (integer Mann-Whitney) of
+    q_e7 against gopher_keep — one hash-checked row."""
+    from rootstock_collective_state_sync_spark.operators import rules as RL
+    from rootstock_collective_state_sync_spark.operators.evaluate import (
+        binary_auc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = RL.gopher_quality(docs).select(
+        "doc_id", F.col("gopher_keep").cast("int").alias("keep")
+    )
+    q = docs.select(
+        "doc_id", X.quality_score_e7(F.col("text")).alias("q_e7")
+    )
+    return binary_auc(q.join(flags, "doc_id"), "q_e7", "keep")
+
+
+def _quality_auc_oracle() -> str:
+    from rootstock_collective_state_sync_spark.plans.quality import (
+        Q_GOPHER_QUALITY_ORACLE,
+    )
+
+    return f"""
+WITH g AS (
+  SELECT doc_id, gopher_keep AS keep FROM ({Q_GOPHER_QUALITY_ORACLE})
+),
+q2 AS (
+  SELECT doc_id, q_e7 FROM (WITH {_QUALITY_E7_CTE} SELECT * FROM q)
+),
+j AS (SELECT q2.q_e7 AS s, g.keep FROM q2 JOIN g USING (doc_id)),
+ps AS (
+  SELECT s, sum(keep)::BIGINT AS pos, sum(1 - keep)::BIGINT AS neg
+  FROM j GROUP BY s
+),
+sc AS (
+  SELECT *, coalesce(sum(neg) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS neg_below
+  FROM ps
+)
+SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+       sum(pos * (2 * neg_below + neg))::BIGINT AS u2,
+       round(CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                  THEN sum(pos * (2 * neg_below + neg))::DOUBLE
+                       / (2.0 * sum(pos) * sum(neg))
+                  ELSE 0.5 END, 6) AS auc
+FROM sc
+"""
+
+
+Q_QUALITY_AUC_ORACLE = _quality_auc_oracle()

@@ -337,6 +337,9 @@ SPECS: dict[str, QuerySpec] = {
     "ccnet_buckets": QuerySpec(
         CU.q_ccnet_buckets, CU.Q_CCNET_BUCKETS_ORACLE, ("text", "sampling")
     ),
+    "quality_auc": QuerySpec(
+        CU.q_quality_auc, CU.Q_QUALITY_AUC_ORACLE, ("analytics", "text")
+    ),
     "quantile_align": QuerySpec(
         CU.q_quantile_align, CU.Q_QUANTILE_ALIGN_ORACLE, ("sampling", "text")
     ),

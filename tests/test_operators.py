@@ -1183,3 +1183,32 @@ def test_histogram_covers_all_bins_and_counts(spark):
     df2 = spark.createDataFrame([(0.0,), (100.0,)], "x double")
     out2 = histogram(df2, "x", bins=4).collect()
     assert [r["n"] for r in out2] == [1, 0, 0, 1]
+
+
+def test_binary_auc_exact_cases(spark):
+    from rootstock_collective_state_sync_spark.operators.evaluate import (
+        binary_auc,
+    )
+
+    perfect = spark.createDataFrame(
+        [(10, 1), (9, 1), (2, 0), (1, 0)], "s long, y int"
+    )
+    assert binary_auc(perfect, "s", "y").first()["auc"] == 1.0
+    reversed_ = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 0), (10, 0)], "s long, y int"
+    )
+    assert binary_auc(reversed_, "s", "y").first()["auc"] == 0.0
+    # all scores tied -> 0.5 exactly (ties count half)
+    tied = spark.createDataFrame(
+        [(5, 1), (5, 1), (5, 0), (5, 0)], "s long, y int"
+    )
+    assert binary_auc(tied, "s", "y").first()["auc"] == 0.5
+    # degenerate: single class -> 0.5 by convention
+    onecls = spark.createDataFrame([(1, 1), (2, 1)], "s long, y int")
+    assert binary_auc(onecls, "s", "y").first()["auc"] == 0.5
+    # hand-computed mixed case: pos={3,2}, neg={2,1}
+    # pairs: (3>2),(3>1),(2=2 half),(2>1) -> (1+1+0.5+1)/4 = 0.875
+    mixed = spark.createDataFrame(
+        [(3, 1), (2, 1), (2, 0), (1, 0)], "s long, y int"
+    )
+    assert binary_auc(mixed, "s", "y").first()["auc"] == 0.875
