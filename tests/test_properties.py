@@ -131,3 +131,76 @@ def test_budget_select_invariants(spark, docs, budget):
         ).collect()
     }
     assert got <= bigger
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab \n",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_strip_boilerplate_identity_when_threshold_unreachable(spark, texts):
+    """min_docs > n_docs can never strip anything: the output text is
+    exactly the whitespace-normalized input (trim + blank-line drop),
+    with n_removed = 0 everywhere."""
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        strip_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(
+            df, min_docs=len(texts) + 1
+        ).collect()
+    }
+    assert len(out) == len(texts)
+    for i, t in enumerate(texts):
+        norm = "\n".join(
+            s for s in (x.strip(" ") for x in t.split("\n")) if s
+        )
+        assert out[i]["text"] == norm
+        assert out[i]["n_removed"] == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_winsorize_output_bounded_by_group_extremes(spark, vals):
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    rows = winsorize(df).collect()
+    assert len(rows) == len(vals)
+    lo, hi = min(vals), max(vals)
+    for r in rows:
+        assert lo <= r["value_wins"] <= hi
+        # clamp flags are consistent with the rewrite
+        if not r["clipped_lo"] and not r["clipped_hi"]:
+            assert r["value_wins"] == r["value"]
