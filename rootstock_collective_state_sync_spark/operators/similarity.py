@@ -690,13 +690,21 @@ def pq_adc_topk(
         " luts array<array<double>>",
     )
 
-    adc = F.aggregate(
-        F.zip_with(
-            "codes", "luts", lambda c, l: F.element_at(l, c + F.lit(1))
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # unrolled fixed-M lookup sum: plain element_at chains stay inside
+    # whole-stage codegen, where the equivalent zip_with/aggregate HOF
+    # pair is interpreted per candidate row (n_corpus x n_queries
+    # evaluations in the hot path). Addition order (m = 1..M) matches
+    # the fold order of the previous formulation bit-for-bit.
+    terms = [
+        F.element_at(
+            F.element_at("luts", m),
+            F.element_at("codes", m) + F.lit(1),
+        )
+        for m in range(1, num_subspaces + 1)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
     wa = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -842,11 +850,16 @@ def ivfpq_topk(
         f"query_id bigint, q_vec {queries.schema[vec_col].dataType.simpleString()}",
     )
 
-    adc = F.aggregate(
-        F.zip_with("codes", "luts", lambda c, l: F.element_at(l, c + F.lit(1))),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    terms = [
+        F.element_at(
+            F.element_at("luts", m),
+            F.element_at("codes", m) + F.lit(1),
+        )
+        for m in range(1, num_subspaces + 1)
+    ]
+    adc = terms[0]  # unrolled codegen lookup sum (see pq_adc_topk)
+    for t in terms[1:]:
+        adc = adc + t
     wa = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
