@@ -192,3 +192,73 @@ def stream_decayed_scores(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming twin of the batch Markov transition extraction
+# ---------------------------------------------------------------------------
+
+TRANSITION_OUTPUT_SCHEMA = "user_id bigint, prev_type string, next_type string"
+TRANSITION_STATE_SCHEMA = "last_type string, last_ts_ms bigint"
+
+
+def _transition_step(key, pdfs, state: GroupState, idle_ms: int):
+    (user,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [], "prev_type": [], "next_type": []}
+        ).astype({"user_id": "int64", "prev_type": "str", "next_type": "str"})
+        return
+    last, _ = state.get if state.exists else (None, 0)
+    prevs, nexts = [], []
+    max_ts_ms = 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            cur = str(row["event_type"])
+            if last is not None:
+                prevs.append(last)
+                nexts.append(cur)
+            last = cur
+        ms = int(pdf["ts"].max().timestamp() * 1000)
+        max_ts_ms = max(max_ts_ms, ms)
+    state.update((last, max_ts_ms))
+    state.setTimeoutTimestamp(max_ts_ms + idle_ms)
+    yield pd.DataFrame(
+        {
+            "user_id": [int(user)] * len(prevs),
+            "prev_type": prevs,
+            "next_type": nexts,
+        }
+    )
+
+
+def stream_event_transitions(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    idle_minutes: int = 60,
+) -> DataFrame:
+    """Per-user (prev_type, next_type) steps over a stream — the
+    state is ONE string per active user (the last event type seen),
+    TTL-evicted, so unbounded user cardinality never grows it. The
+    emitted step multiset equals the batch ``lag`` extraction of
+    `q_event_transitions` when batches respect per-key time order
+    (asserted by the batch==stream e2e test); aggregate downstream
+    for the transition matrix."""
+    idle_ms = idle_minutes * 60_000
+
+    def fn(key, pdfs, state):
+        yield from _transition_step(key, pdfs, state, idle_ms)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TRANSITION_OUTPUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -175,3 +175,69 @@ def test_stream_decayed_scores_match_batch(spark, decay_stream_dir):
         for r in time_decayed_score(batch_df).collect()
     }
     assert got == want and len(got) == 6
+
+
+def test_stream_transitions_match_batch_lag(spark, tmp_path):
+    from collections import Counter
+
+    from pyspark.sql import Window, functions as F
+
+    from rootstock_collective_state_sync_spark.streaming.stateful import (
+        stream_event_transitions,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+        ]
+    )
+    rows = [
+        (1, _t(9), 7, "view"),
+        (2, _t(10), 7, "cart"),
+        (3, _t(10, 30), 8, "view"),
+        (4, _t(13), 7, "buy"),
+        (5, _t(13, 30), 8, "view"),
+        (6, _t(14), 8, "buy"),
+    ]
+    d = tmp_path / "tx_stream"
+    d.mkdir()
+    spark.createDataFrame(
+        [r for r in rows if r[1] < _t(12)], schema
+    ).coalesce(1).write.parquet(str(d / "a_b1"))
+    spark.createDataFrame(
+        [r for r in rows if r[1] >= _t(12)], schema
+    ).coalesce(1).write.parquet(str(d / "b_b2"))
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    q = (
+        stream_event_transitions(ev)
+        .writeStream.format("memory")
+        .queryName("tx_steps")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = Counter(
+        (r["user_id"], r["prev_type"], r["next_type"])
+        for r in spark.sql("select * from tx_steps").collect()
+    )
+    batch = spark.createDataFrame(rows, schema)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = Counter(
+        (r["user_id"], r["prev_type"], r["next_type"])
+        for r in batch.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .collect()
+    )
+    assert got == want and sum(got.values()) == 4
