@@ -200,6 +200,11 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(
         TR.q_dedup_ngram_jaccard, TR.Q_DEDUP_NGRAM_JACCARD_ORACLE, ("dedup", "bench")
     ),
+    "dedup_threshold_sweep": QuerySpec(
+        TR.q_dedup_threshold_sweep,
+        TR.Q_DEDUP_THRESHOLD_SWEEP_ORACLE,
+        ("dedup",),
+    ),
     "containment_pairs": QuerySpec(
         TR.q_containment_pairs, TR.Q_CONTAINMENT_PAIRS_ORACLE, ("dedup",)
     ),

@@ -1419,3 +1419,47 @@ SELECT CASE WHEN na > nb OR (na = nb AND wa < wb) THEN wa ELSE wb END
 FROM cand WHERE levenshtein(wa, wb) = 1
 ORDER BY canonical, variant
 """
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve for near-dup dedup: decile histogram of
+    exact pair Jaccard over the capped shingle index (pairs >= 0.2).
+    One extra aggregation on the already-verified pair stream — the
+    sweep a pipeline runs BEFORE committing to a kill threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    decile = F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9))
+    return (
+        pairs.groupBy(decile.alias("decile"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "decile",
+            F.round(F.col("decile") / 10.0, 1).alias("j_lo"),
+            F.round((F.col("decile") + 1) / 10.0, 1).alias("j_hi"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("decile")
+    )
+
+
+Q_DEDUP_THRESHOLD_SWEEP_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+pair AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+sweep AS (
+  SELECT round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+  FROM pair
+  JOIN sizes sa ON pair.id_a = sa.id
+  JOIN sizes sb ON pair.id_b = sb.id
+  WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2
+)
+SELECT decile,
+       round(decile / 10.0, 1) AS j_lo,
+       round((decile + 1) / 10.0, 1) AS j_hi,
+       count(*)::BIGINT AS n_pairs
+FROM (SELECT least(floor(jaccard * 10)::INTEGER, 9) AS decile FROM sweep)
+GROUP BY decile ORDER BY decile
+"""
