@@ -489,9 +489,19 @@ def lsh_bucket_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: multi-table sign-LSH bucket join + exact
     re-rank of candidates.
+
+    ``multi_probe=True`` additionally probes, per table, every bucket
+    at Hamming distance 1 from the query's bucket (Lv et al. 2007's
+    idea in its simplest deterministic form — flip each bit): recall
+    of roughly one extra table per plane at ZERO extra corpus-side
+    cost — only the (tiny) query side fans out ``planes + 1``-fold,
+    and the corpus is still hashed once and shuffled on the bucket
+    key. The expansion is plain string surgery on the bucket bits, so
+    the SQL oracle replays it exactly.
 
     Each vector gets one ``num_planes``-bit bucket per hash table
     (independent hyperplane sets per table); (query, corpus) pairs are
@@ -515,6 +525,29 @@ def lsh_bucket_topk(
         F.col(vec_col).alias("q_vec"),
         F.explode(buckets(F.col(vec_col))).alias("bkt"),
     )
+    if multi_probe:
+        bits = F.col("bkt.bits")
+
+        def _flip(i: int):
+            ch = F.when(
+                F.substring(bits, i + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            return F.struct(
+                F.col("bkt.tbl").alias("tbl"),
+                F.concat(
+                    F.substring(bits, 1, i),
+                    ch,
+                    F.substring(bits, i + 2, num_planes),
+                ).alias("bits"),
+            )
+
+        q = q.select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.array(F.col("bkt"), *[_flip(i) for i in range(num_planes)])
+            ).alias("bkt"),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

@@ -200,6 +200,11 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(
         TR.q_dedup_ngram_jaccard, TR.Q_DEDUP_NGRAM_JACCARD_ORACLE, ("dedup", "bench")
     ),
+    "ann_lsh_multiprobe_topk": QuerySpec(
+        TR.q_ann_lsh_multiprobe_topk,
+        TR.Q_ANN_LSH_MULTIPROBE_ORACLE,
+        ("similarity",),
+    ),
     "dedup_threshold_sweep": QuerySpec(
         TR.q_dedup_threshold_sweep,
         TR.Q_DEDUP_THRESHOLD_SWEEP_ORACLE,

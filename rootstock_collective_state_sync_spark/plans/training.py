@@ -1463,3 +1463,71 @@ SELECT decile,
 FROM (SELECT least(floor(jaccard * 10)::INTEGER, 9) AS decile FROM sweep)
 GROUP BY decile ORDER BY decile
 """
+
+
+def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_lsh_topk`'s multi-probe variant: per table the query also
+    probes every Hamming-1 bucket (bit flips) — recall of ~one extra
+    table per plane at zero corpus-side cost. The oracle replays the
+    probe expansion as string surgery on the same bucket bits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        S.lsh_bucket_topk(
+            emb, queries, k=5, num_planes=3, num_tables=4, multi_probe=True
+        )
+        .withColumn("rk", F.col("rk").cast("bigint"))
+        .orderBy("query_id", "rk")
+    )
+
+
+def _lsh_multiprobe_oracle(num_planes: int = 3) -> str:
+    flips = "\n  UNION ALL\n".join(
+        f"""  SELECT vec_id, tbl,
+         substr(bits, 1, {i}) ||
+         (CASE WHEN substr(bits, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) ||
+         substr(bits, {i + 2}, {num_planes}) AS bits
+  FROM qb"""
+        for i in range(num_planes)
+    )
+    return f"""
+WITH w(plane, d, wt) AS (VALUES {_lsh_weight_values(4, 3)}),
+proj AS (
+  SELECT e.vec_id, w.plane,
+         sum(e.embedding[w.d + 1]::DOUBLE * w.wt) AS pr
+  FROM embeddings e, w
+  GROUP BY 1, 2
+),
+b AS MATERIALIZED (
+  SELECT vec_id, (plane // 1000)::INTEGER AS tbl,
+         string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane % 1000) AS bits
+  FROM proj GROUP BY vec_id, plane // 1000
+),
+qb AS (SELECT vec_id, tbl, bits FROM b WHERE vec_id < 5),
+probes AS (
+  SELECT vec_id, tbl, bits FROM qb
+  UNION
+{flips}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM probes q JOIN b c ON q.tbl = c.tbl AND q.bits = c.bits
+  WHERE c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_COS_SQL.format(a="qe.embedding", b="ce.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, rk, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+Q_ANN_LSH_MULTIPROBE_ORACLE = _lsh_multiprobe_oracle()

@@ -74,3 +74,40 @@ def test_lsh_near_dup_default_recall_floor(spark):
         )
     finally:
         emb.unpersist()
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Hamming-1 multi-probe must never lose candidates vs the plain
+    bucket join (its probe set is a superset), and at the registry
+    config it must lift recall@5 measurably on the sf0.001 fixture."""
+    from pyspark.sql import functions as F
+
+    from rootstock_collective_state_sync_spark.operators import (
+        similarity as S,
+    )
+    from rootstock_collective_state_sync_spark.plans.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_bucket_topk(
+            emb, queries, k=5, num_planes=3, num_tables=4
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_bucket_topk(
+            emb, queries, k=5, num_planes=3, num_tables=4, multi_probe=True
+        ).collect()
+    }
+    r_plain = len(plain & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_plain, (r_multi, r_plain)
+    assert r_multi >= 0.8, f"multi-probe recall {r_multi:.2f} below 0.8"
+    emb.unpersist()
