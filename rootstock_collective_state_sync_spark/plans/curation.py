@@ -1426,3 +1426,66 @@ FROM sc
 
 
 Q_QUALITY_AUC_ORACLE = _quality_auc_oracle()
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the in-engine domain classifier:
+    decile bins of predicted probability vs empirical positive rate
+    (+ calibration gap per bin). Composes the fully-replayed
+    train+score pipeline with exact integer bin accounting — the
+    eval every classifier-filter deployment needs before trusting a
+    probability threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.array_contains(X.tokens(F.col("text")), "spark").cast("int")
+    w, b = X.train_logistic_head(
+        docs,
+        label_col=label,
+        dim=_HASH_DIM,
+        sample_size=_CLF_SAMPLE,
+        iters=_CLF_ITERS,
+        lr=_CLF_LR,
+    )
+    scores = X.score_logistic_head(docs, w, b, dim=_HASH_DIM)
+    joined = docs.select("doc_id", label.alias("y")).join(scores, "doc_id")
+    bin_ = F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9))
+    return (
+        joined.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.round(F.avg("score"), 6).alias("mean_p"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "mean_p",
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("frac_pos"),
+            F.round(
+                F.abs(F.col("mean_p") - F.col("n_pos") / F.col("n")), 6
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _classifier_calibration_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, label AS y, score FROM ({_domain_classifier_oracle()})
+),
+binned AS (
+  SELECT least(floor(score * 10)::INTEGER, 9) AS bin,
+         count(*)::BIGINT AS n,
+         sum(y)::BIGINT AS n_pos,
+         round(avg(score), 6) AS mean_p
+  FROM base GROUP BY 1
+)
+SELECT bin, n, n_pos, mean_p,
+       round(n_pos::DOUBLE / n, 6) AS frac_pos,
+       round(abs(mean_p - n_pos::DOUBLE / n), 6) AS gap
+FROM binned ORDER BY bin
+"""
+
+
+Q_CLASSIFIER_CALIBRATION_ORACLE = _classifier_calibration_oracle()

@@ -347,6 +347,11 @@ SPECS: dict[str, QuerySpec] = {
     "ccnet_buckets": QuerySpec(
         CU.q_ccnet_buckets, CU.Q_CCNET_BUCKETS_ORACLE, ("text", "sampling")
     ),
+    "classifier_calibration": QuerySpec(
+        CU.q_classifier_calibration,
+        CU.Q_CLASSIFIER_CALIBRATION_ORACLE,
+        ("analytics", "text"),
+    ),
     "quality_auc": QuerySpec(
         CU.q_quality_auc, CU.Q_QUALITY_AUC_ORACLE, ("analytics", "text")
     ),
