@@ -913,3 +913,75 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level decontamination audit: not just HOW MANY benchmark
+    ``n``-grams a training document shares
+    (:func:`benchmark_contamination`) but their SHAPE — contiguous
+    runs of contaminated positions. A 40-gram run is a quoted
+    benchmark item that must be cut; 40 scattered single-gram hits are
+    phrase-level noise. Reports, per contaminated train doc, the
+    number of maximal runs and the longest run (in n-gram positions —
+    a run of L positions covers L + n - 1 tokens).
+
+    Plan shape / 100 TB: positional n-gram hashes on the train side
+    (the same lead-window build as the shingle index, positions kept),
+    equi-joined against the BROADCAST distinct benchmark shingle set;
+    runs come from the gaps-and-islands identity (position − rank is
+    constant within a run) — one (doc)-keyed window over the HIT
+    positions only (hits are sparse; the full corpus never enters the
+    window), then a tiny (doc, island) aggregate. Corpus scanned
+    once, never self-joined.
+    """
+    from pyspark.sql import Window
+
+    tok = train.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
+    grams = (
+        tok.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("s"),
+            F.lead("t", n - 1).over(w).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("id", "pos", "s")
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    bench = (
+        shingle_index(benchmark, text_col=text_col, id_col=id_col, n=n)
+        .select("s")
+        .distinct()
+    )
+    hits = grams.join(F.broadcast(bench), "s").select("id", "pos")
+    wr = Window.partitionBy("id").orderBy("pos")
+    islands = hits.withColumn(
+        "island", F.col("pos") - F.row_number().over(wr)
+    )
+    runs = islands.groupBy("id", "island").agg(F.count(F.lit(1)).alias("len"))
+    per_doc = runs.groupBy("id").agg(
+        F.sum("len").cast("bigint").alias("n_hit"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("len").cast("bigint").alias("longest_run"),
+    )
+    return per_doc.join(sizes, "id").select(
+        F.col("id").alias(id_col),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        "n_hit",
+        "n_runs",
+        "longest_run",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_shingles"), 6
+        ).alias("frac_hit"),
+    )

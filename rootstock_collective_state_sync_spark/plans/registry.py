@@ -200,6 +200,11 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(
         TR.q_dedup_ngram_jaccard, TR.Q_DEDUP_NGRAM_JACCARD_ORACLE, ("dedup", "bench")
     ),
+    "contamination_spans": QuerySpec(
+        TR.q_contamination_spans,
+        TR.Q_CONTAMINATION_SPANS_ORACLE,
+        ("dedup", "text"),
+    ),
     "ann_lsh_multiprobe_topk": QuerySpec(
         TR.q_ann_lsh_multiprobe_topk,
         TR.Q_ANN_LSH_MULTIPROBE_ORACLE,

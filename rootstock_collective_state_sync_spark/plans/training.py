@@ -1531,3 +1531,57 @@ SELECT query_id, rk, neighbor_id, cos_sim FROM (
 
 
 Q_ANN_LSH_MULTIPROBE_ORACLE = _lsh_multiprobe_oracle()
+
+
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-shape decontamination audit on the same train/bench split
+    as `contamination_check`: per contaminated train doc, contiguous
+    contaminated-run counts and the longest run. Gaps-and-islands
+    replayed in SQL position-for-position."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return D.contamination_spans(train, bench, n=3).orderBy("doc_id")
+
+
+Q_CONTAMINATION_SPANS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, i - 1 AS pos,
+         array_to_string(toks[i:i+2], ' ') AS s
+  FROM tok, unnest(range(1, len(toks) - 1)) r(i)
+  WHERE len(toks) >= 3
+),
+bench AS (
+  SELECT DISTINCT s FROM grams WHERE source = 'src0'
+),
+tg AS (SELECT doc_id, pos, s FROM grams WHERE source <> 'src0'),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM tg GROUP BY 1),
+hits AS (
+  SELECT tg.doc_id, tg.pos FROM tg JOIN bench USING (s)
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM hits
+),
+runs AS (
+  SELECT doc_id, island, count(*)::BIGINT AS len
+  FROM isl GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, sum(len)::BIGINT AS n_hit, count(*)::BIGINT AS n_runs,
+         max(len)::BIGINT AS longest_run
+  FROM runs GROUP BY doc_id
+)
+SELECT p.doc_id, s.n_shingles, p.n_hit, p.n_runs, p.longest_run,
+       round(p.n_hit::DOUBLE / s.n_shingles, 6) AS frac_hit
+FROM per_doc p JOIN sizes s USING (doc_id)
+ORDER BY p.doc_id
+"""

@@ -1212,3 +1212,30 @@ def test_binary_auc_exact_cases(spark):
         [(3, 1), (2, 1), (2, 0), (1, 0)], "s long, y int"
     )
     assert binary_auc(mixed, "s", "y").first()["auc"] == 0.875
+
+
+def test_contamination_spans_distinguish_quotes_from_noise(spark):
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        contamination_spans,
+    )
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    quoted = f"intro words here {bench_text} closing words here"
+    scattered = (
+        "alpha bravo charlie xx yy zz delta echo foxtrot qq ww ee "
+        "golf hotel india rr tt uu"
+    )
+    train = spark.createDataFrame(
+        [(1, quoted), (2, scattered), (3, "totally unrelated body text")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in contamination_spans(train, bench, n=3).collect()
+    }
+    assert 3 not in out  # clean doc absent
+    # quoted: the 9 benchmark tokens form 7 consecutive 3-gram hits
+    assert out[1]["n_runs"] == 1 and out[1]["longest_run"] == 7
+    # scattered: three separate 1-gram islands
+    assert out[2]["n_runs"] == 3 and out[2]["longest_run"] == 1
