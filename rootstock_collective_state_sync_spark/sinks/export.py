@@ -121,3 +121,40 @@ def validate_export(
     return stored.select(cols).exceptAll(actual.select(cols)).unionAll(
         actual.select(cols).exceptAll(stored.select(cols))
     )
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    order_col: str | None = None,
+    shards: int | None = None,
+) -> None:
+    """JSON-Lines export — the lingua franca of training-data
+    hand-off (every tokenizer/inspection/labeling tool reads it).
+    Each output file is one shard of newline-delimited JSON objects;
+    ``order_col`` optionally range-clusters shards so downstream
+    sequential readers stream in key order (same layout contract as
+    the parquet shard exporter). Compression is left to the caller's
+    ``spark.sql.sources`` codec config — text-codec choice is an
+    environment decision, not an operator one."""
+    w = df
+    if shards is not None:
+        w = (
+            w.repartitionByRange(shards, order_col)
+            if order_col
+            else w.repartition(shards)
+        )
+    w.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark, path: str, schema) -> DataFrame:
+    """Schema-ENFORCED JSONL ingest: an explicit schema (never
+    inference — a 100 TB inference pass reads the data twice and
+    silently widens types), with corrupt lines quarantined to
+    ``_corrupt_record`` instead of failing the job."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
