@@ -1489,3 +1489,57 @@ FROM binned ORDER BY bin
 
 
 Q_CLASSIFIER_CALIBRATION_ORACLE = _classifier_calibration_oracle()
+
+
+def q_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate drift heatmap: documents cross-binned into exact
+    (length decile x quality decile) cells — deciles by integer
+    rank arithmetic over (value, doc_id) order, so every engine draws
+    identical cell borders. The 2-D sanity scan that catches 'short
+    docs got higher quality scores this crawl' before a 1-D histogram
+    would."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("len_v"),
+        X.quality_score_e7(F.col("text")).alias("q_e7"),
+    )
+    n = scored.count()
+
+    def _decile(col, order_id):
+        w = Window.orderBy(F.col(col).asc(), F.col(order_id).asc())
+        rn = F.row_number().over(w)
+        return ((rn - 1) * 10 / F.lit(n)).cast("int")
+
+    binned = scored.select(
+        "doc_id",
+        _decile("len_v", "doc_id").alias("len_decile"),
+        _decile("q_e7", "doc_id").alias("q_decile"),
+    )
+    return (
+        binned.groupBy("len_decile", "q_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("len_decile", "q_decile")
+    )
+
+
+Q_LENGTH_QUALITY_GRID_ORACLE = f"""
+WITH {_QUALITY_E7_CTE},
+scored AS (
+  SELECT d.doc_id, d.n_chars::BIGINT AS len_v, q.q_e7
+  FROM documents d JOIN q USING (doc_id)
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM scored),
+binned AS (
+  SELECT doc_id,
+         (((row_number() OVER (ORDER BY len_v ASC, doc_id ASC)) - 1) * 10
+          // tot.n)::INTEGER AS len_decile,
+         (((row_number() OVER (ORDER BY q_e7 ASC, doc_id ASC)) - 1) * 10
+          // tot.n)::INTEGER AS q_decile
+  FROM scored CROSS JOIN tot
+)
+SELECT len_decile, q_decile, count(*)::BIGINT AS n_docs
+FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -352,6 +352,11 @@ SPECS: dict[str, QuerySpec] = {
     "ccnet_buckets": QuerySpec(
         CU.q_ccnet_buckets, CU.Q_CCNET_BUCKETS_ORACLE, ("text", "sampling")
     ),
+    "length_quality_grid": QuerySpec(
+        CU.q_length_quality_grid,
+        CU.Q_LENGTH_QUALITY_GRID_ORACLE,
+        ("analytics", "text"),
+    ),
     "classifier_calibration": QuerySpec(
         CU.q_classifier_calibration,
         CU.Q_CLASSIFIER_CALIBRATION_ORACLE,
