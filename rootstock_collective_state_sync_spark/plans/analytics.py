@@ -916,3 +916,100 @@ SELECT s.bin,
 FROM spine s CROSS JOIN p LEFT JOIN counts c USING (bin)
 ORDER BY s.bin
 """
+
+
+def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis over sessions: for every event-type
+    pair, how many sessions contain both, plus support and lift
+    (exact integer counts; lift from exact rationals). Sessions are
+    the same 10-minute-gap windows as `window_session`; the pair join
+    runs on the DISTINCT (session, type) reduction — types²-bounded,
+    never the raw stream.
+
+    100 TB shape: sessionize (one keyed window), reduce to distinct
+    (session, type) — at most |sessions|·|types| rows — self-join
+    THAT, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", "10 minutes").alias("w"), "user_id"
+    ).agg(F.collect_set("event_type").alias("types"))
+    # deterministic session key (user, window start) — never a
+    # monotonically_increasing_id, which can differ between the two
+    # recomputations feeding the self-join
+    st = sess.select(
+        F.concat_ws(
+            "/", F.col("user_id"), F.col("w.start").cast("string")
+        ).alias("sid"),
+        F.explode("types").alias("t"),
+    )
+    n_sessions = sess.count()
+    singles = st.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    a = st.select("sid", F.col("t").alias("type_a"))
+    b = st.select("sid", F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, "sid")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(F.col("t").alias("type_a"), F.col("n_t").alias("na"))
+    sb = singles.select(F.col("t").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(F.col("n_both") / F.lit(n_sessions), 6).alias("support"),
+            F.round(
+                F.col("n_both") * F.lit(n_sessions)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+Q_SESSION_COOCCURRENCE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS snum
+  FROM marked
+),
+st AS (
+  SELECT DISTINCT user_id, snum, event_type AS t FROM sess
+),
+n_sess AS (
+  SELECT count(*)::BIGINT AS n FROM (SELECT DISTINCT user_id, snum FROM st)
+),
+singles AS (SELECT t, count(*)::BIGINT AS n_t FROM st GROUP BY t),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, count(*)::BIGINT AS n_both
+  FROM st a
+  JOIN st b ON a.user_id = b.user_id AND a.snum = b.snum AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       round(p.n_both::DOUBLE / n_sess.n, 6) AS support,
+       round(p.n_both::DOUBLE * n_sess.n / (sa.n_t * sb.n_t), 6) AS lift
+FROM pairs p
+JOIN singles sa ON sa.t = p.type_a
+JOIN singles sb ON sb.t = p.type_b
+CROSS JOIN n_sess
+ORDER BY p.type_a, p.type_b
+"""

@@ -138,6 +138,11 @@ SPECS: dict[str, QuerySpec] = {
     "trend_slopes": QuerySpec(
         AN.q_trend_slopes, AN.Q_TREND_SLOPES_ORACLE, ("analytics", "agg")
     ),
+    "session_cooccurrence": QuerySpec(
+        AN.q_session_cooccurrence,
+        AN.Q_SESSION_COOCCURRENCE_ORACLE,
+        ("analytics", "window"),
+    ),
     "event_transitions": QuerySpec(
         AN.q_event_transitions,
         AN.Q_EVENT_TRANSITIONS_ORACLE,
