@@ -985,3 +985,101 @@ def contamination_spans(
             F.col("n_hit").cast("double") / F.col("n_shingles"), 6
         ).alias("frac_hit"),
     )
+
+
+def line_store(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The at-rest side of incremental boilerplate stripping: a
+    ``(line_hash, n_docs)`` frequency store (distinct docs per
+    trimmed, non-empty line). Additive under disjoint document
+    batches, so ingest maintains it with `merge_line_stores` instead
+    of re-scanning the corpus."""
+    lns = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(lns).alias("_l"))
+        .select("_id", F.xxhash64("_l").alias("line_hash"))
+        .distinct()
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def merge_line_stores(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Associative store merge (counts add; batches must be
+    doc-disjoint — the ingest contract)."""
+    return (
+        a.unionByName(b)
+        .groupBy("line_hash")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+    )
+
+
+def strip_boilerplate_incremental(
+    new_docs: DataFrame,
+    store: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental CCNet line dedup: update the store with the new
+    batch, then strip the NEW batch against the UPDATED store —
+    identical to the at-rest batch semantics for the new documents
+    (a line is boilerplate iff its distinct-doc count over everything
+    seen so far, new batch included, reaches ``min_docs``).
+    Previously-ingested documents are NOT re-cleaned — the same
+    bounded-staleness contract as `incremental_near_dups`; a
+    periodic at-rest pass (:func:`strip_boilerplate_lines`) squares
+    history.
+
+    Returns ``(updated_store, cleaned_new_docs)`` — cleaned output
+    has the `strip_boilerplate_lines` schema.
+
+    Scale shape: cost is new-batch-sized + one store merge; the
+    corpus is never re-scanned.
+    """
+    updated = merge_line_stores(store, line_store(new_docs, text_col, id_col))
+    boiler = updated.filter(F.col("n_docs") >= min_docs).select(
+        F.col("line_hash").alias("_h")
+    )
+    lns = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    base = new_docs.withColumn("_lns", lns)
+    pos_hash = base.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.transform("_lns", lambda l: F.xxhash64(l))).alias(
+            "_pos", "_h"
+        ),
+    )
+    bad_pos = (
+        pos_hash.join(boiler, "_h")
+        .groupBy("_id")
+        .agg(F.collect_list("_pos").alias("_bad"))
+    )
+    joined = base.join(
+        bad_pos, base[id_col] == bad_pos["_id"], "left"
+    ).drop("_id")
+    bad = F.coalesce(F.col("_bad"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform("_lns", lambda l, i: F.struct(l.alias("l"), i.alias("i"))),
+        lambda s: ~F.array_contains(bad, s["i"]),
+    )
+    n_lines = F.size("_lns").cast("bigint")
+    n_removed = F.size(bad).cast("bigint")
+    cleaned = joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["l"]), "\n").alias(text_col),
+        n_lines.alias("n_lines"),
+        n_removed.alias("n_removed"),
+        F.round(
+            n_removed.cast("double")
+            / F.greatest(n_lines, F.lit(1)).cast("double"),
+            6,
+        ).alias("frac_removed"),
+    )
+    return updated, cleaned

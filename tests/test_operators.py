@@ -1239,3 +1239,45 @@ def test_contamination_spans_distinguish_quotes_from_noise(spark):
     assert out[1]["n_runs"] == 1 and out[1]["longest_run"] == 7
     # scattered: three separate 1-gram islands
     assert out[2]["n_runs"] == 3 and out[2]["longest_run"] == 1
+
+
+def test_incremental_line_store_matches_batch(spark):
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        line_store,
+        merge_line_stores,
+        strip_boilerplate_incremental,
+        strip_boilerplate_lines,
+    )
+
+    footer = "c 2020 example corp"
+    chunk1 = spark.createDataFrame(
+        [(1, f"one body\n{footer}"), (2, f"{footer}\ntwo body")],
+        "doc_id long, text string",
+    )
+    chunk2 = spark.createDataFrame(
+        [(3, f"three body\n{footer}"), (4, "fresh text only")],
+        "doc_id long, text string",
+    )
+    both = chunk1.unionByName(chunk2)
+
+    # (a) store at-rest equivalence: incremental merge == batch build
+    inc_store = merge_line_stores(line_store(chunk1), line_store(chunk2))
+    batch_store = line_store(both)
+    assert sorted(map(tuple, inc_store.collect())) == sorted(
+        map(tuple, batch_store.collect())
+    )
+
+    # (b) the new batch is cleaned exactly as the batch op would clean
+    # it over the full corpus (footer hits min_docs=3 only when the
+    # chunk2 occurrence is counted — combined-count semantics)
+    store1 = line_store(chunk1)
+    _, cleaned2 = strip_boilerplate_incremental(chunk2, store1, min_docs=3)
+    batch_all = {
+        r["doc_id"]: r.asDict()
+        for r in strip_boilerplate_lines(both, min_docs=3).collect()
+    }
+    got = {r["doc_id"]: r.asDict() for r in cleaned2.collect()}
+    assert got.keys() == {3, 4}
+    for d in (3, 4):
+        assert got[d] == batch_all[d]
+    assert got[3]["n_removed"] == 1 and got[4]["n_removed"] == 0
