@@ -227,7 +227,7 @@ SPECS: dict[str, QuerySpec] = {
         TR.q_bpe_merges, TR.Q_BPE_MERGES_ORACLE, ("text",)
     ),
     "bpe_fertility": QuerySpec(
-        TR.q_bpe_fertility, TR.Q_BPE_FERTILITY_ORACLE, ("text",)
+        TR.q_bpe_fertility, TR.Q_BPE_FERTILITY_ORACLE, ("text", "bench")
     ),
     "vocab_edit_pairs": QuerySpec(
         TR.q_vocab_edit_pairs, TR.Q_VOCAB_EDIT_PAIRS_ORACLE, ("text", "dedup")
@@ -424,7 +424,9 @@ SPECS: dict[str, QuerySpec] = {
         Q.q_rrf_fusion, Q.Q_RRF_FUSION_ORACLE, ("similarity",)
     ),
     "repetition_signals": QuerySpec(
-        Q.q_repetition_signals, Q.Q_REPETITION_SIGNALS_ORACLE, ("text", "filter")
+        Q.q_repetition_signals,
+        Q.Q_REPETITION_SIGNALS_ORACLE,
+        ("text", "filter", "bench"),
     ),
     "line_dedup": QuerySpec(
         Q.q_line_dedup, Q.Q_LINE_DEDUP_ORACLE, ("dedup", "text", "bench")
