@@ -69,6 +69,37 @@ def cosine_vectorized(a: Column, b: Column) -> Column:
     return _cos_udf(a, b)
 
 
+_cos_udf_pinned = None
+
+
+def cosine_vectorized_pinned(a: Column, b: Column) -> Column:
+    """:func:`cosine_vectorized` for ``select(...).filter(cos >= t)``
+    shapes. Catalyst pushes a deterministic filter back through the
+    aliasing project, substituting the UDF into the condition — the
+    physical plan then carries TWO ``ArrowEvalPython`` nodes and the
+    most expensive Python stage runs twice (observed in the r07
+    ``semantic_dedup`` plan). Marking the UDF nondeterministic (it is
+    in fact deterministic — same inputs, same 6-dp output) blocks that
+    substitution, so one ``ArrowEvalPython`` feeds both the filter and
+    the projection. Use ONLY where a threshold filter consumes the
+    score; plain scoring paths keep :func:`cosine_vectorized` so the
+    optimizer stays fully free."""
+    global _cos_udf_pinned
+    if _cos_udf_pinned is None:
+
+        @F.pandas_udf("double")
+        def _udf(x: pd.Series, y: pd.Series) -> pd.Series:
+            A = np.stack(x.values).astype(np.float64)
+            B = np.stack(y.values).astype(np.float64)
+            dots = np.einsum("ij,ij->i", A, B)
+            na = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+            return pd.Series(np.round(dots / (na * nb), 6))
+
+        _cos_udf_pinned = _udf.asNondeterministic()
+    return _cos_udf_pinned(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -136,7 +167,8 @@ def near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine_vectorized(F.col("va"), F.col("vb")).alias("cos_sim"),
+            # pinned: one ArrowEvalPython feeds filter AND projection
+            cosine_vectorized_pinned(F.col("va"), F.col("vb")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -258,7 +290,16 @@ def _train_ivf_centroids(
 
 def _cell_udf(cent: np.ndarray):
     """Arrow-batched nearest-centroid assignment: one matmul/argmax
-    per batch against the closed-over centroid matrix."""
+    per batch against the closed-over centroid matrix.
+
+    Marked nondeterministic (it is in fact deterministic) so the
+    equi-join's implicit ``isnotnull(cell)`` filter is NOT pushed back
+    through the aliasing project — pushdown substitutes the UDF into
+    the filter and the physical plan runs the assignment matmul TWICE
+    per scan branch (observed in the r07 ``semantic_dedup`` plan:
+    ``Filter isnotnull(pythonUDF0)`` under a second ArrowEvalPython).
+    Pinning costs nothing: cell is never null, so the skipped filter
+    removes no rows."""
 
     @F.pandas_udf("int")
     def _udf(vec: pd.Series) -> pd.Series:
@@ -266,7 +307,7 @@ def _cell_udf(cent: np.ndarray):
         A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(A @ cent.T, axis=1).astype(np.int32))
 
-    return _udf
+    return _udf.asNondeterministic()
 
 
 def ivf_topk(
@@ -387,7 +428,8 @@ def lsh_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine_vectorized(F.col("va"), F.col("vb")).alias("cos_sim"),
+            # pinned: one ArrowEvalPython feeds filter AND projection
+            cosine_vectorized_pinned(F.col("va"), F.col("vb")).alias("cos_sim"),
         )
     )
     return scored.filter(F.col("cos_sim") >= threshold)
@@ -451,6 +493,13 @@ def semantic_dedup(
     b = tagged.select(
         F.col("cell"), F.col("id").alias("id_b"), F.col("vec").alias("vb")
     )
+    # Threshold folded into conditional aggregation (not a Filter node):
+    # a `select(cos).filter(cos >= t)` shape gets the filter pushed back
+    # through the project and the Arrow UDF evaluated TWICE (r07 plan
+    # audit). Here one ArrowEvalPython feeds the aggregate, map-side
+    # partial agg compacts each cell before the id_b shuffle, and the
+    # post-agg `n_earlier_dups > 0` filter restores the original
+    # dup-rows-only semantics at agg-output (tiny) cardinality.
     dups = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -458,12 +507,16 @@ def semantic_dedup(
             "id_b",
             cosine_vectorized(F.col("va"), F.col("vb")).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
         .groupBy("id_b")
         .agg(
-            F.count("*").cast("long").alias("n_earlier_dups"),
-            F.max("cos_sim").alias("max_earlier_sim"),
+            F.sum(F.when(F.col("cos_sim") >= threshold, 1).otherwise(0))
+            .cast("long")
+            .alias("n_earlier_dups"),
+            F.max(
+                F.when(F.col("cos_sim") >= threshold, F.col("cos_sim"))
+            ).alias("max_earlier_sim"),
         )
+        .filter(F.col("n_earlier_dups") > 0)
     )
     return tagged.join(dups, tagged.id == dups.id_b, "left").select(
         F.col("id").alias(id_col),

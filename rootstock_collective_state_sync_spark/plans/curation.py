@@ -779,8 +779,16 @@ def q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick doc vectors, l2-normalized — the in-engine
     text featurizer for the ANN/SemDeDup stack. The oracle replays
     the md5 bucketing, signed sums, and normalization in SQL."""
+    from rootstock_collective_state_sync_spark.plans.tables import (
+        array_as_string,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return X.hashed_doc_vectors(docs, dim=_HASH_DIM).orderBy("doc_id")
+    vecs = X.hashed_doc_vectors(docs, dim=_HASH_DIM)
+    # Scalar-only final schema (driver canonicalizer contract).
+    return vecs.select(
+        "doc_id", array_as_string("doc_vec").alias("doc_vec_csv")
+    ).orderBy("doc_id")
 
 
 # CTE chain producing `dense(doc_id, bucket, x)` — the 6-dp-rounded
@@ -812,7 +820,9 @@ dense AS MATERIALIZED (
 
 Q_HASHED_DOC_VECTORS_ORACLE = f"""
 WITH {_HASH_DENSE_CTES}
-SELECT doc_id, list(x ORDER BY bucket) AS doc_vec
+SELECT doc_id,
+       string_agg((x::DECIMAL(28,6))::VARCHAR, ',' ORDER BY bucket)
+         AS doc_vec_csv
 FROM dense GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -1028,8 +1038,20 @@ def q_emb_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine in SQL."""
     from rootstock_collective_state_sync_spark.operators import similarity as S
 
+    from rootstock_collective_state_sync_spark.plans.tables import (
+        array_as_string,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.quantize_int8(emb).orderBy("vec_id")
+    q = S.quantize_int8(emb)
+    # Scalar-only final schema (driver canonicalizer contract): codes
+    # are ints, so a plain concat_ws is exact.
+    return q.select(
+        "vec_id",
+        "scale",
+        F.expr("concat_ws(',', codes)").alias("codes_csv"),
+        "cos_fidelity",
+    ).orderBy("vec_id")
 
 
 def _int8_quant_oracle() -> str:
@@ -1054,7 +1076,8 @@ d AS (
          list_transform(codes, x -> x::DOUBLE * scale) AS dq
   FROM c
 )
-SELECT vec_id, round(scale, 6) AS scale, codes,
+SELECT vec_id, round(scale, 6) AS scale,
+       array_to_string(codes, ',') AS codes_csv,
        CASE WHEN scale > 0
             THEN {_COS_SQL.format(a="embedding", b="dq")}
             END AS cos_fidelity

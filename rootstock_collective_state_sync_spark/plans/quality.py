@@ -393,16 +393,41 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_centroids,
     )
 
+    from rootstock_collective_state_sync_spark.plans.tables import (
+        array_as_string,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return label_centroids(emb, dim=_EMB_DIM).orderBy("label")
+    cents = label_centroids(emb, dim=_EMB_DIM)
+    # Final schema must be scalar-only (driver canonicalizer contract):
+    # render the centroid array as a fixed-scale CSV string.
+    return cents.select(
+        "label",
+        "n_members",
+        array_as_string("centroid").alias("centroid_csv"),
+    ).orderBy("label")
 
 
-Q_LABEL_CENTROIDS_ORACLE = f"""
+def _label_centroids_oracle() -> str:
+    from rootstock_collective_state_sync_spark.plans.tables import (
+        oracle_array_as_string,
+    )
+
+    cent_list = (
+        "["
+        + ", ".join(
+            f"round(avg(embedding[{i + 1}]::DOUBLE), 6)" for i in range(64)
+        )
+        + "]"
+    )
+    return f"""
 SELECT label, count(*)::BIGINT AS n_members,
-       [{", ".join(f"round(avg(embedding[{i + 1}]::DOUBLE), 6)" for i in range(64))}]
-         AS centroid
+       {oracle_array_as_string(cent_list)} AS centroid_csv
 FROM embeddings GROUP BY label ORDER BY label
 """
+
+
+Q_LABEL_CENTROIDS_ORACLE = _label_centroids_oracle()
 
 
 def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,6 +43,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def array_as_string(col: str, *, scale: int = 6) -> F.Column:
+    """Render a numeric array column as one deterministic CSV string.
+
+    The driver's canonicalizer sorts raw result cells with pandas
+    ``sort_values`` before hashing; array cells arrive as Python lists
+    and crash it (``unhashable type: 'list'``). Registry queries whose
+    *final* schema would carry an array therefore render it to a scalar
+    string with this helper, keeping the operator functions themselves
+    array-returning. Elements go through ``DECIMAL(28,scale)`` so Spark
+    and DuckDB produce byte-identical text (fixed scale, no scientific
+    notation, ``-0.0`` normalized to ``0.000000``); the DuckDB twin is
+    :func:`oracle_array_as_string`.
+    """
+    return F.expr(
+        f"concat_ws(',', transform({col}, "
+        f"v -> cast(cast(v as decimal(28,{scale})) as string)))"
+    )
+
+
+def oracle_array_as_string(expr: str, *, scale: int = 6) -> str:
+    """DuckDB SQL twin of :func:`array_as_string` (same fixed-scale text)."""
+    return (
+        f"array_to_string(list_transform({expr}, "
+        f"v -> ((v)::DECIMAL(28,{scale}))::VARCHAR), ',')"
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for the SQL surface)."""
     for name in TABLES:

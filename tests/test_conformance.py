@@ -31,3 +31,24 @@ def test_query_matches_oracle(spark, name):
 def test_query_runs_rows_only(spark, name):
     df = SPECS[name].fn(spark, SF_DIR)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", list(SPECS))
+def test_final_schema_is_scalar_only(spark, name):
+    """Registry lint: the driver's canonicalizer sorts raw pandas cells
+    (r07: list cells crash it with ``unhashable type: 'list'``), so no
+    registry query may expose array/map/struct columns in its FINAL
+    schema. Operator functions may return arrays — registry wrappers
+    must render them (``plans.tables.array_as_string``)."""
+    from pyspark.sql import types as T
+
+    df = SPECS[name].fn(spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar final columns {bad} would crash the driver "
+        "canonicalizer; render with plans.tables.array_as_string"
+    )

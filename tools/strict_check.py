@@ -24,8 +24,11 @@ Usage: python tools/strict_check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pyarrow as pa
@@ -92,6 +95,23 @@ def compare_driver_sim(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
         notes.append(f"note: arrow probe failed: {e}")
 
     sorted_cols = sorted(s_cols)
+
+    # The driver canonicalizes by pandas sort_values over ALL columns on
+    # the RAW cells before hashing (r07 evidence: list cells raise
+    # ``TypeError: unhashable type: 'list'`` inside sort_values and the
+    # driver records ERR, even when the multisets match). Replicate that
+    # step so this tool predicts the failure class.
+    for side, pdf in (("spark", s_pdf), ("oracle", o_pdf)):
+        try:
+            pdf.sort_values(by=sorted_cols, kind="mergesort")
+        except Exception as e:  # noqa: BLE001
+            problems.append(
+                f"driver canonicalizer would crash on {side} side "
+                f"(sort_values over {sorted_cols}): {type(e).__name__}: {e}"
+            )
+    if problems:
+        return problems + notes
+
     s_multiset = Counter(
         tuple(_s(v) for v in row)
         for row in zip(*(s_pdf[c].tolist() for c in sorted_cols))
