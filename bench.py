@@ -3,7 +3,7 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query runs once as warm-up (JIT/codegen/page-cache), then
-``SPARK_GRAFT_BENCH_RUNS`` (default 3) timed runs; the reported figure
+``SPARK_GRAFT_BENCH_RUNS`` (default 5) timed runs; the reported figure
 is the MEDIAN, with per-query [min, max] spread persisted alongside so
 round-over-round comparisons can tell plan changes from run-to-run
 noise (sub-second queries swing +/-30 % on this box). Results
@@ -26,7 +26,7 @@ def main() -> None:
     from rootstock_collective_state_sync_spark import get_spark
     from rootstock_collective_state_sync_spark.plans.registry import bench_queries
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     spark = get_spark("bench")
     qs = bench_queries()
     timings: dict[str, float] = {}
@@ -37,6 +37,10 @@ def main() -> None:
         # query's execution memory and get evicted mid-measurement —
         # the main source of cross-round bench noise
         spark.catalog.clearCache()
+        # settle the JVM heap before measuring: the r07 ann_lsh_topk
+        # spread ([1.09, 5.87] s around a 1.14 s median) was a single
+        # GC/eviction stall inside a timed run, not a plan change
+        spark._jvm.System.gc()
         fn(spark, sf_dir).count()  # warm-up (JIT, codegen, page cache)
         samples = []
         for _ in range(runs):

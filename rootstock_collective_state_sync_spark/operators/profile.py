@@ -68,9 +68,11 @@ def profile_table(
 def histogram(
     df: DataFrame, col: str, bins: int = 20
 ) -> DataFrame:
-    """Equi-width histogram of a numeric column: ``(bin, lo, hi, n)``
-    with every bin emitted (empty bins -> n = 0) so downstream
-    plotting/drift comparison never mis-aligns axes.
+    """Equi-width histogram of a numeric column: ``(bin, lo, hi, n,
+    n_null)`` with every bin emitted (empty bins -> n = 0) so
+    downstream plotting/drift comparison never mis-aligns axes.
+    ``n_null`` (constant across rows) counts the NULL cells excluded
+    from every bin — without it, dropped rows were invisible.
 
     Determinism: bounds are the exact stored min/max; bin assignment
     is ``floor((x - min) / width)`` on doubles — identical
@@ -80,20 +82,45 @@ def histogram(
     Plan shape: one global min/max aggregate (2-value control-plane
     read), then a single map-side-combined count shuffle of bin ids —
     the column is scanned twice but never re-shuffled raw.
+
+    An empty or all-NULL column yields the zeroed spine with NULL
+    ``lo``/``hi`` bounds instead of crashing on ``float(None)``.
     """
     lo_hi = df.agg(
-        F.min(col).alias("lo"), F.max(col).alias("hi")
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+        (F.count(F.lit(1)) - F.count(F.col(col))).alias("n_null"),
     ).first()
+    n_null = int(lo_hi["n_null"])
+    spark = df.sparkSession
+    if lo_hi["lo"] is None:  # empty or all-NULL column
+        return (
+            spark.range(bins)
+            .select(
+                F.col("id").cast("int").alias("bin"),
+                F.lit(None).cast("double").alias("lo"),
+                F.lit(None).cast("double").alias("hi"),
+                F.lit(0).cast("bigint").alias("n"),
+                F.lit(n_null).cast("bigint").alias("n_null"),
+            )
+            .orderBy("bin")
+        )
     lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
     width = (hi - lo) / bins if hi > lo else 1.0
     bin_ = F.least(
         F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
         F.lit(bins - 1),
     )
-    counts = df.select(bin_.alias("bin")).groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n")
+    # NULLs must be excluded BEFORE binning: least(NULL, bins-1)
+    # returns bins-1 (least/greatest skip NULLs), which would silently
+    # drop every NULL cell into the last bin.
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    spine = df.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
     return (
         spine.join(counts, "bin", "left")
         .select(
@@ -101,6 +128,7 @@ def histogram(
             F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("lo"),
             F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("hi"),
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.lit(n_null).cast("bigint").alias("n_null"),
         )
         .orderBy("bin")
     )

@@ -1261,7 +1261,12 @@ def kcenter_coreset(
             6,
         )
 
-    first = emb.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    seed = emb.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed:  # empty corpus: empty coreset, not an IndexError
+        return emb.sparkSession.createDataFrame(
+            [], "round int, vec_id bigint, dist_sq double"
+        )
+    first = seed[0]
     chosen = [(1, int(first[id_col]), 0.0)]
     cur = emb.select(
         F.col(id_col).alias("id"),
@@ -1270,12 +1275,15 @@ def kcenter_coreset(
     ).persist()
     cur.count()
     for rnd in range(2, k + 1):
-        far = (
+        rows = (
             cur.filter(~F.col("id").isin([c[1] for c in chosen]))
             .orderBy(F.col("d").desc(), F.col("id").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # k > corpus size: return what was selectable
+            break
+        far = rows[0]
         chosen.append((rnd, int(far["id"]), float(far["d"])))
         center = emb.filter(F.col(id_col) == far["id"]).collect()[0][vec_col]
         nxt = cur.select(

@@ -675,8 +675,20 @@ def source_kl_divergence(
     src_counts = v_tok.groupBy("src", "term").agg(
         F.count(F.lit(1)).alias("c_src")
     )
-    src_totals = src_counts.groupBy("src").agg(
-        F.sum("c_src").alias("n_src")
+    # Source list from ALL tokens, not vocabulary hits: a source whose
+    # text shares zero top-V tokens — the maximal-drift case this
+    # operator exists to catch — must surface with n_src = 0 (and the
+    # large uniform-vs-corpus KL that implies), not vanish from the
+    # report entirely.
+    src_totals = (
+        tok.select("src")
+        .distinct()
+        .join(
+            src_counts.groupBy("src").agg(F.sum("c_src").alias("n_src")),
+            "src",
+            "left",
+        )
+        .withColumn("n_src", F.coalesce("n_src", F.lit(0)))
     )
     corpus_total = vocab.agg(F.sum("c_all")).first()[0]
     n_vocab = vocab.count()
@@ -710,6 +722,7 @@ def vocab_edit_pairs(
     text_col: str = "text",
     min_count: int = 1,
     max_word_len: int = 24,
+    char_ngram: int | None = None,
 ) -> DataFrame:
     """Typo/variant mining: all vocabulary word pairs at Levenshtein
     distance exactly 1, found WITHOUT an all-pairs scan via the
@@ -729,10 +742,29 @@ def vocab_edit_pairs(
     token-count shuffle, then ≤(len+1) variant rows per DISTINCT word
     (len capped at ``max_word_len``), an 8-byte-hash equi-join, and
     per-candidate verification. Never quadratic in the vocabulary.
+
+    ``char_ngram=N`` switches the mining unit from whitespace words to
+    character N-grams of the lowered text (subword variant mining):
+    corpora with a small closed word vocabulary — like the synthetic
+    test tables — have no word-level distance-1 pairs at all, while
+    their N-gram inventory is rich in them. Same plan shape; the unit
+    extraction is the standard shingle explode.
     """
+    if char_ngram is not None:
+        n = int(char_ngram)
+        low = F.lower(F.col(text_col))
+        grams = F.when(
+            F.length(low) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(low) - n + 1),
+                lambda i: F.substring(low, i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        unit_rows = df.select(F.explode(grams).alias("w"))
+    else:
+        unit_rows = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
     words = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .groupBy("w")
+        unit_rows.groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(
             (F.col("n") >= min_count) & (F.length("w") <= max_word_len)

@@ -905,14 +905,15 @@ p AS (
 ),
 assigned AS (
   SELECT least(floor((o.o_totalprice - p.lo) / p.width)::INTEGER, 19) AS bin
-  FROM orders o CROSS JOIN p
+  FROM orders o CROSS JOIN p WHERE o.o_totalprice IS NOT NULL
 ),
 counts AS (SELECT bin, count(*)::BIGINT AS n FROM assigned GROUP BY bin),
 spine AS (SELECT unnest(range(20))::INTEGER AS bin)
 SELECT s.bin,
        round(p.lo + s.bin * p.width, 6) AS lo,
        round(p.lo + (s.bin + 1) * p.width, 6) AS hi,
-       coalesce(c.n, 0) AS n
+       coalesce(c.n, 0) AS n,
+       (SELECT count(*) - count(o_totalprice) FROM orders)::BIGINT AS n_null
 FROM spine s CROSS JOIN p LEFT JOIN counts c USING (bin)
 ORDER BY s.bin
 """

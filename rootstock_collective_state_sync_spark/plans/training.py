@@ -1225,7 +1225,12 @@ sc AS (
   SELECT t.src, t.term, count(*)::BIGINT AS c_src
   FROM tk t JOIN vocab USING (term) GROUP BY t.src, t.term
 ),
-st AS (SELECT src, sum(c_src)::BIGINT AS n_src FROM sc GROUP BY src),
+st AS (
+  SELECT a.src, coalesce(h.n_src, 0)::BIGINT AS n_src
+  FROM (SELECT DISTINCT src FROM tk) a
+  LEFT JOIN (SELECT src, sum(c_src)::BIGINT AS n_src FROM sc GROUP BY src) h
+    ON a.src = h.src
+),
 grid AS (
   SELECT st.src, st.n_src, v.term, v.c_all, coalesce(sc.c_src, 0) AS c_src
   FROM st CROSS JOIN vocab v
@@ -1378,25 +1383,32 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vocab_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 vocabulary pairs via the deletion-neighborhood
-    join, levenshtein-verified, canonical = more frequent. The oracle
-    replays variant generation, the candidate equi-join (on the
-    variant strings — proving the 8-byte hashed join loses nothing),
-    and the same levenshtein verify."""
+    join, levenshtein-verified, canonical = more frequent. Mined over
+    character 5-grams: the synthetic corpus has a closed 31-word
+    vocabulary with zero word-level distance-1 pairs (the r07 driver
+    row matched trivially on 0=0 rows), while the 5-gram inventory
+    yields thousands — a non-trivial hash row. The oracle replays
+    gram extraction, variant generation, the candidate equi-join (on
+    the variant strings — proving the 8-byte hashed join loses
+    nothing), and the same levenshtein verify."""
     from rootstock_collective_state_sync_spark.operators.text import (
         vocab_edit_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return vocab_edit_pairs(docs).orderBy("canonical", "variant")
+    return vocab_edit_pairs(docs, char_ngram=5).orderBy(
+        "canonical", "variant"
+    )
 
 
 Q_VOCAB_EDIT_PAIRS_ORACLE = """
 WITH words AS (
-  SELECT t AS w, count(*)::BIGINT AS n FROM (
-    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                  x -> x <> '')) AS t
+  SELECT u AS w, count(*)::BIGINT AS n FROM (
+    SELECT unnest(list_transform(
+             range(1, greatest(length(text) - 5 + 2, 1)),
+             i -> substr(lower(text), i, 5))) AS u
     FROM documents
-  ) GROUP BY t HAVING length(t) <= 24
+  ) GROUP BY u HAVING length(w) <= 24
 ),
 ev AS (
   SELECT w, n, unnest(list_distinct(

@@ -30,6 +30,14 @@ Scale design (replaces the reference's serial driver loop,
   the reader): caps rows fetched per partition and sizes the wire
   ``first:`` accordingly — ``limit=N`` with one partition fetches
   exactly one page of N.
+- **Order pushdown** via the ``order_by`` / ``order_direction``
+  options (reference pushes ``orderBy/orderDirection``,
+  ``subgraphQueryBuilder.ts:181-184``): the indexer sorts, rows arrive
+  pre-ordered, and the top-N scan (reference's top-1 watermark read)
+  is ONE wire request instead of a full-table fetch plus a Spark sort.
+  Requires ``limit`` and a single partition — keyset pagination
+  cursors on ``id``, which is incompatible with a remote sort on any
+  other column, so an ordered read is exactly one page.
 - Records are converted to the entity's compiled ``StructType`` at
   the edge: ``0x…`` hex -> bytes, numeric strings -> Decimal(38,0),
   nested FK objects -> scalar ids.
@@ -202,6 +210,23 @@ class SubgraphReader(DataSourceReader):
         # exactly one page of N); Spark still applies its own limit on
         # top, making the end-to-end semantics exact.
         self.limit = int(options["limit"]) if "limit" in options else None
+        # orderBy/orderDirection pushdown (subgraphQueryBuilder.ts:181-184):
+        # remote sort + `first: limit` = one pre-ordered page on the wire.
+        self.order_by = options.get("order_by")
+        self.order_direction = options.get("order_direction", "asc")
+        if self.order_by is not None:
+            if self.order_direction not in ("asc", "desc"):
+                raise ValueError(
+                    f"order_direction must be 'asc' or 'desc', "
+                    f"got {self.order_direction!r}"
+                )
+            if self.limit is None or self.num_partitions != 1:
+                raise ValueError(
+                    "order_by requires limit and num_partitions=1: keyset "
+                    "pagination cursors on id, which is incompatible with a "
+                    "remote sort on another column — an ordered read is "
+                    "exactly one page of `limit` rows"
+                )
         self.pushed_where: dict[str, Any] = {}
 
     # -- pushdown ----------------------------------------------------------
@@ -248,6 +273,30 @@ class SubgraphReader(DataSourceReader):
         ctx = load_entities(self.config_path)
         entity = ctx[self.entity_name]
         client = self._client()
+        if self.order_by is not None:
+            # single pre-ordered page: the indexer sorts, we fetch
+            # `first: limit` once — no cursor walk, no Spark sort.
+            from rootstock_collective_state_sync_spark.sources.graphql import (
+                QueryOptions,
+                create_entity_query,
+            )
+
+            req = create_entity_query(
+                ctx,
+                self.entity_name,
+                QueryOptions(
+                    first=self.limit,
+                    order_by=self.order_by,
+                    order_direction=self.order_direction,
+                    where=self.pushed_where or None,
+                ),
+            )
+            data, _ = client.execute([req])
+            records = data.get(self.entity_name, [])
+            yield from records_to_rows(
+                ctx, entity, records, hex_shadow=self.hex_shadow
+            )
+            return
         remaining = self.limit
         page_size = (
             self.page_size if remaining is None else min(self.page_size, remaining)

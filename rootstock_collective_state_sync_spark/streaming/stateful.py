@@ -18,10 +18,31 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _half_up(x, scale: float):
+    """Snap ``x * scale`` to int with HALF_UP away from zero — the
+    rounding Spark's ``F.round`` uses. Python/pandas ``round()`` is
+    banker's (half-even): a value landing exactly on a .5 boundary
+    (e.g. 0.0000005 at scale 1e6) would differ stream-vs-batch and
+    break the documented batch==stream equivalence."""
+    v = np.asarray(x, dtype="float64") * scale
+    return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+
+def _with_ts_ms(events: DataFrame) -> DataFrame:
+    """Epoch millis computed Spark-side (``unix_millis``) so the
+    event-time timeout is timezone-invariant: Arrow hands the pandas
+    step tz-NAIVE wall-clock timestamps in the session timezone, and
+    naive ``Timestamp.timestamp()`` assumes UTC — with a non-UTC
+    ``spark.sql.session.timeZone`` that shifted idle-state eviction
+    by the tz offset."""
+    return events.withColumn("ts_ms", F.expr("unix_millis(ts)"))
 
 OUTPUT_SCHEMA = (
     "user_id bigint, total_cents bigint, n_events bigint, finalized boolean"
@@ -49,11 +70,10 @@ def _accumulate(
     total, n = state.get if state.exists else (0, 0)
     max_ts_ms = None
     for pdf in pdfs:
-        cents = (pdf["value"] * 100).round().astype("int64")
+        cents = _half_up(pdf["value"], 100).astype("int64")
         total += int(cents.sum())
         n += len(pdf)
-        batch_max = pdf["ts"].max()
-        ms = int(batch_max.timestamp() * 1000)
+        ms = int(pdf["ts_ms"].max())
         max_ts_ms = ms if max_ts_ms is None else max(max_ts_ms, ms)
     state.update((total, n))
     if max_ts_ms is not None:
@@ -85,7 +105,7 @@ def user_running_totals(
         yield from _accumulate(key, pdfs, state, idle_ms)
 
     return (
-        events.withWatermark("ts", watermark)
+        _with_ts_ms(events).withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
@@ -129,7 +149,7 @@ def _decay_step(
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         for _, row in pdf.iterrows():
-            v = int(round(float(row["value"]) * 1e6))
+            v = int(_half_up(float(row["value"]), 1e6))
             window = (prior + [v])[-lookback:]
             n = len(window)
             out_ids.append(int(row["event_id"]))
@@ -140,7 +160,7 @@ def _decay_step(
                 )
             )
             prior = window
-        ms = int(pdf["ts"].max().timestamp() * 1000)
+        ms = int(pdf["ts_ms"].max())
         max_ts_ms = max(max_ts_ms, ms)
     keep = prior[-(lookback - 1):] if lookback > 1 else []
     state.update((keep, max_ts_ms))
@@ -182,7 +202,7 @@ def stream_decayed_scores(
         )
 
     return (
-        events.withWatermark("ts", watermark)
+        _with_ts_ms(events).withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
@@ -221,7 +241,7 @@ def _transition_step(key, pdfs, state: GroupState, idle_ms: int):
                 prevs.append(last)
                 nexts.append(cur)
             last = cur
-        ms = int(pdf["ts"].max().timestamp() * 1000)
+        ms = int(pdf["ts_ms"].max())
         max_ts_ms = max(max_ts_ms, ms)
     state.update((last, max_ts_ms))
     state.setTimeoutTimestamp(max_ts_ms + idle_ms)
@@ -252,7 +272,7 @@ def stream_event_transitions(
         yield from _transition_step(key, pdfs, state, idle_ms)
 
     return (
-        events.withWatermark("ts", watermark)
+        _with_ts_ms(events).withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

@@ -46,11 +46,27 @@ def _parse_args(argstr: str) -> dict:
     m = re.search(r"first: (\d+)", argstr)
     if m:
         out["first"] = int(m.group(1))
+    m = re.search(r"orderBy: (\w+)", argstr)
+    if m:
+        out["orderBy"] = m.group(1)
+    m = re.search(r"orderDirection: (\w+)", argstr)
+    if m:
+        out["orderDirection"] = m.group(1)
     m = re.search(r"where: (\{.*\})", argstr)
     if m:
         js = re.sub(r"(\w+):", r'"\1":', m.group(1))
         out["where"] = json.loads(js)
     return out
+
+
+def _order_key(field: str):
+    def key(rec: dict):
+        v = rec.get(field)
+        if isinstance(v, str) and v.lstrip("-").isdigit():
+            return int(v)  # The Graph orders numeric fields numerically
+        return v
+
+    return key
 
 
 def _matches(rec: dict, where: dict) -> bool:
@@ -94,6 +110,12 @@ def transport(url: str, body: dict) -> dict:
         recs = [
             r for r in universe() if _matches(r, parsed.get("where", {}))
         ]
+        if "orderBy" in parsed:
+            recs = sorted(
+                recs,
+                key=_order_key(parsed["orderBy"]),
+                reverse=parsed.get("orderDirection") == "desc",
+            )
         if "first" in parsed:
             recs = recs[: parsed["first"]]
         data[f"{entity}_{idx}"] = recs

@@ -318,6 +318,80 @@ def test_datasource_limit_option_fetches_one_page(spark):
     assert df.count() == 5
 
 
+def test_datasource_order_by_option_pushes_remote_sort(spark):
+    """Golden order pushdown (reference subgraphQueryBuilder.ts:181-184):
+    an order_by+limit read issues ONE wire request carrying
+    `orderBy/orderDirection`, and rows arrive pre-ordered — the top-N
+    scan never fetches the full table to sort in Spark."""
+    from rootstock_collective_state_sync_spark.sources.subgraph_source import (
+        SubgraphDataSource,
+        SubgraphReader,
+    )
+
+    # reader-level golden (driver-side request log)
+    fake_subgraph.LIMIT_REQUESTS.clear()
+    r = SubgraphReader(
+        {
+            "url": "fake://endpoint",
+            "config_path": str(FIXTURE),
+            "entity": "VoteCast",
+            "limit": "3",
+            "order_by": "blockNumber",
+            "order_direction": "desc",
+            "transport": "tests.fake_subgraph:counting_transport",
+        }
+    )
+    [part] = r.partitions()
+    rows = list(r.read(part))
+    assert len(rows) == 3
+    reqs = fake_subgraph.LIMIT_REQUESTS
+    assert len(reqs) == 1, "ordered top-3 read must be one HTTP round-trip"
+    assert "first: 3" in reqs[0]
+    assert "orderBy: blockNumber" in reqs[0]
+    assert "orderDirection: desc" in reqs[0]
+
+    # end-to-end: rows arrive pre-ordered, matching the true top-3
+    spark.dataSource.register(SubgraphDataSource)
+    df = (
+        spark.read.format("subgraph")
+        .option("url", "fake://endpoint")
+        .option("config_path", str(FIXTURE))
+        .option("entity", "VoteCast")
+        .option("limit", 3)
+        .option("order_by", "blockNumber")
+        .option("order_direction", "desc")
+        .option("transport", "tests.fake_subgraph:transport")
+        .load()
+    )
+    got = [int(r.blockNumber) for r in df.collect()]
+    want = sorted(
+        (int(r["blockNumber"]) for r in fake_subgraph.universe()),
+        reverse=True,
+    )[:3]
+    assert got == want
+
+
+def test_datasource_order_by_requires_limit_single_partition():
+    from rootstock_collective_state_sync_spark.sources.subgraph_source import (
+        SubgraphReader,
+    )
+
+    base = {
+        "url": "fake://endpoint",
+        "config_path": str(FIXTURE),
+        "entity": "VoteCast",
+        "order_by": "blockNumber",
+    }
+    with pytest.raises(ValueError, match="order_by requires limit"):
+        SubgraphReader(dict(base))  # no limit
+    with pytest.raises(ValueError, match="order_by requires limit"):
+        SubgraphReader(dict(base, limit="5", num_partitions="4"))
+    with pytest.raises(ValueError, match="order_direction"):
+        SubgraphReader(
+            dict(base, limit="5", order_direction="descending")
+        )
+
+
 def test_push_filters_translation(ctx):
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, IsNull
 

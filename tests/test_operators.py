@@ -1036,6 +1036,16 @@ def test_source_kl_divergence_orders_drift(spark):
     assert out["drifted"]["kl"] > 5 * max(out["mild"]["kl"], out["typical"]["kl"])
     assert all(r["kl_e9"] >= 0 for r in out.values())  # KL non-negativity
 
+    # maximal drift: a source sharing ZERO top-V tokens must still get
+    # a report row (n_tokens = 0, uniform-vs-corpus KL), not vanish
+    out8 = {
+        r["source"]: r.asDict()
+        for r in source_kl_divergence(df, vocab_size=8).collect()
+    }
+    assert "drifted" in out8
+    assert out8["drifted"]["n_tokens"] == 0
+    assert out8["drifted"]["kl"] > 0
+
 
 def test_bpe_learns_expected_merges(spark):
     from rootstock_collective_state_sync_spark.operators.bpe import (
@@ -1185,7 +1195,49 @@ def test_histogram_covers_all_bins_and_counts(spark):
     assert [r["n"] for r in out2] == [1, 0, 0, 1]
 
 
-def test_binary_auc_exact_cases(spark):
+def test_histogram_null_and_empty_columns(spark):
+    """Empty / all-NULL columns yield the zeroed spine with NULL
+    bounds (not a float(None) crash), and NULL cells are counted in
+    n_null instead of vanishing from every bin."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        histogram,
+    )
+
+    all_null = spark.createDataFrame([(None,), (None,)], "x double")
+    out = histogram(all_null, "x", bins=4).collect()
+    assert len(out) == 4
+    assert all(r["n"] == 0 and r["lo"] is None and r["hi"] is None for r in out)
+    assert all(r["n_null"] == 2 for r in out)
+
+    empty = spark.createDataFrame([], "x double")
+    out = histogram(empty, "x", bins=3).collect()
+    assert len(out) == 3 and all(r["n"] == 0 and r["n_null"] == 0 for r in out)
+
+    mixed = spark.createDataFrame([(1.0,), (None,), (3.0,)], "x double")
+    out = histogram(mixed, "x", bins=2).collect()
+    assert sum(r["n"] for r in out) == 2
+    assert all(r["n_null"] == 1 for r in out)
+
+
+def test_kcenter_coreset_degenerate_inputs(spark):
+    """Empty corpus -> empty coreset; k > n -> all n points, no
+    IndexError from the greedy argmax collect."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    assert kcenter_coreset(empty, k=4).count() == 0
+
+    three = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 5.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = kcenter_coreset(three, k=10).collect()
+    assert len(out) == 3  # stops when nothing is left to select
+    assert [r["vec_id"] for r in out] == [1, 3, 2]  # seed, farthest, rest
     from rootstock_collective_state_sync_spark.operators.evaluate import (
         binary_auc,
     )
