@@ -492,105 +492,87 @@ SPECS: dict[str, QuerySpec] = {
 # queries rotated out in r02, + 9 new round-4 curation/PQ/layout
 # queries, + 5 stable-core anchors (green r01 AND r02) spanning the
 # agg/join/filter/temporal/scalar families. Rotated out: nine further
-# r01+r02-green entries (q3/q5/q6, keyset_page, changelog_incremental,
-# broadcast_enrich_diff, union_distinct, enum_label, range_join) — all
-# unchanged and still locally gated by tests/test_conformance.py.
-# r07 window = the 22 queries that had never earned a driver row at
-# round start (6 from r06: semantic_dedup, doc_chunks,
-# hashed_doc_vectors, lm_bigram_score, ccnet_buckets,
-# leakage_safe_split; 16 new early-r07: llm_token_count,
-# drop_dup_spans, emb_int8_quant, domain_classifier_score,
-# image_ahash, image_near_dup_pairs, gopher_quality, rrf_fusion,
-# audio_frame_energy, scd2_intervals, event_type_correlation,
-# similarity_pagerank, cluster_exemplars, label_centroids,
-# nearest_centroid_confusion, funnel_conversion), + the 4 ANN top-k
-# paths that gained full SQL-replay oracles this round (first
-# hash-checked rows), + the 3 multimodal queries whose partitioning
-# changed (pmod-32 cap lifted), + 16 queries added mid-round-7
-# (repetition_signals, line_dedup, bloom_pruned_join,
-# containment_pairs, source_kl_drift, retention_cohorts,
-# image_dedup_clusters, time_decayed_score, hourly_anomalies,
-# bpe_merges, bpe_fertility, profile_orders, winsorize_values,
-# skew_report, event_transitions, trend_slopes, chi_square_cells —
-# never driver-checked; also vocab_edit_pairs,
-# histogram_totalprice, quantile_align, salient_terms and
-# label_propagation, kcenter_coreset; skew_report and
-# audio_frame_energy ceded slots at the 50-cap — both strict-sim
-# green at sf0.01, locally gated every pytest run). The
-# changed-plan dedup family (dedup_ngram_jaccard, dedup_minhash_lsh,
-# dedup_simhash, dedup_clusters) ceded its slots to never-checked
-# queries at the 50-cap: its r07 evidence is the green
-# tools/strict_check.py driver simulation at sf0.01 (all oracled
-# queries checked this round, post-change) plus r05-green driver
-# rows and the local conformance gate on every pytest run.
-# Exactly 50.
-# Rotated out: the 40 r06-green entries plus 20 r04/r05-green
-# unchanged entries (q1_pricing_summary, filter_range_scan,
-# fk_deref_join, q9_product_profit, asof_join, dedup_exact,
-# emb_near_dup_pairs, ann_lsh_buckets, ann_ivf_cells, pq_codes,
-# ann_cosine_topk (unchanged recall baseline, pinned every pytest
-# run by tests/test_recall.py),
-# bigint_arith, hex_roundtrip, text_token_stats,
-# text_quality_score, text_lang_id, pii_redaction,
-# importance_sample, zorder_key, export_manifest, camel_case) and
-# the rest of the multi-round-green tail — all still gated locally
-# by tests/test_conformance.py (every oracled query, every pytest
-# run) and by tools/strict_check.py's driver simulation at sf0.01.
+# Driver-window policy: the driver hash-checks the FIRST 50 entries of
+# queries() each round. Composition rule: every query whose code,
+# values, or final schema changed this round + every query never yet
+# driver-checked gets a slot; the remainder are multi-round-green
+# anchors. All 150 registry queries stay locally gated on every pytest
+# run (tests/test_conformance.py) and by tools/strict_check.py's
+# driver simulation at sf0.01 regardless of window membership.
+#
+# r08 window =
+# (a) 9 never-driver-checked late-r07 additions (session_cooccurrence,
+#     skew_report, contamination_spans, ann_lsh_multiprobe_topk,
+#     dedup_threshold_sweep, length_quality_grid,
+#     classifier_calibration, quality_auc, audio_frame_energy);
+# (b) 3 r07-ERR array-output queries re-earning rows after the
+#     scalar-CSV contract fix (label_centroids, emb_int8_quant,
+#     hashed_doc_vectors);
+# (c) 10 changed this round: vocab_edit_pairs (unit switched to char
+#     5-grams — non-trivial rows now), histogram_totalprice (+n_null
+#     column), source_kl_drift (disjoint-source fix), semantic_dedup
+#     (conditional-agg threshold), emb_near_dup_pairs /
+#     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
+#     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
+#     kcenter_coreset (degenerate-input guards);
+# (d) 28 multi-round-green anchors spanning every family.
+# Rotated out but ever-green: the r07 window's remaining entries — all
+# still locally gated every pytest run.
 _DRIVER_WINDOW = [
-    # never driver-checked (added r06/r07)
-    "gopher_quality",
-    "scd2_intervals",
-    "event_type_correlation",
-    "similarity_pagerank",
-    "cluster_exemplars",
+    # (a) never driver-checked
+    "session_cooccurrence",
+    "skew_report",
+    "contamination_spans",
+    "ann_lsh_multiprobe_topk",
+    "dedup_threshold_sweep",
+    "length_quality_grid",
+    "classifier_calibration",
+    "quality_auc",
+    "audio_frame_energy",
+    # (b) r07 ERR -> fixed output contract
     "label_centroids",
-    "nearest_centroid_confusion",
-    "funnel_conversion",
-    "rrf_fusion",
-    "llm_token_count",
-    "drop_dup_spans",
     "emb_int8_quant",
-    "domain_classifier_score",
-    "image_ahash",
-    "image_near_dup_pairs",
-    "semantic_dedup",
-    "doc_chunks",
     "hashed_doc_vectors",
-    "lm_bigram_score",
-    "ccnet_buckets",
-    "leakage_safe_split",
-    # newly oracled this round (r06 rows had err=no_oracle)
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "pq_topk",
-    "ivfpq_topk",
-    # code changed this round (repartition key) — re-earn rows
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # new this session (never driver-checked)
-    "repetition_signals",
-    "line_dedup",
-    "bloom_pruned_join",
-    "containment_pairs",
-    "source_kl_drift",
-    "retention_cohorts",
-    "image_dedup_clusters",
-    "time_decayed_score",
-    "hourly_anomalies",
-    "bpe_merges",
-    "bpe_fertility",
-    "profile_orders",
-    "winsorize_values",
-    "event_transitions",
-    "trend_slopes",
-    "chi_square_cells",
+    # (c) changed this round
     "vocab_edit_pairs",
     "histogram_totalprice",
-    "quantile_align",
-    "salient_terms",
-    "label_propagation",
+    "source_kl_drift",
+    "semantic_dedup",
+    "emb_near_dup_pairs",
+    "emb_near_dup_lsh",
+    "ann_ivf_topk",
+    "ann_ivf_cells",
+    "ivfpq_topk",
     "kcenter_coreset",
+    # (d) multi-round-green anchors
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "broadcast_enrich_diff",
+    "keyset_page",
+    "changelog_incremental",
+    "filter_isin_enum",
+    "watermark_max_block",
+    "top1_latest",
+    "topk_per_group",
+    "union_distinct",
+    "except_missing",
+    "enum_label",
+    "hex_roundtrip",
+    "bigint_arith",
+    "camel_case",
+    "fk_deref_join",
+    "filter_range_scan",
+    "asof_join",
+    "range_join",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "pq_topk",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
