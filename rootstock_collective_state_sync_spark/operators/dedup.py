@@ -987,6 +987,131 @@ def contamination_spans(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams whose first corpus occurrence (minimum ``id``) is
+    this doc. The incremental-crawl signal 'how much genuinely new
+    content does each document contribute' — a crawl whose novelty
+    curve collapses toward 0 is re-scraping what the corpus already
+    holds, and the docs at the bottom are drop candidates BEFORE any
+    pairwise dedup runs.
+
+    Novelty is reported in exact e6 fixed point
+    (``novelty_e6 = floor(n_first · 1e6 / n_grams)``) so the ratio is
+    integer-determined on every engine.
+
+    Plan shape / 100 TB: the same shingle explode every near-dup
+    operator already pays, one min-aggregation onto 8-byte gram hashes
+    (map-side combined), and an equi-join of the doc's gram hashes
+    against that gram-owner table — text never rides the gram
+    shuffle, only hashes do.
+    """
+    idx = shingle_index(df, text_col, id_col, n=n).select(
+        "id", F.xxhash64("s").alias("h")
+    )
+    owners = idx.groupBy("h").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        idx.join(owners, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_first"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "n_first",
+        F.floor(F.col("n_first") * 1000000 / F.col("n_grams"))
+        .cast("long")
+        .alias("novelty_e6"),
+    )
+
+
+def novelty_store(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """At-rest side of incremental novelty scoring: the
+    ``(gram_hash, first_id)`` min-owner table of every distinct word
+    n-gram seen so far. Mergeable under ``min`` (associative,
+    commutative, idempotent — unlike the additive line store this one
+    tolerates overlapping batches), so ingest maintains it with
+    :func:`merge_novelty_stores` instead of re-scanning the corpus."""
+    idx = shingle_index(df, text_col, id_col, n=n).select(
+        "id", F.xxhash64("s").alias("gram_hash")
+    )
+    return idx.groupBy("gram_hash").agg(
+        F.min("id").cast("bigint").alias("first_id")
+    )
+
+
+def merge_novelty_stores(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Associative min-merge of gram-owner stores."""
+    return (
+        a.unionByName(b)
+        .groupBy("gram_hash")
+        .agg(F.min("first_id").cast("bigint").alias("first_id"))
+    )
+
+
+def ngram_novelty_incremental(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental crawl-novelty: score the NEW batch against the
+    store updated with the batch itself — identical to the at-rest
+    :func:`ngram_novelty` semantics for the new documents, assuming
+    ids are monotone across batches (new ids > stored ids, the append
+    log contract). Returns ``(updated_store, batch_scores)`` with the
+    `ngram_novelty` output schema.
+
+    Scale shape: cost is new-batch-sized + one min-merge; the corpus
+    is never re-scanned.
+    """
+    batch_idx = shingle_index(new_docs, text_col, id_col, n=n).select(
+        "id", F.xxhash64("s").alias("gram_hash")
+    )
+    updated = merge_novelty_stores(
+        store,
+        batch_idx.groupBy("gram_hash").agg(
+            F.min("id").cast("bigint").alias("first_id")
+        ),
+    )
+    per_doc = (
+        batch_idx.join(updated, "gram_hash")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_first"),
+        )
+    )
+    scores = per_doc.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "n_first",
+        F.floor(F.col("n_first") * 1000000 / F.col("n_grams"))
+        .cast("long")
+        .alias("novelty_e6"),
+    )
+    return updated, scores
+
+
 def line_store(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

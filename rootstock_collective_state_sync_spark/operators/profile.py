@@ -132,3 +132,55 @@ def histogram(
         )
         .orderBy("bin")
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns, reported
+    per contingency cell: ``mi_term_e9 = round(p_xy·ln(p_xy/(p_x·p_y))
+    ·1e9)`` so ``Σ mi_term_e9 / 1e9`` is the exact-integer-summed MI
+    in nats. The dependence audit behind "does source predict
+    language/quality bucket?" — redundancy a stratified sampler must
+    know about (chi-square says *whether* dependent; MI says *how
+    many bits*).
+
+    Each term is computed from EXACT integer counts (``p_xy =
+    c_xy/n`` etc. — the log argument is the exact rational
+    ``c_xy·n/(c_x·c_y)``) and snapped to integer 1e-9 units before
+    any summation, the package-wide fixed-point policy.
+
+    Plan shape / 100 TB: one (x,y) count shuffle (map-side combined,
+    |x|·|y| keys), marginals re-aggregated FROM the joint (no second
+    scan), broadcast back onto the cells. The raw table is scanned
+    once.
+    """
+    joint = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).alias("c_xy"))
+    mx = joint.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    my = joint.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    n = joint.agg(F.sum("c_xy")).first()[0]  # control-plane scalar
+    if n is None:  # empty input: empty report, not float(None)
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{x_col} string, {y_col} string, n_joint bigint, "
+            "n_x bigint, n_y bigint, mi_term_e9 bigint",
+        )
+    cells = joint.join(F.broadcast(mx), "x").join(F.broadcast(my), "y")
+    p_xy = F.col("c_xy").cast("double") / F.lit(float(n))
+    lg = F.log(
+        F.col("c_xy").cast("double")
+        * F.lit(float(n))
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    return cells.select(
+        F.col("x").alias(x_col),
+        F.col("y").alias(y_col),
+        F.col("c_xy").cast("long").alias("n_joint"),
+        F.col("c_x").cast("long").alias("n_x"),
+        F.col("c_y").cast("long").alias("n_y"),
+        F.round(p_xy * lg * 1e9, 0).cast("long").alias("mi_term_e9"),
+    )

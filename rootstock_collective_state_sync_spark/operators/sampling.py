@@ -450,6 +450,133 @@ def winsorize(
     )
 
 
+def mad_normalize(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group robust (median/MAD) normalization: ``robust_z_e6 =
+    round((x - median) / MAD · 1e6)`` with median and MAD as exact
+    nearest-rank order statistics (rank = ceil(n/2), integer
+    arithmetic, no float interpolation — the :func:`winsorize`
+    policy), so the whole result is bit-identical across engines.
+    The outlier-resistant sibling of z-scoring: a single pathological
+    value shifts mean/std arbitrarily but moves median/MAD not at all
+    — the scaling used before mixing heterogeneous quality signals.
+
+    ``MAD = median(|x - median|)``; groups with MAD = 0 (constant or
+    majority-constant values) yield NULL robust_z rather than a
+    divide-by-zero infinity.
+
+    Plan shape / 100 TB: two window passes over (group, value) — one
+    for the median rank, one for the |x-med| rank — each a single
+    keyed sort shuffle; bounds tables are group-count-sized and
+    broadcast back. Same scale contract as :func:`winsorize`.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        n.alias("_n"),
+    )
+    r_med = F.floor((F.col("_n") + 1) / 2)  # ceil(n/2) for integers
+    medians = (
+        ranked.filter(F.col("_rn") == r_med)
+        .groupBy(group_col)
+        .agg(F.min(value_col).alias("_med"))
+    )
+    with_med = df.join(F.broadcast(medians), group_col)
+    dev = F.abs(F.col(value_col) - F.col("_med"))
+    wd = Window.partitionBy(group_col).orderBy(
+        dev.asc(), F.col(id_col).asc()
+    )
+    ranked_dev = with_med.select(
+        F.col(group_col),
+        dev.alias("_dev"),
+        F.row_number().over(wd).alias("_rn"),
+        n.alias("_n"),
+    )
+    mads = (
+        ranked_dev.filter(F.col("_rn") == r_med)
+        .groupBy(group_col)
+        .agg(F.min("_dev").alias("_mad"))
+    )
+    z = F.when(
+        F.col("_mad") > 0,
+        F.round((F.col(value_col) - F.col("_med")) / F.col("_mad") * 1e6, 0)
+        .cast("long"),
+    )
+    return (
+        with_med.join(F.broadcast(mads), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            F.col("_med").alias("group_median"),
+            F.col("_mad").alias("group_mad"),
+            z.alias("robust_z_e6"),
+        )
+    )
+
+
+def source_interleave(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic round-robin interleaving across sources — the
+    curriculum-ordering primitive: consuming rows by ascending
+    ``interleave_key`` visits sources in strict rotation (one from
+    each source, repeat), so a training run never sees a long
+    single-source block regardless of how the corpus was written.
+
+    ``interleave_key = (per-source rank − 1) · n_sources +
+    source_index`` with sources indexed by dense rank of their name —
+    a closed-form key, NOT a global sort: consumers that need the
+    physical order sort/range-partition by the key themselves (at
+    100 TB that is a range-partitioned write, never a single-partition
+    window).
+
+    Plan shape: one window per (source) for the rank — a keyed sort
+    shuffle — plus a broadcast of the source→index map; no global
+    ordering stage exists in this plan.
+    """
+    src_idx = (
+        df.select(F.col(source_col))
+        .distinct()
+        .select(
+            F.col(source_col),
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col(source_col).asc())
+                )
+                - 1
+            ).alias("_sidx"),
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
+    ranked = df.join(F.broadcast(src_idx), source_col).select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col("_sidx"),
+        (F.row_number().over(w) - 1).alias("_rank0"),
+    )
+    total_sources = src_idx.count()  # control-plane scalar (|sources|)
+    return ranked.select(
+        F.col(id_col),
+        F.col(source_col),
+        (F.col("_rank0") + 1).cast("long").alias("source_rank"),
+        (F.col("_rank0") * F.lit(total_sources) + F.col("_sidx"))
+        .cast("long")
+        .alias("interleave_key"),
+    )
+
+
 def quantile_align(
     df: DataFrame,
     score_col: str,

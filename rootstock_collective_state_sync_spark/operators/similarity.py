@@ -457,6 +457,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embedding space with the IVF
@@ -479,6 +480,10 @@ def semantic_dedup(
     Returns one row per corpus vector: ``(id, cell, n_earlier_dups,
     max_earlier_sim, keep)`` with ``keep = 1`` iff no earlier in-cell
     vector reaches the threshold.
+
+    ``max_cell_size`` bounds the in-cell pair stage against cell skew
+    (see the inline comment) — at 100 TB set it to a few thousand so
+    one degenerate boilerplate cluster cannot go quadratic.
     """
     cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
     assign = _cell_udf(cent)
@@ -487,11 +492,37 @@ def semantic_dedup(
         F.col(vec_col).alias("vec"),
         assign(F.col(vec_col)).alias("cell"),
     )
+    # Skew guard for the in-cell pair stage: one dense embedding
+    # cluster (boilerplate pages, near-identical templates) can pull a
+    # macroscopic corpus fraction into ONE cell, turning the bounded
+    # O(n·cell_size) stage quadratic in that cell. `max_cell_size`
+    # deterministically splits oversized cells into ceil(n/max)
+    # id-hash subcells, restoring the bound. Trade (documented, the
+    # standard SemDeDup cluster-size cap): dup pairs spanning
+    # different subcells of the same oversized cell are missed — a
+    # recall haircut confined to the pathological cells. The cell
+    # count table is num_cells-sized: broadcast, control-plane.
+    join_keys = ["cell"]
+    if max_cell_size is not None:
+        sizes = tagged.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_cn")
+        )
+        n_sub = F.greatest(
+            F.ceil(F.col("_cn") / F.lit(int(max_cell_size))), F.lit(1)
+        ).cast("long")
+        tagged = (
+            tagged.join(F.broadcast(sizes), "cell")
+            .withColumn(
+                "subcell", F.pmod(F.xxhash64("id"), n_sub).cast("int")
+            )
+            .drop("_cn")
+        )
+        join_keys = ["cell", "subcell"]
     a = tagged.select(
-        F.col("cell"), F.col("id").alias("id_a"), F.col("vec").alias("va")
+        *join_keys, F.col("id").alias("id_a"), F.col("vec").alias("va")
     )
     b = tagged.select(
-        F.col("cell"), F.col("id").alias("id_b"), F.col("vec").alias("vb")
+        *join_keys, F.col("id").alias("id_b"), F.col("vec").alias("vb")
     )
     # Threshold folded into conditional aggregation (not a Filter node):
     # a `select(cos).filter(cos >= t)` shape gets the filter pushed back
@@ -501,7 +532,7 @@ def semantic_dedup(
     # post-agg `n_earlier_dups > 0` filter restores the original
     # dup-rows-only semantics at agg-output (tiny) cardinality.
     dups = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_b",
@@ -1218,6 +1249,88 @@ def nearest_centroid_assign(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("id", "assigned", "sq_l2")
+    )
+
+
+def embedding_gram(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact Gram matrix ``G = Xᵀ X`` of the embedding corpus — the
+    input to every spectral diagnostic of an embedding table (effective
+    rank, anisotropy, whitening transforms, PCA drift between crawls).
+
+    Returns the upper triangle as ``(i, j, n_rows, g_e6)`` with
+    ``g_e6 = Σ round(xᵢ·xⱼ·1e6)``: per-row products are snapped to
+    integer 1e-6 units BEFORE the sum (the package-wide fixed-point
+    policy), so the reduction is exact integer arithmetic — identical
+    on any engine, any partition order, any row order.
+
+    Plan shape / 100 TB: pairs are generated IN-ROW (flattened
+    dim·(dim+1)/2 structs per vector — no self-join, no explode of the
+    corpus against itself), then one map-side-combined aggregation
+    onto dim² bounded keys. The only shuffle carries at most
+    partitions × dim·(dim+1)/2 partial rows; the corpus itself moves
+    zero times.
+    """
+    pairs = F.expr(
+        f"flatten(transform(sequence(0, {dim - 1}), i -> "
+        f"transform(sequence(i, {dim - 1}), j -> "
+        f"struct(i, j, cast(round(cast({vec_col}[i] as double) * "
+        f"cast({vec_col}[j] as double) * 1e6, 0) as long) as p))))"
+    )
+    return (
+        emb.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("e.p").cast("long").alias("g_e6"),
+        )
+    )
+
+
+def embedding_effective_rank(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Participation-ratio effective rank of the embedding corpus —
+    ``PR = tr(G)² / ‖G‖²_F = (Σλ)²/Σλ²`` — computed WITHOUT an
+    eigensolver: both traces are exact integer functionals of the
+    :func:`embedding_gram` table (trace = Σ diagonal, Frobenius² =
+    Σ G_ij² with off-diagonal cells counted twice). PR ≈ dim means an
+    isotropic embedding space; PR ≪ dim is the anisotropy collapse
+    (Ethayarajh 2019) that degrades cosine retrieval and is the "check
+    this before shipping an encoder" number.
+
+    Determinism: the two sums are exact DECIMAL(38,0) integers (e6 /
+    e12 fixed-point units); each converts to double once (IEEE
+    nearest, identical on every engine for identical integers), then
+    one rounded division. No float accumulation anywhere.
+
+    Plan shape / 100 TB: everything after the gram aggregation is a
+    dim²-row reduction — control-plane sized.
+    """
+    g = embedding_gram(emb, dim=dim, vec_col=vec_col)
+    gd = F.col("g_e6").cast("decimal(38,0)")
+    w = F.when(F.col("i") == F.col("j"), F.lit(1)).otherwise(F.lit(2))
+    agg = g.agg(
+        F.max("n_rows").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("i") == F.col("j"), gd)).alias("_tr"),
+        F.sum(gd * gd * w).alias("_fro2"),
+    )
+    pr = F.round(
+        (F.col("_tr").cast("double") * F.col("_tr").cast("double"))
+        / F.col("_fro2").cast("double"),
+        6,
+    )
+    return agg.select(
+        F.lit(dim).cast("int").alias("dim"),
+        "n_rows",
+        F.col("_tr").cast("string").alias("trace_e6"),
+        F.col("_fro2").cast("string").alias("fro2_e12"),
+        pr.alias("effective_rank"),
     )
 
 

@@ -280,6 +280,65 @@ def pii_counts(col: Column) -> dict[str, Column]:
     }
 
 
+#: Candidate payment-card number: 13-19 digits, optionally separated
+#: by single spaces/dashes. Portable regex subset (no lookaround) so
+#: Spark's Java engine and DuckDB agree byte for byte.
+CARD_CANDIDATE_PATTERN = r"\b\d(?:[- ]?\d){12,18}\b"
+
+
+def luhn_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Payment-card PII audit: count candidate card-number digit runs
+    per document and how many pass the Luhn checksum — separating
+    plausible real card numbers (redact + quarantine the doc) from
+    random digit runs (plain ``<NUMBER>`` scrub suffices). The
+    checksum cuts the false-positive rate of a digits-only pattern by
+    ~10x, which at 100 TB is the difference between quarantining a
+    corpus slice and quarantining noise.
+
+    Returns ``(id, n_candidates, n_luhn_valid)`` — one row per input
+    document (0/0 when clean).
+
+    Plan shape / 100 TB: one regexp scan + an in-row bounded aggregate
+    per candidate (≤19 digits) — all JVM, no UDF, no shuffle beyond
+    the final per-doc re-aggregation of the exploded candidates, and
+    that carries only (id, two ints) rows.
+    """
+    cands = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(CARD_CANDIDATE_PATTERN), 0
+            )
+        ).alias("cand"),
+    )
+    digits = F.regexp_replace(F.col("cand"), "[^0-9]", "")
+    luhn_sum = F.expr(
+        "aggregate(sequence(0, length(reverse(_digits)) - 1), 0, "
+        "(acc, i) -> acc + ("
+        "  CASE WHEN i % 2 = 1 THEN "
+        "    CASE WHEN 2 * (ascii(substring(reverse(_digits), i + 1, 1)) - 48) > 9 "
+        "         THEN 2 * (ascii(substring(reverse(_digits), i + 1, 1)) - 48) - 9 "
+        "         ELSE 2 * (ascii(substring(reverse(_digits), i + 1, 1)) - 48) END "
+        "  ELSE ascii(substring(reverse(_digits), i + 1, 1)) - 48 END))"
+    )
+    scored = cands.withColumn("_digits", digits).withColumn(
+        "_valid",
+        F.when(
+            F.col("cand").isNotNull() & (luhn_sum % 10 == 0), 1
+        ).otherwise(0),
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum(F.when(F.col("cand").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_candidates"),
+        F.sum("_valid").cast("long").alias("n_luhn_valid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary + TF-IDF
 # ---------------------------------------------------------------------------

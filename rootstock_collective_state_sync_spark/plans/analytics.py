@@ -1014,3 +1014,58 @@ JOIN singles sb ON sb.t = p.type_b
 CROSS JOIN n_sess
 ORDER BY p.type_a, p.type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# per-group robust (median/MAD) normalization
+# ---------------------------------------------------------------------------
+
+
+def q_mad_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-scores for event values per event type —
+    exact nearest-rank order statistics, integer e6 fixed point. The
+    oracle replays both rank passes and the fixed-point ratio."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        mad_normalize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_normalize(
+        ev, value_col="value", group_col="event_type", id_col="event_id"
+    ).orderBy("event_id")
+
+
+Q_MAD_NORMALIZE_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, min(value) AS med
+  FROM ranked WHERE rn = (n + 1) // 2 GROUP BY event_type
+),
+dev_ranked AS (
+  SELECT e.event_type, abs(e.value - m.med) AS dev,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY abs(e.value - m.med) ASC,
+                                     e.event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY e.event_type) AS n
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, min(dev) AS mad
+  FROM dev_ranked WHERE rn = (n + 1) // 2 GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       m.med AS group_median, d.mad AS group_mad,
+       CASE WHEN d.mad > 0
+            THEN round((e.value - m.med) / d.mad * 1e6, 0)::BIGINT
+            END AS robust_z_e6
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+ORDER BY e.event_id
+"""

@@ -1566,3 +1566,41 @@ binned AS (
 SELECT len_decile, q_decile, count(*)::BIGINT AS n_docs
 FROM binned GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic round-robin source interleaving (curriculum ordering)
+# ---------------------------------------------------------------------------
+
+
+def q_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form round-robin interleave key per document — rank
+    within source and the global rotation position, no global sort
+    anywhere in the plan. The oracle replays the dense source index,
+    the per-source rank, and the key arithmetic."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        source_interleave,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_interleave(docs).orderBy("doc_id")
+
+
+Q_SOURCE_INTERLEAVE_ORACLE = """
+WITH sidx AS (
+  SELECT source, row_number() OVER (ORDER BY source ASC) - 1 AS s_idx
+  FROM (SELECT DISTINCT source FROM documents)
+),
+n AS (SELECT count(*) AS total FROM sidx),
+ranked AS (
+  SELECT d.doc_id, d.source, s.s_idx,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY d.doc_id ASC) - 1 AS rank0
+  FROM documents d JOIN sidx s USING (source)
+)
+SELECT doc_id, source,
+       (rank0 + 1)::BIGINT AS source_rank,
+       (rank0 * n.total + s_idx)::BIGINT AS interleave_key
+FROM ranked CROSS JOIN n
+ORDER BY doc_id
+"""

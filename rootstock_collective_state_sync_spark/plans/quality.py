@@ -852,3 +852,73 @@ d{r} AS MATERIALIZED (
 
 
 Q_KCENTER_CORESET_ORACLE = _kcenter_oracle()
+
+
+# ---------------------------------------------------------------------------
+# payment-card PII audit (Luhn-verified candidate runs)
+# ---------------------------------------------------------------------------
+
+
+def q_credit_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-verified card-number audit over a deterministic corpus
+    derived from orders (the synthetic documents table carries no
+    digit runs at all, which would make the driver row trivially
+    0 = 0): each order renders one line with a 16-digit run built
+    from its keys, so candidate extraction fires on every row and
+    Luhn validity varies row-by-row. The oracle replays the text
+    construction, the candidate regex, and the checksum digit-for-
+    digit."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        luhn_audit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    d16 = F.concat(
+        F.lpad(F.pmod(F.col("o_orderkey"), F.lit(100000000)).cast("string"), 8, "0"),
+        F.lpad(F.pmod(F.col("o_custkey"), F.lit(100000000)).cast("string"), 8, "0"),
+    )
+    corpus = orders.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.concat(
+            F.lit("invoice "),
+            F.col("o_orderkey").cast("string"),
+            F.lit(" card "),
+            d16,
+            F.lit(" ok"),
+        ).alias("text"),
+    )
+    return luhn_audit(corpus).orderBy("doc_id")
+
+
+Q_CREDIT_CARD_AUDIT_ORACLE = r"""
+WITH corpus AS (
+  SELECT o_orderkey AS doc_id,
+         'invoice ' || o_orderkey::VARCHAR || ' card '
+           || lpad((o_orderkey % 100000000)::VARCHAR, 8, '0')
+           || lpad((o_custkey % 100000000)::VARCHAR, 8, '0')
+           || ' ok' AS text
+  FROM orders
+),
+c AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\b\d(?:[- ]?\d){12,18}\b')) AS cand
+  FROM corpus
+),
+d AS (SELECT doc_id, regexp_replace(cand, '[^0-9]', '', 'g') AS dg FROM c),
+v AS (
+  SELECT doc_id,
+    CASE WHEN list_sum(list_transform(range(0, length(dg)), i ->
+      CASE WHEN i % 2 = 1 THEN
+        CASE WHEN 2 * (ascii(substr(reverse(dg), i + 1, 1)) - 48) > 9
+             THEN 2 * (ascii(substr(reverse(dg), i + 1, 1)) - 48) - 9
+             ELSE 2 * (ascii(substr(reverse(dg), i + 1, 1)) - 48) END
+      ELSE ascii(substr(reverse(dg), i + 1, 1)) - 48 END)) % 10 = 0
+    THEN 1 ELSE 0 END AS ok
+  FROM d
+)
+SELECT t.doc_id,
+       count(v.ok)::BIGINT AS n_candidates,
+       coalesce(sum(v.ok), 0)::BIGINT AS n_luhn_valid
+FROM corpus t LEFT JOIN v USING (doc_id)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""

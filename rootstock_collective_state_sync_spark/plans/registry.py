@@ -373,6 +373,31 @@ SPECS: dict[str, QuerySpec] = {
     "quantile_align": QuerySpec(
         CU.q_quantile_align, CU.Q_QUANTILE_ALIGN_ORACLE, ("sampling", "text")
     ),
+    # r08 additions: PII checksum audit, spectral diagnostics input,
+    # robust scaling, curriculum interleave, crawl novelty
+    "credit_card_audit": QuerySpec(
+        Q.q_credit_card_audit, Q.Q_CREDIT_CARD_AUDIT_ORACLE, ("text", "pii")
+    ),
+    "embedding_gram": QuerySpec(
+        TR.q_embedding_gram, TR.Q_EMBEDDING_GRAM_ORACLE, ("similarity", "agg")
+    ),
+    "mad_normalize": QuerySpec(
+        AN.q_mad_normalize, AN.Q_MAD_NORMALIZE_ORACLE, ("analytics", "curation")
+    ),
+    "source_interleave": QuerySpec(
+        CU.q_source_interleave, CU.Q_SOURCE_INTERLEAVE_ORACLE, ("curation",)
+    ),
+    "ngram_novelty": QuerySpec(
+        TR.q_ngram_novelty, TR.Q_NGRAM_NOVELTY_ORACLE, ("dedup", "text")
+    ),
+    "embedding_effective_rank": QuerySpec(
+        TR.q_embedding_effective_rank,
+        TR.Q_EMBEDDING_EFFECTIVE_RANK_ORACLE,
+        ("similarity", "agg"),
+    ),
+    "source_lang_mi": QuerySpec(
+        TR.q_source_lang_mi, TR.Q_SOURCE_LANG_MI_ORACLE, ("analytics", "text")
+    ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
         Q.Q_KCENTER_CORESET_ORACLE,
@@ -515,7 +540,11 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (d) 28 multi-round-green anchors spanning every family.
+# (e) 7 brand-new r08 queries (credit_card_audit, embedding_gram,
+#     mad_normalize, source_interleave, ngram_novelty,
+#     embedding_effective_rank, source_lang_mi) — checked the
+#     round they are born, so no never-checked debt accrues;
+# (d) 21 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -544,6 +573,14 @@ _DRIVER_WINDOW = [
     "ann_ivf_cells",
     "ivfpq_topk",
     "kcenter_coreset",
+    # (e) new this round — driver-checked immediately, no evidence debt
+    "credit_card_audit",
+    "embedding_gram",
+    "mad_normalize",
+    "source_interleave",
+    "ngram_novelty",
+    "embedding_effective_rank",
+    "source_lang_mi",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -555,14 +592,7 @@ _DRIVER_WINDOW = [
     "changelog_incremental",
     "filter_isin_enum",
     "watermark_max_block",
-    "top1_latest",
-    "topk_per_group",
-    "union_distinct",
-    "except_missing",
-    "enum_label",
-    "hex_roundtrip",
     "bigint_arith",
-    "camel_case",
     "fk_deref_join",
     "filter_range_scan",
     "asof_join",

@@ -1597,3 +1597,141 @@ SELECT p.doc_id, s.n_shingles, p.n_hit, p.n_runs, p.longest_run,
 FROM per_doc p JOIN sizes s USING (doc_id)
 ORDER BY p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# exact Gram matrix of the embedding corpus (spectral diagnostics input)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix of the embedding table as exact e6
+    fixed-point sums — in-row pair generation, one dim²-bounded
+    aggregation, the corpus never self-joins. The oracle replays
+    every product and the integer reduction in SQL."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        embedding_gram,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_gram(emb, dim=64).orderBy("i", "j")
+
+
+Q_EMBEDDING_GRAM_ORACLE = """
+SELECT i::INTEGER AS i, j::INTEGER AS j, count(*)::BIGINT AS n_rows,
+       sum(round(embedding[i + 1]::DOUBLE * embedding[j + 1]::DOUBLE
+                 * 1e6, 0))::BIGINT AS g_e6
+FROM embeddings, range(0, 64) r1(i), range(0, 64) r2(j)
+WHERE j >= i
+GROUP BY i, j ORDER BY i, j
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-document n-gram novelty (incremental-crawl contribution signal)
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct trigrams first seen in that doc
+    (min doc_id owner), exact e6 ratio. The oracle replays the
+    trigram explode, the min-owner aggregation, and the integer
+    ratio — over the UNCAPPED gram stream (novelty needs every gram,
+    unlike the capped near-dup index)."""
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3).orderBy("doc_id")
+
+
+Q_NGRAM_NOVELTY_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+own AS (SELECT s, min(id) AS first_id FROM e_raw GROUP BY s)
+SELECT e.id AS doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN e.id = o.first_id THEN 1 ELSE 0 END)::BIGINT AS n_first,
+       floor(sum(CASE WHEN e.id = o.first_id THEN 1 ELSE 0 END) * 1000000
+             / count(*))::BIGINT AS novelty_e6
+FROM e_raw e JOIN own o USING (s)
+GROUP BY e.id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# participation-ratio effective rank (spectral health, no eigensolver)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR = tr(G)²/‖G‖²_F from the exact fixed-point Gram table — the
+    anisotropy-collapse check. The oracle replays the gram sums, both
+    integer functionals, and the single rounded division."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        embedding_effective_rank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_effective_rank(emb, dim=64)
+
+
+Q_EMBEDDING_EFFECTIVE_RANK_ORACLE = """
+WITH g AS (
+  SELECT i, j, count(*)::BIGINT AS n_rows,
+         sum(round(embedding[i + 1]::DOUBLE * embedding[j + 1]::DOUBLE
+                   * 1e6, 0))::BIGINT AS g_e6
+  FROM embeddings, range(0, 64) r1(i), range(0, 64) r2(j)
+  WHERE j >= i GROUP BY i, j
+),
+s AS (
+  SELECT max(n_rows)::BIGINT AS n_rows,
+         sum(CASE WHEN i = j THEN g_e6::DECIMAL(38,0) END) AS tr,
+         sum(g_e6::DECIMAL(38,0) * g_e6::DECIMAL(38,0)
+             * CASE WHEN i = j THEN 1 ELSE 2 END) AS fro2
+  FROM g
+)
+SELECT 64::INTEGER AS dim, n_rows,
+       tr::VARCHAR AS trace_e6,
+       fro2::VARCHAR AS fro2_e12,
+       round((tr::DOUBLE * tr::DOUBLE) / fro2::DOUBLE, 6)
+         AS effective_rank
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# categorical mutual information (source vs language)
+# ---------------------------------------------------------------------------
+
+
+def q_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell MI terms between document source and language —
+    exact-count rationals inside the log, e9 fixed-point terms. The
+    oracle replays the contingency counts, marginals, and every term."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        mutual_information,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mutual_information(docs, "source", "lang").orderBy(
+        "source", "lang"
+    )
+
+
+Q_SOURCE_LANG_MI_ORACLE = """
+WITH joint AS (
+  SELECT source AS x, lang AS y, count(*)::BIGINT AS c_xy
+  FROM documents GROUP BY 1, 2
+),
+mx AS (SELECT x, sum(c_xy)::BIGINT AS c_x FROM joint GROUP BY x),
+my AS (SELECT y, sum(c_xy)::BIGINT AS c_y FROM joint GROUP BY y),
+n AS (SELECT sum(c_xy)::BIGINT AS n FROM joint)
+SELECT j.x AS source, j.y AS lang,
+       j.c_xy AS n_joint, mx.c_x AS n_x, my.c_y AS n_y,
+       round((j.c_xy::DOUBLE / n.n)
+             * ln(j.c_xy::DOUBLE * n.n / (mx.c_x::DOUBLE * my.c_y))
+             * 1e9, 0)::BIGINT AS mi_term_e9
+FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+ORDER BY source, lang
+"""

@@ -1333,3 +1333,220 @@ def test_incremental_line_store_matches_batch(spark):
     for d in (3, 4):
         assert got[d] == batch_all[d]
     assert got[3]["n_removed"] == 1 and got[4]["n_removed"] == 0
+
+
+def test_luhn_audit_checksum_separates_real_from_random(spark):
+    from rootstock_collective_state_sync_spark.operators.text import luhn_audit
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay with 4539 1488 0343 6467 thanks"),  # valid (test number)
+            (2, "pay with 4539 1488 0343 6468 thanks"),  # same digits, bad check
+            (3, "order 1234567 qty 5"),                  # run too short
+            (4, "cards 4111111111111111 and 5500-0000-0000-0004"),  # both valid
+            (5, "clean text, no digits"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in luhn_audit(df).collect()}
+    assert len(out) == 5  # one row per doc, including clean ones
+    assert (out[1]["n_candidates"], out[1]["n_luhn_valid"]) == (1, 1)
+    assert (out[2]["n_candidates"], out[2]["n_luhn_valid"]) == (1, 0)
+    assert (out[3]["n_candidates"], out[3]["n_luhn_valid"]) == (0, 0)
+    assert (out[4]["n_candidates"], out[4]["n_luhn_valid"]) == (2, 2)
+    assert (out[5]["n_candidates"], out[5]["n_luhn_valid"]) == (0, 0)
+
+
+def test_embedding_gram_exact_small_matrix(spark):
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        embedding_gram,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r["i"], r["j"]): r for r in embedding_gram(df, dim=2).collect()}
+    # G = [[1+9, 2+12], [., 4+16]] in e6 units
+    assert out[(0, 0)]["g_e6"] == 10_000_000
+    assert out[(0, 1)]["g_e6"] == 14_000_000
+    assert out[(1, 1)]["g_e6"] == 20_000_000
+    assert all(r["n_rows"] == 2 for r in out.values())
+    assert set(out) == {(0, 0), (0, 1), (1, 1)}  # upper triangle only
+
+
+def test_mad_normalize_resists_outlier(spark):
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        mad_normalize,
+    )
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 1000])]
+    rows += [(10 + i, "b", 7.0) for i in range(3)]  # constant group
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {
+        (r["event_type"], r["event_id"]): r
+        for r in mad_normalize(df).collect()
+    }
+    # group a: n=6, median rank ceil(6/2)=3 -> value 3; MAD over
+    # |x-3| = [2,1,0,1,2,997] -> rank-3 element of sorted [0,1,1,2,2,997] = 1
+    a0 = out[("a", 0)]
+    assert a0["group_median"] == 3.0 and a0["group_mad"] == 1.0
+    assert a0["robust_z_e6"] == -2_000_000  # (1-3)/1
+    # the outlier is huge in z but didn't corrupt median/MAD
+    assert out[("a", 5)]["robust_z_e6"] == 997_000_000
+    # constant group: MAD 0 -> NULL z, no division blowup
+    assert out[("b", 10)]["group_mad"] == 0.0
+    assert out[("b", 10)]["robust_z_e6"] is None
+
+
+def test_source_interleave_strict_rotation(spark):
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        source_interleave,
+    )
+
+    rows = [(i, "s1") for i in range(4)] + [(10 + i, "s2") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sorted(source_interleave(df).collect(), key=lambda r: r["interleave_key"])
+    # consuming by key visits sources in strict rotation
+    assert [r["source"] for r in out] == ["s1", "s2"] * 4
+    assert [r["doc_id"] for r in out] == [0, 10, 1, 11, 2, 12, 3, 13]
+    assert len({r["interleave_key"] for r in out}) == 8  # keys unique
+
+
+def test_ngram_novelty_flags_duplicate_content(spark):
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, base),                        # first occurrence: all novel
+            (2, base),                        # exact dup: zero novelty
+            (3, base + " and runs far away"), # suffix adds new grams
+            (4, "completely different words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[1]["novelty_e6"] == 1_000_000
+    assert out[2]["novelty_e6"] == 0
+    assert 0 < out[3]["novelty_e6"] < 1_000_000
+    assert out[4]["novelty_e6"] == 1_000_000
+
+
+def test_effective_rank_isotropic_vs_collapsed(spark):
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        embedding_effective_rank,
+    )
+
+    # perfectly isotropic 2-D corpus: PR = 2
+    iso = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]), (4, [0.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_effective_rank(iso, dim=2).first()
+    assert r["effective_rank"] == 2.0 and r["n_rows"] == 4
+    # rank-1 collapse: every vector on one axis -> PR = 1
+    flat = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_effective_rank(flat, dim=2).first()
+    assert r["effective_rank"] == 1.0
+
+
+def test_mutual_information_exact_cases(spark):
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        mutual_information,
+    )
+    import math
+
+    # independent: MI = 0 (every cell term 0 by symmetry)
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(5)],
+        "x string, y string",
+    )
+    terms = [r["mi_term_e9"] for r in mutual_information(ind, "x", "y").collect()]
+    assert sum(terms) == 0
+    # perfectly dependent 2x2: MI = ln 2
+    dep = spark.createDataFrame(
+        [("a", "c")] * 5 + [("b", "d")] * 5, "x string, y string"
+    )
+    total = sum(
+        r["mi_term_e9"] for r in mutual_information(dep, "x", "y").collect()
+    )
+    assert abs(total / 1e9 - math.log(2)) < 1e-8
+    # empty input: empty report
+    empty = spark.createDataFrame([], "x string, y string")
+    assert mutual_information(empty, "x", "y").count() == 0
+
+
+def test_semantic_dedup_cell_size_cap(spark):
+    """The max_cell_size skew guard: subdivided cells still find
+    in-subcell dups, keepers stay keepers, and the pair stage is
+    bounded. Unbounded run = superset of the capped run's dups."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 40 near-identical vectors (one dense cluster) + 4 spread ones
+    rows = [(i, [1.0, 0.001 * i]) for i in range(40)]
+    rows += [(100, [-1.0, 0.0]), (101, [0.0, 1.0]),
+             (102, [0.0, -1.0]), (103, [-1.0, -0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    full = {r["vec_id"]: r for r in
+            semantic_dedup(df, num_cells=4, threshold=0.99).collect()}
+    capped = {r["vec_id"]: r for r in
+              semantic_dedup(df, num_cells=4, threshold=0.99,
+                             max_cell_size=10).collect()}
+    assert set(full) == set(capped)  # one row per vector either way
+    # capped run finds a subset of the full run's dup marks (recall
+    # haircut confined to cross-subcell pairs), never false positives
+    for vid, r in capped.items():
+        assert r["n_earlier_dups"] <= full[vid]["n_earlier_dups"]
+        if r["keep"] == 0:
+            assert full[vid]["keep"] == 0
+    # the dense cluster still collapses: most of it is marked dup
+    dense_killed = sum(1 for i in range(40) if capped[i]["keep"] == 0)
+    assert dense_killed >= 30
+
+
+def test_incremental_novelty_matches_batch(spark):
+    """novelty_store min-merge == batch build; incremental batch-2
+    scores == the at-rest scores of those docs over the full corpus
+    (ids monotone across batches — the append-log contract)."""
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        merge_novelty_stores,
+        ngram_novelty,
+        ngram_novelty_incremental,
+        novelty_store,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog"
+    c1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely here today")],
+        "doc_id long, text string",
+    )
+    c2 = spark.createDataFrame(
+        [(3, base), (4, base + " and runs far away")],
+        "doc_id long, text string",
+    )
+    both = c1.unionByName(c2)
+
+    inc_store = merge_novelty_stores(novelty_store(c1), novelty_store(c2))
+    batch_store = novelty_store(both)
+    assert sorted(map(tuple, inc_store.collect())) == sorted(
+        map(tuple, batch_store.collect())
+    )
+
+    store1 = novelty_store(c1)
+    _, scores2 = ngram_novelty_incremental(c2, store1)
+    at_rest = {r["doc_id"]: r for r in ngram_novelty(both).collect()}
+    for r in scores2.collect():
+        ref = at_rest[r["doc_id"]]
+        assert (r["n_grams"], r["n_first"], r["novelty_e6"]) == (
+            ref["n_grams"], ref["n_first"], ref["novelty_e6"]
+        )
+    assert at_rest[3]["novelty_e6"] == 0  # exact dup of doc 1

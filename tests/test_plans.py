@@ -316,3 +316,48 @@ def test_bpe_fertility_scan_speed(spark):
     gates the ENCODE plan.)"""
     p = plan(spark, SPECS["bpe_fertility"].fn(spark, SF_SMOKE), "simple")
     assert "Exchange hashpartitioning" not in p
+
+
+def test_pandas_udf_single_evaluation(spark):
+    """Pin the r08 double-ArrowEvalPython fix: a threshold filter over
+    a Pandas-UDF score must NOT re-evaluate the UDF (Catalyst pushes a
+    deterministic filter back through the aliasing project). The
+    expensive Python stages run exactly once per logical evaluation:
+    semantic_dedup = 1 cosine + 3 cell-assign scans (two join branches
+    + the outer tag — the minimum without caching the corpus);
+    emb_near_dup_pairs / emb_near_dup_lsh = 1 cosine each."""
+    p = plan(spark, SPECS["semantic_dedup"].fn(spark, SF_SMOKE), "simple")
+    assert p.count("ArrowEvalPython") == 4
+    assert "Filter isnotnull(pythonUDF" not in p  # the r07 duplication tell
+    p = plan(spark, SPECS["emb_near_dup_pairs"].fn(spark, SF_SMOKE), "simple")
+    assert p.count("ArrowEvalPython") == 1
+    # lsh: 1 cosine + 2 bucket-sign evals (one per join branch)
+    p = plan(spark, SPECS["emb_near_dup_lsh"].fn(spark, SF_SMOKE), "simple")
+    assert p.count("ArrowEvalPython") == 3
+    assert "Filter isnotnull(pythonUDF" not in p
+
+
+def test_embedding_gram_no_self_join(spark):
+    """Gram pairs are generated in-row: no join anywhere, one
+    map-side-combined aggregation onto dim^2 keys."""
+    p = plan(spark, SPECS["embedding_gram"].fn(spark, SF_SMOKE), "simple")
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("HashAggregate") == 2  # partial + final
+
+
+def test_source_interleave_no_global_sort(spark):
+    """The interleave key is closed-form: no single-partition exchange
+    over the data (the only global window runs on the distinct-source
+    control-plane frame)."""
+    df = SPECS["source_interleave"].fn(spark, SF_SMOKE)
+    p = plan(spark, df, "simple")
+    # the doc-bearing side must never collapse to one partition: the
+    # only SinglePartition exchange allowed is the tiny distinct-source
+    # index (its subtree contains the distinct aggregate, not the scan)
+    import re as _re
+
+    doc_windows = [
+        l for l in p.splitlines() if "Window" in l and "doc_id" in l
+    ]
+    assert all("source#" in l for l in doc_windows)
