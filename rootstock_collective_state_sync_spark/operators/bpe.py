@@ -75,15 +75,76 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _learn_merges_local(rows, num_merges: int) -> list[Row]:
+    """Driver-side merge loop over a collected word-frequency table —
+    byte-identical semantics to the distributed loop (weighted pair
+    counts, winner = max by (count, l asc, r asc), leftmost
+    non-overlapping application), asserted by
+    ``tests/test_operators.py::test_bpe_local_matches_distributed``."""
+    syms: list[tuple[list[str], int]] = [
+        (list(r["w"]), int(r["cnt"])) for r in rows
+    ]
+    out: list[Row] = []
+    for rnd in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, cnt in syms:
+            for l, r in zip(sym, sym[1:]):
+                counts[(l, r)] = counts.get((l, r), 0) + cnt
+        if not counts:
+            break
+        (l, r), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append(Row(round=rnd, left=l, right=r, n=int(n)))
+        nxt: list[tuple[list[str], int]] = []
+        for sym, cnt in syms:
+            res: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(sym[i])
+                    i += 1
+            nxt.append((res, cnt))
+        syms = nxt
+    return out
+
+
 def learn_bpe_merges(
     df: DataFrame,
     num_merges: int = 6,
     text_col: str = "text",
+    driver_vocab_limit: int = 1_000_000,
 ) -> list[Row]:
     """Run ``num_merges`` BPE rounds; returns the merge table as a
     list of Rows ``(round, left, right, n)`` (1-indexed rounds).
-    Stops early if no adjacent pair remains."""
-    words = _init_syms(_word_freqs(df, text_col)).persist()
+    Stops early if no adjacent pair remains.
+
+    Execution strategy: when the vocabulary fits the driver budget
+    (``driver_vocab_limit`` distinct words — BPE state is vocab-sized
+    by definition, and 10^6 rows is a few tens of MB), the corpus is
+    reduced ONCE to the word-frequency table and the merge loop runs
+    driver-side (what SentencePiece/HF trainers do) — one Spark job
+    instead of 2 jobs × rounds. A larger vocabulary falls back to the
+    distributed per-round loop automatically, preserving the bounded-
+    driver-state contract. Both paths are result-identical (tested).
+    """
+    vocab = _word_freqs(df, text_col)
+    probe = vocab.limit(driver_vocab_limit + 1).collect()
+    if len(probe) <= driver_vocab_limit:
+        return _learn_merges_local(probe, num_merges)
+    return _learn_merges_distributed(vocab, num_merges)
+
+
+def _learn_merges_distributed(
+    vocab: DataFrame, num_merges: int
+) -> list[Row]:
+    """Per-round distributed loop (the >driver-budget path): pair-count
+    aggregation over the vocabulary-sized frame + one 1-row collect per
+    round, persist/materialize/unpersist for O(1) lineage."""
+    words = _init_syms(vocab).persist()
     out: list[Row] = []
     for rnd in range(1, num_merges + 1):
         best = (

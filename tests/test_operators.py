@@ -1550,3 +1550,21 @@ def test_incremental_novelty_matches_batch(spark):
             ref["n_grams"], ref["n_first"], ref["novelty_e6"]
         )
     assert at_rest[3]["novelty_e6"] == 0  # exact dup of doc 1
+
+
+def test_bpe_local_matches_distributed(spark):
+    """The driver-side merge loop and the distributed per-round loop
+    are result-identical (same winners, same counts, same order)."""
+    from rootstock_collective_state_sync_spark.operators.bpe import (
+        _learn_merges_distributed,
+        _word_freqs,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low lower lowest new newer newest wide wider")],
+        "doc_id long, text string",
+    )
+    local = learn_bpe_merges(df, num_merges=5)
+    dist = _learn_merges_distributed(_word_freqs(df, "text"), 5)
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
