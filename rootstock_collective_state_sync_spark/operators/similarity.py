@@ -1267,26 +1267,50 @@ def embedding_gram(
     policy), so the reduction is exact integer arithmetic — identical
     on any engine, any partition order, any row order.
 
-    Plan shape / 100 TB: pairs are generated IN-ROW (flattened
-    dim·(dim+1)/2 structs per vector — no self-join, no explode of the
-    corpus against itself), then one map-side-combined aggregation
-    onto dim² bounded keys. The only shuffle carries at most
-    partitions × dim·(dim+1)/2 partial rows; the corpus itself moves
-    zero times.
+    Plan shape / 100 TB: each Arrow batch reduces to ONE partial Gram
+    (dim·(dim+1)/2 integer rows — vectorized numpy outer products,
+    rounded per-row then integer-summed, so the partial is exact);
+    the only shuffle carries batches × dim² bounded partial rows onto
+    dim² final keys. The corpus itself moves zero times. (A pure-JVM
+    formulation exists — flatten/transform pair structs + explode —
+    but it materializes n·dim²/2 rows; the Arrow partial-sum is ~10×
+    faster at equal semantics, the ADC-scoring precedent.)
     """
-    pairs = F.expr(
-        f"flatten(transform(sequence(0, {dim - 1}), i -> "
-        f"transform(sequence(i, {dim - 1}), j -> "
-        f"struct(i, j, cast(round(cast({vec_col}[i] as double) * "
-        f"cast({vec_col}[j] as double) * 1e6, 0) as long) as p))))"
+    import pandas as _pd
+
+    iu = np.triu_indices(dim)
+
+    def _partial(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].values).astype(np.float64)
+            n += X.shape[0]
+            # per-row product -> e6 snap -> integer sum (the package
+            # fixed-point policy; chunked to bound memory)
+            for s in range(0, X.shape[0], 1024):
+                C = X[s : s + 1024]
+                v = C[:, :, None] * C[:, None, :] * 1e6
+                # HALF_UP away from zero — np.rint is banker's and
+                # would diverge from Spark/DuckDB round() on exact .5
+                snapped = np.sign(v) * np.floor(np.abs(v) + 0.5)
+                acc += snapped.astype(np.int64).sum(axis=0)
+        if n:
+            yield _pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "n_part": np.full(len(iu[0]), n, dtype="int64"),
+                    "g_part": acc[iu],
+                }
+            )
+
+    partials = emb.select(vec_col).mapInPandas(
+        _partial, schema="i int, j int, n_part long, g_part long"
     )
-    return (
-        emb.select(F.explode(pairs).alias("e"))
-        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("e.p").cast("long").alias("g_e6"),
-        )
+    return partials.groupBy("i", "j").agg(
+        F.sum("n_part").cast("long").alias("n_rows"),
+        F.sum("g_part").cast("long").alias("g_e6"),
     )
 
 
@@ -1332,6 +1356,138 @@ def embedding_effective_rank(
         F.col("_fro2").cast("string").alias("fro2_e12"),
         pr.alias("effective_rank"),
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_rows: int | None = 20_000,
+) -> DataFrame:
+    """Contrastive-pair mining for embedding finetuning: for every
+    anchor vector, the nearest SAME-label neighbor (the positive) and
+    the nearest DIFFERENT-label neighbor (the hard negative), plus the
+    margin between them. Anchors where the hard negative outranks the
+    positive (``margin < 0``) are exactly the boundary cases a triplet
+    /contrastive loss learns most from — and a direct census of label
+    noise.
+
+    Ties break by ascending neighbor id; cosines are the package's
+    6-dp snapped scores, so the whole mining run is rank-exact and
+    SQL-replayable.
+
+    Scale shape: this brute-force formulation scores all pairs and is
+    GUARDED like :func:`near_dup_pairs` (``max_rows``); at 100 TB
+    mine candidates with the LSH/IVF index first and re-rank — the
+    same shortlist pattern as :func:`ivf_topk`, swapping in the
+    per-label argmax below.
+    """
+    if max_rows is not None:
+        n = emb.count()  # control-plane scalar
+        if n > max_rows:
+            raise ValueError(
+                f"hard_negatives is the O(n^2) baseline: corpus has {n} "
+                f"rows > max_rows={max_rows}; mine candidates with "
+                "lsh_near_dup_pairs/ivf_topk first, or pass max_rows=None"
+            )
+    a = emb.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("va"),
+        F.col(label_col).alias("la"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("other_id"),
+        F.col(vec_col).alias("vb"),
+        F.col(label_col).alias("lb"),
+    )
+    scored = (
+        a.join(b, F.col("anchor_id") != F.col("other_id"))
+        .select(
+            "anchor_id",
+            "la",
+            "other_id",
+            (F.col("la") == F.col("lb")).alias("same"),
+            cosine_vectorized(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+    )
+    best = scored.groupBy("anchor_id", "la").agg(
+        F.max(
+            F.when(
+                F.col("same"),
+                F.struct(
+                    F.col("cos_sim").alias("s"),
+                    (-F.col("other_id")).alias("negid"),
+                ),
+            )
+        ).alias("_pos"),
+        F.max(
+            F.when(
+                ~F.col("same"),
+                F.struct(
+                    F.col("cos_sim").alias("s"),
+                    (-F.col("other_id")).alias("negid"),
+                ),
+            )
+        ).alias("_neg"),
+    )
+    return best.select(
+        F.col("anchor_id").alias(id_col),
+        F.col("la").alias(label_col),
+        (-F.col("_pos.negid")).cast("long").alias("positive_id"),
+        F.col("_pos.s").alias("positive_sim"),
+        (-F.col("_neg.negid")).cast("long").alias("hard_negative_id"),
+        F.col("_neg.s").alias("hard_negative_sim"),
+        F.round(F.col("_pos.s") - F.col("_neg.s"), 6).alias("margin"),
+    )
+
+
+def class_weights(
+    df: DataFrame,
+    label_col: str = "label",
+    beta_e4: int = 9999,
+) -> DataFrame:
+    """Class-balancing weight table: inverse-frequency weights and
+    effective-number-of-samples weights (Cui et al. 2019,
+    ``(1-β)/(1-β^n)`` with β = beta_e4/10^4) per label, both
+    normalized so the weighted corpus size equals the true corpus
+    size. The two standard rebalancing schemes a loss function or a
+    sampler consumes; the effective-number variant damps the
+    overcorrection inverse-frequency applies to moderately-rare
+    classes.
+
+    Exact-count determinism: weights are doubles derived from exact
+    integer counts through a fixed expression tree (pow, division,
+    6-dp snap) — identical on any engine; the label-count aggregation
+    is the only shuffle (|labels| keys).
+    """
+    beta = beta_e4 / 10_000.0
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_k")
+    )
+    c = counts.crossJoin(F.broadcast(totals))
+    inv_raw = F.lit(1.0) / F.col("n")
+    eff_raw = (F.lit(1.0) - F.lit(beta)) / (
+        F.lit(1.0) - F.pow(F.lit(beta), F.col("n"))
+    )
+    # normalize each scheme: sum_over_rows(n * w) == total
+    sums = c.agg(
+        F.sum(F.col("n") * inv_raw).alias("_si"),
+        F.sum(F.col("n") * eff_raw).alias("_se"),
+        F.max("_total").alias("_t"),
+    )
+    out = c.crossJoin(F.broadcast(sums))
+    return out.select(
+        "label",
+        "n",
+        F.round(inv_raw * F.col("_t") / F.col("_si"), 6).alias("w_inverse"),
+        F.round(eff_raw * F.col("_t") / F.col("_se"), 6).alias(
+            "w_effective"
+        ),
+    ).orderBy("label")
 
 
 def kcenter_coreset(

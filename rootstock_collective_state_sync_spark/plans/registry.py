@@ -379,7 +379,9 @@ SPECS: dict[str, QuerySpec] = {
         Q.q_credit_card_audit, Q.Q_CREDIT_CARD_AUDIT_ORACLE, ("text", "pii")
     ),
     "embedding_gram": QuerySpec(
-        TR.q_embedding_gram, TR.Q_EMBEDDING_GRAM_ORACLE, ("similarity", "agg")
+        TR.q_embedding_gram,
+        TR.Q_EMBEDDING_GRAM_ORACLE,
+        ("similarity", "agg", "bench"),
     ),
     "mad_normalize": QuerySpec(
         AN.q_mad_normalize, AN.Q_MAD_NORMALIZE_ORACLE, ("analytics", "curation")
@@ -388,7 +390,7 @@ SPECS: dict[str, QuerySpec] = {
         CU.q_source_interleave, CU.Q_SOURCE_INTERLEAVE_ORACLE, ("curation",)
     ),
     "ngram_novelty": QuerySpec(
-        TR.q_ngram_novelty, TR.Q_NGRAM_NOVELTY_ORACLE, ("dedup", "text")
+        TR.q_ngram_novelty, TR.Q_NGRAM_NOVELTY_ORACLE, ("dedup", "text", "bench")
     ),
     "embedding_effective_rank": QuerySpec(
         TR.q_embedding_effective_rank,
@@ -397,6 +399,12 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "source_lang_mi": QuerySpec(
         TR.q_source_lang_mi, TR.Q_SOURCE_LANG_MI_ORACLE, ("analytics", "text")
+    ),
+    "hard_negatives": QuerySpec(
+        TR.q_hard_negatives, TR.Q_HARD_NEGATIVES_ORACLE, ("similarity",)
+    ),
+    "class_weights": QuerySpec(
+        TR.q_class_weights, TR.Q_CLASS_WEIGHTS_ORACLE, ("similarity", "agg")
     ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
@@ -540,11 +548,12 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (e) 7 brand-new r08 queries (credit_card_audit, embedding_gram,
+# (e) 9 brand-new r08 queries (credit_card_audit, embedding_gram,
 #     mad_normalize, source_interleave, ngram_novelty,
-#     embedding_effective_rank, source_lang_mi) — checked the
+#     embedding_effective_rank, source_lang_mi, hard_negatives,
+#     class_weights) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 21 multi-round-green anchors spanning every family.
+# (d) 19 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -581,6 +590,8 @@ _DRIVER_WINDOW = [
     "ngram_novelty",
     "embedding_effective_rank",
     "source_lang_mi",
+    "hard_negatives",
+    "class_weights",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -590,8 +601,6 @@ _DRIVER_WINDOW = [
     "broadcast_enrich_diff",
     "keyset_page",
     "changelog_incremental",
-    "filter_isin_enum",
-    "watermark_max_block",
     "bigint_arith",
     "fk_deref_join",
     "filter_range_scan",

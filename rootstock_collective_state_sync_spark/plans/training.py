@@ -1735,3 +1735,94 @@ SELECT j.x AS source, j.y AS lang,
 FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
 ORDER BY source, lang
 """
+
+
+# ---------------------------------------------------------------------------
+# contrastive-pair mining: positives + hard negatives per anchor
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest same-label and nearest different-label neighbor per
+    anchor with the margin between them — the triplet-mining table.
+    The oracle replays pair scoring, both per-anchor argmaxes, and
+    the margin."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb).orderBy("vec_id")
+
+
+def _hard_negatives_oracle() -> str:
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH p AS (
+  SELECT a.vec_id AS anchor_id, a.label AS la, b.vec_id AS other_id,
+         (a.label = b.label) AS same, {cos} AS s
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+pos AS (
+  SELECT anchor_id, other_id, s,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY s DESC, other_id ASC) AS rk
+  FROM p WHERE same
+),
+neg AS (
+  SELECT anchor_id, other_id, s,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY s DESC, other_id ASC) AS rk
+  FROM p WHERE NOT same
+)
+SELECT e.vec_id, e.label,
+       p1.other_id AS positive_id, p1.s AS positive_sim,
+       n1.other_id AS hard_negative_id, n1.s AS hard_negative_sim,
+       round(p1.s - n1.s, 6) AS margin
+FROM embeddings e
+LEFT JOIN pos p1 ON p1.anchor_id = e.vec_id AND p1.rk = 1
+LEFT JOIN neg n1 ON n1.anchor_id = e.vec_id AND n1.rk = 1
+ORDER BY e.vec_id
+"""
+
+
+Q_HARD_NEGATIVES_ORACLE = _hard_negatives_oracle()
+
+
+# ---------------------------------------------------------------------------
+# class-balancing weight table (inverse-frequency + effective number)
+# ---------------------------------------------------------------------------
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label inverse-frequency and effective-number (Cui et al.
+    2019) weights, both normalized to preserve corpus size. The
+    oracle replays counts, both schemes, and the normalization."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        class_weights,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return class_weights(emb)
+
+
+Q_CLASS_WEIGHTS_ORACLE = """
+WITH c AS (
+  SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY label
+),
+r AS (
+  SELECT label, n,
+         1.0 / n AS inv,
+         (1.0 - 0.9999) / (1.0 - pow(0.9999, n)) AS eff
+  FROM c
+),
+s AS (
+  SELECT sum(n)::DOUBLE AS total,
+         sum(n * inv) AS si, sum(n * eff) AS se
+  FROM r
+)
+SELECT label, n,
+       round(inv * total / si, 6) AS w_inverse,
+       round(eff * total / se, 6) AS w_effective
+FROM r CROSS JOIN s ORDER BY label
+"""

@@ -1568,3 +1568,55 @@ def test_bpe_local_matches_distributed(spark):
     local = learn_bpe_merges(df, num_merges=5)
     dist = _learn_merges_distributed(_word_freqs(df, "text"), 5)
     assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+
+
+def test_hard_negatives_mining(spark):
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        hard_negatives,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.1], 0),     # near 1, same label -> 1's positive
+            (3, [0.9, 0.2], 1),      # near both, other label -> hard negative
+            (4, [-1.0, 0.0], 1),     # far
+            (5, [0.0, 1.0], 2),      # singleton label: no positive exists
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["vec_id"]: r for r in hard_negatives(df).collect()}
+    assert len(out) == 5
+    assert out[1]["positive_id"] == 2
+    assert out[1]["hard_negative_id"] == 3
+    assert out[1]["margin"] > 0          # positive closer than negative
+    assert out[5]["positive_id"] is None  # singleton label surfaces, not drops
+    assert out[5]["hard_negative_id"] is not None
+    # boundary case census: anchor 3's same-label mate (4) points the
+    # opposite way while different-label 2 sits next to it -> its hard
+    # negative beats its positive and the margin goes negative
+    assert out[3]["hard_negative_id"] == 2 and out[3]["margin"] < 0
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        hard_negatives(df, max_rows=3)
+
+
+def test_class_weights_normalization(spark):
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        class_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(90)] + [(100 + i, 1) for i in range(10)],
+        "vec_id long, label int",
+    )
+    out = {r["label"]: r for r in class_weights(df).collect()}
+    # rare class upweighted, common downweighted, corpus size preserved
+    assert out[1]["w_inverse"] > 1.0 > out[0]["w_inverse"]
+    assert out[1]["w_effective"] > 1.0 > out[0]["w_effective"]
+    for scheme in ("w_inverse", "w_effective"):
+        total = sum(out[l]["n"] * out[l][scheme] for l in out)
+        assert abs(total - 100) < 1e-3
+    # effective-number damps the inverse-frequency overcorrection
+    assert out[1]["w_effective"] < out[1]["w_inverse"]
