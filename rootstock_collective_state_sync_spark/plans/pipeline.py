@@ -109,6 +109,34 @@ def _stage_containment_dedup(df: DataFrame, p: dict[str, Any]) -> DataFrame:
     )
 
 
+def _stage_pii_card_filter(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Quarantine documents carrying Luhn-VALID card-number runs
+    (plausible real PII); random digit runs pass through."""
+    from rootstock_collective_state_sync_spark.operators.text import luhn_audit
+
+    bad = (
+        luhn_audit(df)
+        .filter(F.col("n_luhn_valid") >= int(p.get("max_valid", 1)))
+        .select("doc_id")
+    )
+    return df.join(bad, "doc_id", "left_anti")
+
+
+def _stage_novelty_floor(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Drop documents whose n-gram novelty is below the floor — the
+    're-scraped content' cut of an incremental crawl."""
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    keep = (
+        ngram_novelty(df, n=int(p.get("n", 3)))
+        .filter(F.col("novelty_e6") >= int(p["min_e6"]))
+        .select("doc_id")
+    )
+    return df.join(keep, "doc_id", "left_semi")
+
+
 STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
     "gopher_filter": _stage_gopher_filter,
     "exact_dedup": _stage_exact_dedup,
@@ -119,6 +147,8 @@ STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
     "repetition_filter": _stage_repetition_filter,
     "line_dedup": _stage_line_dedup,
     "containment_dedup": _stage_containment_dedup,
+    "pii_card_filter": _stage_pii_card_filter,
+    "novelty_floor": _stage_novelty_floor,
 }
 
 

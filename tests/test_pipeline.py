@@ -88,3 +88,35 @@ def test_new_stages_compose_with_audit(spark):
     assert all(t.get("killed", 0) >= 0 for t in trail[1:])
     # text column survives the line_dedup rewrite
     assert "text" in out.columns
+
+
+def test_pii_and_novelty_stages(spark):
+    from rootstock_collective_state_sync_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # zero-novelty re-scrape
+            (3, "pay with card 4539 1488 0343 6467 now please " + base),
+            (4, "random digits 4539 1488 0343 6468 here " + base),
+        ],
+        "doc_id long, text string",
+    )
+    out, trail = run_pipeline(
+        docs,
+        [
+            {"stage": "pii_card_filter"},
+            {"stage": "novelty_floor", "min_e6": 100_000},
+        ],
+        audit=True,
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    # 3 quarantined (Luhn-valid card), 2 cut as zero-novelty re-scrape;
+    # 4's digit run fails the checksum so it survives the PII stage
+    assert ids == {1, 4}
+    assert [t["stage"] for t in trail] == [
+        "input", "pii_card_filter", "novelty_floor"
+    ]

@@ -204,3 +204,78 @@ def test_winsorize_output_bounded_by_group_extremes(spark, vals):
         # clamp flags are consistent with the rewrite
         if not r["clipped_lo"] and not r["clipped_hi"]:
             assert r["value_wins"] == r["value"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    body=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=12, max_size=18
+    )
+)
+def test_luhn_check_digit_property(spark, body):
+    """For ANY digit body, exactly one of the ten possible check
+    digits makes the full number Luhn-valid — and luhn_audit agrees
+    with the reference Python implementation on which one."""
+    from rootstock_collective_state_sync_spark.operators.text import luhn_audit
+
+    def ref_valid(digits):
+        total = 0
+        for i, d in enumerate(reversed(digits)):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rows = [
+        (c, "num " + "".join(map(str, body + [c])) + " end")
+        for c in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_luhn_valid"] for r in luhn_audit(df).collect()
+    }
+    want = {c: int(ref_valid(body + [c])) for c in range(10)}
+    assert got == want
+    assert sum(want.values()) == 1  # exactly one valid check digit
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=3,
+        max_size=12,
+        unique=True,
+    ),
+    shift=st.integers(min_value=-500, max_value=500),
+)
+def test_mad_normalize_translation_invariant(spark, vals, shift):
+    """Robust z-scores are invariant under translation of the whole
+    group (median shifts with the data, MAD and z do not move)."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        mad_normalize,
+    )
+
+    mk = lambda off: spark.createDataFrame(
+        [(i, "g", float(v + off)) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    base = {
+        r["event_id"]: r["robust_z_e6"]
+        for r in mad_normalize(mk(0)).collect()
+    }
+    moved = {
+        r["event_id"]: r["robust_z_e6"]
+        for r in mad_normalize(mk(shift)).collect()
+    }
+    assert base == moved
