@@ -406,6 +406,11 @@ SPECS: dict[str, QuerySpec] = {
     "class_weights": QuerySpec(
         TR.q_class_weights, TR.Q_CLASS_WEIGHTS_ORACLE, ("similarity", "agg")
     ),
+    "hard_negatives_celled": QuerySpec(
+        TR.q_hard_negatives_celled,
+        TR.Q_HARD_NEGATIVES_CELLED_ORACLE,
+        ("similarity",),
+    ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
         Q.Q_KCENTER_CORESET_ORACLE,
@@ -548,12 +553,12 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (e) 9 brand-new r08 queries (credit_card_audit, embedding_gram,
+# (e) 10 brand-new r08 queries (credit_card_audit, embedding_gram,
 #     mad_normalize, source_interleave, ngram_novelty,
 #     embedding_effective_rank, source_lang_mi, hard_negatives,
-#     class_weights) — checked the
+#     class_weights, hard_negatives_celled) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 19 multi-round-green anchors spanning every family.
+# (d) 18 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -592,6 +597,7 @@ _DRIVER_WINDOW = [
     "source_lang_mi",
     "hard_negatives",
     "class_weights",
+    "hard_negatives_celled",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -603,7 +609,6 @@ _DRIVER_WINDOW = [
     "changelog_incremental",
     "bigint_arith",
     "fk_deref_join",
-    "filter_range_scan",
     "asof_join",
     "range_join",
     "dedup_exact",

@@ -1826,3 +1826,59 @@ SELECT label, n,
        round(eff * total / se, 6) AS w_effective
 FROM r CROSS JOIN s ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining at scale: cell-confined shortlist
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negatives_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-confined contrastive mining — O(n·cell_size), the scale
+    path of `hard_negatives`. The oracle replays the full k-means
+    quantizer (shared unroll), in-cell pair scoring, both argmaxes,
+    and the NULL-surfacing left join."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        hard_negatives_celled,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives_celled(emb, num_cells=16).orderBy("vec_id")
+
+
+def _hard_negatives_celled_oracle() -> str:
+    cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
+    tail = f""",
+p AS (
+  SELECT ca.vec_id AS anchor_id, cb.vec_id AS other_id,
+         (ea.label = eb.label) AS same, {cos} AS s
+  FROM cells ca
+  JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id <> cb.vec_id
+  JOIN embeddings ea ON ea.vec_id = ca.vec_id
+  JOIN embeddings eb ON eb.vec_id = cb.vec_id
+),
+pos AS (
+  SELECT anchor_id, other_id, s,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY s DESC, other_id ASC) AS rk
+  FROM p WHERE same
+),
+neg AS (
+  SELECT anchor_id, other_id, s,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY s DESC, other_id ASC) AS rk
+  FROM p WHERE NOT same
+)
+SELECT e.vec_id, e.label, c.cell,
+       p1.other_id AS positive_id, p1.s AS positive_sim,
+       n1.other_id AS hard_negative_id, n1.s AS hard_negative_sim,
+       round(p1.s - n1.s, 6) AS margin
+FROM embeddings e
+JOIN cells c ON c.vec_id = e.vec_id
+LEFT JOIN pos p1 ON p1.anchor_id = e.vec_id AND p1.rk = 1
+LEFT JOIN neg n1 ON n1.anchor_id = e.vec_id AND n1.rk = 1
+ORDER BY e.vec_id"""
+    return _ivf_cells_oracle(tail=tail)
+
+
+Q_HARD_NEGATIVES_CELLED_ORACLE = _hard_negatives_celled_oracle()
