@@ -190,6 +190,75 @@ class VersionedTable:
         # mergeSchema off + explicit schema: pure columnar scan, no footer inference
         return self.spark.read.schema(m.schema).parquet(*files)
 
+    def diff(self, old_version: int, new_version: int | None = None) -> DataFrame:
+        """Row-level change feed between two committed versions:
+        ``(op, <merge keys>, <non-key columns of the NEW row; for
+        deletes, of the OLD row>)`` with ``op`` in
+        ``insert | update | delete``. The CDC view a consumer tails to
+        mirror the table without re-reading snapshots — the version-
+        level analog of the engine's per-batch diff-update
+        (``sinks/upsert.py``, reference changelog semantics).
+
+        Plan shape: both snapshots are bucketed on the SAME keys and
+        bucket count by construction, and only buckets whose file
+        lists differ between the two manifests are read at all —
+        unchanged buckets are pruned out by manifest comparison before
+        any scan, so the diff costs O(changed buckets), not O(table).
+        The join inside each changed bucket is key-colocated.
+        """
+        m_old = self.manifest(old_version)
+        m_new = self.manifest(new_version)
+        changed = [
+            b
+            for b in set(m_old.buckets) | set(m_new.buckets)
+            if m_old.buckets.get(b) != m_new.buckets.get(b)
+        ]
+        keys = m_new.merge_keys
+        val_cols = [c for c in m_new.schema.names if c not in keys]
+        ib = [int(b) for b in changed]
+        o = self.read(old_version, buckets=ib)
+        n = self.read(new_version, buckets=ib)
+        oj = o.select(
+            *[F.col(k).alias(f"_ok_{k}") for k in keys],
+            *[F.col(c).alias(f"_ov_{c}") for c in val_cols],
+        )
+        nj = n.select(
+            *[F.col(k).alias(f"_nk_{k}") for k in keys],
+            *[F.col(c).alias(f"_nv_{c}") for c in val_cols],
+        )
+        cond = None
+        for k in keys:
+            c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+            cond = c if cond is None else (cond & c)
+        j = oj.join(nj, cond, "full_outer")
+        is_del = F.col(f"_nk_{keys[0]}").isNull()
+        is_ins = F.col(f"_ok_{keys[0]}").isNull()
+        changed_val = F.lit(False)
+        for c in val_cols:
+            ne = ~(
+                F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+            )
+            changed_val = changed_val | ne
+        op = (
+            F.when(is_del, F.lit("delete"))
+            .when(is_ins, F.lit("insert"))
+            .when(changed_val, F.lit("update"))
+        )
+        out_key = [
+            F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+            for k in keys
+        ]
+        out_val = [
+            F.when(is_del, F.col(f"_ov_{c}"))
+            .otherwise(F.col(f"_nv_{c}"))
+            .alias(c)
+            for c in val_cols
+        ]
+        return (
+            j.select(op.alias("op"), *out_key, *out_val)
+            .filter(F.col("op").isNotNull())
+        )
+
     # ---- write -------------------------------------------------------------
 
     def _write_tx(self, df: DataFrame, num_buckets: int, keys: list[str]) -> dict[str, list[str]]:

@@ -181,3 +181,38 @@ def test_catalog_create_all_and_list(spark, tmp_table_dir):
     assert cat.list_tables() == ["A", "B"]
     # create-missing-only on re-run
     assert cat.create_all({"A": SCHEMA, "B": SCHEMA}, {"A": ["id"], "B": ["id"]}) == []
+
+
+def test_version_diff_change_feed(spark, table):
+    """diff(v_old, v_new) = exact row-level CDC between snapshots:
+    inserts, updates, deletes, unchanged rows absent — and unchanged
+    BUCKETS pruned before any scan (manifest-level comparison)."""
+    v1 = merge_upsert(
+        table,
+        make(spark, [("a", Decimal(1), "x"), ("b", Decimal(2), "y"),
+                     ("c", Decimal(3), "z")]),
+    )
+    # update a, delete b (via overwrite), insert d, keep c unchanged
+    v2 = table.overwrite(
+        make(spark, [("a", Decimal(10), "x"), ("c", Decimal(3), "z"),
+                     ("d", Decimal(4), "w")])
+    )
+    got = {
+        (r["op"], r["id"]): (r["amount"], r["note"])
+        for r in table.diff(v1, v2).collect()
+    }
+    assert got == {
+        ("update", "a"): (Decimal(10), "x"),
+        ("delete", "b"): (Decimal(2), "y"),
+        ("insert", "d"): (Decimal(4), "w"),
+    }
+    # no-change diff is empty
+    assert table.diff(v2, v2).count() == 0
+    # null-safe value compare: note NULL <-> NULL is not an update
+    v3 = table.overwrite(
+        make(spark, [("a", Decimal(10), None), ("c", Decimal(3), "z"),
+                     ("d", Decimal(4), "w")])
+    )
+    got3 = {(r["op"], r["id"]) for r in table.diff(v2, v3).collect()}
+    assert got3 == {("update", "a")}
+    assert table.diff(v3, v3).count() == 0
