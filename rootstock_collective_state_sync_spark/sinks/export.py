@@ -158,3 +158,46 @@ def read_jsonl(spark, path: str, schema) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def export_curriculum_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str = "interleave_key",
+    num_shards: int = 8,
+) -> DataFrame:
+    """Materialize a curriculum ordering (e.g.
+    :func:`..operators.sampling.source_interleave`'s closed-form key)
+    WITHOUT a global sort: ``repartitionByRange`` assigns each shard a
+    contiguous ``order_col`` span (a distributed range exchange —
+    sampled bounds, no single-partition stage) and rows are sorted
+    only within their shard. A trainer consuming ``shard=0..N-1``
+    sequentially, each shard in file order, reads the exact global
+    curriculum. Returns the shard manifest
+    ``(shard, n_rows, min_key, max_key)`` — spans are disjoint by
+    construction, which the reader (or a test) can assert before
+    trusting the order.
+    """
+    ranged = (
+        df.repartitionByRange(num_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("shard", F.spark_partition_id().cast("long"))
+    )
+    ranged.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/{DATA_DIR}"
+    )
+    spark = df.sparkSession
+    manifest = (
+        spark.read.parquet(f"{path}/{DATA_DIR}")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(order_col).alias("min_key"),
+            F.max(order_col).alias("max_key"),
+        )
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{MANIFEST_DIR}"
+    )
+    return manifest

@@ -1620,3 +1620,41 @@ def test_class_weights_normalization(spark):
         assert abs(total - 100) < 1e-3
     # effective-number damps the inverse-frequency overcorrection
     assert out[1]["w_effective"] < out[1]["w_inverse"]
+
+
+def test_curriculum_export_preserves_global_order(spark, tmp_path):
+    """source_interleave key -> range-sharded export: shards carry
+    disjoint contiguous key spans, and reading shard 0..N-1 in order
+    (each sorted by file order) replays the exact global rotation —
+    no global sort anywhere."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        source_interleave,
+    )
+    from rootstock_collective_state_sync_spark.sinks.export import (
+        export_curriculum_shards,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    keyed = source_interleave(df)
+    path = str(tmp_path / "curriculum")
+    manifest = export_curriculum_shards(keyed, path, num_shards=4).collect()
+
+    spans = sorted((r["min_key"], r["max_key"]) for r in manifest)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))  # disjoint
+    assert sum(r["n_rows"] for r in manifest) == 60
+
+    got = []
+    for s in sorted(r["shard"] for r in manifest):
+        part = (
+            spark.read.parquet(f"{path}/data/shard={s}")
+            .orderBy("interleave_key")
+            .collect()
+        )
+        got.extend(r["source"] for r in part)
+    want = [
+        r["source"]
+        for r in keyed.orderBy("interleave_key").collect()
+    ]
+    assert got == want
+    assert got[:6] == ["s0", "s1", "s2", "s0", "s1", "s2"]  # strict rotation
