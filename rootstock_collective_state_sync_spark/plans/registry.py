@@ -411,6 +411,9 @@ SPECS: dict[str, QuerySpec] = {
         TR.Q_HARD_NEGATIVES_CELLED_ORACLE,
         ("similarity",),
     ),
+    "bpe_pack": QuerySpec(
+        TR.q_bpe_pack, TR.Q_BPE_PACK_ORACLE, ("text", "sampling")
+    ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
         Q.Q_KCENTER_CORESET_ORACLE,
@@ -553,12 +556,12 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (e) 10 brand-new r08 queries (credit_card_audit, embedding_gram,
+# (e) 11 brand-new r08 queries (credit_card_audit, embedding_gram,
 #     mad_normalize, source_interleave, ngram_novelty,
 #     embedding_effective_rank, source_lang_mi, hard_negatives,
-#     class_weights, hard_negatives_celled) — checked the
+#     class_weights, hard_negatives_celled, bpe_pack) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 18 multi-round-green anchors spanning every family.
+# (d) 17 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -598,6 +601,7 @@ _DRIVER_WINDOW = [
     "hard_negatives",
     "class_weights",
     "hard_negatives_celled",
+    "bpe_pack",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -608,7 +612,6 @@ _DRIVER_WINDOW = [
     "keyset_page",
     "changelog_incremental",
     "bigint_arith",
-    "fk_deref_join",
     "asof_join",
     "range_join",
     "dedup_exact",

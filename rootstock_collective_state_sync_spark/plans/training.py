@@ -1882,3 +1882,68 @@ ORDER BY e.vec_id"""
 
 
 Q_HARD_NEGATIVES_CELLED_ORACLE = _hard_negatives_celled_oracle()
+
+
+# ---------------------------------------------------------------------------
+# tokenizer -> packing end-to-end (train BPE, encode, pack into bins)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training data path in one oracled query: learn the
+    BPE merges, encode every document, then pack token counts into
+    fixed 512-token training bins (shard-local cumulative-sum
+    packing). The oracle composes the unrolled trainer, the
+    segmentation counts, and the integer packing window — the judge
+    can hash-check tokenizer + packer as one unit."""
+    from rootstock_collective_state_sync_spark.operators.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+    )
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, num_merges=6)
+    enc = bpe_encode(docs, merges)
+    packed = pack_sequences(
+        enc, size_col="n_tokens", capacity=512, num_shards=8
+    )
+    return packed.orderBy("doc_id")
+
+
+Q_BPE_PACK_ORACLE = _bpe_rounds(6) + """,
+seg AS (
+  SELECT w, (length(sym) - length(replace(sym, '[', '')))::BIGINT AS ntok
+  FROM w6
+),
+dt AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS w
+  FROM documents
+),
+agg AS (
+  SELECT dt.doc_id, sum(seg.ntok)::BIGINT AS n_tokens
+  FROM dt JOIN seg USING (w) GROUP BY dt.doc_id
+),
+sized AS (
+  SELECT d.doc_id, d.doc_id % 8 AS shard,
+         coalesce(a.n_tokens, 0) AS size
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+),
+packed AS (
+  SELECT doc_id, shard,
+         coalesce(sum(size) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS excl,
+         size
+  FROM sized
+)
+SELECT doc_id, shard,
+       (excl // 512)::BIGINT AS bin_id,
+       (excl % 512)::BIGINT AS bin_offset,
+       size
+FROM packed ORDER BY doc_id
+"""
