@@ -105,9 +105,21 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     comment running to end of line anywhere in the header. Only
     maxval <= 255 (1 byte/sample) is supported; 2-byte samples raise.
     Returns ``(width, height, maxval, raster)``."""
-    if payload[:2] != b"P6":
-        raise ValueError(f"not a P6 PPM: magic {payload[:2]!r}")
-    pos = 2
+    w, h, maxval, raster, _ = _parse_ppm_at(payload, 0)
+    return w, h, maxval, raster
+
+
+def _parse_ppm_at(
+    payload: bytes, start: int
+) -> tuple[int, int, int, bytes, int]:
+    """:func:`_parse_ppm` for concatenated frame streams: parse ONE
+    frame beginning at ``start``, additionally returning the index
+    just past its raster (the next frame's start)."""
+    if payload[start : start + 2] != b"P6":
+        raise ValueError(
+            f"not a P6 PPM: magic {payload[start:start + 2]!r}"
+        )
+    pos = start + 2
     fields: list[int] = []
     while len(fields) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -130,7 +142,7 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     raster = payload[pos : pos + n]
     if len(raster) != n:
         raise ValueError(f"truncated PPM raster: want {n}, have {len(raster)}")
-    return width, height, maxval, raster
+    return width, height, maxval, raster, pos + n
 
 
 def decode_ppm(payload: bytes) -> dict:
@@ -661,4 +673,108 @@ def audio_frame_energy(
 
     return _by_content_hash(df, num_partitions).mapInPandas(
         batches, AUDIO_FRAME_SCHEMA
+    )
+
+
+def attach_video_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic multi-frame 'video' fixture: ``2 + doc_id % 3``
+    real P6 frames concatenated back-to-back, frame ``k``'s raster =
+    the text with its first ``k`` chars dropped, cycle-filled — so
+    consecutive frames differ by a deterministic pixel shift and the
+    SQL oracle can rebuild every frame byte-for-byte (same
+    string/byte duality as :func:`attach_ppm_payload`). Real
+    pipelines read container formats via ``binaryFile`` + a real
+    demuxer behind :func:`decode_media`."""
+    w = (F.lit(8) + F.col("doc_id") % 8).cast("int")
+    h = (F.lit(6) + F.col("doc_id") % 5).cast("int")
+    nf = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    payload = F.expr(
+        "aggregate(sequence(0, _nf - 1), cast('' as string), (acc, k) -> "
+        "acc || 'P6\\n' || cast(_w as string) || ' ' || cast(_h as string) "
+        f"|| '\\n255\\n' || rpad(substr({text_col}, k + 1), "
+        f"cast(_w * _h * 3 as int), {text_col}))"
+    )
+    return (
+        df.withColumn("_w", w)
+        .withColumn("_h", h)
+        .withColumn("_nf", nf)
+        .withColumn("payload", payload.cast("binary"))
+        .select("doc_id", "payload")
+    )
+
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pair_no", T.IntegerType(), False),
+        T.StructField("diff_total", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("mean_diff_e6", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def video_scene_scores(
+    df: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Scene-change scoring over REAL decoded frame sequences: walk
+    the concatenated P6 stream, and for every consecutive frame pair
+    emit the exact integer sum of absolute per-byte raster
+    differences plus its e6 mean — the cut-detection signal a video
+    curation pipeline thresholds. Exact integers end to end, so the
+    oracle replays every byte.
+
+    Plan shape / 100 TB: one Arrow-batched decode pass, work spread
+    by content hash (:func:`_by_content_hash`); output is
+    frames-per-video-bounded rows, never rasters. Corrupt payloads
+    quarantine into ``decode_error`` (single emitted row, pair_no -1)
+    instead of aborting the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "pair_no", "diff_total", "n_bytes",
+                "mean_diff_e6", "decode_error",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                try:
+                    frames = []
+                    pos = 0
+                    while pos < len(b):
+                        _, _, _, raster, pos = _parse_ppm_at(b, pos)
+                        frames.append(raster)
+                    if len(frames) < 2:
+                        raise ValueError("fewer than 2 frames")
+                    for k in range(len(frames) - 1):
+                        a, c = frames[k], frames[k + 1]
+                        dt = int(
+                            np.abs(
+                                np.frombuffer(a, dtype=np.uint8).astype(
+                                    np.int64
+                                )
+                                - np.frombuffer(c, dtype=np.uint8).astype(
+                                    np.int64
+                                )
+                            ).sum()
+                        )
+                        rows["doc_id"].append(doc_id)
+                        rows["pair_no"].append(k)
+                        rows["diff_total"].append(dt)
+                        rows["n_bytes"].append(len(a))
+                        rows["mean_diff_e6"].append(
+                            dt * 1_000_000 // len(a)
+                        )
+                        rows["decode_error"].append(None)
+                except ValueError as e:
+                    rows["doc_id"].append(doc_id)
+                    rows["pair_no"].append(-1)
+                    for k in ("diff_total", "n_bytes", "mean_diff_e6"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame(rows)
+
+    return _by_content_hash(df, num_partitions).mapInPandas(
+        batches, SCENE_SCHEMA
     )

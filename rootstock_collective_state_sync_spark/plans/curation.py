@@ -1604,3 +1604,53 @@ SELECT doc_id, source,
 FROM ranked CROSS JOIN n
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal: scene-change scoring over real decoded frame sequences
+# ---------------------------------------------------------------------------
+
+
+def q_video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per consecutive-frame-pair byte-exact difference energy over
+    real multi-frame P6 streams — the video leg's cut-detection
+    signal, value-checked to the byte: the oracle rebuilds every
+    frame and replays every |a-b|."""
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = M.video_scene_scores(M.attach_video_payload(docs))
+    return (
+        out.filter(F.col("decode_error").isNull() & (F.col("pair_no") >= 0))
+        .select("doc_id", "pair_no", "diff_total", "n_bytes", "mean_diff_e6")
+        .orderBy("doc_id", "pair_no")
+    )
+
+
+Q_VIDEO_SCENE_CHANGES_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         (8 + doc_id % 8)::BIGINT AS w,
+         (6 + doc_id % 5)::BIGINT AS h,
+         (2 + doc_id % 3)::BIGINT AS nf
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, r.k AS pair_no,
+         rpad(substr(text, (r.k + 1)::INT), (w * h * 3)::INT, text) AS ra,
+         rpad(substr(text, (r.k + 2)::INT), (w * h * 3)::INT, text) AS rb,
+         (w * h * 3)::BIGINT AS n
+  FROM base, range(3) r(k) WHERE r.k < nf - 1
+),
+d AS (
+  SELECT doc_id, pair_no,
+         list_sum(list_transform(range(n), i ->
+             abs(ord(substr(ra, (i + 1)::INT, 1))
+               - ord(substr(rb, (i + 1)::INT, 1)))))::BIGINT AS diff_total,
+         n AS n_bytes
+  FROM pairs
+)
+SELECT doc_id, pair_no::INTEGER AS pair_no, diff_total, n_bytes,
+       (diff_total * 1000000 // n_bytes)::BIGINT AS mean_diff_e6
+FROM d ORDER BY doc_id, pair_no
+"""

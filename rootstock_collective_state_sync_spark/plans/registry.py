@@ -414,6 +414,11 @@ SPECS: dict[str, QuerySpec] = {
     "bpe_pack": QuerySpec(
         TR.q_bpe_pack, TR.Q_BPE_PACK_ORACLE, ("text", "sampling")
     ),
+    "video_scene_changes": QuerySpec(
+        CU.q_video_scene_changes,
+        CU.Q_VIDEO_SCENE_CHANGES_ORACLE,
+        ("multimodal",),
+    ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
         Q.Q_KCENTER_CORESET_ORACLE,
@@ -556,12 +561,13 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (e) 11 brand-new r08 queries (credit_card_audit, embedding_gram,
+# (e) 12 brand-new r08 queries (credit_card_audit, embedding_gram,
 #     mad_normalize, source_interleave, ngram_novelty,
 #     embedding_effective_rank, source_lang_mi, hard_negatives,
-#     class_weights, hard_negatives_celled, bpe_pack) — checked the
+#     class_weights, hard_negatives_celled, bpe_pack,
+#     video_scene_changes) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 17 multi-round-green anchors spanning every family.
+# (d) 16 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -602,6 +608,7 @@ _DRIVER_WINDOW = [
     "class_weights",
     "hard_negatives_celled",
     "bpe_pack",
+    "video_scene_changes",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -614,7 +621,6 @@ _DRIVER_WINDOW = [
     "bigint_arith",
     "asof_join",
     "range_join",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
