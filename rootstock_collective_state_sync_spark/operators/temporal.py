@@ -185,3 +185,78 @@ def time_decayed_score(
         )
         .drop("_vals")
     )
+
+
+def attribution_touch(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch attribution: for every conversion
+    event, the earliest and the latest preceding touch event by the
+    same user (ties by event id). The standard marketing/causal
+    credit assignment — and, in a data-pipeline setting, the 'which
+    upstream interaction led to this label' join.
+
+    "Preceding" means earlier in the total ``(ts, event_id)`` order —
+    a touch sharing the conversion's timestamp counts iff its event id
+    is smaller. Fully deterministic, and exactly what the oracle
+    replays.
+
+    Plan shape / 100 TB: one shuffle on ``user`` for a single window
+    pass over the type-filtered union — running first/last over the
+    interleaved touch stream, NO touch×conversion join, so a user
+    with T touches and C conversions costs O(T + C), never O(T·C).
+    """
+    from pyspark.sql import Window
+
+    tagged = events.filter(
+        F.col(type_col).isin(convert_type, touch_type)
+    ).select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        (F.col(type_col) == touch_type).alias("is_touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_struct = F.when(
+        F.col("is_touch"),
+        F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("eid")),
+    )
+    first_t = F.min(touch_struct).over(w)
+    last_t = F.max(touch_struct).over(w)
+    return (
+        tagged.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "is_touch",
+            first_t.alias("_f"),
+            last_t.alias("_l"),
+        )
+        .filter(~F.col("is_touch"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("conversion_id"),
+            F.col("_f.eid").alias("first_touch_id"),
+            F.col("_l.eid").alias("last_touch_id"),
+            # NTZ-safe epoch micros; the DIFFERENCE cancels any session
+            # timezone interpretation
+            (
+                F.expr("unix_micros(cast(ts as timestamp))")
+                - F.expr("unix_micros(cast(_f.ts as timestamp))")
+            ).alias("first_touch_lag_us"),
+            (
+                F.expr("unix_micros(cast(ts as timestamp))")
+                - F.expr("unix_micros(cast(_l.ts as timestamp))")
+            ).alias("last_touch_lag_us"),
+        )
+    )

@@ -1069,3 +1069,44 @@ JOIN med m USING (event_type)
 JOIN mad d USING (event_type)
 ORDER BY e.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# first/last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First- and last-click attribution for every purchase — one
+    keyed window over the interleaved touch stream, O(T+C) per user.
+    The oracle replays the running min/max struct walk with the same
+    (ts, id) total order."""
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        attribution_touch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_touch(ev).orderBy("conversion_id")
+
+
+Q_ATTRIBUTION_TOUCH_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type = 'click' AS is_touch
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+walked AS (
+  SELECT user_id, event_id, ts, is_touch,
+         min(CASE WHEN is_touch THEN struct_pack(ts := ts, eid := event_id) END)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f,
+         max(CASE WHEN is_touch THEN struct_pack(ts := ts, eid := event_id) END)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l
+  FROM tagged
+)
+SELECT user_id, event_id AS conversion_id,
+       f.eid AS first_touch_id, l.eid AS last_touch_id,
+       (epoch_us(ts) - epoch_us(f.ts))::BIGINT AS first_touch_lag_us,
+       (epoch_us(ts) - epoch_us(l.ts))::BIGINT AS last_touch_lag_us
+FROM walked WHERE NOT is_touch ORDER BY conversion_id
+"""

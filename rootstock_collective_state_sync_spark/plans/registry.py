@@ -419,6 +419,11 @@ SPECS: dict[str, QuerySpec] = {
         CU.Q_VIDEO_SCENE_CHANGES_ORACLE,
         ("multimodal",),
     ),
+    "attribution_touch": QuerySpec(
+        AN.q_attribution_touch,
+        AN.Q_ATTRIBUTION_TOUCH_ORACLE,
+        ("analytics", "temporal", "window"),
+    ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
         Q.Q_KCENTER_CORESET_ORACLE,
@@ -561,13 +566,13 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (e) 12 brand-new r08 queries (credit_card_audit, embedding_gram,
+# (e) 13 brand-new r08 queries (credit_card_audit, embedding_gram,
 #     mad_normalize, source_interleave, ngram_novelty,
 #     embedding_effective_rank, source_lang_mi, hard_negatives,
 #     class_weights, hard_negatives_celled, bpe_pack,
-#     video_scene_changes) — checked the
+#     video_scene_changes, attribution_touch) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 16 multi-round-green anchors spanning every family.
+# (d) 15 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -609,6 +614,7 @@ _DRIVER_WINDOW = [
     "hard_negatives_celled",
     "bpe_pack",
     "video_scene_changes",
+    "attribution_touch",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -621,7 +627,6 @@ _DRIVER_WINDOW = [
     "bigint_arith",
     "asof_join",
     "range_join",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
