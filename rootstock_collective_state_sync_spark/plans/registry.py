@@ -424,6 +424,9 @@ SPECS: dict[str, QuerySpec] = {
         AN.Q_ATTRIBUTION_TOUCH_ORACLE,
         ("analytics", "temporal", "window"),
     ),
+    "dedup_funnel": QuerySpec(
+        TR.q_dedup_funnel, TR.Q_DEDUP_FUNNEL_ORACLE, ("dedup", "agg")
+    ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
         Q.Q_KCENTER_CORESET_ORACLE,
@@ -566,13 +569,13 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (e) 13 brand-new r08 queries (credit_card_audit, embedding_gram,
+# (e) 14 brand-new r08 queries (credit_card_audit, embedding_gram,
 #     mad_normalize, source_interleave, ngram_novelty,
 #     embedding_effective_rank, source_lang_mi, hard_negatives,
 #     class_weights, hard_negatives_celled, bpe_pack,
-#     video_scene_changes, attribution_touch) — checked the
+#     video_scene_changes, attribution_touch, dedup_funnel) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 15 multi-round-green anchors spanning every family.
+# (d) 14 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -615,6 +618,7 @@ _DRIVER_WINDOW = [
     "bpe_pack",
     "video_scene_changes",
     "attribution_touch",
+    "dedup_funnel",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -627,7 +631,6 @@ _DRIVER_WINDOW = [
     "bigint_arith",
     "asof_join",
     "range_join",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
     "pq_topk",

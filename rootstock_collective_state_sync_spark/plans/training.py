@@ -1947,3 +1947,154 @@ SELECT doc_id, shard,
        size
 FROM packed ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sequential dedup funnel report (exact -> near-dup -> containment)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel in one table: how many documents each
+    successive dedup tier kills — exact content hash (keep-first),
+    then 0.5-Jaccard near-dups AMONG the exact survivors, then
+    0.8-containment subset pairs AMONG those survivors (each tier
+    recomputes its index on its own input, which is what running the
+    tiers as a pipeline actually does). Kill rule per tier is the
+    single-pass mark (exists an earlier/bigger surviving partner);
+    transitive cluster resolution stays `dedup_clusters`' job.
+    The oracle replays all three tiers on the same shrinking subsets.
+    """
+    from rootstock_collective_state_sync_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # tier 1: exact (keep min id per normalized content hash)
+    keepers1 = D.exact_groups(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    s1 = docs.join(keepers1, "doc_id", "left_semi")
+
+    # tier 2: near-dup pairs among s1; kill the higher id of each pair
+    killed2 = (
+        D.ngram_jaccard_pairs(s1, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(killed2, "doc_id", "left_anti")
+
+    # tier 3: containment among s2; kill the contained (smaller) side
+    killed3 = (
+        D.containment_pairs(s2, threshold=0.8)
+        .select(F.col("id_small").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(killed3, "doc_id", "left_anti")
+
+    def tier(no: int, name: str, n_in: DataFrame, n_out: DataFrame):
+        return (
+            n_in.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+            .crossJoin(
+                n_out.agg(F.count(F.lit(1)).cast("long").alias("n_out"))
+            )
+            .select(
+                F.lit(no).cast("int").alias("tier"),
+                F.lit(name).alias("tier_name"),
+                "n_in",
+                (F.col("n_in") - F.col("n_out")).alias("n_killed"),
+                "n_out",
+            )
+        )
+
+    return (
+        tier(1, "exact", docs, s1)
+        .unionByName(tier(2, "near_dup_jaccard", s1, s2))
+        .unionByName(tier(3, "containment", s2, s3))
+        .orderBy("tier")
+    )
+
+
+Q_DEDUP_FUNNEL_ORACLE = r"""
+WITH k1 AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+),
+s1 AS (SELECT d.* FROM documents d JOIN k1 USING (doc_id)),
+tok1 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM s1
+),
+sh1 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [] END AS shingles
+  FROM tok1
+),
+e1r AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh1),
+hot1 AS (SELECT s FROM e1r GROUP BY s HAVING count(*) > 100),
+e1 AS (SELECT * FROM e1r WHERE s NOT IN (SELECT s FROM hot1)),
+sz1 AS (SELECT id, count(*) AS n_sh FROM e1 GROUP BY id),
+pair1 AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM e1 a JOIN e1 b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+killed2 AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM pair1
+  JOIN sz1 sa ON pair1.id_a = sa.id
+  JOIN sz1 sb ON pair1.id_b = sb.id
+  WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+),
+s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM killed2)),
+tok2 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM s2
+),
+sh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [] END AS shingles
+  FROM tok2
+),
+e2r AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh2),
+hot2 AS (SELECT s FROM e2r GROUP BY s HAVING count(*) > 100),
+e2 AS (SELECT * FROM e2r WHERE s NOT IN (SELECT s FROM hot2)),
+sz2 AS (SELECT id, count(*) AS n_sh FROM e2 GROUP BY id),
+pair2 AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM e2 a JOIN e2 b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+killed3 AS (
+  SELECT DISTINCT CASE WHEN sa.n_sh < sb.n_sh
+                        OR (sa.n_sh = sb.n_sh AND id_a < id_b)
+                       THEN id_a ELSE id_b END AS doc_id
+  FROM pair2
+  JOIN sz2 sa ON pair2.id_a = sa.id
+  JOIN sz2 sb ON pair2.id_b = sb.id
+  WHERE round(inter::DOUBLE / least(sa.n_sh, sb.n_sh), 6) >= 0.8
+),
+n0 AS (SELECT count(*)::BIGINT AS n FROM documents),
+n1 AS (SELECT count(*)::BIGINT AS n FROM s1),
+n2 AS (SELECT count(*)::BIGINT AS n FROM s2),
+n3 AS (SELECT count(*)::BIGINT AS n
+       FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM killed3))
+SELECT 1::INTEGER AS tier, 'exact' AS tier_name,
+       n0.n AS n_in, n0.n - n1.n AS n_killed, n1.n AS n_out
+FROM n0, n1
+UNION ALL
+SELECT 2, 'near_dup_jaccard', n1.n, n1.n - n2.n, n2.n FROM n1, n2
+UNION ALL
+SELECT 3, 'containment', n2.n, n2.n - n3.n, n3.n FROM n2, n3
+ORDER BY tier
+"""
