@@ -1110,3 +1110,97 @@ SELECT user_id, event_id AS conversion_id,
        (epoch_us(ts) - epoch_us(l.ts))::BIGINT AS last_touch_lag_us
 FROM walked WHERE NOT is_touch ORDER BY conversion_id
 """
+
+
+# ---------------------------------------------------------------------------
+# top session paths (event-type trigram sequences within sessions)
+# ---------------------------------------------------------------------------
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step event-type journeys within 10-minute-gap
+    sessions — the path-mining companion of `session_cooccurrence`
+    (which ignores order). Deterministic ordering: (ts, event_id)
+    within user; trigrams never cross a session border. Output is
+    types³-bounded; the raw stream shuffles twice (user, then
+    user×session) and never self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    secs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    gap = secs - F.lag(secs).over(wu)
+    new_s = F.when(
+        F.lag("ts").over(wu).isNull() | (gap > 600), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_s)
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("snum"),
+    )
+    ws = Window.partitionBy("user_id", "snum").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = sess.select(
+        "user_id",
+        "snum",
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("path"),
+        F.lead("event_type", 2).over(ws).alias("_third"),
+    ).filter(F.col("_third").isNotNull())
+    return (
+        tri.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct("user_id", "snum")
+            .cast("long")
+            .alias("n_sessions"),
+        )
+        .orderBy("path")
+    )
+
+
+Q_SESSION_PATHS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT > 600
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS snum
+  FROM marked
+),
+tri AS (
+  SELECT user_id, snum,
+         event_type || '>' ||
+         lead(event_type, 1) OVER w || '>' ||
+         lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w AS third
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, snum ORDER BY ts ASC, event_id ASC)
+)
+SELECT path,
+       count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT (user_id, snum))::BIGINT AS n_sessions
+FROM tri WHERE third IS NOT NULL
+GROUP BY path ORDER BY path
+"""

@@ -427,6 +427,11 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_funnel": QuerySpec(
         TR.q_dedup_funnel, TR.Q_DEDUP_FUNNEL_ORACLE, ("dedup", "agg")
     ),
+    "session_paths": QuerySpec(
+        AN.q_session_paths,
+        AN.Q_SESSION_PATHS_ORACLE,
+        ("analytics", "window"),
+    ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
         Q.Q_KCENTER_CORESET_ORACLE,
@@ -569,13 +574,14 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (e) 14 brand-new r08 queries (credit_card_audit, embedding_gram,
+# (e) 15 brand-new r08 queries (credit_card_audit, embedding_gram,
 #     mad_normalize, source_interleave, ngram_novelty,
 #     embedding_effective_rank, source_lang_mi, hard_negatives,
 #     class_weights, hard_negatives_celled, bpe_pack,
-#     video_scene_changes, attribution_touch, dedup_funnel) — checked the
+#     video_scene_changes, attribution_touch, dedup_funnel,
+#     session_paths) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 14 multi-round-green anchors spanning every family.
+# (d) 13 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -619,6 +625,7 @@ _DRIVER_WINDOW = [
     "video_scene_changes",
     "attribution_touch",
     "dedup_funnel",
+    "session_paths",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -631,7 +638,6 @@ _DRIVER_WINDOW = [
     "bigint_arith",
     "asof_join",
     "range_join",
-    "dedup_simhash",
     "ann_cosine_topk",
     "pq_topk",
 ]
