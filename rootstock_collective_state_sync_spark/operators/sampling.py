@@ -645,3 +645,61 @@ def quantile_align(
             F.col("_s").alias(f"{score_col}_aligned"),
         )
     )
+
+
+def largest_remainder_alloc(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact integer budget allocation across groups (Hamilton /
+    largest-remainder method): each group gets
+    ``floor(budget·n_g/N)`` seats, and the leftover
+    ``budget − Σ floors`` seats go to the largest fractional
+    remainders (ties → larger group first, then name). The allocation
+    a curation run uses to turn 'sample exactly B documents overall,
+    proportionally by source' into per-source exact quotas —
+    quotas always sum to EXACTLY ``budget`` (no rounding drift), a
+    guarantee independent per-group rounding cannot give.
+
+    All integer arithmetic on exact counts: remainders are compared
+    as integers (``budget·n_g mod N``), never floats — bit-identical
+    on any engine.
+
+    Plan shape: one group-count shuffle (|groups| keys), a broadcast
+    total, and a |groups|-sized remainder rank — control-plane scale
+    after the first aggregation.
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_N"))
+    c = counts.crossJoin(F.broadcast(total))
+    base = F.floor(F.lit(budget) * F.col("n") / F.col("_N")).cast("long")
+    rem = (F.lit(budget) * F.col("n")) % F.col("_N")
+    w = Window.orderBy(
+        rem.desc(), F.col("n").desc(), F.col("grp").asc()
+    )
+    leftover = F.lit(budget) - F.sum(base).over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = c.select(
+        "grp",
+        "n",
+        base.alias("_base"),
+        rem.alias("_rem"),
+        F.row_number().over(w).alias("_rk"),
+        leftover.alias("_left"),
+    )
+    return ranked.select(
+        F.col("grp").alias(group_col),
+        "n",
+        (
+            F.col("_base")
+            + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    ).orderBy(group_col)

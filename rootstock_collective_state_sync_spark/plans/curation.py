@@ -1654,3 +1654,44 @@ SELECT doc_id, pair_no::INTEGER AS pair_no, diff_total, n_bytes,
        (diff_total * 1000000 // n_bytes)::BIGINT AS mean_diff_e6
 FROM d ORDER BY doc_id, pair_no
 """
+
+
+# ---------------------------------------------------------------------------
+# exact proportional budget allocation (largest remainder)
+# ---------------------------------------------------------------------------
+
+
+def q_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton-method per-source quotas for a 1000-document budget —
+    integer remainders, quotas summing exactly to the budget. The
+    oracle replays floors, remainder ranking, and the leftover
+    distribution."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        largest_remainder_alloc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return largest_remainder_alloc(docs, budget=1000)
+
+
+Q_BUDGET_ALLOC_ORACLE = """
+WITH c AS (
+  SELECT source AS grp, count(*)::BIGINT AS n FROM documents GROUP BY source
+),
+t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+b AS (
+  SELECT grp, n,
+         (1000 * n) // t.tot AS base,
+         (1000 * n) % t.tot AS rem
+  FROM c CROSS JOIN t
+),
+r AS (
+  SELECT grp, n, base, rem,
+         row_number() OVER (ORDER BY rem DESC, n DESC, grp ASC) AS rk,
+         1000 - sum(base) OVER () AS leftover
+  FROM b
+)
+SELECT grp AS source, n,
+       (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM r ORDER BY source
+"""

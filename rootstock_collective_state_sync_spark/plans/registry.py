@@ -432,6 +432,9 @@ SPECS: dict[str, QuerySpec] = {
         AN.Q_SESSION_PATHS_ORACLE,
         ("analytics", "window"),
     ),
+    "budget_alloc": QuerySpec(
+        CU.q_budget_alloc, CU.Q_BUDGET_ALLOC_ORACLE, ("curation", "agg")
+    ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
         Q.Q_KCENTER_CORESET_ORACLE,
@@ -574,14 +577,14 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (e) 15 brand-new r08 queries (credit_card_audit, embedding_gram,
+# (e) 16 brand-new r08 queries (credit_card_audit, embedding_gram,
 #     mad_normalize, source_interleave, ngram_novelty,
 #     embedding_effective_rank, source_lang_mi, hard_negatives,
 #     class_weights, hard_negatives_celled, bpe_pack,
 #     video_scene_changes, attribution_touch, dedup_funnel,
-#     session_paths) — checked the
+#     session_paths, budget_alloc) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 13 multi-round-green anchors spanning every family.
+# (d) 12 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -626,6 +629,7 @@ _DRIVER_WINDOW = [
     "attribution_touch",
     "dedup_funnel",
     "session_paths",
+    "budget_alloc",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -639,7 +643,6 @@ _DRIVER_WINDOW = [
     "asof_join",
     "range_join",
     "ann_cosine_topk",
-    "pq_topk",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -1658,3 +1658,30 @@ def test_curriculum_export_preserves_global_order(spark, tmp_path):
     ]
     assert got == want
     assert got[:6] == ["s0", "s1", "s2", "s0", "s1", "s2"]  # strict rotation
+
+
+def test_largest_remainder_quotas_sum_exactly(spark):
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        largest_remainder_alloc,
+    )
+
+    rows = (
+        [(i, "a") for i in range(7)]
+        + [(100 + i, "b") for i in range(7)]
+        + [(200 + i, "c") for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r["quota"] for r in
+           largest_remainder_alloc(df, budget=10).collect()}
+    # floors: a=3 (3.5), b=3 (3.5), c=3 (3.0); 1 leftover goes to the
+    # largest remainder (a and b tie at .5 -> bigger n ties too ->
+    # name 'a' wins)
+    assert out == {"a": 4, "b": 3, "c": 3}
+    assert sum(out.values()) == 10
+    # degenerate budgets
+    out0 = {r["source"]: r["quota"] for r in
+            largest_remainder_alloc(df, budget=0).collect()}
+    assert sum(out0.values()) == 0
+    big = {r["source"]: r["quota"] for r in
+           largest_remainder_alloc(df, budget=20).collect()}
+    assert sum(big.values()) == 20
