@@ -282,3 +282,78 @@ def stream_event_transitions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming twin of the batch session-path extraction
+# ---------------------------------------------------------------------------
+
+PATHS_OUTPUT_SCHEMA = "user_id bigint, path string"
+PATHS_STATE_SCHEMA = "t1 string, t2 string, last_sec bigint"
+
+
+def _paths_step(key, pdfs, state: GroupState, gap_s: int, idle_ms: int):
+    (user,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame({"user_id": [], "path": []}).astype(
+            {"user_id": "int64", "path": "str"}
+        )
+        return
+    t1, t2, last_sec = state.get if state.exists else (None, None, 0)
+    out = []
+    max_ms = 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            ms = int(row["ts_ms"])
+            sec = ms // 1000  # batch twin truncates to seconds first
+            if last_sec and sec - last_sec > gap_s:
+                t1, t2 = None, None  # session border: trigram buffer resets
+            cur = str(row["event_type"])
+            if t1 is not None and t2 is not None:
+                out.append(f"{t1}>{t2}>{cur}")
+            t1, t2 = t2, cur
+            last_sec = sec
+            max_ms = max(max_ms, ms)
+    state.update((t1, t2, last_sec))
+    state.setTimeoutTimestamp(max_ms + idle_ms)
+    yield pd.DataFrame(
+        {"user_id": [int(user)] * len(out), "path": out}
+    )
+
+
+def stream_session_paths(
+    events: DataFrame,
+    gap_minutes: int = 10,
+    watermark: str = "1 hour",
+    idle_minutes: int = 30,
+) -> DataFrame:
+    """Streaming twin of the batch `session_paths` trigram walk: per
+    user the state is just the last TWO event types of the current
+    session plus the last event second — O(1) per ACTIVE key, gap
+    splits identical to the batch query's truncated-seconds test,
+    TTL-evicted past the watermark. Emits one ``(user_id, path)`` row
+    per completed trigram; aggregate downstream for the path counts
+    (asserted equal to the batch multiset by the e2e test).
+
+    Ordering contract: same as :func:`stream_decayed_scores` — per-key
+    event-time order across micro-batches; in-batch rows sorted here.
+    """
+    idle_ms = idle_minutes * 60_000
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdfs, state):
+        yield from _paths_step(key, pdfs, state, gap_s, idle_ms)
+
+    return (
+        _with_ts_ms(events).withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=PATHS_OUTPUT_SCHEMA,
+            stateStructType=PATHS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

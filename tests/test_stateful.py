@@ -241,3 +241,96 @@ def test_stream_transitions_match_batch_lag(spark, tmp_path):
         .collect()
     )
     assert got == want and sum(got.values()) == 4
+
+
+def test_stream_session_paths_match_batch(spark, tmp_path):
+    """batch==stream for trigram path mining, including a session gap
+    that must RESET the trigram buffer (no path spans the border)."""
+    from collections import Counter
+
+    from rootstock_collective_state_sync_spark.streaming.stateful import (
+        stream_session_paths,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+        ]
+    )
+    rows = [
+        # user 7 session 1: view > cart > buy (one trigram)
+        (1, _t(9, 0), 7, "view"),
+        (2, _t(9, 3), 7, "cart"),
+        (3, _t(9, 6), 7, "buy"),
+        # >10 min gap: new session — view > view > buy only
+        (4, _t(13, 0), 7, "view"),
+        (5, _t(13, 2), 7, "view"),
+        (6, _t(13, 4), 7, "buy"),
+        # user 8: 4 events in one session -> two trigrams
+        (7, _t(9, 0), 8, "view"),
+        (8, _t(9, 1), 8, "view"),
+        (9, _t(13, 1), 8, "cart"),   # crosses micro-batch, NOT a gap
+        (10, _t(13, 2), 8, "buy"),
+    ]
+    # batch 2 events must stay in-session for user 8: gap 13:01-9:01 is
+    # > 10 min, so adjust: keep user 8 events close together
+    rows = [r for r in rows if r[0] < 7] + [
+        (7, _t(12, 55), 8, "view"),
+        (8, _t(12, 58), 8, "view"),
+        (9, _t(13, 1), 8, "cart"),
+        (10, _t(13, 2), 8, "buy"),
+    ]
+    d = tmp_path / "paths_stream"
+    d.mkdir()
+    spark.createDataFrame(
+        [r for r in rows if r[1] < _t(12)], schema
+    ).coalesce(1).write.parquet(str(d / "a_b1"))
+    spark.createDataFrame(
+        [r for r in rows if r[1] >= _t(12)], schema
+    ).coalesce(1).write.parquet(str(d / "b_b2"))
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    q = (
+        stream_session_paths(ev)
+        .writeStream.format("memory")
+        .queryName("sess_paths")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = Counter(
+        (r["user_id"], r["path"])
+        for r in spark.sql("select * from sess_paths").collect()
+    )
+    assert got == Counter(
+        {
+            (7, "view>cart>buy"): 1,
+            (7, "view>view>buy"): 1,
+            (8, "view>view>cart"): 1,
+            (8, "view>cart>buy"): 1,
+        }
+    )
+
+    # multiset equality with the BATCH session_paths trigram stream
+    from rootstock_collective_state_sync_spark.plans.analytics import (
+        q_session_paths,
+    )
+
+    bdir = tmp_path / "paths_batch"
+    spark.createDataFrame(rows, schema).write.parquet(str(bdir / "events.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        pass  # q_session_paths loads only `events`
+    batch = {
+        (r["path"], r["n_occurrences"])
+        for r in q_session_paths(spark, str(bdir)).collect()
+    }
+    stream_counts = Counter(p for _, p in got.elements())
+    assert batch == {(p, n) for p, n in stream_counts.items()}
