@@ -435,6 +435,11 @@ SPECS: dict[str, QuerySpec] = {
     "budget_alloc": QuerySpec(
         CU.q_budget_alloc, CU.Q_BUDGET_ALLOC_ORACLE, ("curation", "agg")
     ),
+    "embedding_dim_stats": QuerySpec(
+        TR.q_embedding_dim_stats,
+        TR.Q_EMBEDDING_DIM_STATS_ORACLE,
+        ("similarity", "agg"),
+    ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
         Q.Q_KCENTER_CORESET_ORACLE,
@@ -577,14 +582,14 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (e) 16 brand-new r08 queries (credit_card_audit, embedding_gram,
+# (e) 17 brand-new r08 queries (credit_card_audit, embedding_gram,
 #     mad_normalize, source_interleave, ngram_novelty,
 #     embedding_effective_rank, source_lang_mi, hard_negatives,
 #     class_weights, hard_negatives_celled, bpe_pack,
 #     video_scene_changes, attribution_touch, dedup_funnel,
-#     session_paths, budget_alloc) — checked the
+#     session_paths, budget_alloc, embedding_dim_stats) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 12 multi-round-green anchors spanning every family.
+# (d) 11 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -630,6 +635,7 @@ _DRIVER_WINDOW = [
     "dedup_funnel",
     "session_paths",
     "budget_alloc",
+    "embedding_dim_stats",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -642,7 +648,6 @@ _DRIVER_WINDOW = [
     "bigint_arith",
     "asof_join",
     "range_join",
-    "ann_cosine_topk",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -2098,3 +2098,71 @@ UNION ALL
 SELECT 3, 'containment', n2.n, n2.n - n3.n, n3.n FROM n2, n3
 ORDER BY tier
 """
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding moments (diagonal-whitening model table)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean and variance of the embedding corpus in
+    exact fixed point — the model table for diagonal whitening /
+    standardization, and the fast screen for dead or exploding
+    dimensions (a dim with ~zero variance contributes nothing to
+    cosine; one with outsized variance dominates it). Sums are exact
+    integers (e6-snapped per element before summation); mean/var are
+    single deterministic divisions at the end.
+
+    Plan shape: one in-row explode to (dim, x_e6) pairs, one
+    map-side-combined aggregation onto dim-bounded keys — the X-S13
+    Gram shape without the pair quadratic.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = F.expr(
+        "transform(sequence(0, 63), i -> struct(i, "
+        "cast(round(cast(embedding[i] as double) * 1e6, 0) as long) as x,"
+        "cast(round(cast(embedding[i] as double) * cast(embedding[i] as double)"
+        " * 1e6, 0) as long) as x2))"
+    )
+    agg = (
+        emb.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.i").alias("i"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("e.x").cast("long").alias("sum_e6"),
+            F.sum("e.x2").cast("long").alias("sumsq_e6"),
+        )
+    )
+    mean = F.col("sum_e6").cast("double") / F.col("n") / 1e6
+    ex2 = F.col("sumsq_e6").cast("double") / F.col("n") / 1e6
+    return agg.select(
+        "i",
+        "n",
+        "sum_e6",
+        "sumsq_e6",
+        F.round(mean, 6).alias("mean"),
+        F.round(ex2 - mean * mean, 6).alias("variance"),
+    ).orderBy("i")
+
+
+Q_EMBEDDING_DIM_STATS_ORACLE = """
+WITH e AS (
+  SELECT i,
+         round(embedding[i + 1]::DOUBLE * 1e6, 0)::BIGINT AS x,
+         round(embedding[i + 1]::DOUBLE * embedding[i + 1]::DOUBLE
+               * 1e6, 0)::BIGINT AS x2
+  FROM embeddings, range(0, 64) r(i)
+),
+a AS (
+  SELECT i::INTEGER AS i, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sum_e6, sum(x2)::BIGINT AS sumsq_e6
+  FROM e GROUP BY i
+)
+SELECT i, n, sum_e6, sumsq_e6,
+       round(sum_e6::DOUBLE / n / 1e6, 6) AS mean,
+       round(sumsq_e6::DOUBLE / n / 1e6
+             - (sum_e6::DOUBLE / n / 1e6) * (sum_e6::DOUBLE / n / 1e6), 6)
+         AS variance
+FROM a ORDER BY i
+"""
