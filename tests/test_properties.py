@@ -279,3 +279,39 @@ def test_mad_normalize_translation_invariant(spark, vals, shift):
         for r in mad_normalize(mk(shift)).collect()
     }
     assert base == moved
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=1, max_size=6
+    ),
+    budget=st.integers(min_value=0, max_value=200),
+)
+def test_largest_remainder_invariants(spark, sizes, budget):
+    """For ANY group sizes and budget: quotas are non-negative, sum to
+    exactly the budget, and differ from the exact proportional share
+    by less than 1 (the Hamilton quota property)."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        largest_remainder_alloc,
+    )
+
+    rows = [
+        (gi * 1000 + i, f"g{gi}")
+        for gi, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r["quota"] for r in
+           largest_remainder_alloc(df, budget=budget).collect()}
+    total = sum(sizes)
+    assert sum(out.values()) == budget
+    for gi, n in enumerate(sizes):
+        q = out[f"g{gi}"]
+        exact = budget * n / total
+        assert q >= 0
+        assert abs(q - exact) < 1  # never off the ideal share by >=1
