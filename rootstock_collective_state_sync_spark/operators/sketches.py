@@ -102,3 +102,89 @@ def heavy_hitters(
     return spark.createDataFrame(
         out, "item string, est long, est_upper long, rk int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def _cm_hash(v: str, row: int, width: int) -> int:
+    """Deterministic row-salted bucket: md5('{row}:{v}') first 8 hex
+    chars mod width — no RNG seeds to persist, identical everywhere."""
+    import hashlib
+
+    return int(hashlib.md5(f"{row}:{v}".encode()).hexdigest()[:8], 16) % width
+
+
+def _cm_partition(
+    batches, col: str, depth: int, width: int
+):
+    import numpy as np
+
+    table = np.zeros((depth, width), dtype=np.int64)
+    n = 0
+    for pdf in batches:
+        for v in pdf[col].astype(str):
+            n += 1
+            for r in range(depth):
+                table[r, _cm_hash(v, r, width)] += 1
+    rows = {"row": [], "bucket": [], "cnt": []}
+    for r in range(depth):
+        nz = np.nonzero(table[r])[0]
+        rows["row"].extend([r] * len(nz))
+        rows["bucket"].extend(nz.tolist())
+        rows["cnt"].extend(table[r, nz].tolist())
+    rows["n_items"] = [n] * len(rows["row"])
+    yield pd.DataFrame(rows)
+
+
+class CountMin:
+    """Merged Count-Min sketch: point-query upper-bound counts with
+    the classic guarantee ``true <= est <= true + (e/width)·N`` with
+    probability ``1 - e^-depth`` — and, because every per-partition
+    table uses the SAME salted md5 hash rows, the merge is exact
+    cell-wise addition (fully mergeable, any grouping of partitions).
+
+    100 TB shape: one Arrow pass per partition building a
+    depth×width integer table, a bounded collect of
+    #partitions × depth × width cells (width·depth is a few thousand
+    — control-plane), cell-wise merge on the driver. Counts every
+    item, unlike Misra-Gries' top-m — the two answer different
+    questions (CM: 'how often is THIS item', MG: 'which items are
+    heavy')."""
+
+    def __init__(self, table, n: int):
+        self.table = table
+        self.n = int(n)
+
+    def estimate(self, v: str) -> int:
+        return int(
+            min(
+                self.table[r, _cm_hash(str(v), r, self.table.shape[1])]
+                for r in range(self.table.shape[0])
+            )
+        )
+
+
+def count_min(
+    spark: SparkSession,
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> CountMin:
+    """Build the merged sketch for one column (see :class:`CountMin`)."""
+    import numpy as np
+
+    parts = df.select(df[col].cast("string").alias(col)).mapInPandas(
+        lambda it: _cm_partition(it, col, depth, width),
+        schema="row int, bucket int, cnt long, n_items long",
+    )
+    rows = parts.collect()  # bounded: partitions x depth x width cells
+    table = np.zeros((depth, width), dtype=np.int64)
+    for r in rows:
+        table[r["row"], r["bucket"]] += r["cnt"]
+    # every item increments exactly one bucket per row, so any row's
+    # total is the exact stream size N
+    return CountMin(table, int(table[0].sum()))

@@ -2166,3 +2166,61 @@ SELECT i, n, sum_e6, sumsq_e6,
          AS variance
 FROM a ORDER BY i
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min token estimates — the sketch family's value-checked entry
+# ---------------------------------------------------------------------------
+
+
+def q_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates for every vocabulary token. Unlike
+    Misra-Gries / HLL / GK, CM's salted-md5 hash schedule makes every
+    cell an exact function of the DATA (partition-layout invariant —
+    pinned by tests), so the sketch itself is hash-checked: the
+    oracle rebuilds all depth×width cells and replays every min-over-
+    rows estimate. Probe set = the distinct corpus tokens (bounded
+    control-plane collect, vocabulary-sized)."""
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        count_min,
+    )
+    from rootstock_collective_state_sync_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    cm = count_min(spark, tok, "t", depth=4, width=256)
+    probes = sorted(r["t"] for r in tok.distinct().collect())
+    return spark.createDataFrame(
+        [(p, cm.estimate(p)) for p in probes], "token string, est bigint"
+    ).orderBy("token")
+
+
+Q_COUNT_MIN_TOKENS_ORACLE = """
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         x -> x <> '')) AS tokn
+  FROM documents
+),
+cells AS (
+  SELECT r.i AS rw,
+         (list_sum(list_transform(range(8), k ->
+             (strpos('0123456789abcdef',
+                     substr(md5(r.i::VARCHAR || ':' || tokn), k + 1, 1)) - 1)
+             * (1::BIGINT << (4 * (7 - k))))) % 256)::BIGINT AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM t, range(4) r(i)
+  GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT tokn FROM t),
+pb AS (
+  SELECT p.tokn, r.i AS rw,
+         (list_sum(list_transform(range(8), k ->
+             (strpos('0123456789abcdef',
+                     substr(md5(r.i::VARCHAR || ':' || p.tokn), k + 1, 1)) - 1)
+             * (1::BIGINT << (4 * (7 - k))))) % 256)::BIGINT AS bucket
+  FROM probes p, range(4) r(i)
+)
+SELECT pb.tokn AS token, min(c.cnt)::BIGINT AS est
+FROM pb JOIN cells c ON pb.rw = c.rw AND pb.bucket = c.bucket
+GROUP BY pb.tokn ORDER BY token
+"""

@@ -126,3 +126,34 @@ def test_misra_gries_rank_order_deterministic_ties(spark):
     assert out[0]["item"] == "a"
     assert {r["item"] for r in out[:3]} == {"a", "b", "c"}
     assert [r["rk"] for r in out] == [1, 2, 3]
+
+
+def test_count_min_bounds_and_merge_invariance(spark):
+    """CM guarantees: never under-estimates, over-estimate bounded by
+    the collision budget; estimates identical for 1 vs 8 partitions
+    (exact cell-wise mergeability of the salted-hash tables)."""
+    from collections import Counter
+
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        count_min,
+    )
+
+    vals = (
+        ["alpha"] * 500 + ["beta"] * 120 + ["gamma"] * 40
+        + [f"tail{i}" for i in range(300)]
+    )
+    true = Counter(vals)
+    df1 = spark.createDataFrame([(v,) for v in vals], "t string").coalesce(1)
+    df8 = spark.createDataFrame([(v,) for v in vals], "t string").repartition(8)
+    cm1 = count_min(spark, df1, "t", depth=4, width=256)
+    cm8 = count_min(spark, df8, "t", depth=4, width=256)
+    assert cm1.n == cm8.n == len(vals)
+    import math
+
+    budget = math.e / 256 * len(vals)
+    for v in ("alpha", "beta", "gamma", "tail0", "never-seen"):
+        e1, e8 = cm1.estimate(v), cm8.estimate(v)
+        assert e1 == e8  # partition-layout invariant (true mergeability)
+        assert e1 >= true.get(v, 0)  # never under-estimates
+        assert e1 <= true.get(v, 0) + budget * 4  # loose collision cap
+    assert cm1.estimate("alpha") >= 500
