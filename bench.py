@@ -21,12 +21,37 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def _calibrate() -> float:
+    """Fixed pure-CPU workload (numpy matmul + md5 loop), median of 3:
+    a host-speed yardstick recorded alongside the query timings. The
+    same code measured 25-40 % apart hours apart on this VM (noisy
+    neighbor / frequency capping), so round-over-round comparisons
+    should read `queries[q] / calibration_sec` ratios, not raw
+    seconds."""
+    import hashlib
+
+    import numpy as np
+
+    samples = []
+    a = np.arange(512 * 512, dtype=np.float64).reshape(512, 512) / 1e6
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            a = a @ a % 1.7  # bounded values, fixed flop count
+        h = b"x"
+        for _ in range(200_000):
+            h = hashlib.md5(h).digest()
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[1], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from rootstock_collective_state_sync_spark import get_spark
     from rootstock_collective_state_sync_spark.plans.registry import bench_queries
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    calibration = _calibrate()
     spark = get_spark("bench")
     qs = bench_queries()
     timings: dict[str, float] = {}
@@ -60,6 +85,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "calibration_sec": calibration,
                 "runs_per_query": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
