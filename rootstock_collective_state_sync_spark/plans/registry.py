@@ -445,6 +445,14 @@ SPECS: dict[str, QuerySpec] = {
         TR.Q_COUNT_MIN_TOKENS_ORACLE,
         ("sketch", "text"),
     ),
+    "minhash_accuracy": QuerySpec(
+        TR.q_minhash_accuracy,
+        TR.Q_MINHASH_ACCURACY_ORACLE,
+        ("sketch", "dedup"),
+    ),
+    "zipf_fit": QuerySpec(
+        TR.q_zipf_fit, TR.Q_ZIPF_FIT_ORACLE, ("text", "agg")
+    ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
         Q.Q_KCENTER_CORESET_ORACLE,
@@ -587,15 +595,15 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (e) 18 brand-new r08 queries (credit_card_audit, embedding_gram,
+# (e) 20 brand-new r08 queries (credit_card_audit, embedding_gram,
 #     mad_normalize, source_interleave, ngram_novelty,
 #     embedding_effective_rank, source_lang_mi, hard_negatives,
 #     class_weights, hard_negatives_celled, bpe_pack,
 #     video_scene_changes, attribution_touch, dedup_funnel,
 #     session_paths, budget_alloc, embedding_dim_stats,
-#     count_min_tokens) — checked the
+#     count_min_tokens, minhash_accuracy, zipf_fit) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 10 multi-round-green anchors spanning every family.
+# (d) 8 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -643,10 +651,10 @@ _DRIVER_WINDOW = [
     "budget_alloc",
     "embedding_dim_stats",
     "count_min_tokens",
+    "minhash_accuracy",
+    "zipf_fit",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "broadcast_enrich_diff",
     "keyset_page",

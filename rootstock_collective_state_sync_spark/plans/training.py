@@ -9,7 +9,7 @@ end-to-end, not just its row count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from rootstock_collective_state_sync_spark.operators import dedup as D
 from rootstock_collective_state_sync_spark.operators import similarity as S
@@ -2223,4 +2223,171 @@ pb AS (
 SELECT pb.tokn AS token, min(c.cnt)::BIGINT AS est
 FROM pb JOIN cells c ON pb.rw = c.rw AND pb.bucket = c.bucket
 GROUP BY pb.tokn ORDER BY token
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy census (est vs exact Jaccard, per pair)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair MinHash quality report: for every exact-Jaccard ≥ 0.2
+    pair, the 16-slot signature agreement estimate next to the exact
+    value and the absolute error — the calibration table that says
+    what signature width buys before anyone trusts LSH candidates.
+    Fully deterministic (md5 permutation family), so the sketch
+    ESTIMATES are value-checked, not just bounded."""
+    from rootstock_collective_state_sync_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    idx = D._capped_index(D.shingle_index(docs), 100)
+    wide = D._minhash_wide(idx, 16)
+    wa = wide.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"_a{i}") for i in range(16)],
+    )
+    wb = wide.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"_b{i}") for i in range(16)],
+    )
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    est = F.floor(matches * 1000000 / 16).cast("long")
+    return (
+        pairs.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            matches.cast("int").alias("match_slots"),
+            est.alias("est_e6"),
+            F.abs(
+                est - F.floor(F.col("jaccard") * 1000000).cast("long")
+            ).alias("abs_err_e6"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q_MINHASH_ACCURACY_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+pair AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b,
+         round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+  FROM pair
+  JOIN sizes sa ON pair.id_a = sa.id
+  JOIN sizes sb ON pair.id_b = sb.id
+  WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2
+),
+mh AS (
+  SELECT id, r.i, min(md5(r.i::VARCHAR || ':' || s)) AS h
+  FROM e, range(16) r(i) GROUP BY id, r.i
+),
+agree AS (
+  SELECT x.id_a, x.id_b,
+         sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END)::INTEGER AS match_slots
+  FROM exact x
+  JOIN mh ma ON ma.id = x.id_a
+  JOIN mh mb ON mb.id = x.id_b AND mb.i = ma.i
+  GROUP BY 1, 2
+)
+SELECT x.id_a, x.id_b, x.jaccard, g.match_slots,
+       (g.match_slots * 1000000 // 16)::BIGINT AS est_e6,
+       abs((g.match_slots * 1000000 // 16)
+           - floor(x.jaccard * 1000000)::BIGINT)::BIGINT AS abs_err_e6
+FROM exact x JOIN agree g USING (id_a, id_b)
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of ``ln(freq) = a + b·ln(rank)`` over the
+    token frequency ranks — the Zipf slope (natural text ≈ −1; a
+    slope collapsing toward 0 or diverging flags templated/boilerplate
+    or degenerate corpora before any model sees it). Rank ties break
+    by token name, moments come from exact integer counts through a
+    fixed expression tree, slope/intercept/R² are single end
+    divisions — deterministic on any engine. One token-count shuffle
+    + a vocabulary-sized window; the corpus is scanned once."""
+    from rootstock_collective_state_sync_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    xy = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r_num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+        F.round((r_num / r_den) * (r_num / r_den), 6).alias("r2"),
+    )
+
+
+Q_ZIPF_FIT_ORACLE = """
+WITH c AS (
+  SELECT t, count(*)::BIGINT AS c FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS t
+    FROM documents
+  ) GROUP BY t
+),
+xy AS (
+  SELECT ln(row_number() OVER (ORDER BY c DESC, t ASC)::DOUBLE) AS x,
+         ln(c::DOUBLE) AS y
+  FROM c
+),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM xy
+)
+SELECT n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept,
+       round(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)
+              * (n * syy - sy * sy)))
+             * ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)
+              * (n * syy - sy * sy))), 6) AS r2
+FROM m
 """
