@@ -588,7 +588,8 @@ SPECS: dict[str, QuerySpec] = {
 # (b) 3 r07-ERR array-output queries re-earning rows after the
 #     scalar-CSV contract fix (label_centroids, emb_int8_quant,
 #     hashed_doc_vectors);
-# (c) 10 changed this round: vocab_edit_pairs (unit switched to char
+# (c) 12 changed this round: bpe_merges / bpe_fertility (driver-side
+#     merge-loop training), vocab_edit_pairs (unit switched to char
 #     5-grams — non-trivial rows now), histogram_totalprice (+n_null
 #     column), source_kl_drift (disjoint-source fix), semantic_dedup
 #     (conditional-agg threshold), emb_near_dup_pairs /
@@ -603,7 +604,7 @@ SPECS: dict[str, QuerySpec] = {
 #     session_paths, budget_alloc, embedding_dim_stats,
 #     count_min_tokens, minhash_accuracy, zipf_fit) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 8 multi-round-green anchors spanning every family.
+# (d) 6 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -622,6 +623,8 @@ _DRIVER_WINDOW = [
     "emb_int8_quant",
     "hashed_doc_vectors",
     # (c) changed this round
+    "bpe_merges",
+    "bpe_fertility",
     "vocab_edit_pairs",
     "histogram_totalprice",
     "source_kl_drift",
@@ -660,8 +663,6 @@ _DRIVER_WINDOW = [
     "keyset_page",
     "changelog_incremental",
     "bigint_arith",
-    "asof_join",
-    "range_join",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
