@@ -40,6 +40,17 @@ def cosine(a: Column, b: Column, scale: int = 6) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), scale)
 
 
+def _cos_kernel(x: pd.Series, y: pd.Series) -> pd.Series:
+    """The shared Arrow-batch cosine kernel: two (rows x dim) float64
+    matrices, one einsum, 6-dp snap."""
+    A = np.stack(x.values).astype(np.float64)
+    B = np.stack(y.values).astype(np.float64)
+    dots = np.einsum("ij,ij->i", A, B)
+    na = np.sqrt(np.einsum("ij,ij->i", A, A))
+    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+    return pd.Series(np.round(dots / (na * nb), 6))
+
+
 _cos_udf = None
 
 
@@ -55,17 +66,7 @@ def cosine_vectorized(a: Column, b: Column) -> Column:
     """
     global _cos_udf
     if _cos_udf is None:
-
-        @F.pandas_udf("double")
-        def _udf(x: pd.Series, y: pd.Series) -> pd.Series:
-            A = np.stack(x.values).astype(np.float64)
-            B = np.stack(y.values).astype(np.float64)
-            dots = np.einsum("ij,ij->i", A, B)
-            na = np.sqrt(np.einsum("ij,ij->i", A, A))
-            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-            return pd.Series(np.round(dots / (na * nb), 6))
-
-        _cos_udf = _udf
+        _cos_udf = F.pandas_udf(_cos_kernel, "double")
     return _cos_udf(a, b)
 
 
@@ -86,17 +87,9 @@ def cosine_vectorized_pinned(a: Column, b: Column) -> Column:
     optimizer stays fully free."""
     global _cos_udf_pinned
     if _cos_udf_pinned is None:
-
-        @F.pandas_udf("double")
-        def _udf(x: pd.Series, y: pd.Series) -> pd.Series:
-            A = np.stack(x.values).astype(np.float64)
-            B = np.stack(y.values).astype(np.float64)
-            dots = np.einsum("ij,ij->i", A, B)
-            na = np.sqrt(np.einsum("ij,ij->i", A, A))
-            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-            return pd.Series(np.round(dots / (na * nb), 6))
-
-        _cos_udf_pinned = _udf.asNondeterministic()
+        _cos_udf_pinned = F.pandas_udf(
+            _cos_kernel, "double"
+        ).asNondeterministic()
     return _cos_udf_pinned(a, b)
 
 
