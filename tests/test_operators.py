@@ -1685,3 +1685,109 @@ def test_largest_remainder_quotas_sum_exactly(spark):
     big = {r["source"]: r["quota"] for r in
            largest_remainder_alloc(df, budget=20).collect()}
     assert sum(big.values()) == 20
+
+
+def test_mad_normalize_even_count_group(spark):
+    """Even-count group: rank = ceil(n/2) picks the LOWER middle
+    element for both median and MAD — pinned so the nearest-rank
+    convention can't drift."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        mad_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate([10, 20, 30, 40])],
+        "event_id long, event_type string, value double",
+    )
+    r = {x["event_id"]: x for x in mad_normalize(df).collect()}
+    assert r[0]["group_median"] == 20.0  # lower middle of 4
+    # deviations from 20: [10, 0, 10, 20] -> sorted [0,10,10,20], rank 2 -> 10
+    assert r[0]["group_mad"] == 10.0
+    assert r[3]["robust_z_e6"] == 2_000_000  # (40-20)/10
+
+
+def test_attribution_no_touch_conversion(spark):
+    """A conversion with NO preceding touch surfaces with NULL touch
+    ids (never dropped); a touch AFTER the conversion doesn't count."""
+    import datetime
+
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        attribution_touch,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0)
+
+    def t(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    df = spark.createDataFrame(
+        [
+            (1, t(0), 7, "purchase"),   # no touch before
+            (2, t(5), 7, "click"),      # later touch: must not count for 1
+            (3, t(10), 7, "purchase"),  # first/last touch = 2
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {r["conversion_id"]: r for r in attribution_touch(df).collect()}
+    assert out[1]["first_touch_id"] is None
+    assert out[1]["last_touch_id"] is None
+    assert out[3]["first_touch_id"] == 2 and out[3]["last_touch_id"] == 2
+    assert out[3]["last_touch_lag_us"] == 5 * 60 * 1_000_000
+
+
+def test_source_interleave_empty_and_single_source(spark):
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        source_interleave,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert source_interleave(empty).count() == 0
+    one = spark.createDataFrame(
+        [(3, "s"), (1, "s"), (2, "s")], "doc_id long, source string"
+    )
+    out = sorted(
+        source_interleave(one).collect(), key=lambda r: r["interleave_key"]
+    )
+    assert [r["doc_id"] for r in out] == [1, 2, 3]  # id order, keys dense
+    assert [r["interleave_key"] for r in out] == [0, 1, 2]
+
+
+def test_luhn_audit_separator_variants(spark):
+    """Space- and dash-separated runs are candidates; runs with double
+    separators or letters inside are not glued together."""
+    from rootstock_collective_state_sync_spark.operators.text import luhn_audit
+
+    df = spark.createDataFrame(
+        [
+            (1, "a 4111-1111 1111-1111 b"),   # mixed separators, valid
+            (2, "a 4111--1111-1111-1111 b"),  # double dash: run breaks
+            (3, "a 4111x1111111111111 b"),    # letter splits the run
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in luhn_audit(df).collect()}
+    assert (out[1]["n_candidates"], out[1]["n_luhn_valid"]) == (1, 1)
+    assert out[2]["n_candidates"] == 0
+    assert out[3]["n_candidates"] == 0
+
+
+def test_video_scene_scores_quarantines_corrupt_payload(spark):
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+    from pyspark.sql import functions as F
+
+    good = M.attach_video_payload(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog " * 3)],
+            "doc_id long, text string",
+        )
+    )
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"NOT A PPM STREAM"))], "doc_id long, payload binary"
+    )
+    out = M.video_scene_scores(good.unionByName(bad)).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert all(r["decode_error"] is None for r in by_id[1])
+    [err_row] = by_id[2]
+    assert err_row["pair_no"] == -1 and err_row["decode_error"]
