@@ -2179,8 +2179,9 @@ def q_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell an exact function of the DATA (partition-layout invariant —
     pinned by tests), so the sketch itself is hash-checked: the
     oracle rebuilds all depth×width cells and replays every min-over-
-    rows estimate. Probe set = the distinct corpus tokens (bounded
-    control-plane collect, vocabulary-sized)."""
+    rows estimate. Probe set = the top 100k corpus tokens by (count
+    desc, token asc) — a bounded, deterministic collect even when the
+    true vocabulary is larger (the synthetic corpus has 31)."""
     from rootstock_collective_state_sync_spark.operators.sketches import (
         count_min,
     )
@@ -2189,7 +2190,13 @@ def q_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
     cm = count_min(spark, tok, "t", depth=4, width=256)
-    probes = sorted(r["t"] for r in tok.distinct().collect())
+    top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(100_000)
+    )
+    probes = sorted(r["t"] for r in top.collect())
     return spark.createDataFrame(
         [(p, cm.estimate(p)) for p in probes], "token string, est bigint"
     ).orderBy("token")
@@ -2211,7 +2218,12 @@ cells AS (
   FROM t, range(4) r(i)
   GROUP BY 1, 2
 ),
-probes AS (SELECT DISTINCT tokn FROM t),
+probes AS (
+  SELECT tokn FROM (
+    SELECT tokn, count(*) AS c FROM t GROUP BY tokn
+    ORDER BY c DESC, tokn ASC LIMIT 100000
+  )
+),
 pb AS (
   SELECT p.tokn, r.i AS rw,
          (list_sum(list_transform(range(8), k ->
