@@ -453,6 +453,11 @@ SPECS: dict[str, QuerySpec] = {
     "zipf_fit": QuerySpec(
         TR.q_zipf_fit, TR.Q_ZIPF_FIT_ORACLE, ("text", "agg")
     ),
+    "ivf_nprobe_sweep": QuerySpec(
+        TR.q_ivf_nprobe_sweep,
+        TR.Q_IVF_NPROBE_SWEEP_ORACLE,
+        ("similarity", "agg"),
+    ),
     "kcenter_coreset": QuerySpec(
         Q.q_kcenter_coreset,
         Q.Q_KCENTER_CORESET_ORACLE,
@@ -596,15 +601,16 @@ SPECS: dict[str, QuerySpec] = {
 #     emb_near_dup_lsh (pinned-eval cosine), ann_ivf_topk /
 #     ann_ivf_cells / ivfpq_topk (nondeterministic-pinned cell UDF),
 #     kcenter_coreset (degenerate-input guards);
-# (e) 20 brand-new r08 queries (credit_card_audit, embedding_gram,
+# (e) 21 brand-new r08 queries (credit_card_audit, embedding_gram,
 #     mad_normalize, source_interleave, ngram_novelty,
 #     embedding_effective_rank, source_lang_mi, hard_negatives,
 #     class_weights, hard_negatives_celled, bpe_pack,
 #     video_scene_changes, attribution_touch, dedup_funnel,
 #     session_paths, budget_alloc, embedding_dim_stats,
-#     count_min_tokens, minhash_accuracy, zipf_fit) — checked the
+#     count_min_tokens, minhash_accuracy, zipf_fit,
+#     ivf_nprobe_sweep) — checked the
 #     round they are born, so no never-checked debt accrues;
-# (d) 6 multi-round-green anchors spanning every family.
+# (d) 5 multi-round-green anchors spanning every family.
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
@@ -656,13 +662,13 @@ _DRIVER_WINDOW = [
     "count_min_tokens",
     "minhash_accuracy",
     "zipf_fit",
+    "ivf_nprobe_sweep",
     # (d) multi-round-green anchors
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "broadcast_enrich_diff",
     "keyset_page",
     "changelog_incremental",
-    "bigint_arith",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -2403,3 +2403,111 @@ SELECT n,
               * (n * syy - sy * sy))), 6) AS r2
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall sweep (the ANN tuning curve, fully replayed)
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 vs nprobe for the IVF index — the tuning curve a user
+    reads before fixing the recall/cost knob (nprobe = num_cells
+    degenerates to exact brute force, recall 1.0). Everything is
+    deterministic, so the CURVE itself is hash-checked: the oracle
+    replays the unrolled k-means once, selects each nprobe's probe
+    cells from the same dot table, scores, ranks, and intersects with
+    the exact brute-force top-5."""
+    from rootstock_collective_state_sync_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 25)
+    exact = (
+        S.brute_force_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+    )
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        approx = S.ivf_topk(
+            emb, queries, k=5, num_cells=16, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+        rows.append(
+            approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .crossJoin(
+                exact.agg(F.count(F.lit(1)).cast("long").alias("possible"))
+            )
+            .select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                "hits",
+                "possible",
+                F.floor(F.col("hits") * 1000000 / F.col("possible"))
+                .cast("long")
+                .alias("recall_e6"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("nprobe")
+
+
+def _ivf_nprobe_sweep_oracle() -> str:
+    cos = _COS_SQL.format(a="qe.embedding", b="ce.embedding")
+    bf = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    return _ivf_cells_oracle(tail=f""",
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, c AS cell, rn FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS rn
+    FROM fdot WHERE vec_id < 25
+  ) WHERE rn <= 8
+),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {bf} DESC, c.vec_id ASC) AS rk
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 25
+  ) WHERE rk <= 5
+),
+np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+cand AS (
+  SELECT np.nprobe, p.query_id, t.vec_id AS neighbor_id
+  FROM np
+  JOIN probes p ON p.rn <= np.nprobe
+  JOIN cells t ON p.cell = t.cell
+  WHERE t.vec_id <> p.query_id
+),
+scored AS MATERIALIZED (
+  SELECT cand.nprobe, cand.query_id, cand.neighbor_id,
+         {cos} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+),
+approx AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+hits AS (
+  SELECT a.nprobe, count(*)::BIGINT AS hits
+  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY a.nprobe
+),
+poss AS (SELECT count(*)::BIGINT AS possible FROM exact)
+SELECT np.nprobe::INTEGER AS nprobe,
+       coalesce(h.hits, 0)::BIGINT AS hits,
+       poss.possible,
+       (coalesce(h.hits, 0) * 1000000 // poss.possible)::BIGINT AS recall_e6
+FROM np LEFT JOIN hits h USING (nprobe) CROSS JOIN poss
+ORDER BY np.nprobe""")
+
+
+Q_IVF_NPROBE_SWEEP_ORACLE = _ivf_nprobe_sweep_oracle()
