@@ -3,11 +3,18 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query runs once as warm-up (JIT/codegen/page-cache), then
-``SPARK_GRAFT_BENCH_RUNS`` (default 5) timed runs; the reported figure
-is the MEDIAN, with per-query [min, max] spread persisted alongside so
-round-over-round comparisons can tell plan changes from run-to-run
-noise (sub-second queries swing +/-30 % on this box). Results
-materialize via count() on the driver (no collect of wide rows).
+``SPARK_GRAFT_BENCH_RUNS`` (default 7) timed runs; the reported figure
+is the MEDIAN, with per-query [min, max] spread AND the per-query MIN
+(``queries_min``) persisted alongside. The min is the stall-robust
+statistic: the r08 driver run recorded ``window_session`` at 0.526 s
+(floor 0.512) where the identical commit measures 0.357 s (floor 0.29)
+hours later — a sustained ambient host stall inflated every sample in
+that measurement window, so even the floor lied. Round-over-round
+comparisons should prefer ``queries_min[q] / calibration_sec`` ratios;
+``calibration_end_sec`` (same probe, run AFTER the queries) bounds
+mid-run host drift that a single start-of-run probe cannot see.
+Results materialize via count() on the driver (no collect of wide
+rows).
 """
 
 from __future__ import annotations
@@ -50,7 +57,7 @@ def main() -> None:
     from rootstock_collective_state_sync_spark import get_spark
     from rootstock_collective_state_sync_spark.plans.registry import bench_queries
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     calibration = _calibrate()
     spark = get_spark("bench")
     qs = bench_queries()
@@ -75,6 +82,8 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 4)
         spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
+    mins = {n: s[0] for n, s in spread.items()}
+    calibration_end = _calibrate()
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -84,8 +93,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
                 "spread": spread,
                 "calibration_sec": calibration,
+                "calibration_end_sec": calibration_end,
                 "runs_per_query": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -207,6 +207,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_docs_per_shingle: int = 100,
+    _index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word-``n``-gram sets,
     candidate-generated through the inverted index (never all-pairs).
@@ -215,8 +216,15 @@ def ngram_jaccard_pairs(
     6 dp. Documents sharing only stop-shingles (> max_docs_per_shingle)
     are not candidates — the cap trades a bounded amount of recall for
     a hard bound on join fan-out.
+
+    ``_index``: a pre-built ``shingle_index(df)``-shaped (id, s) frame
+    to reuse (the tokenize→shingle explode is the expensive stage —
+    pipelines running several tiers over shrinking survivor sets build
+    it once and anti-join kills away). The stop-shingle cap is always
+    applied HERE, on the provided index, because document frequency is
+    input-set-relative.
     """
-    idx = shingle_index(df, text_col, id_col, n)
+    idx = _index if _index is not None else shingle_index(df, text_col, id_col, n)
     capped = _capped_index(idx, max_docs_per_shingle)
     return _verified_jaccard(_hashed(capped), None, threshold)
 
@@ -857,6 +865,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_docs_per_shingle: int = 100,
+    _index: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: ``containment(A in B) =
     |S_A ∩ S_B| / |S_A|`` over word-``n``-gram sets (Broder 1997's
@@ -877,9 +886,11 @@ def containment_pairs(
     index self-join (never all-pairs), intersections counted in-pass.
     The only change is the scoring projection: divide by the smaller
     set size instead of the union. The stop-shingle cap bounds
-    fan-out exactly as there.
+    fan-out exactly as there. ``_index`` reuses a pre-built (id, s)
+    shingle explode (cap still applied here — see
+    :func:`ngram_jaccard_pairs`).
     """
-    idx = shingle_index(df, text_col, id_col, n)
+    idx = _index if _index is not None else shingle_index(df, text_col, id_col, n)
     capped = _capped_index(idx, max_docs_per_shingle)
     hashed = _hashed(capped)
     sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))

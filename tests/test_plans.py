@@ -323,11 +323,17 @@ def test_pandas_udf_single_evaluation(spark):
     a Pandas-UDF score must NOT re-evaluate the UDF (Catalyst pushes a
     deterministic filter back through the aliasing project). The
     expensive Python stages run exactly once per logical evaluation:
-    semantic_dedup = 1 cosine + 3 cell-assign scans (two join branches
-    + the outer tag — the minimum without caching the corpus);
+    semantic_dedup = 1 cosine + 1 cell-assign (r09: the cell-assigned
+    corpus is persisted, so all three consumers — both self-join
+    branches and the keeper join — read InMemoryTableScan instead of
+    re-scanning + re-assigning; explain prints the cached subtree at
+    every consumer, hence Arrow-node text count = 1 cosine + one
+    cell-assign print per InMemoryTableScan);
     emb_near_dup_pairs / emb_near_dup_lsh = 1 cosine each."""
     p = plan(spark, SPECS["semantic_dedup"].fn(spark, SF_SMOKE), "simple")
-    assert p.count("ArrowEvalPython") == 4
+    assert p.count("InMemoryTableScan") == 3  # cached corpus, 3 readers
+    # exactly ONE Arrow eval outside the cached subtree (the cosine)
+    assert p.count("ArrowEvalPython") - p.count("InMemoryTableScan") == 1
     assert "Filter isnotnull(pythonUDF" not in p  # the r07 duplication tell
     p = plan(spark, SPECS["emb_near_dup_pairs"].fn(spark, SF_SMOKE), "simple")
     assert p.count("ArrowEvalPython") == 1
@@ -335,6 +341,11 @@ def test_pandas_udf_single_evaluation(spark):
     p = plan(spark, SPECS["emb_near_dup_lsh"].fn(spark, SF_SMOKE), "simple")
     assert p.count("ArrowEvalPython") == 3
     assert "Filter isnotnull(pythonUDF" not in p
+    # hard_negatives_celled: same persist-before-self-join shape as
+    # semantic_dedup (3 cached readers, one live cosine eval)
+    p = plan(spark, SPECS["hard_negatives_celled"].fn(spark, SF_SMOKE), "simple")
+    assert p.count("InMemoryTableScan") == 3
+    assert p.count("ArrowEvalPython") - p.count("InMemoryTableScan") == 1
 
 
 def test_embedding_gram_no_self_join(spark):
