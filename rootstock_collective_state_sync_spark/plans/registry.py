@@ -614,61 +614,67 @@ SPECS: dict[str, QuerySpec] = {
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
-    # (a) never driver-checked
-    "session_cooccurrence",
-    "skew_report",
-    "contamination_spans",
-    "ann_lsh_multiprobe_topk",
-    "dedup_threshold_sweep",
-    "length_quality_grid",
-    "classifier_calibration",
-    "quality_auc",
-    "audio_frame_energy",
-    # (b) r07 ERR -> fixed output contract
-    "label_centroids",
-    "emb_int8_quant",
-    "hashed_doc_vectors",
-    # (c) changed this round
-    "bpe_merges",
-    "bpe_fertility",
-    "vocab_edit_pairs",
-    "histogram_totalprice",
-    "source_kl_drift",
+    # r09 rotation (tools/window_planner.py policy):
+    # (a) the LAST query with zero driver evidence in any round —
+    # rows-only by design, earns its rows-only row like the r06
+    # HLL/GK sketches did (r08 verdict item 1)
+    "heavy_hitter_tokens",
+    # (b) changed this round (persist-before-self-join in
+    # semantic_dedup / hard_negatives_celled; shared shingle index +
+    # _index param in the funnel / jaccard / containment) — re-earn
     "semantic_dedup",
-    "emb_near_dup_pairs",
-    "emb_near_dup_lsh",
-    "ann_ivf_topk",
-    "ann_ivf_cells",
-    "ivfpq_topk",
-    "kcenter_coreset",
-    # (e) new this round — driver-checked immediately, no evidence debt
-    "credit_card_audit",
-    "embedding_gram",
-    "mad_normalize",
-    "source_interleave",
-    "ngram_novelty",
-    "embedding_effective_rank",
-    "source_lang_mi",
-    "hard_negatives",
-    "class_weights",
     "hard_negatives_celled",
-    "bpe_pack",
-    "video_scene_changes",
-    "attribution_touch",
     "dedup_funnel",
-    "session_paths",
-    "budget_alloc",
-    "embedding_dim_stats",
-    "count_min_tokens",
-    "minhash_accuracy",
-    "zipf_fit",
-    "ivf_nprobe_sweep",
-    # (d) multi-round-green anchors
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "broadcast_enrich_diff",
-    "keyset_page",
-    "changelog_incremental",
+    "dedup_ngram_jaccard",
+    "containment_pairs",
+    # (c) bench-regression re-confirm (r08 verdict item 2)
+    "window_session",
+    # (d) staleness rotation: every remaining query whose latest
+    # hash-green row is r05 (the oldest cohort)
+    "filter_range_scan",
+    "fk_deref_join",
+    "q9_product_profit",
+    "asof_join",
+    "bigint_arith",
+    "hex_roundtrip",
+    "camel_case",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "pq_codes",
+    "stratified_sample",
+    "pack_sequences",
+    "budget_select",
+    "temperature_mix",
+    "pack_split_sequences",
+    "clean_corpus",
+    "pii_redaction",
+    "vocab_topk",
+    "tfidf_top_terms",
+    "contamination_check",
+    "epoch_shuffle",
+    "dup_ngram_fraction",
+    "lm_unigram_score",
+    "quality_percentiles",
+    "importance_sample",
+    "zorder_key",
+    "export_manifest",
+    "window_tumbling",
+    "window_sliding",
+    "first_event_per_key",
+    # (e) oldest r06 anchors filling the remaining slots
+    "watermark_max_block",
+    "group_count",
+    "distinct_set",
+    "rollup_status_priority",
+    "pivot_status_by_priority",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
