@@ -35,9 +35,16 @@ Scale design (replaces the reference's serial driver loop,
   ``subgraphQueryBuilder.ts:181-184``): the indexer sorts, rows arrive
   pre-ordered, and the top-N scan (reference's top-1 watermark read)
   is ONE wire request instead of a full-table fetch plus a Spark sort.
-  Requires ``limit`` and a single partition — keyset pagination
-  cursors on ``id``, which is incompatible with a remote sort on any
-  other column, so an ordered read is exactly one page.
+  Requires ``limit``. With one partition this is the reference's exact
+  single-request ordered read. With ``num_partitions > 1`` each
+  id-range partition fetches its OWN remote-sorted ``first: limit``
+  shortlist (one request per partition) — use
+  :func:`read_subgraph_ordered`, which merges the shortlists with
+  ``orderBy(sort_key).limit(limit)`` (Catalyst plans it as
+  ``TakeOrderedAndProject`` — a per-partition top-N merge, never a
+  full sort). Correctness: id ranges partition the table, so the
+  global top-``limit`` is contained in the union of per-range
+  top-``limit`` shortlists.
 - Records are converted to the entity's compiled ``StructType`` at
   the edge: ``0x…`` hex -> bytes, numeric strings -> Decimal(38,0),
   nested FK objects -> scalar ids.
@@ -220,12 +227,12 @@ class SubgraphReader(DataSourceReader):
                     f"order_direction must be 'asc' or 'desc', "
                     f"got {self.order_direction!r}"
                 )
-            if self.limit is None or self.num_partitions != 1:
+            if self.limit is None:
                 raise ValueError(
-                    "order_by requires limit and num_partitions=1: keyset "
-                    "pagination cursors on id, which is incompatible with a "
-                    "remote sort on another column — an ordered read is "
-                    "exactly one page of `limit` rows"
+                    "order_by requires limit: a remote sort on a non-id "
+                    "column is incompatible with unbounded keyset "
+                    "pagination (which cursors on id) — an ordered read "
+                    "fetches `first: limit` rows per partition"
                 )
         self.pushed_where: dict[str, Any] = {}
 
@@ -274,13 +281,25 @@ class SubgraphReader(DataSourceReader):
         entity = ctx[self.entity_name]
         client = self._client()
         if self.order_by is not None:
-            # single pre-ordered page: the indexer sorts, we fetch
-            # `first: limit` once — no cursor walk, no Spark sort.
+            # pre-ordered page(s): the indexer sorts, each partition
+            # fetches `first: limit` once within ITS id range — no
+            # cursor walk, no Spark sort. With num_partitions=1 this
+            # is the reference's exact single-request ordered read;
+            # with N > 1 every id-range shortlist is a superset of
+            # that range's contribution to the global top-`limit`, so
+            # a Spark-side orderBy(sort_key).limit(limit) over the
+            # union (see :func:`read_subgraph_ordered`) merges them
+            # exactly — the distributed top-N pattern.
             from rootstock_collective_state_sync_spark.sources.graphql import (
                 QueryOptions,
                 create_entity_query,
             )
 
+            w = dict(self.pushed_where or {})
+            if partition.lower != "0x00":
+                w["id_gt"] = partition.lower
+            if partition.upper is not None:
+                w["id_lt"] = partition.upper
             req = create_entity_query(
                 ctx,
                 self.entity_name,
@@ -288,7 +307,7 @@ class SubgraphReader(DataSourceReader):
                     first=self.limit,
                     order_by=self.order_by,
                     order_direction=self.order_direction,
-                    where=self.pushed_where or None,
+                    where=w or None,
                 ),
             )
             data, _ = client.execute([req])
@@ -317,6 +336,54 @@ class SubgraphReader(DataSourceReader):
             yield from records_to_rows(ctx, entity, page, hex_shadow=self.hex_shadow)
             if remaining is not None and remaining <= 0:
                 return
+
+
+def read_subgraph_ordered(
+    spark,
+    *,
+    url: str,
+    config_path: str,
+    entity: str,
+    order_by: str,
+    limit: int,
+    order_direction: str = "asc",
+    num_partitions: int = 1,
+    **options: Any,
+):
+    """Globally ordered top-``limit`` read, composable with the
+    parallel scan path (r08 verdict item 8 lifted the
+    ``num_partitions=1`` constraint).
+
+    Each id-range partition issues one remote-sorted ``first: limit``
+    request bounded to its range; Spark merges the shortlists with
+    ``orderBy(sort_key).limit(limit)``, which Catalyst executes as
+    ``TakeOrderedAndProject`` — per-partition top-N then a driver-side
+    merge on the sort key, never a full-table sort or fetch. Ties at
+    the cut line resolve to SOME valid top-``limit`` set, same as the
+    remote indexer's own unspecified tie order on the single-request
+    path. Extra ``options`` pass through to the reader (e.g.
+    ``transport``, ``page_size``, ``uint256_shadow``).
+    """
+    from pyspark.sql import functions as F
+
+    reader = (
+        spark.read.format("subgraph")
+        .option("url", url)
+        .option("config_path", config_path)
+        .option("entity", entity)
+        .option("order_by", order_by)
+        .option("order_direction", order_direction)
+        .option("limit", int(limit))
+        .option("num_partitions", int(num_partitions))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    col = F.col(order_by)
+    return (
+        reader.load()
+        .orderBy(col.desc() if order_direction == "desc" else col.asc())
+        .limit(int(limit))
+    )
 
 
 class SubgraphDataSource(DataSource):

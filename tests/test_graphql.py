@@ -371,7 +371,7 @@ def test_datasource_order_by_option_pushes_remote_sort(spark):
     assert got == want
 
 
-def test_datasource_order_by_requires_limit_single_partition():
+def test_datasource_order_by_requires_limit():
     from rootstock_collective_state_sync_spark.sources.subgraph_source import (
         SubgraphReader,
     )
@@ -384,12 +384,77 @@ def test_datasource_order_by_requires_limit_single_partition():
     }
     with pytest.raises(ValueError, match="order_by requires limit"):
         SubgraphReader(dict(base))  # no limit
-    with pytest.raises(ValueError, match="order_by requires limit"):
-        SubgraphReader(dict(base, limit="5", num_partitions="4"))
     with pytest.raises(ValueError, match="order_direction"):
         SubgraphReader(
             dict(base, limit="5", order_direction="descending")
         )
+
+
+def test_multi_partition_ordered_read_globally_ordered(spark):
+    """r08 verdict item 8: ordered reads compose with the parallel
+    scan. With num_partitions=4, each id-range partition issues its
+    own remote-sorted `first: limit` shortlist (4 wire requests, each
+    carrying orderBy + its id bounds) and read_subgraph_ordered's
+    TakeOrderedAndProject merge returns the exact global top-N in
+    order — identical to the single-partition read."""
+    from rootstock_collective_state_sync_spark.sources.subgraph_source import (
+        SubgraphDataSource,
+        SubgraphReader,
+        read_subgraph_ordered,
+    )
+
+    # reader-level golden: 4 partitions -> 4 ordered range requests
+    fake_subgraph.LIMIT_REQUESTS.clear()
+    r = SubgraphReader(
+        {
+            "url": "fake://endpoint",
+            "config_path": str(FIXTURE),
+            "entity": "VoteCast",
+            "limit": "5",
+            "num_partitions": "4",
+            "order_by": "blockNumber",
+            "order_direction": "desc",
+            "transport": "tests.fake_subgraph:counting_transport",
+        }
+    )
+    parts = r.partitions()
+    assert len(parts) == 4
+    shortlists = [list(r.read(p)) for p in parts]
+    reqs = fake_subgraph.LIMIT_REQUESTS
+    assert len(reqs) == 4, "one ordered request per id-range partition"
+    for req in reqs:
+        assert "orderBy: blockNumber" in req
+        assert "first: 5" in req
+    # interior partitions carry their id bounds on the wire
+    assert sum("id_gt:" in req for req in reqs) == 3  # all but the first
+    assert sum("id_lt:" in req for req in reqs) == 3  # all but the last
+    # every shortlist is that range's own top-5
+    assert all(len(s) <= 5 for s in shortlists)
+
+    # end-to-end: the merged result equals the true global top-5
+    spark.dataSource.register(SubgraphDataSource)
+    df = read_subgraph_ordered(
+        spark,
+        url="fake://endpoint",
+        config_path=str(FIXTURE),
+        entity="VoteCast",
+        order_by="blockNumber",
+        order_direction="desc",
+        limit=5,
+        num_partitions=4,
+        transport="tests.fake_subgraph:transport",
+    )
+    got = [int(row.blockNumber) for row in df.collect()]
+    want = sorted(
+        (int(rec["blockNumber"]) for rec in fake_subgraph.universe()),
+        reverse=True,
+    )[:5]
+    assert got == want
+    # the merge is a top-N, not a global sort
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_push_filters_translation(ctx):
