@@ -928,3 +928,102 @@ def salient_terms(
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= top_k)
     )
+
+
+def dsir_log_ratio(
+    df: DataFrame,
+    target_col: str = "is_target",
+    num_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by the log-likelihood ratio between a TARGET
+    distribution (the high-quality subcorpus a pipeline wants more of)
+    and the RAW distribution, under hashed bag-of-n-gram models —
+    unigrams + bigrams, occurrences (not distinct), hashed to
+    ``num_buckets`` buckets via md5[:16 bits] mod B (the portable
+    convention :func:`hashed_doc_vectors` uses), add-one smoothing
+    over the B-bucket universe on both sides. ``target_col`` is a
+    boolean column marking the target subcorpus; raw = ALL documents
+    (the paper's formulation — target docs score against the pool that
+    includes them).
+
+    Per-bucket weights are e6-snapped integers
+    (``round((ln p_tgt − ln p_raw) · 1e6)``) summed exactly per doc —
+    the :func:`unigram_lm_scores` fixed-point convention, so Spark and
+    a SQL oracle agree bit-for-bit despite float logs.
+
+    Returns one row per input document: ``(id, n_grams, lr_e6,
+    mean_lr)`` where ``mean_lr = lr_e6 / (n_grams · 1e6)`` (6 dp,
+    0 for gram-less docs). Select top-k by ``mean_lr`` (or add
+    md5-Gumbel noise via :mod:`.sampling` for the paper's resampling
+    step) to build the target-like training mix.
+
+    Scale shape (100 TB): grams are built IN-ROW (unigram array ++
+    zip_with'd bigram array, one explode — no per-doc window, the
+    corpus text is scanned exactly once), then shuffle once onto
+    bucket keys (map-side combined, result ≤ B rows); the weight
+    model is a ≤ B-row broadcast; the per-doc aggregation is the only
+    other shuffle. The model table is bounded by ``num_buckets`` no
+    matter the corpus size — the hashing trick's point.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col),
+        F.col(target_col).alias("_tgt"),
+        F.explode(F.concat(toks, bigrams)).alias("g"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 4), 16, 10)
+        .cast("int")
+        % num_buckets
+    ).alias("bucket")
+    bkt = grams.select(F.col(id_col), "_tgt", bucket)
+    counts = bkt.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    B = F.lit(float(num_buckets))
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("c_tgt") + 1).cast("double") / (F.col("t_tgt") + B))
+                - F.log((F.col("c_raw") + 1).cast("double") / (F.col("t_raw") + B))
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("w_e6"),
+    )
+    per = (
+        bkt.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("w_e6").cast("long").alias("lr_e6"),
+        )
+    )
+    base = df.select(id_col).join(per, id_col, "left")
+    return base.select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("lr_e6", F.lit(0)).cast("long").alias("lr_e6"),
+        F.round(
+            F.coalesce("lr_e6", F.lit(0)).cast("double")
+            / (F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)) * 1000000.0),
+            6,
+        ).alias("mean_lr"),
+    )

@@ -1695,3 +1695,83 @@ SELECT grp AS source, n,
        (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS quota
 FROM r ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET = ("src0", "src1")
+
+
+def q_dsir_log_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log-likelihood-ratio scores against a target subcorpus
+    (sources src0/src1 stand in for the curated high-quality slice).
+    See :func:`..operators.text.dsir_log_ratio` for semantics and the
+    100 TB shape; the oracle replays the identical hashed-bigram
+    models, e6-snapped per-bucket weights, and integer sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.dsir_log_ratio(
+        docs.withColumn(
+            "is_target", F.col("source").isin(*_DSIR_TARGET)
+        ),
+        num_buckets=_DSIR_BUCKETS,
+    )
+    return (
+        scored.join(
+            docs.select("doc_id", "source"), "doc_id"
+        )
+        .select("doc_id", "source", "n_grams", "lr_e6", "mean_lr")
+        .orderBy("doc_id")
+    )
+
+
+Q_DSIR_LOG_RATIO_ORACLE = f"""
+WITH {_TOK_CTE},
+uni AS (
+  SELECT t.doc_id, d.source, unnest(t.toks) AS g
+  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+),
+big AS (
+  SELECT t.doc_id, d.source,
+         unnest(list_transform(range(1, len(t.toks)),
+                i -> t.toks[i] || ' ' || t.toks[i + 1])) AS g
+  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+  WHERE len(t.toks) >= 2
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+bkt AS (
+  SELECT doc_id, source,
+         (list_sum(list_transform(range(4), k ->
+              (strpos('0123456789abcdef', substr(md5(g), k + 1, 1)) - 1)
+              * (1 << (4 * (3 - k)))))::BIGINT % {_DSIR_BUCKETS}) AS bucket
+  FROM grams
+),
+counts AS (
+  SELECT bucket, count(*)::BIGINT AS c_raw,
+         sum(CASE WHEN source IN {_DSIR_TARGET} THEN 1 ELSE 0 END)::BIGINT
+           AS c_tgt
+  FROM bkt GROUP BY bucket
+),
+tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM counts),
+w AS (
+  SELECT bucket,
+         round((ln((c_tgt + 1)::DOUBLE / (t_tgt + {_DSIR_BUCKETS}))
+              - ln((c_raw + 1)::DOUBLE / (t_raw + {_DSIR_BUCKETS})))
+               * 1000000, 0)::BIGINT AS w_e6
+  FROM counts, tot
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams, sum(w_e6)::BIGINT AS lr_e6
+  FROM bkt JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(per.lr_e6, 0)::BIGINT AS lr_e6,
+       round(coalesce(per.lr_e6, 0)::DOUBLE
+             / (greatest(coalesce(per.n_grams, 0), 1) * 1000000.0), 6)
+         AS mean_lr
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""

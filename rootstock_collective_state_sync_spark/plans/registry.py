@@ -320,6 +320,9 @@ SPECS: dict[str, QuerySpec] = {
     "importance_sample": QuerySpec(
         CU.q_importance_sample, CU.Q_IMPORTANCE_SAMPLE_ORACLE, ("sampling",)
     ),
+    "dsir_log_ratio": QuerySpec(
+        CU.q_dsir_log_ratio, CU.Q_DSIR_LOG_RATIO_ORACLE, ("sampling", "text")
+    ),
     "zorder_key": QuerySpec(
         CU.q_zorder_key, CU.Q_ZORDER_KEY_ORACLE, ("layout", "scalar")
     ),
@@ -669,12 +672,13 @@ _DRIVER_WINDOW = [
     "window_tumbling",
     "window_sliding",
     "first_event_per_key",
-    # (e) oldest r06 anchors filling the remaining slots
+    # (e) new this round — driver-checked immediately, no evidence debt
+    "dsir_log_ratio",
+    # (f) oldest r06 anchors filling the remaining slots
     "watermark_max_block",
     "group_count",
     "distinct_set",
     "rollup_status_priority",
-    "pivot_status_by_priority",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -1791,3 +1791,34 @@ def test_video_scene_scores_quarantines_corrupt_payload(spark):
     assert all(r["decode_error"] is None for r in by_id[1])
     [err_row] = by_id[2]
     assert err_row["pair_no"] == -1 and err_row["decode_error"]
+
+
+def test_dsir_log_ratio_ranks_target_like_docs_higher(spark):
+    """DSIR semantics: a raw doc written in the target subcorpus's
+    vocabulary must out-score a raw doc with disjoint vocabulary
+    (absolute sign is smoothing-dependent at toy corpus size — with
+    B >> corpus grams the add-one terms dominate — so the contract is
+    the ORDERING, which is all resampling consumes). Gram-less docs
+    surface with zeros."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        dsir_log_ratio,
+    )
+
+    tgt_text = "clean prose about science and careful reasoning " * 4
+    rows = [
+        (1, tgt_text, True),
+        (2, "clean prose about science and careful reasoning", False),
+        (3, "zzz qqq spam spam zzz qqq buy now zzz qqq", False),
+        (4, "", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean"
+    )
+    out = {r["doc_id"]: r for r in dsir_log_ratio(df).collect()}
+    assert out[2]["mean_lr"] > out[3]["mean_lr"]
+    assert out[1]["mean_lr"] > out[3]["mean_lr"]
+    assert out[4]["n_grams"] == 0 and out[4]["lr_e6"] == 0
+    assert out[4]["mean_lr"] == 0.0
+    # occurrences counted, not distinct: doc 1 = 4x doc 2's grams
+    # (plus the 3 join bigrams between repetitions)
+    assert out[1]["n_grams"] == 4 * out[2]["n_grams"] + 3
