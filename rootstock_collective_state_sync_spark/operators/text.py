@@ -1027,3 +1027,75 @@ def dsir_log_ratio(
             6,
         ).alias("mean_lr"),
     )
+
+
+def entropy_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy at token and character level —
+    the standard gibberish/boilerplate screens (low char entropy =
+    repeated filler; low token entropy with high length = template
+    text; anomalously high char entropy = binary/garbled payloads).
+
+    Exact fixed-point convention (:func:`unigram_lm_scores`): each
+    distinct symbol contributes the INTEGER ``count · round(ln(count)
+    · 1e6)``; entropy is then ``ln(N) − Σ/(N·1e6)`` with one final
+    6-dp round, so Spark and the SQL oracle agree bit-for-bit.
+    Both passes are explode → map-side-combined (doc, symbol) counts
+    → one per-doc aggregate; no UDFs, no windows. Character explode
+    is positional substring (identical semantics in DuckDB —
+    ``substr(text, i+1, 1)``), lower-cased like :func:`tokens`.
+
+    Returns ``(id, n_tokens, n_types, token_entropy, n_chars,
+    char_entropy)``; empty docs score 0.
+    """
+
+    def _entropy(sym: DataFrame, out_n: str, out_types: str, out_h: str):
+        counts = sym.groupBy(id_col, "s").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        term = (F.col("c") * F.round(F.log("c") * 1000000.0, 0)).cast("long")
+        per = counts.groupBy(id_col).agg(
+            F.sum("c").cast("long").alias(out_n),
+            F.count(F.lit(1)).cast("long").alias(out_types),
+            F.sum(term).alias("_s"),
+        )
+        h = F.round(
+            F.log(F.col(out_n).cast("double"))
+            - F.col("_s").cast("double") / (F.col(out_n) * 1000000.0),
+            6,
+        )
+        return per.select(id_col, out_n, out_types, h.alias(out_h))
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("s")
+    )
+    t_ent = _entropy(tok, "n_tokens", "n_types", "token_entropy")
+
+    low = F.lower(F.col(text_col))
+    # guarded: sequence(1, 0) DESCENDS in Spark (see word_shingles)
+    char_arr = F.when(
+        F.length(low) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low)),
+            lambda i: low.substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chars = df.select(F.col(id_col), F.explode(char_arr).alias("s"))
+    c_ent = _entropy(chars, "n_chars", "n_char_types", "char_entropy")
+
+    base = df.select(id_col)
+    return (
+        base.join(t_ent, id_col, "left")
+        .join(c_ent.drop("n_char_types"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.coalesce("token_entropy", F.lit(0.0)).alias("token_entropy"),
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
+        )
+    )

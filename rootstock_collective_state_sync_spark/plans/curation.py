@@ -1775,3 +1775,54 @@ SELECT d.doc_id, d.source,
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy quality screens
+# ---------------------------------------------------------------------------
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token- and character-level Shannon entropy per document (the
+    gibberish / template / binary-payload screens). The oracle
+    replays the identical e6-snapped ``c·ln c`` integer terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.entropy_scores(docs).orderBy("doc_id")
+
+
+Q_TEXT_ENTROPY_ORACLE = f"""
+WITH {_TOK_CTE},
+t AS (SELECT doc_id, unnest(toks) AS s FROM tok),
+tc AS (SELECT doc_id, s, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+tper AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum(c * round(ln(c) * 1000000, 0)::BIGINT)::BIGINT AS s_e6
+  FROM tc GROUP BY doc_id
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(length(lower(text))),
+                i -> substr(lower(text), i + 1, 1))) AS s
+  FROM documents WHERE length(text) >= 1
+),
+cc AS (SELECT doc_id, s, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+cper AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_chars,
+         sum(c * round(ln(c) * 1000000, 0)::BIGINT)::BIGINT AS s_e6
+  FROM cc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(tper.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(tper.n_types, 0)::BIGINT AS n_types,
+       coalesce(round(ln(tper.n_tokens)
+                      - tper.s_e6::DOUBLE / (tper.n_tokens * 1000000.0), 6),
+                0.0) AS token_entropy,
+       coalesce(cper.n_chars, 0)::BIGINT AS n_chars,
+       coalesce(round(ln(cper.n_chars)
+                      - cper.s_e6::DOUBLE / (cper.n_chars * 1000000.0), 6),
+                0.0) AS char_entropy
+FROM documents d
+LEFT JOIN tper ON d.doc_id = tper.doc_id
+LEFT JOIN cper ON d.doc_id = cper.doc_id
+ORDER BY d.doc_id
+"""

@@ -323,6 +323,9 @@ SPECS: dict[str, QuerySpec] = {
     "dsir_log_ratio": QuerySpec(
         CU.q_dsir_log_ratio, CU.Q_DSIR_LOG_RATIO_ORACLE, ("sampling", "text")
     ),
+    "text_entropy": QuerySpec(
+        CU.q_text_entropy, CU.Q_TEXT_ENTROPY_ORACLE, ("text",)
+    ),
     "zorder_key": QuerySpec(
         CU.q_zorder_key, CU.Q_ZORDER_KEY_ORACLE, ("layout", "scalar")
     ),
@@ -429,6 +432,9 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "dedup_funnel": QuerySpec(
         TR.q_dedup_funnel, TR.Q_DEDUP_FUNNEL_ORACLE, ("dedup", "agg")
+    ),
+    "source_dup_matrix": QuerySpec(
+        TR.q_source_dup_matrix, TR.Q_SOURCE_DUP_MATRIX_ORACLE, ("dedup", "agg")
     ),
     "session_paths": QuerySpec(
         AN.q_session_paths,
@@ -674,11 +680,11 @@ _DRIVER_WINDOW = [
     "first_event_per_key",
     # (e) new this round — driver-checked immediately, no evidence debt
     "dsir_log_ratio",
+    "text_entropy",
+    "source_dup_matrix",
     # (f) oldest r06 anchors filling the remaining slots
     "watermark_max_block",
     "group_count",
-    "distinct_set",
-    "rollup_status_priority",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -2527,3 +2527,76 @@ ORDER BY np.nprobe""")
 
 
 Q_IVF_NPROBE_SWEEP_ORACLE = _ivf_nprobe_sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix (corpus-governance view)
+# ---------------------------------------------------------------------------
+
+
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate which: the exact 0.5-Jaccard near-dup
+    pairs rolled up to ordered source pairs — the governance report
+    behind licensing / provenance decisions ("mirror site B republishes
+    source A") and dedup-priority ranking. Unordered source pairs are
+    canonicalized (least(sa,sb), greatest(sa,sb)) so each relationship
+    is ONE row: (source_a, source_b, n_pairs, max_jaccard,
+    mean_jaccard). Reuses the capped-inverted-index pair machinery —
+    the rollup adds a broadcast-sized doc→source join (source
+    cardinality is tiny) and a source-pair aggregate whose key space
+    is |sources|², control-plane even at 100 TB.
+    """
+    from rootstock_collective_state_sync_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    src = docs.select(F.col("doc_id"), F.col("source"))
+    tagged = (
+        pairs.join(src.withColumnRenamed("source", "sa"),
+                   pairs.id_a == src.doc_id)
+        .drop("doc_id")
+        .join(src.withColumnRenamed("source", "sb").withColumnRenamed(
+            "doc_id", "doc_id_b"), F.col("id_b") == F.col("doc_id_b"))
+    )
+    return (
+        tagged.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+Q_SOURCE_DUP_MATRIX_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+pair AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT id_a, id_b,
+         round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+  FROM pair
+  JOIN sizes sa ON pair.id_a = sa.id
+  JOIN sizes sb ON pair.id_b = sb.id
+  WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs,
+       max(jaccard) AS max_jaccard,
+       round(avg(jaccard), 6) AS mean_jaccard
+FROM jp
+JOIN documents da ON jp.id_a = da.doc_id
+JOIN documents db ON jp.id_b = db.doc_id
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""

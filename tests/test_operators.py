@@ -1822,3 +1822,30 @@ def test_dsir_log_ratio_ranks_target_like_docs_higher(spark):
     # occurrences counted, not distinct: doc 1 = 4x doc 2's grams
     # (plus the 3 join bigrams between repetitions)
     assert out[1]["n_grams"] == 4 * out[2]["n_grams"] + 3
+
+
+def test_entropy_scores_orders_and_edge_cases(spark):
+    """Entropy semantics: a uniform-vocabulary doc maxes token entropy
+    (ln k), an all-same-token doc scores 0, the empty doc scores 0
+    with zero counts, and char entropy of 'aaaa' is 0."""
+    import math
+
+    from rootstock_collective_state_sync_spark.operators.text import (
+        entropy_scores,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),   # 4 distinct tokens -> ln 4
+        (2, "spam spam spam spam"),      # one token type -> 0
+        (3, ""),                          # empty
+        (4, "aaaa"),                      # one char type -> char H = 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in entropy_scores(df).collect()}
+    assert abs(out[1]["token_entropy"] - math.log(4)) < 1e-5
+    assert out[2]["token_entropy"] == 0.0 and out[2]["n_types"] == 1
+    assert out[3]["n_tokens"] == 0 and out[3]["n_chars"] == 0
+    assert out[3]["token_entropy"] == 0.0 and out[3]["char_entropy"] == 0.0
+    assert out[4]["char_entropy"] == 0.0 and out[4]["n_chars"] == 4
+    # mixed doc: 0 < H < ln(n_types)
+    assert 0.0 < out[1]["char_entropy"] < math.log(out[1]["n_chars"])
