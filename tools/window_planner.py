@@ -34,7 +34,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def ever_green() -> dict[str, str]:
-    """query -> latest round with a hash-green driver row."""
+    """query -> latest round with a SATISFIED driver row: hash-green
+    for oracled queries, rows-only (spark_rows > 0, err is None or
+    'no_oracle') for the by-design rows-only sketches. Counting ONLY
+    hash_match made rows-only queries permanently invisible to the
+    rotation — exactly how `heavy_hitter_tokens` went seven rounds
+    with zero driver evidence (r08 verdict item 1)."""
     out: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = os.path.basename(path).split("_")[1].split(".")[0]
@@ -43,7 +48,15 @@ def ever_green() -> dict[str, str]:
         except (json.JSONDecodeError, OSError):
             continue
         for name, rec in data.items():
-            if isinstance(rec, dict) and rec.get("hash_match"):
+            if not isinstance(rec, dict):
+                continue
+            hash_ok = rec.get("hash_match")
+            rows_only_ok = (
+                not rec.get("oracle_rows")
+                and (rec.get("spark_rows") or 0) > 0
+                and rec.get("err") in (None, "no_oracle")
+            )
+            if hash_ok or rows_only_ok:
                 out[name] = rnd
     return out
 
@@ -78,15 +91,16 @@ def main() -> int:
     green = ever_green()
     base = sys.argv[1] if len(sys.argv) > 1 else None
     changed = changed_since(base) if base else set()
-    never = [n for n, s in SPECS.items() if s.oracle and n not in green]
+    # rows-only queries are full citizens here: they must earn a
+    # rows-only driver row just like oracled queries earn hashes
+    never = [n for n in SPECS if n not in green]
     rows_only = [n for n, s in SPECS.items() if not s.oracle]
     anchors = [
-        n for n, s in SPECS.items()
-        if s.oracle and n in green and n not in changed
+        n for n in SPECS if n in green and n not in changed
     ]
     print(f"registry: {len(SPECS)} queries "
           f"({len(SPECS) - len(rows_only)} oracled, {len(rows_only)} rows-only)")
-    print(f"ever-hash-green: {len(green)}")
+    print(f"ever-satisfied (hash-green or rows-only row): {len(green)}")
     print(f"\nNEVER driver-checked ({len(never)}) — must take slots:")
     for n in never:
         print(f"  {n}")
