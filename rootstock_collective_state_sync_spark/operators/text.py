@@ -969,6 +969,22 @@ def dsir_log_ratio(
     other shuffle. The model table is bounded by ``num_buckets`` no
     matter the corpus size — the hashing trick's point.
     """
+    bkt = _dsir_gram_buckets(df, target_col, num_buckets, id_col, text_col)
+    counts = _dsir_bucket_counts(bkt)
+    return _dsir_doc_scores(
+        df, bkt, _dsir_weights(counts, num_buckets), id_col
+    )
+
+
+def _dsir_gram_buckets(
+    df: DataFrame,
+    target_col: str,
+    num_buckets: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, _tgt, bucket) gram-occurrence stream — grams built in-row
+    (see :func:`dsir_log_ratio`), bucket = md5[:16 bits] mod B."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     bigrams = F.when(n >= 2, F.zip_with(
@@ -986,16 +1002,25 @@ def dsir_log_ratio(
         .cast("int")
         % num_buckets
     ).alias("bucket")
-    bkt = grams.select(F.col(id_col), "_tgt", bucket)
-    counts = bkt.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),
+    return grams.select(F.col(id_col), "_tgt", bucket)
+
+
+def _dsir_bucket_counts(bkt: DataFrame) -> DataFrame:
+    """(bucket, c_raw, c_tgt) model counts from a gram-bucket stream."""
+    return bkt.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c_raw"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("c_tgt"),
     )
+
+
+def _dsir_weights(counts: DataFrame, num_buckets: int) -> DataFrame:
+    """(bucket, w_e6) log-ratio weight model from bucket counts
+    (≤ B rows; totals are a 1-row control-plane cross)."""
     totals = counts.agg(
         F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
     )
     B = F.lit(float(num_buckets))
-    weights = counts.crossJoin(F.broadcast(totals)).select(
+    return counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
         F.round(
             (
@@ -1008,6 +1033,12 @@ def dsir_log_ratio(
         .cast("long")
         .alias("w_e6"),
     )
+
+
+def _dsir_doc_scores(
+    df: DataFrame, bkt: DataFrame, weights: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-doc (id, n_grams, lr_e6, mean_lr) under a weight model."""
     per = (
         bkt.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
@@ -1027,6 +1058,56 @@ def dsir_log_ratio(
             6,
         ).alias("mean_lr"),
     )
+
+
+def dsir_increment(
+    batch: DataFrame,
+    prev_counts: DataFrame | None,
+    target_col: str = "is_target",
+    num_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch step of incremental DSIR: merge the batch's
+    gram-bucket counts into the persistent model (``prev_counts`` =
+    (bucket, c_raw, c_tgt) or None for the first batch) and score the
+    BATCH documents against the POST-merge model — prequential
+    (progressive-validation) scoring: every doc is scored by the model
+    as of its own arrival, and count merging is a plain sum, so the
+    final store equals the at-rest model exactly and re-scoring any
+    corpus against it reproduces :func:`dsir_log_ratio` bit-for-bit
+    (pinned by ``tests/test_streaming_dsir.py``).
+
+    Returns ``(updated_counts, batch_scores)``; the caller persists
+    ``updated_counts`` (≤ B rows — a control-plane-sized store) and
+    appends ``batch_scores``.
+    """
+    bkt = _dsir_gram_buckets(batch, target_col, num_buckets, id_col, text_col)
+    bcounts = _dsir_bucket_counts(bkt)
+    if prev_counts is None:
+        updated = bcounts
+    else:
+        p = prev_counts.select(
+            "bucket",
+            F.col("c_raw").alias("p_raw"),
+            F.col("c_tgt").alias("p_tgt"),
+        )
+        updated = (
+            bcounts.join(p, "bucket", "full_outer")
+            .select(
+                "bucket",
+                (F.coalesce("c_raw", F.lit(0)) + F.coalesce("p_raw", F.lit(0)))
+                .cast("long")
+                .alias("c_raw"),
+                (F.coalesce("c_tgt", F.lit(0)) + F.coalesce("p_tgt", F.lit(0)))
+                .cast("long")
+                .alias("c_tgt"),
+            )
+        )
+    scores = _dsir_doc_scores(
+        batch, bkt, _dsir_weights(updated, num_buckets), id_col
+    )
+    return updated, scores
 
 
 def entropy_scores(
