@@ -703,3 +703,51 @@ def largest_remainder_alloc(
         .cast("long")
         .alias("quota"),
     ).orderBy(group_col)
+
+
+def gumbel_topk(
+    df: DataFrame,
+    log_weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Gumbel-top-k
+    trick (equivalent to Efraimidis-Spirakis 2006): add an independent
+    Gumbel(0,1) draw to each row's LOG-weight and keep the k largest
+    keys — the selected set is distributed exactly as sequential
+    weighted sampling without replacement, in one vectorized pass.
+    This is DSIR's resampling step (Xie et al. 2023 add Gumbel noise
+    to the log importance weights and truncate).
+
+    Deterministic no-RNG contract (:func:`stratified_sample`):
+    ``u = (first 16 bits of md5(id) + 0.5) / 65536`` (the +0.5 centers
+    the lattice so u is never 0 or 1), ``g = -ln(-ln u)``, key =
+    ``round(log_weight + g, 6)``; ties break on id ascending. Same
+    selection on any engine or partition layout.
+
+    Plan shape: per-row key projection, then ``orderBy().limit(k)`` —
+    Catalyst's TakeOrderedAndProject (per-partition top-k, merge of
+    k-row shortlists), never a full corpus sort; the rank window runs
+    on the k-row shortlist only (control-plane). Returns the selected
+    rows with ``gumbel_key`` and ``rank`` (1 = largest key).
+    """
+    from pyspark.sql import Window
+
+    draw16 = F.conv(
+        F.substring(
+            F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (draw16.cast("double") + 0.5) / 65536.0
+    key = F.round(
+        F.col(log_weight_col).cast("double") - F.log(-F.log(u)), 6
+    )
+    shortlist = (
+        df.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+    return shortlist.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -1727,8 +1727,10 @@ def q_dsir_log_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_DSIR_LOG_RATIO_ORACLE = f"""
-WITH {_TOK_CTE},
+# shared CTE chain (tokenize -> gram stream -> bucket counts ->
+# e6-snapped weights -> per-doc integer sums), used by the scoring AND
+# the resampling oracle
+_DSIR_CTES = f"""{_TOK_CTE},
 uni AS (
   SELECT t.doc_id, d.source, unnest(t.toks) AS g
   FROM tok t JOIN documents d ON t.doc_id = d.doc_id
@@ -1766,6 +1768,10 @@ per AS (
   SELECT doc_id, count(*)::BIGINT AS n_grams, sum(w_e6)::BIGINT AS lr_e6
   FROM bkt JOIN w USING (bucket) GROUP BY doc_id
 )
+"""
+
+Q_DSIR_LOG_RATIO_ORACLE = f"""
+WITH {_DSIR_CTES}
 SELECT d.doc_id, d.source,
        coalesce(per.n_grams, 0)::BIGINT AS n_grams,
        coalesce(per.lr_e6, 0)::BIGINT AS lr_e6,
@@ -1826,3 +1832,61 @@ LEFT JOIN tper ON d.doc_id = tper.doc_id
 LEFT JOIN cper ON d.doc_id = cper.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR resampling (Gumbel-top-k over the log-ratio weights)
+# ---------------------------------------------------------------------------
+
+_DSIR_K = 20
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR selection pipeline: log-ratio scores
+    (:func:`q_dsir_log_ratio`'s operator) + Gumbel-top-k resampling —
+    weighted sampling without replacement over mean log-ratio weights.
+    The oracle replays the md5-lattice Gumbel draws and the ranked
+    truncation exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.dsir_log_ratio(
+        docs.withColumn("is_target", F.col("source").isin(*_DSIR_TARGET)),
+        num_buckets=_DSIR_BUCKETS,
+    )
+    return (
+        SA.gumbel_topk(scored, log_weight_col="mean_lr", k=_DSIR_K)
+        .select("doc_id", "mean_lr", "gumbel_key", "rank")
+        .orderBy("rank")
+    )
+
+
+Q_DSIR_SELECT_ORACLE = (
+    f"WITH {_DSIR_CTES}"
+    + f"""
+, scored AS (
+  SELECT d.doc_id,
+         round(coalesce(per.lr_e6, 0)::DOUBLE
+               / (greatest(coalesce(per.n_grams, 0), 1) * 1000000.0), 6)
+           AS mean_lr
+  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+),
+keyed AS (
+  SELECT doc_id, mean_lr,
+         round(mean_lr - ln(-ln(
+             (list_sum(list_transform(range(4), kk ->
+                  (strpos('0123456789abcdef',
+                          substr(md5(doc_id::VARCHAR), kk + 1, 1)) - 1)
+                  * (1 << (4 * (3 - kk)))))::DOUBLE + 0.5) / 65536.0)),
+               6) AS gumbel_key
+  FROM scored
+),
+ranked AS (
+  SELECT doc_id, mean_lr, gumbel_key,
+         row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC)::INTEGER
+           AS rank
+  FROM keyed
+)
+SELECT doc_id, mean_lr, gumbel_key, rank
+FROM ranked WHERE rank <= {_DSIR_K}
+ORDER BY rank
+"""
+)

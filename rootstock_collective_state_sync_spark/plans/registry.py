@@ -326,6 +326,9 @@ SPECS: dict[str, QuerySpec] = {
     "text_entropy": QuerySpec(
         CU.q_text_entropy, CU.Q_TEXT_ENTROPY_ORACLE, ("text",)
     ),
+    "dsir_select": QuerySpec(
+        CU.q_dsir_select, CU.Q_DSIR_SELECT_ORACLE, ("sampling", "text")
+    ),
     "zorder_key": QuerySpec(
         CU.q_zorder_key, CU.Q_ZORDER_KEY_ORACLE, ("layout", "scalar")
     ),
@@ -682,9 +685,9 @@ _DRIVER_WINDOW = [
     "dsir_log_ratio",
     "text_entropy",
     "source_dup_matrix",
+    "dsir_select",
     # (f) oldest r06 anchors filling the remaining slots
     "watermark_max_block",
-    "group_count",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -1849,3 +1849,34 @@ def test_entropy_scores_orders_and_edge_cases(spark):
     assert out[4]["char_entropy"] == 0.0 and out[4]["n_chars"] == 4
     # mixed doc: 0 < H < ln(n_types)
     assert 0.0 < out[1]["char_entropy"] < math.log(out[1]["n_chars"])
+
+
+def test_gumbel_topk_contract(spark):
+    """Gumbel-top-k: |result| = min(k, n); ranks are 1..k in key
+    order; the draw is deterministic (same selection twice); and
+    weight monotonicity holds — boosting one excluded row's log-weight
+    far enough pulls it into the selection under the SAME draws."""
+    from pyspark.sql import functions as F
+
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        gumbel_topk,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit(0.0).alias("lw")
+    )
+    sel1 = gumbel_topk(df, "lw", 10).collect()
+    sel2 = gumbel_topk(df, "lw", 10).collect()
+    assert [r["doc_id"] for r in sel1] == [r["doc_id"] for r in sel2]
+    assert [r["rank"] for r in sel1] == list(range(1, 11))
+    keys = [r["gumbel_key"] for r in sel1]
+    assert keys == sorted(keys, reverse=True)
+    assert len(gumbel_topk(df, "lw", 100).collect()) == 40
+
+    chosen = {r["doc_id"] for r in sel1}
+    out = next(i for i in range(40) if i not in chosen)
+    boosted = df.withColumn(
+        "lw", F.when(F.col("doc_id") == out, F.lit(50.0)).otherwise(F.lit(0.0))
+    )
+    sel3 = {r["doc_id"]: r["rank"] for r in gumbel_topk(boosted, "lw", 10).collect()}
+    assert sel3[out] == 1  # +50 log-weight dominates any Gumbel draw

@@ -329,7 +329,14 @@ def test_pandas_udf_single_evaluation(spark):
     re-scanning + re-assigning; explain prints the cached subtree at
     every consumer, hence Arrow-node text count = 1 cosine + one
     cell-assign print per InMemoryTableScan);
-    emb_near_dup_pairs / emb_near_dup_lsh = 1 cosine each."""
+    emb_near_dup_pairs / emb_near_dup_lsh = 1 cosine each.
+
+    Cache is cleared first: the session-scoped fixture accumulates
+    persisted frames from earlier test files (conformance runs every
+    registry query, including the persisting ones), and the
+    CacheManager then substitutes EXTRA InMemoryTableScans into this
+    plan — the pin is defined against a cold cache."""
+    spark.catalog.clearCache()
     p = plan(spark, SPECS["semantic_dedup"].fn(spark, SF_SMOKE), "simple")
     assert p.count("InMemoryTableScan") == 3  # cached corpus, 3 readers
     # exactly ONE Arrow eval outside the cached subtree (the cosine)
