@@ -149,3 +149,14 @@ def test_generated_artifacts_cover_registry():
         f"SURVEY.md's newest round note says {counts[-1]} oracled "
         f"queries; registry holds {n_oracled}"
     )
+
+    # the §2.12 preamble's standing totals line (not historical — it
+    # describes the registry as it IS, so it must track both counts)
+    m = re.search(
+        r"Registry totals: \*\*(\d+) queries, (\d+) value-oracled", survey
+    )
+    assert m, "SURVEY.md §2.12 missing the 'Registry totals' line"
+    assert (int(m.group(1)), int(m.group(2))) == (len(SPECS), n_oracled), (
+        f"SURVEY.md §2.12 totals say {m.group(1)}/{m.group(2)}; registry "
+        f"holds {len(SPECS)}/{n_oracled}"
+    )

@@ -1880,3 +1880,29 @@ def test_gumbel_topk_contract(spark):
     )
     sel3 = {r["doc_id"]: r["rank"] for r in gumbel_topk(boosted, "lw", 10).collect()}
     assert sel3[out] == 1  # +50 log-weight dominates any Gumbel draw
+
+
+def test_entropy_scores_bounds_property(spark):
+    """Property over generated corpora: 0 <= H <= ln(n_types) (token)
+    and 0 <= H <= ln(n_chars) (char) for every doc, with equality at
+    the lower bound exactly when one symbol type exists. Seeded
+    generation — deterministic."""
+    import math
+    import random
+
+    from rootstock_collective_state_sync_spark.operators.text import (
+        entropy_scores,
+    )
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "x1", "y22"]
+    rows = []
+    for i in range(30):
+        n = rng.randint(1, 40)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in entropy_scores(df).collect():
+        assert 0.0 <= r["token_entropy"] <= math.log(max(r["n_types"], 1)) + 1e-6
+        assert 0.0 <= r["char_entropy"] <= math.log(max(r["n_chars"], 1)) + 1e-6
+        if r["n_types"] == 1:
+            assert r["token_entropy"] == 0.0
