@@ -751,3 +751,98 @@ def gumbel_topk(
     )
     w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
     return shortlist.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def unimax_alloc(
+    df: DataFrame,
+    budget_frac_e6: int = 500000,
+    epoch_cap: int = 2,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", arXiv:2304.09151): split a token budget across
+    groups (languages / sources) as UNIFORMLY as possible subject to
+    a per-group repetition cap — no group may be sampled for more
+    than ``epoch_cap`` epochs of its own corpus. Low-resource groups
+    contribute their full capped supply; the rest of the budget is
+    divided evenly among the high-resource groups (waterfilling).
+    The fairness-aware alternative to temperature sampling
+    (:func:`..plans.training.q_temperature_mix`'s operator), which
+    over-samples the head and has no repetition bound.
+
+    Closed form instead of the paper's sequential loop: with supplies
+    ``s_g = epoch_cap * n_g`` sorted ascending, group i is fully
+    allocated iff ``s_i * (k - i + 1) <= B - cum_i`` (``cum_i`` = sum
+    of the i-1 smaller supplies) — once violated it stays violated,
+    so the full set is a prefix and every remaining group gets the
+    common water level ``(B - sum_full) / n_notfull``. The boundary
+    test is EXACT integer arithmetic (no float water level decides
+    membership); only the final level is a double, rounded to 6 dp.
+
+    ``B = total_size * budget_frac_e6 // 1e6`` — the budget scales
+    with the corpus so the allocation is meaningful at any SF.
+
+    Plan shape (100 TB): one group-count shuffle (map-side combined,
+    |groups| rows out), then windows over the |groups|-row aggregate
+    — control-plane scale, same as :func:`largest_remainder_alloc`.
+
+    Returns ``(group, n, supply, alloc, epochs)`` where ``epochs =
+    alloc / n`` (how many passes over its corpus the group runs).
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(size_col).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_N"))
+    c = counts.crossJoin(F.broadcast(total)).select(
+        "grp",
+        "n",
+        (F.col("n") * F.lit(int(epoch_cap))).cast("long").alias("s"),
+        F.floor(
+            F.col("_N").cast("decimal(38,0)")
+            * F.lit(int(budget_frac_e6))
+            / F.lit(1000000)
+        )
+        .cast("long")
+        .alias("B"),
+    )
+    w = Window.orderBy(F.col("s").asc(), F.col("grp").asc())
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.coalesce(
+        F.sum("s").over(
+            Window.orderBy(F.col("s").asc(), F.col("grp").asc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0),
+    )
+    k = F.count(F.lit(1)).over(whole)
+    i = F.row_number().over(w)
+    marked = c.select(
+        "grp",
+        "n",
+        "s",
+        "B",
+        (F.col("s") * (k - i + 1) <= F.col("B") - cum).alias("_full"),
+    )
+    s_full = F.sum(F.when(F.col("_full"), F.col("s")).otherwise(0)).over(whole)
+    n_not = (
+        F.count(F.lit(1)).over(whole)
+        - F.sum(F.when(F.col("_full"), 1).otherwise(0)).over(whole)
+    )
+    level = F.round(
+        (F.col("B") - s_full).cast("double")
+        / F.greatest(n_not, F.lit(1)).cast("double"),
+        6,
+    )
+    alloc = F.when(F.col("_full"), F.col("s").cast("double")).otherwise(level)
+    return marked.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.col("s").alias("supply"),
+        alloc.alias("alloc"),
+        F.round(alloc / F.col("n").cast("double"), 6).alias("epochs"),
+    ).orderBy(group_col)

@@ -9,7 +9,7 @@ the DuckDB oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
@@ -1179,4 +1179,194 @@ def entropy_scores(
             F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
             F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-lite domain reweighting
+# ---------------------------------------------------------------------------
+
+
+def doremi_weights(
+    df: DataFrame,
+    eta: float = 1.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain mixture reweighting, DoReMi-reduced (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining", arXiv:2305.10429): upweight domains where the proxy
+    model's EXCESS loss over a reference is largest, via one
+    exponentiated-gradient step — ``w_d ∝ share_d · exp(η ·
+    excess_d)``, normalized. The paper's proxy/reference are trained
+    LMs; the distributable stand-in here scores each domain by its
+    mean token NLL under the corpus's own add-one-smoothed unigram LM
+    (:func:`unigram_lm_scores`'s model — exactly the CCNet trick),
+    with the GLOBAL mean NLL as the reference. A domain whose text
+    the corpus-level model finds surprising (diverse, rare
+    vocabulary) earns weight; an in-distribution head domain loses
+    it. A trained proxy's per-domain losses can replace the NLL
+    column without touching the plan.
+
+    Float policy: per-token NLLs are e6-snapped integers before any
+    sum (:func:`unigram_lm_scores`); per-domain mean loss is integer
+    floor-division ``sum_nll_e6 // n_tokens`` and the reference is
+    the same ratio over global integer totals, so ``excess_e6`` is
+    exact integer arithmetic — only the final ``exp`` and
+    normalization are floats, rounded to 6 dp.
+
+    Scale shape (100 TB): ONE vocabulary shuffle (term counts,
+    map-side combined) + a broadcast-model map-side join + ONE
+    |domains|-row aggregation; the EG step runs on the |domains|-row
+    table (control-plane windows). No per-pair work, no corpus
+    self-join.
+
+    Returns ``(group, n_tokens, loss_e6, excess_e6, share, weight)``
+    — ``share`` is the baseline token-mass mixture, ``weight`` the
+    reweighted one (both sum to 1, 6 dp).
+    """
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    ).first()
+    denom = float(int(totals["total"]) + int(totals["vocab"]))
+    nll_e6 = F.round(
+        -F.log((F.col("c") + 1).cast("double") / F.lit(denom)) * 1e6, 0
+    ).cast("long")
+    per = (
+        tok.join(F.broadcast(counts), "term")
+        .select("grp", nll_e6.alias("nll_e6"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("nll_e6").cast("long").alias("sum_nll_e6"),
+        )
+    )
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # `div` = exact integral division (floor on positives) on BOTH
+    # engines; a double division + cast would truncate on Spark but
+    # round on DuckDB
+    staged = per.select(
+        "grp",
+        "n_tokens",
+        "sum_nll_e6",
+        F.sum("sum_nll_e6").over(whole).alias("_tsum"),
+        F.sum("n_tokens").over(whole).alias("_tn"),
+    ).select(
+        "grp",
+        "n_tokens",
+        F.expr("sum_nll_e6 div n_tokens").alias("loss_e6"),
+        F.expr(
+            "greatest((sum_nll_e6 div n_tokens) - (_tsum div _tn), 0L)"
+        ).alias("excess_e6"),
+        (F.col("n_tokens").cast("double") / F.col("_tn").cast("double")).alias(
+            "_share"
+        ),
+    )
+    raw = F.col("_share") * F.exp(
+        F.lit(float(eta)) * F.col("excess_e6").cast("double") / F.lit(1e6)
+    )
+    normed = staged.select(
+        "grp",
+        "n_tokens",
+        "loss_e6",
+        "excess_e6",
+        "_share",
+        (raw / F.sum(raw).over(whole)).alias("_w"),
+    )
+    return normed.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "loss_e6",
+        "excess_e6",
+        F.round("_share", 6).alias("share"),
+        F.round("_w", 6).alias("weight"),
+    ).orderBy(group_col)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks(
+    df: DataFrame,
+    window: int = 8,
+    modulus: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC / rsync family, reduced
+    to its portable core): cut a document AFTER every position whose
+    trailing ``window``-char hash is ≡ 0 mod ``modulus`` — so chunk
+    boundaries are decided by CONTENT, not offsets, and an insertion
+    near the head shifts only the chunk it lands in while every
+    later chunk re-aligns and hashes identically. The property
+    offset-based chunking (:func:`chunk_documents`) lacks, and the
+    basis of shift-robust chunk-level dedup: group the emitted
+    ``chunk_hash`` across documents to find shared spans regardless
+    of position. Expected chunk length = ``modulus`` chars.
+
+    Hash = first 16 bits of md5 of the trailing window (the repo-wide
+    portable-draw convention) — no sequential rolling state, so every
+    position's boundary test is independent and the whole per-doc
+    computation is one JVM higher-order-function chain (transform →
+    filter → zip_with → posexplode): no UDF, no shuffle, single scan.
+    O(len) md5 calls per doc is the deliberate portability trade
+    (a gear-table rolling hash saves constant factor but needs
+    per-char sequential state that SQL engines can't replay).
+
+    Scale shape (100 TB): embarrassingly parallel scan — zero
+    shuffles; output rows ≈ corpus_chars / modulus. Chunk-level
+    dedup downstream shuffles 8-byte hashes, never text.
+
+    Returns ``(id, chunk_id, start, chunk_len, chunk_hash)`` —
+    ``start`` 0-based; ``chunk_hash`` = md5 of the chunk text.
+    """
+    txt = F.col(text_col)
+    n = F.length(txt)
+    win_hash16 = lambda i: F.conv(  # noqa: E731 — trailing-window hash
+        F.substring(
+            F.md5(F.substring(txt, i - window + 1, window).cast("binary")),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bnds = F.when(
+        n >= window,
+        F.filter(
+            F.sequence(F.lit(window), F.greatest(n, F.lit(window))),
+            lambda i: win_hash16(i) % modulus == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0)), bnds)
+    ends = F.concat(bnds, F.array(n))
+    spans = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ),
+        lambda p: p["e"] > p["s"],
+    )
+    exploded = df.select(
+        F.col(id_col),
+        txt.alias("_txt"),
+        F.posexplode(spans).alias("chunk_id", "_sp"),
+    )
+    chunk_text = F.expr("substring(_txt, _sp.s + 1, _sp.e - _sp.s)")
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("_sp.s").cast("long").alias("start"),
+        (F.col("_sp.e") - F.col("_sp.s")).cast("long").alias("chunk_len"),
+        F.md5(chunk_text.cast("binary")).alias("chunk_hash"),
     )

@@ -1890,3 +1890,180 @@ FROM ranked WHERE rank <= {_DSIR_K}
 ORDER BY rank
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# UniMax epoch-capped budget allocation
+# ---------------------------------------------------------------------------
+
+_UNIMAX_FRAC_E6 = 1800000  # budget = 1.8x the corpus (forces the cap to bind)
+_UNIMAX_CAP = 2
+
+
+def q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax (Chung et al. 2023) language-budget waterfilling over
+    the skewed ``lang`` column: every low-resource language runs its
+    full ``epoch_cap`` epochs, the head language absorbs the leftover
+    at the common water level. See
+    :func:`..operators.sampling.unimax_alloc`; the oracle replays the
+    exact-integer prefix test and the single rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.unimax_alloc(
+        docs,
+        budget_frac_e6=_UNIMAX_FRAC_E6,
+        epoch_cap=_UNIMAX_CAP,
+        group_col="lang",
+    )
+
+
+Q_UNIMAX_ALLOC_ORACLE = f"""
+WITH c AS (
+  SELECT lang AS grp, sum(n_chars)::BIGINT AS n FROM documents GROUP BY lang
+),
+t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+s AS (
+  SELECT grp, n, (n * {_UNIMAX_CAP})::BIGINT AS s,
+         ((tot::HUGEINT * {_UNIMAX_FRAC_E6}) // 1000000)::BIGINT AS B
+  FROM c CROSS JOIN t
+),
+m AS (
+  SELECT grp, n, s, B,
+         coalesce(sum(s) OVER (ORDER BY s ASC, grp ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         count(*) OVER () AS k,
+         row_number() OVER (ORDER BY s ASC, grp ASC) AS i
+  FROM s
+),
+f AS (
+  SELECT grp, n, s, B, (s * (k - i + 1) <= B - cum) AS is_full FROM m
+),
+g AS (
+  SELECT grp, n, s, B, is_full,
+         sum(CASE WHEN is_full THEN s ELSE 0 END) OVER ()::BIGINT AS s_full,
+         (count(*) OVER ()
+          - sum(CASE WHEN is_full THEN 1 ELSE 0 END) OVER ())::BIGINT AS n_not
+  FROM f
+),
+a AS (
+  SELECT grp, n, s,
+         CASE WHEN is_full THEN s::DOUBLE
+              ELSE round((B - s_full)::DOUBLE / greatest(n_not, 1), 6)
+         END AS alloc
+  FROM g
+)
+SELECT grp AS lang, n::BIGINT AS n, s::BIGINT AS supply, alloc,
+       round(alloc / n, 6) AS epochs
+FROM a ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-lite domain reweighting
+# ---------------------------------------------------------------------------
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exponentiated-gradient DoReMi step (Xie et al. 2023) over
+    per-source excess unigram-NLL. See
+    :func:`..operators.text.doremi_weights`; the oracle replays the
+    e6-snapped NLL model, the exact `div` losses, and the EG step."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.doremi_weights(docs, eta=1.0)
+
+
+Q_DOREMI_WEIGHTS_ORACLE = f"""
+WITH {_TOK_CTE},
+tt AS (
+  SELECT d.source AS grp, unnest(t.toks) AS term
+  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+),
+c AS (SELECT term, count(*) AS c FROM tt GROUP BY term),
+tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM c),
+w AS (
+  SELECT term,
+         round(-ln((c.c + 1)::DOUBLE / (tot.total + tot.vocab))
+               * 1000000, 0)::BIGINT AS nll_e6
+  FROM c, tot
+),
+per AS (
+  SELECT grp, count(*)::BIGINT AS n_tokens, sum(nll_e6)::BIGINT AS sum_nll_e6
+  FROM tt JOIN w USING (term) GROUP BY grp
+),
+g AS (
+  SELECT grp, n_tokens, sum_nll_e6,
+         sum(sum_nll_e6) OVER ()::BIGINT AS tsum,
+         sum(n_tokens) OVER ()::BIGINT AS tn
+  FROM per
+),
+e AS (
+  SELECT grp, n_tokens,
+         (sum_nll_e6 // n_tokens)::BIGINT AS loss_e6,
+         greatest((sum_nll_e6 // n_tokens) - (tsum // tn), 0)::BIGINT
+           AS excess_e6,
+         n_tokens::DOUBLE / tn AS share
+  FROM g
+),
+r AS (
+  SELECT grp, n_tokens, loss_e6, excess_e6, share,
+         share * exp(1.0 * excess_e6 / 1000000.0) AS raw
+  FROM e
+)
+SELECT grp AS source, n_tokens, loss_e6, excess_e6,
+       round(share, 6) AS share,
+       round(raw / sum(raw) OVER (), 6) AS weight
+FROM r ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+_CDC_WIN = 8
+_CDC_MOD = 64
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined (FastCDC-style) chunk table — shift-robust
+    boundaries from trailing-window hashes. See
+    :func:`..operators.text.cdc_chunks`; the oracle replays the
+    identical per-position md5 boundary test and span slicing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.cdc_chunks(docs, window=_CDC_WIN, modulus=_CDC_MOD).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+Q_CDC_CHUNKS_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text, length(text)::BIGINT AS n,
+         CASE WHEN length(text) >= {_CDC_WIN} THEN
+           list_filter(range({_CDC_WIN}, length(text) + 1), i ->
+             (list_sum(list_transform(range(4), k ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(substr(text, (i - {_CDC_WIN} + 1)::INTEGER,
+                                           {_CDC_WIN})), k + 1, 1)) - 1)
+                 * (1 << (4 * (3 - k)))))::BIGINT % {_CDC_MOD}) = 0)
+         ELSE []::BIGINT[] END AS bnds
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, text,
+         list_prepend(0, bnds) AS starts,
+         list_append(bnds, n) AS ends
+  FROM b
+),
+e AS (
+  SELECT doc_id, text, starts, ends,
+         unnest(range(len(starts))) AS j
+  FROM sp
+)
+SELECT doc_id, j::INTEGER AS chunk_id,
+       starts[j + 1]::BIGINT AS start,
+       (ends[j + 1] - starts[j + 1])::BIGINT AS chunk_len,
+       md5(substr(text, (starts[j + 1] + 1)::INTEGER,
+                  (ends[j + 1] - starts[j + 1])::INTEGER)) AS chunk_hash
+FROM e
+WHERE ends[j + 1] > starts[j + 1]
+ORDER BY doc_id, chunk_id
+"""

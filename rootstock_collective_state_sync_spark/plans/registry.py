@@ -329,6 +329,15 @@ SPECS: dict[str, QuerySpec] = {
     "dsir_select": QuerySpec(
         CU.q_dsir_select, CU.Q_DSIR_SELECT_ORACLE, ("sampling", "text")
     ),
+    "unimax_alloc": QuerySpec(
+        CU.q_unimax_alloc, CU.Q_UNIMAX_ALLOC_ORACLE, ("sampling", "agg")
+    ),
+    "doremi_weights": QuerySpec(
+        CU.q_doremi_weights, CU.Q_DOREMI_WEIGHTS_ORACLE, ("sampling", "text")
+    ),
+    "cdc_chunks": QuerySpec(
+        CU.q_cdc_chunks, CU.Q_CDC_CHUNKS_ORACLE, ("text",)
+    ),
     "zorder_key": QuerySpec(
         CU.q_zorder_key, CU.Q_ZORDER_KEY_ORACLE, ("layout", "scalar")
     ),
@@ -678,14 +687,17 @@ _DRIVER_WINDOW = [
     "importance_sample",
     "zorder_key",
     "export_manifest",
-    "window_tumbling",
-    "window_sliding",
-    "first_event_per_key",
+    # (window_tumbling / window_sliding / first_event_per_key stay in
+    # the r05 cohort one more round — their three seats went to the
+    # second batch of (e) births; all three remain locally gated)
     # (e) new this round — driver-checked immediately, no evidence debt
     "dsir_log_ratio",
     "text_entropy",
     "source_dup_matrix",
     "dsir_select",
+    "unimax_alloc",
+    "doremi_weights",
+    "cdc_chunks",
     # (f) oldest r06 anchors filling the remaining slots
     "watermark_max_block",
 ]

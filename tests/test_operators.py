@@ -1906,3 +1906,100 @@ def test_entropy_scores_bounds_property(spark):
         assert 0.0 <= r["char_entropy"] <= math.log(max(r["n_chars"], 1)) + 1e-6
         if r["n_types"] == 1:
             assert r["token_entropy"] == 0.0
+
+
+def test_unimax_alloc_contract(spark):
+    """Known-size groups, budget 0.5x corpus, cap 2 epochs: both small
+    groups fit under the cap (full supply, exactly 2.0 epochs), the
+    big group absorbs the remaining budget at the water level; the
+    allocations sum to the budget exactly."""
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        unimax_alloc,
+    )
+
+    rows = (
+        [("a", 10)] * 1 + [("b", 20)] * 1 + [("c", 1000)] * 1
+    )
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r["source"]: r for r in unimax_alloc(
+        df, budget_frac_e6=500000, epoch_cap=2
+    ).collect()}
+    # B = floor(0.5 * 1030) = 515; supplies 20 / 40 / 2000
+    assert out["a"]["alloc"] == 20.0 and out["a"]["epochs"] == 2.0
+    assert out["b"]["alloc"] == 40.0 and out["b"]["epochs"] == 2.0
+    assert out["c"]["alloc"] == 455.0  # 515 - 20 - 40
+    assert abs(sum(r["alloc"] for r in out.values()) - 515.0) < 1e-9
+    # budget >= total supply -> everyone runs their full cap
+    full = {r["source"]: r for r in unimax_alloc(
+        df, budget_frac_e6=3000000, epoch_cap=2
+    ).collect()}
+    assert all(r["alloc"] == r["supply"] for r in full.values())
+    assert all(r["epochs"] == 2.0 for r in full.values())
+
+
+def test_doremi_weights_contract(spark):
+    """A domain of rare diverse tokens must earn positive excess loss
+    and a weight ABOVE its baseline share; a domain of corpus-common
+    repeated tokens must not. Both columns sum to 1."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        doremi_weights,
+    )
+
+    common = [("head", "the cat sat on the mat " * 5)] * 20
+    rare = [
+        ("tail", f"zyx{i}q wvu{i}t rqp{i}m onm{i}k") for i in range(20)
+    ]
+    df = spark.createDataFrame(common + rare, "source string, text string")
+    out = {r["source"]: r for r in doremi_weights(df).collect()}
+    assert out["tail"]["excess_e6"] > 0
+    assert out["head"]["excess_e6"] == 0
+    assert out["tail"]["weight"] > out["tail"]["share"]
+    assert out["head"]["weight"] < out["head"]["share"]
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_cdc_chunks_contract(spark):
+    """Chunks tile each document exactly (contiguous starts, lengths
+    summing to the doc length, all positive), and boundaries are
+    content-defined: prepending one char to a doc changes at most the
+    chunks up to the first surviving boundary — later chunk hashes
+    re-align (the property offset chunking lacks)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from rootstock_collective_state_sync_spark.operators.text import (
+        cdc_chunks,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(50)
+    )
+    rows = cdc_chunks(docs).orderBy("doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(by_doc) == set(texts)
+    for did, chunks in by_doc.items():
+        assert all(c["chunk_len"] > 0 for c in chunks)
+        pos = 0
+        for c in chunks:
+            assert c["start"] == pos
+            pos += c["chunk_len"]
+        assert pos == len(texts[did])
+        # hash really is md5 of the chunk text
+        c0 = chunks[0]
+        seg = texts[did][: c0["chunk_len"]]
+        assert c0["chunk_hash"] == hashlib.md5(seg.encode()).hexdigest()
+
+    one = docs.limit(1).select("doc_id", "text")
+    shifted = one.select(
+        "doc_id", F.concat(F.lit("Z"), F.col("text")).alias("text")
+    )
+    h1 = [r["chunk_hash"] for r in cdc_chunks(one).collect()]
+    h2 = {r["chunk_hash"] for r in cdc_chunks(shifted).collect()}
+    # every chunk after the first boundary re-aligns
+    assert all(h in h2 for h in h1[1:])
