@@ -1671,3 +1671,82 @@ def kcenter_coreset(
     return spark.createDataFrame(
         chosen, "round int, vec_id bigint, dist_sq double"
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    num_cells: int = 16,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag every CORPUS vector whose
+    cosine similarity to ANY benchmark vector reaches ``threshold`` —
+    the semantic analog of the n-gram contamination screens
+    (``contamination_check`` / ``contamination_spans``), catching
+    paraphrased or re-formatted eval leakage that exact n-gram overlap
+    misses (the train/test-overlap concern of Lee et al. 2022 /
+    SemDeDup, applied asymmetrically: corpus vs a fixed eval set).
+
+    Same coarse-quantizer confinement as :func:`semantic_dedup`: both
+    sides are assigned to spherical-k-means cells (trained on the
+    UNION so one quantizer covers both distributions), and scoring
+    joins corpus x benchmark WITHIN cells only — O(n · bench_cell)
+    instead of O(n · bench). Cross-cell leaks are the documented
+    recall trade; raise ``num_cells`` slower than n so per-cell
+    benchmark slices stay bounded. At 100 TB the per-cell benchmark
+    side is eval-set-sized (tiny) — Spark's size-based planning
+    broadcasts it, so the corpus is never shuffled at all; the
+    threshold is folded into conditional aggregation so the Arrow
+    cosine stage runs once (the :func:`semantic_dedup` plan rule).
+
+    Returns one row per corpus vector: ``(id, cell, n_bench_hits,
+    max_bench_sim, clean)`` — ``clean = 1`` iff no benchmark vector
+    in its cell reaches the threshold.
+    """
+    train = corpus.select(id_col, vec_col).unionByName(
+        benchmark.select(id_col, vec_col)
+    )
+    cent = _train_ivf_centroids(train, num_cells, id_col, vec_col)
+    assign = _cell_udf(cent)
+    tagged = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("cell"),
+    ).persist()
+    bench = benchmark.select(
+        F.col(vec_col).alias("bvec"),
+        assign(F.col(vec_col)).alias("cell"),
+    )
+    hits = (
+        tagged.join(bench, "cell")
+        .select(
+            "id",
+            cosine_vectorized(F.col("vec"), F.col("bvec")).alias("cos_sim"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("cos_sim") >= threshold, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bench_hits"),
+            F.max(
+                F.when(F.col("cos_sim") >= threshold, F.col("cos_sim"))
+            ).alias("max_bench_sim"),
+        )
+        .filter(F.col("n_bench_hits") > 0)
+        .select(
+            F.col("id").alias("id_h"), "n_bench_hits", "max_bench_sim"
+        )
+    )
+    return tagged.join(
+        hits, tagged.id == hits.id_h, "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.col("cell"),
+        F.coalesce("n_bench_hits", F.lit(0)).cast("long").alias(
+            "n_bench_hits"
+        ),
+        F.col("max_bench_sim"),
+        F.col("id_h").isNull().cast("int").alias("clean"),
+    )

@@ -2034,8 +2034,10 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_CDC_CHUNKS_ORACLE = f"""
-WITH b AS (
+# shared CTE chain (boundary positions -> spans -> chunk table), used
+# by the chunk-table oracle AND the chunk-level dup census
+_CDC_CTES = f"""
+b AS (
   SELECT doc_id, text, length(text)::BIGINT AS n,
          CASE WHEN length(text) >= {_CDC_WIN} THEN
            list_filter(range({_CDC_WIN}, length(text) + 1), i ->
@@ -2053,17 +2055,116 @@ sp AS (
          list_append(bnds, n) AS ends
   FROM b
 ),
-e AS (
+ex AS (
   SELECT doc_id, text, starts, ends,
          unnest(range(len(starts))) AS j
   FROM sp
+),
+chunks AS (
+  SELECT doc_id, j::INTEGER AS chunk_id,
+         starts[j + 1]::BIGINT AS start,
+         (ends[j + 1] - starts[j + 1])::BIGINT AS chunk_len,
+         md5(substr(text, (starts[j + 1] + 1)::INTEGER,
+                    (ends[j + 1] - starts[j + 1])::INTEGER)) AS chunk_hash
+  FROM ex
+  WHERE ends[j + 1] > starts[j + 1]
 )
-SELECT doc_id, j::INTEGER AS chunk_id,
-       starts[j + 1]::BIGINT AS start,
-       (ends[j + 1] - starts[j + 1])::BIGINT AS chunk_len,
-       md5(substr(text, (starts[j + 1] + 1)::INTEGER,
-                  (ends[j + 1] - starts[j + 1])::INTEGER)) AS chunk_hash
-FROM e
-WHERE ends[j + 1] > starts[j + 1]
-ORDER BY doc_id, chunk_id
 """
+
+Q_CDC_CHUNKS_ORACLE = f"""
+WITH {_CDC_CTES}
+SELECT doc_id, chunk_id, start, chunk_len, chunk_hash
+FROM chunks ORDER BY doc_id, chunk_id
+"""
+
+
+def q_cdc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication census over the CDC chunk table
+    (min-owner convention). See
+    :func:`..operators.text.cdc_dup_stats`; the oracle replays the
+    chunk CTEs, the min-owner table, and the per-doc rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.cdc_dup_stats(docs, window=_CDC_WIN, modulus=_CDC_MOD).orderBy(
+        "doc_id"
+    )
+
+
+Q_CDC_DUP_STATS_ORACLE = f"""
+WITH {_CDC_CTES},
+own AS (
+  SELECT chunk_hash, min(doc_id) AS owner FROM chunks GROUP BY chunk_hash
+)
+SELECT c.doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN o.owner < c.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_chunks,
+       sum(CASE WHEN o.owner < c.doc_id THEN c.chunk_len ELSE 0 END)::BIGINT
+         AS dup_chars,
+       sum(c.chunk_len)::BIGINT AS total_chars,
+       round(sum(CASE WHEN o.owner < c.doc_id
+                      THEN c.chunk_len ELSE 0 END)::DOUBLE
+             / greatest(sum(c.chunk_len), 1), 6) AS dup_char_ratio
+FROM chunks c JOIN own o USING (chunk_hash)
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (corpus vs eval set, cell-confined)
+# ---------------------------------------------------------------------------
+
+_SEMCON_TAU = 0.5
+
+
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: every 20th vector stands in
+    for the benchmark/eval set; corpus vectors cosine-similar to an
+    in-cell benchmark vector are flagged. The oracle replays the
+    unrolled k-means quantizer, the cell-confined corpus x benchmark
+    scoring, and the clean rule. See
+    :func:`..operators.similarity.semantic_contamination`."""
+    from rootstock_collective_state_sync_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corp = emb.filter(F.col("vec_id") % 20 != 0)
+    return S.semantic_contamination(
+        corp, bench, num_cells=16, threshold=_SEMCON_TAU
+    ).orderBy("vec_id")
+
+
+def _semantic_contamination_oracle() -> str:
+    from rootstock_collective_state_sync_spark.plans.training import (
+        _COS_SQL,
+        _ivf_cells_oracle,
+    )
+
+    return _ivf_cells_oracle(tail=f""",
+corp AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM embeddings e JOIN cells c USING (vec_id)
+  WHERE e.vec_id % 20 <> 0
+),
+bt AS (
+  SELECT e.embedding, c.cell
+  FROM embeddings e JOIN cells c USING (vec_id)
+  WHERE e.vec_id % 20 = 0
+),
+pr AS (
+  SELECT corp.vec_id AS id,
+         {_COS_SQL.format(a="corp.embedding", b="bt.embedding")} AS s
+  FROM corp JOIN bt ON corp.cell = bt.cell
+),
+h AS (
+  SELECT id, count(*)::BIGINT AS n_bench_hits, max(s) AS max_bench_sim
+  FROM pr WHERE s >= {_SEMCON_TAU} GROUP BY id
+)
+SELECT t.vec_id, t.cell,
+       coalesce(h.n_bench_hits, 0)::BIGINT AS n_bench_hits,
+       h.max_bench_sim,
+       (CASE WHEN h.id IS NULL THEN 1 ELSE 0 END)::INTEGER AS clean
+FROM corp t LEFT JOIN h ON t.vec_id = h.id
+ORDER BY t.vec_id""")
+
+
+Q_SEMANTIC_CONTAMINATION_ORACLE = _semantic_contamination_oracle()

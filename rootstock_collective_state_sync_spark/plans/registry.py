@@ -338,6 +338,14 @@ SPECS: dict[str, QuerySpec] = {
     "cdc_chunks": QuerySpec(
         CU.q_cdc_chunks, CU.Q_CDC_CHUNKS_ORACLE, ("text",)
     ),
+    "cdc_dup_stats": QuerySpec(
+        CU.q_cdc_dup_stats, CU.Q_CDC_DUP_STATS_ORACLE, ("dedup", "text")
+    ),
+    "semantic_contamination": QuerySpec(
+        CU.q_semantic_contamination,
+        CU.Q_SEMANTIC_CONTAMINATION_ORACLE,
+        ("similarity", "dedup"),
+    ),
     "zorder_key": QuerySpec(
         CU.q_zorder_key, CU.Q_ZORDER_KEY_ORACLE, ("layout", "scalar")
     ),
@@ -685,11 +693,10 @@ _DRIVER_WINDOW = [
     "lm_unigram_score",
     "quality_percentiles",
     "importance_sample",
-    "zorder_key",
-    "export_manifest",
-    # (window_tumbling / window_sliding / first_event_per_key stay in
-    # the r05 cohort one more round — their three seats went to the
-    # second batch of (e) births; all three remain locally gated)
+    # (zorder_key / export_manifest / window_tumbling / window_sliding
+    # / first_event_per_key stay in the r05 cohort one more round —
+    # their five seats went to the later batches of (e) births; all
+    # five remain locally gated every pytest run)
     # (e) new this round — driver-checked immediately, no evidence debt
     "dsir_log_ratio",
     "text_entropy",
@@ -698,6 +705,8 @@ _DRIVER_WINDOW = [
     "unimax_alloc",
     "doremi_weights",
     "cdc_chunks",
+    "cdc_dup_stats",
+    "semantic_contamination",
     # (f) oldest r06 anchors filling the remaining slots
     "watermark_max_block",
 ]

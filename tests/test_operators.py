@@ -2003,3 +2003,72 @@ def test_cdc_chunks_contract(spark):
     h2 = {r["chunk_hash"] for r in cdc_chunks(shifted).collect()}
     # every chunk after the first boundary re-aligns
     assert all(h in h2 for h in h1[1:])
+
+
+def test_cdc_dup_stats_contract(spark):
+    """A near-copy of an earlier doc (one edit at the head) shows a
+    high duplicated-char fraction; the owner doc and an unrelated doc
+    show zero. The property exact-doc dedup misses entirely."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        cdc_dup_stats,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays on and the river runs through the quiet valley toward "
+        "the distant sea carrying leaves and small boats alike"
+    )
+    other = (
+        "entirely different content about spacecraft telemetry and "
+        "orbital mechanics with no shared phrases whatsoever in any "
+        "window of the hash function used for boundary detection"
+    )
+    df = spark.createDataFrame(
+        [(0, base), (1, "EDITED " + base), (2, other)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cdc_dup_stats(df).collect()}
+    assert out[0]["dup_char_ratio"] == 0.0  # owner keeps its content
+    assert out[1]["dup_char_ratio"] > 0.5  # re-aligned chunks detected
+    assert out[2]["dup_char_ratio"] == 0.0
+    assert out[1]["n_dup_chunks"] > 0
+    # chars add up
+    for did, r in out.items():
+        assert r["dup_chars"] <= r["total_chars"]
+
+
+def test_semantic_contamination_contract(spark):
+    """Corpus vectors near a benchmark vector are flagged (clean=0,
+    at least one hit, max_bench_sim at/above the threshold); vectors
+    orthogonal to every benchmark vector stay clean."""
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    dim = 8
+    def vec(axis, eps, j):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 1) % dim] = eps * (1 + j % 3)
+        return v
+
+    corpus = [(i, vec(0, 0.05, i)) for i in range(10)] + [
+        (100 + i, vec(4, 0.05, i)) for i in range(10)
+    ]
+    bench = [(1000, vec(0, 0.02, 0))]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    bdf = spark.createDataFrame(bench, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_contamination(
+            cdf, bdf, num_cells=2, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 20
+    for i in range(10):  # axis-0 cluster: contaminated
+        assert out[i]["clean"] == 0 and out[i]["n_bench_hits"] >= 1
+        assert out[i]["max_bench_sim"] >= 0.9
+    for i in range(10):  # axis-4 cluster: orthogonal to the benchmark
+        assert out[100 + i]["clean"] == 1
+        assert out[100 + i]["n_bench_hits"] == 0
+        assert out[100 + i]["max_bench_sim"] is None
