@@ -1426,3 +1426,70 @@ def cdc_dup_stats(
             ),
         )
     )
+
+
+def merge_chunk_stores(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Associative min-merge of ``(chunk_hash, first_id)`` owner
+    stores — idempotent (re-merging a replayed batch converges), the
+    crash-recovery property the streaming leg relies on."""
+    return (
+        a.unionByName(b)
+        .groupBy("chunk_hash")
+        .agg(F.min("first_id").cast("bigint").alias("first_id"))
+    )
+
+
+def cdc_dup_increment(
+    batch: DataFrame,
+    store: DataFrame,
+    window: int = 8,
+    modulus: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental chunk-level dup census: merge the batch's CDC
+    chunk owners into the persistent ``(chunk_hash, first_id)`` store
+    and score the BATCH documents against the post-merge store —
+    identical to the at-rest :func:`cdc_dup_stats` semantics for the
+    batch docs under the monotone-id append-log contract (future docs
+    have higher ids, so the global min-owner comparison ``owner <
+    id`` is already decided by the docs seen so far; same argument as
+    ``ngram_novelty_incremental``, pinned by
+    ``tests/test_streaming_cdc.py``).
+
+    Returns ``(updated_store, batch_scores)`` with the
+    :func:`cdc_dup_stats` output schema. Per-batch cost is
+    batch-sized + one store min-merge; the corpus is never
+    re-chunked. Store rows are (16-byte hash, id) — never text.
+    """
+    chunks = cdc_chunks(batch, window, modulus, id_col, text_col)
+    updated = merge_chunk_stores(
+        store,
+        chunks.groupBy("chunk_hash").agg(
+            F.min(id_col).cast("bigint").alias("first_id")
+        ),
+    )
+    dup = F.col("first_id") < F.col(id_col)
+    scores = (
+        chunks.join(updated, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias(
+                "n_dup_chunks"
+            ),
+            F.sum(F.when(dup, F.col("chunk_len")).otherwise(0))
+            .cast("long")
+            .alias("dup_chars"),
+            F.sum("chunk_len").cast("long").alias("total_chars"),
+        )
+        .withColumn(
+            "dup_char_ratio",
+            F.round(
+                F.col("dup_chars").cast("double")
+                / F.greatest(F.col("total_chars"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+    )
+    return updated, scores
