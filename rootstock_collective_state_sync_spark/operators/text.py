@@ -1493,3 +1493,185 @@ def cdc_dup_increment(
         )
     )
     return updated, scores
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over a QUERY TABLE (Robertson &
+    Zaragoza 2009; the Lucene ``+1`` IDF variant so scores stay
+    positive): for each query, rank documents by
+    ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` over the
+    query's DISTINCT terms. The lexical-retrieval baseline every RAG
+    / hard-negative-mining pipeline needs next to the ANN paths —
+    and the lexical leg :func:`..operators.similarity` fuses via RRF.
+
+    Float policy: per-(query,doc,term) contributions are e6-snapped
+    integers summed exactly (one libm ``ln`` per matched term, the
+    accepted :func:`..operators.similarity.class_weights`-class
+    risk); corpus stats ``N``/``avgdl`` are two control-plane scalars
+    (the :func:`unigram_lm_scores` policy).
+
+    Scale shape (100 TB): the corpus token stream is filtered by a
+    BROADCAST of the query-term set BEFORE any aggregation, so the
+    only shuffles carry (doc, matched-term) counts — query-bounded,
+    not vocabulary-bounded; df/idf live in a ≤|query-terms| broadcast;
+    the final ranking is a per-query ``WindowGroupLimit`` shortlist
+    (partial top-k per partition), never a global sort. Docs sharing
+    no term with a query are never shuffled at all.
+
+    Returns ``(query_id, rk, doc_id, n_hit_terms, score)`` — ``rk``
+    1..k by score desc (ties: doc id asc), ``score`` = 6-dp BM25.
+    """
+    # doc length rides WITH the exploded token stream (one corpus
+    # scan feeds tf AND dl — no separate length join)
+    tokd = corpus.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("_dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    stats = corpus.select(
+        F.size(tokens(F.col(text_col))).alias("_dl")
+    ).agg(F.count(F.lit(1)).alias("N"), F.sum("_dl").alias("T")).first()
+    n_docs = int(stats["N"])
+    avgdl = float(stats["T"]) / max(n_docs, 1)
+
+    qterms = queries.select(
+        F.col(qid_col),
+        F.explode(
+            F.array_distinct(tokens(F.col(qtext_col)))
+        ).alias("term"),
+    )
+    term_set = qterms.select("term").distinct()
+    tf = (
+        tokd.join(F.broadcast(term_set), "term")
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.min("_dl").alias("_dl"),
+        )
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = df_t.select(
+        "term",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        ).alias("_idf"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(F.broadcast(qterms), "term")
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round(
+                F.col("_idf")
+                * (
+                    F.col("tf").cast("double") * F.lit(float(k1) + 1.0)
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(float(k1))
+                        * (
+                            F.lit(1.0 - float(b))
+                            + F.lit(float(b)) * F.col("_dl") / F.lit(avgdl)
+                        )
+                    )
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("c_e6"),
+        )
+    )
+    scored = contrib.groupBy(qid_col, id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        F.sum("c_e6").cast("long").alias("_s_e6"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("_s_e6").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            qid_col,
+            "rk",
+            id_col,
+            "n_hit_terms",
+            F.round(F.col("_s_e6").cast("double") / 1e6, 6).alias("score"),
+        )
+    )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus datasheet (the WIMBD-style "what's in my
+    data" census, Elazar et al. 2024-class reporting): document and
+    token volumes, length moments, integer mean quality, language
+    spread and the modal language — the one-query governance report a
+    curation run publishes next to its exports.
+
+    All-integer means (``div``) so both engines floor identically;
+    the modal language uses an explicit count→rank window with
+    (count desc, lang asc) tie-break — deterministic, no ``max_by``
+    ambiguity.
+
+    Scale shape: two group-keyed aggregations (docs → |sources| and
+    (source, lang) counts → |sources×langs|) plus windows over the
+    control-plane-sized results. The text is scanned once.
+    """
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("total_tokens"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("total_chars"),
+        F.min(F.length(F.col(text_col))).cast("long").alias("min_chars"),
+        F.max(F.length(F.col(text_col))).cast("long").alias("max_chars"),
+        F.sum(quality_score_e7(F.col(text_col))).cast("long").alias("_q_e7"),
+        F.countDistinct(F.col(lang_col)).cast("long").alias("n_langs"),
+    )
+    lang_counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(lang_col).alias("_lang")
+    ).agg(F.count(F.lit(1)).alias("_lc"))
+    wl = Window.partitionBy("grp").orderBy(
+        F.col("_lc").desc(), F.col("_lang").asc()
+    )
+    top_lang = (
+        lang_counts.withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") == 1)
+        .select("grp", F.col("_lang").alias("top_lang"))
+    )
+    return (
+        per.join(top_lang, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "total_tokens",
+            F.expr("total_tokens div n_docs").alias("mean_tokens"),
+            "total_chars",
+            "min_chars",
+            "max_chars",
+            F.expr("_q_e7 div n_docs").alias("mean_quality_e7"),
+            "n_langs",
+            "top_lang",
+        )
+        .orderBy(group_col)
+    )

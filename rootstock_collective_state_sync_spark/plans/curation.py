@@ -2168,3 +2168,136 @@ ORDER BY t.vec_id""")
 
 
 Q_SEMANTIC_CONTAMINATION_ORACLE = _semantic_contamination_oracle()
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval over a query table
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = (
+    (1, "fast hash join merge"),
+    (2, "window stream batch spark"),
+    (3, "slow table scan filter"),
+)
+_BM25_K = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query over a fixed 3-query table. See
+    :func:`..operators.text.bm25_topk`; the oracle replays the
+    query-term broadcast filter, the Lucene +1 IDF, the e6-snapped
+    per-term contributions, and the per-query shortlist."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, query_text string"
+    )
+    return X.bm25_topk(docs, queries, k=_BM25_K).orderBy("query_id", "rk")
+
+
+_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+
+Q_BM25_TOPK_ORACLE = f"""
+WITH {_TOK_CTE},
+q(query_id, query_text) AS (VALUES {_BM25_VALUES}),
+tokd AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+stats AS (SELECT count(*)::BIGINT AS N, sum(len(toks))::BIGINT AS T FROM tok),
+qt AS (
+  SELECT query_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(query_text), '[^a-z0-9]+'),
+             x -> x <> ''))) AS term
+  FROM q
+),
+ts AS (SELECT DISTINCT term FROM qt),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tokd JOIN ts USING (term) GROUP BY 1, 2
+),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term, ln((s.N::DOUBLE - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM dfv, stats s
+),
+dls AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+avgv AS (SELECT T::DOUBLE / greatest(N, 1) AS avgdl FROM stats),
+co AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(idf.idf
+               * (tf.tf::DOUBLE * 2.2
+                  / (tf.tf::DOUBLE
+                     + 1.2 * (0.25 + 0.75 * dls.dl / avgv.avgdl)))
+               * 1000000.0, 0)::BIGINT AS c_e6
+  FROM tf
+  JOIN dls USING (doc_id)
+  JOIN idf USING (term)
+  JOIN qt USING (term)
+  CROSS JOIN avgv
+),
+scored AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_hit_terms,
+         sum(c_e6)::BIGINT AS s_e6
+  FROM co GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, n_hit_terms, s_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s_e6 DESC, doc_id ASC)::INTEGER AS rk
+  FROM scored
+)
+SELECT query_id, rk, doc_id, n_hit_terms,
+       round(s_e6::DOUBLE / 1000000.0, 6) AS score
+FROM ranked WHERE rk <= {_BM25_K}
+ORDER BY query_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus datasheet
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source governance census (volumes, length moments, integer
+    mean quality, language spread + modal language). See
+    :func:`..operators.text.corpus_datasheet`; the oracle replays the
+    integer `div` means and the (count desc, lang asc) mode rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.corpus_datasheet(docs)
+
+
+Q_CORPUS_DATASHEET_ORACLE = f"""
+WITH {_QUALITY_E7_CTE},
+per AS (
+  SELECT d.source AS grp,
+         count(*)::BIGINT AS n_docs,
+         sum(len(t.toks))::BIGINT AS total_tokens,
+         sum(length(d.text))::BIGINT AS total_chars,
+         min(length(d.text))::BIGINT AS min_chars,
+         max(length(d.text))::BIGINT AS max_chars,
+         sum(q.q_e7)::BIGINT AS sq_e7,
+         count(DISTINCT d.lang)::BIGINT AS n_langs
+  FROM documents d
+  JOIN tok t ON d.doc_id = t.doc_id
+  JOIN q ON d.doc_id = q.doc_id
+  GROUP BY d.source
+),
+lc AS (
+  SELECT source AS grp, lang, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+),
+tl AS (
+  SELECT grp, lang AS top_lang FROM (
+    SELECT grp, lang,
+           row_number() OVER (PARTITION BY grp
+                              ORDER BY c DESC, lang ASC) AS r
+    FROM lc
+  ) WHERE r = 1
+)
+SELECT per.grp AS source, n_docs, total_tokens,
+       (total_tokens // n_docs)::BIGINT AS mean_tokens,
+       total_chars, min_chars, max_chars,
+       (sq_e7 // n_docs)::BIGINT AS mean_quality_e7,
+       n_langs, tl.top_lang
+FROM per JOIN tl ON per.grp = tl.grp
+ORDER BY source
+"""

@@ -346,6 +346,12 @@ SPECS: dict[str, QuerySpec] = {
         CU.Q_SEMANTIC_CONTAMINATION_ORACLE,
         ("similarity", "dedup"),
     ),
+    "bm25_topk": QuerySpec(
+        CU.q_bm25_topk, CU.Q_BM25_TOPK_ORACLE, ("text", "topk")
+    ),
+    "corpus_datasheet": QuerySpec(
+        CU.q_corpus_datasheet, CU.Q_CORPUS_DATASHEET_ORACLE, ("text", "agg")
+    ),
     "zorder_key": QuerySpec(
         CU.q_zorder_key, CU.Q_ZORDER_KEY_ORACLE, ("layout", "scalar")
     ),
@@ -688,15 +694,15 @@ _DRIVER_WINDOW = [
     "vocab_topk",
     "tfidf_top_terms",
     "contamination_check",
-    "epoch_shuffle",
+    # (epoch_shuffle's and importance_sample's seats also went to (e))
     "dup_ngram_fraction",
     "lm_unigram_score",
     "quality_percentiles",
-    "importance_sample",
     # (zorder_key / export_manifest / window_tumbling / window_sliding
-    # / first_event_per_key stay in the r05 cohort one more round —
-    # their five seats went to the later batches of (e) births; all
-    # five remain locally gated every pytest run)
+    # / first_event_per_key / epoch_shuffle / importance_sample stay
+    # in the r05 cohort one more round — their seven seats went to the
+    # later batches of (e) births; all remain locally gated every
+    # pytest run)
     # (e) new this round — driver-checked immediately, no evidence debt
     "dsir_log_ratio",
     "text_entropy",
@@ -707,6 +713,8 @@ _DRIVER_WINDOW = [
     "cdc_chunks",
     "cdc_dup_stats",
     "semantic_contamination",
+    "bm25_topk",
+    "corpus_datasheet",
     # (f) oldest r06 anchors filling the remaining slots
     "watermark_max_block",
 ]

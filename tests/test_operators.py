@@ -2072,3 +2072,62 @@ def test_semantic_contamination_contract(spark):
         assert out[100 + i]["clean"] == 1
         assert out[100 + i]["n_bench_hits"] == 0
         assert out[100 + i]["max_bench_sim"] is None
+
+
+def test_bm25_topk_contract(spark):
+    """BM25 ranking properties on a constructed corpus: the doc
+    containing ALL query terms outranks partial matches; a rare term
+    outweighs a common one at equal tf; absent-term docs never
+    appear; ranks are 1..k dense per query."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        bm25_topk,
+    )
+
+    docs = [
+        (1, "alpha beta gamma"),          # all three query terms
+        (2, "alpha beta filler filler"),  # two of three, longer
+        (3, "alpha filler filler filler filler filler"),  # one, longest
+        (4, "zeta eta theta"),            # none
+    ] + [(10 + i, "alpha common common") for i in range(6)]  # alpha common
+    queries = [(1, "alpha beta gamma"), (2, "gamma")]
+    out = bm25_topk(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        spark.createDataFrame(queries, "query_id long, query_text string"),
+        k=5,
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    q1 = sorted(per_q[1], key=lambda r: r["rk"])
+    assert [r["rk"] for r in q1] == list(range(1, len(q1) + 1))
+    assert q1[0]["doc_id"] == 1 and q1[0]["n_hit_terms"] == 3
+    assert all(r["doc_id"] != 4 for r in out)
+    # gamma is rare (only doc 1 has it): q2's single hit is doc 1
+    assert [r["doc_id"] for r in per_q[2]] == [1]
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_corpus_datasheet_contract(spark):
+    """Known micro-corpus: exact volumes, integer means, and the
+    deterministic modal-language tie-break (count desc, lang asc)."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        corpus_datasheet,
+    )
+
+    docs = [
+        (1, "one two three", "en", "s1"),
+        (2, "four five", "de", "s1"),
+        (3, "six", "de", "s1"),
+        (4, "seven eight nine ten", "fr", "s2"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["source"]: r for r in corpus_datasheet(df).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3 and s1["total_tokens"] == 6
+    assert s1["mean_tokens"] == 2  # 6 div 3
+    assert s1["n_langs"] == 2 and s1["top_lang"] == "de"  # 2 de vs 1 en
+    assert s1["min_chars"] == len("six") and s1["max_chars"] == len("one two three")
+    s2 = out["s2"]
+    assert s2["n_docs"] == 1 and s2["top_lang"] == "fr"
