@@ -184,3 +184,53 @@ def mutual_information(
         F.col("c_y").cast("long").alias("n_y"),
         F.round(p_xy * lg * 1e9, 0).cast("long").alias("mi_term_e9"),
     )
+
+
+def k_anonymity_census(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k_risk: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity census over a quasi-identifier tuple
+    (Sweeney 2002; Machanavajjhala et al. 2007): group rows by the QI
+    columns, measure each equivalence class's size ``k`` and distinct
+    sensitive values ``l``, and reduce to ONE governance row — the
+    re-identification risk report a privacy review asks for before a
+    table is shared or a training export ships.
+
+    Columns: ``n_rows``/``n_groups``; ``min_k``/``max_k``;
+    ``mean_k`` (integer div); ``n_singletons`` (classes with k=1 —
+    unique, directly re-identifiable); ``rows_below_k`` (rows in
+    classes with k < ``k_risk`` — the suppression candidate volume);
+    ``min_l`` and ``n_l1_groups`` (classes where every row shares ONE
+    sensitive value — attribute disclosure even without
+    re-identification).
+
+    Scale shape (100 TB): one shuffle keyed on the QI tuple (the
+    count + count_distinct aggregate, map-side combined), then a
+    single-row global reduction — control-plane. No row ever leaves
+    with its sensitive value attached; only class-level counts move
+    past the first exchange.
+    """
+    grp = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.countDistinct(F.col(sensitive_col)).cast("long").alias("l"),
+    )
+    return grp.agg(
+        F.sum("k").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.expr("sum(k) div count(1)").cast("long").alias("mean_k"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+        F.sum(F.when(F.col("k") < k_risk, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_k"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_l1_groups"),
+    )

@@ -1675,3 +1675,185 @@ def corpus_datasheet(
         )
         .orderBy(group_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-family local document sketching)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token ``k``-gram,
+    slide a window of ``w`` consecutive hashes, and in each window
+    select the MINIMUM hash, breaking ties by the RIGHTMOST position.
+    The distinct selected ``(pos, fp)`` pairs are the document's
+    fingerprint set, with the paper's guarantee: any shared token run
+    of length >= ``w + k - 1`` between two documents yields at least
+    one shared fingerprint — a detection GUARANTEE the probabilistic
+    MinHash sketch cannot make.
+
+    All-codegen plan: grams via posexplode + window ``lead`` (the
+    :func:`..operators.dedup.shingle_index` pattern — no interpreted
+    HOFs on the hot path), and the rightmost-min selection is ONE
+    window ``min`` over ``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING``
+    of the 41-char key ``md5(gram) || lpad(10^8 - pos, 9, '0')``:
+    lexicographic min = min hash, tie -> greater pos. Engine-portable
+    (same trick replays verbatim in the SQL oracle).
+
+    Scale shape (100 TB): one shuffle, keyed on ``id`` (the per-doc
+    sort the gram/window machinery shares); selection and dedup are
+    per-doc. Output is ~2/(w+1) of the gram count per doc (the paper's
+    expected density) — the downstream index join moves fingerprints,
+    never text. Positions are capped at 10^8 grams/doc by the pad
+    width (a 100 MB+ single document — reject upstream).
+
+    Returns ``(id, pos, fp)``: 1-based gram position and the 32-hex
+    md5 of the selected k-gram.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("p0", "t"),
+    )
+    wo = Window.partitionBy("id").orderBy("p0")
+    parts = [F.col("t")] + [F.lead("t", i).over(wo) for i in range(1, k)]
+    grams = (
+        tok.select(
+            "id",
+            (F.col("p0") + 1).alias("pos"),
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            F.lead("t", k - 1).over(wo).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+    wsel = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    wcnt = Window.partitionBy("id")
+    keyed = grams.select(
+        "id",
+        "pos",
+        F.min(
+            F.concat(
+                F.col("h"),
+                F.lpad((F.lit(100000000) - F.col("pos")).cast("string"), 9, "0"),
+            )
+        ).over(wsel).alias("sel"),
+        F.count(F.lit(1)).over(wcnt).alias("m"),
+    )
+    return (
+        keyed.filter(F.col("pos") <= F.greatest(F.col("m") - w + 1, F.lit(1)))
+        .select(
+            "id",
+            (F.lit(100000000) - F.substring("sel", 33, 9).cast("long")).alias(
+                "pos"
+            ),
+            F.substring("sel", 1, 32).alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate / plagiarism pairs from shared
+    winnowing fingerprints (the MOSS match stage): documents sharing
+    >= ``min_shared`` selected fingerprints, with the count. Inherits
+    :func:`winnow_fingerprints`'s guarantee — a shared token run of
+    length >= ``w + k - 1`` implies a shared fingerprint, so at
+    ``min_shared=1`` recall over such runs is exact, not
+    probabilistic.
+
+    Scale shape: the pair join runs on the fingerprint INDEX (32-hex
+    keys, ~2/(w+1) of the gram volume), never the corpus; boilerplate
+    fingerprints shared by > ``max_docs_per_fp`` docs are dropped
+    before the self-join (the stop-shingle cap of
+    :func:`..operators.dedup.shingle_index` — bounds the worst
+    posting list, so no quadratic hot key). Text is scanned once.
+
+    Returns ``(id_a, id_b, n_shared)``, ``id_a < id_b``.
+    """
+    fps = winnow_fingerprints(
+        df, k=k, w=w, id_col=id_col, text_col=text_col
+    ).select("id", "fp").distinct()
+    dfw = Window.partitionBy("fp")
+    capped = (
+        fps.withColumn("_df", F.count(F.lit(1)).over(dfw))
+        .filter(F.col("_df") <= max_docs_per_fp)
+        .drop("_df")
+    )
+    a = capped.select(F.col("id").alias("id_a"), "fp")
+    b = capped.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability census
+# ---------------------------------------------------------------------------
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Flesch-reading-ease-style score from three pure
+    regex counts — words (alnum runs), sentences (``[.!?]+`` runs,
+    floor 1), syllables (``[aeiouy]+`` vowel groups, the standard
+    heuristic): ``206.835 - 1.015 w/s - 84.6 syl/w``, e3-snapped via
+    integer ``div`` at each ratio so both engines floor identically,
+    then CLAMPED to ``[0, 206835]`` (the conventional 0-100 scale;
+    clamping also keeps every downstream mean a nonnegative integer
+    division, where Spark's truncating ``div`` and the oracle's
+    flooring ``//`` agree). The curation-side readability screen
+    (Flesch 1948; the axis quality classifiers like
+    :func:`gopher_quality` don't cover).
+
+    Scale shape: three JVM regex passes per row, zero shuffle, full
+    codegen — a projection, not a job.
+
+    Returns ``(id, n_words, n_sentences, n_syllables, flesch_e3)``.
+    """
+    c = F.col(text_col)
+    n_words = F.greatest(token_count(c), F.lit(1))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    n_syl = F.size(F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), 0))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+    )
+    return base.select(
+        "id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.greatest(
+            F.least(
+                F.lit(206835)
+                - F.expr("1015 * ((n_words * 1000) div n_sentences) div 1000")
+                - F.expr("84600 * ((n_syllables * 1000) div n_words) div 1000"),
+                F.lit(206835),
+            ),
+            F.lit(0),
+        ).cast("long").alias("flesch_e3"),
+    )

@@ -2600,3 +2600,66 @@ JOIN documents db ON jp.id_b = db.doc_id
 GROUP BY 1, 2
 ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint match pairs
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3
+_WINNOW_W = 4
+_WINNOW_MIN_SHARED = 3
+_WINNOW_MAX_DF = 50
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing match pairs: docs sharing >= 3 winnowed
+    3-gram fingerprints (window 4 — guarantee: any shared token run
+    of length >= 6 is caught). See
+    :func:`..operators.text.winnow_match_pairs`; the oracle replays
+    the rightmost-min string-key trick, the df cap, and the pair
+    count verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.winnow_match_pairs(
+        docs,
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+        max_docs_per_fp=_WINNOW_MAX_DF,
+    ).orderBy("id_a", "id_b")
+
+
+Q_WINNOW_PAIRS_ORACLE = f"""
+WITH {_TOK_CTE},
+grams AS (
+  SELECT doc_id AS id, i AS pos,
+         md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')) AS h
+  FROM tok, unnest(range(1, len(toks) - {_WINNOW_K} + 2)) r(i)
+  WHERE len(toks) >= {_WINNOW_K}
+),
+keyed AS (
+  SELECT id, pos,
+         min(h || lpad((100000000 - pos)::VARCHAR, 9, '0'))
+           OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS sel,
+         count(*) OVER (PARTITION BY id) AS m
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT id, substr(sel, 1, 32) AS fp
+  FROM keyed
+  WHERE pos <= greatest(m - {_WINNOW_W} + 1, 1)
+),
+capped AS (
+  SELECT id, fp FROM (
+    SELECT id, fp, count(*) OVER (PARTITION BY fp) AS dfc FROM fps
+  ) WHERE dfc <= {_WINNOW_MAX_DF}
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+FROM capped a JOIN capped b USING (fp)
+WHERE a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
