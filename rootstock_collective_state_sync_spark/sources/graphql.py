@@ -158,9 +158,20 @@ def first_page_request(
     T7/X6; reference ``batchExecutor.ts:78-131``) and hand the records
     back to the per-strategy pagination loop for any remaining pages."""
     w = dict(where or {})
-    w["id_gt"] = start_cursor
+    # Intersect with any caller-pushed id bounds instead of clobbering
+    # them (a pushed `id > X` must survive the cursor walk): ids are
+    # compared lexicographically by the indexer — the same ordering the
+    # id-range partitioner and the keyset cursor already rely on — so
+    # max/min of the strings is the exact intersection.
+    w["id_gt"] = (
+        max(str(w["id_gt"]), start_cursor) if "id_gt" in w else start_cursor
+    )
     if id_upper_bound is not None:
-        w["id_lt"] = id_upper_bound
+        w["id_lt"] = (
+            min(str(w["id_lt"]), id_upper_bound)
+            if "id_lt" in w
+            else id_upper_bound
+        )
     return create_entity_query(
         schema,
         entity_name,

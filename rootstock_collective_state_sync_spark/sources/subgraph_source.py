@@ -295,11 +295,24 @@ class SubgraphReader(DataSourceReader):
                 create_entity_query,
             )
 
+            # Intersect the partition's id range with any user-pushed
+            # id bounds (pushFilters consumed them, so Spark will NOT
+            # re-apply; overwriting would return rows violating the
+            # predicate). Ids compare lexicographically — max/min of
+            # the strings is the exact intersection.
             w = dict(self.pushed_where or {})
             if partition.lower != "0x00":
-                w["id_gt"] = partition.lower
+                w["id_gt"] = (
+                    max(str(w["id_gt"]), partition.lower)
+                    if "id_gt" in w
+                    else partition.lower
+                )
             if partition.upper is not None:
-                w["id_lt"] = partition.upper
+                w["id_lt"] = (
+                    min(str(w["id_lt"]), partition.upper)
+                    if "id_lt" in w
+                    else partition.upper
+                )
             req = create_entity_query(
                 ctx,
                 self.entity_name,

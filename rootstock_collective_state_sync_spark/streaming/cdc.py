@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame, types as T
 
 from rootstock_collective_state_sync_spark.operators.text import cdc_dup_increment
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
+from rootstock_collective_state_sync_spark.streaming.replay import (
+    batch_already_applied,
+    write_batch_scores,
+)
 
 STORE_SCHEMA = T.StructType(
     [
@@ -45,9 +49,15 @@ def cdc_foreach_batch(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.create_if_not_exists(
+        created = store.create_if_not_exists(
             STORE_SCHEMA, merge_keys=["chunk_hash"], num_buckets=16
         )
+        # The min-merge itself converges under replay, but the scores
+        # of a replayed ALREADY-COMMITTED batch would be recomputed
+        # against the post-merge store (docs would collide with their
+        # own chunks) — skip fully-applied replays outright.
+        if not created and batch_already_applied(store, batch_id):
+            return
         prev = store.read().select("chunk_hash", "first_id")
         updated, scores = cdc_dup_increment(
             batch_df,
@@ -57,9 +67,10 @@ def cdc_foreach_batch(
             id_col=id_col,
             text_col=text_col,
         )
-        # Materialize scores BEFORE the store advances: they are
-        # defined against the post-merge state of THIS batch.
-        scores.write.mode("append").parquet(scores_path)
+        # Materialize scores BEFORE the store advances, into a
+        # batch-keyed partition so a replay overwrites its own rows
+        # instead of appending duplicates (:mod:`.replay`).
+        write_batch_scores(scores, scores_path, batch_id)
         store.overwrite(updated, meta={"batch_id": int(batch_id)})
 
     return step

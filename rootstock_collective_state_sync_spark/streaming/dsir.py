@@ -2,10 +2,13 @@
 :func:`..operators.text.dsir_increment` driven by Structured Streaming
 ``foreachBatch``, with the hashed-n-gram model counts kept in the
 engine's own :class:`..sinks.table.VersionedTable` (same recovery
-contract as :mod:`.novelty`: reads see the previous committed version,
-the atomic pointer swing makes a mid-batch crash recoverable, and the
-count merge is a plain sum — re-running a replayed batch against the
-last COMMITTED store converges to the same state).
+contract as :mod:`.novelty`: reads see the previous committed version
+and the atomic pointer swing makes a mid-batch crash recoverable).
+Unlike novelty/cdc's idempotent min-merge, the count merge here is a
+plain SUM, so an at-least-once ``foreachBatch`` replay of an
+already-committed batch must be skipped — the step checks the store's
+latest ``batch_id`` meta and no-ops on a fully-applied replay
+(:mod:`.replay`).
 
 Scoring is prequential (progressive validation): each micro-batch is
 scored by the model as of its own arrival (post-merge), so early docs
@@ -26,6 +29,10 @@ from pyspark.sql import DataFrame, types as T
 
 from rootstock_collective_state_sync_spark.operators.text import dsir_increment
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
+from rootstock_collective_state_sync_spark.streaming.replay import (
+    batch_already_applied,
+    write_batch_scores,
+)
 
 STORE_SCHEMA = T.StructType(
     [
@@ -54,6 +61,12 @@ def dsir_foreach_batch(
         created = store.create_if_not_exists(
             STORE_SCHEMA, merge_keys=["bucket"], num_buckets=4
         )
+        # foreachBatch is at-least-once and the count merge is a plain
+        # SUM (not idempotent like novelty/cdc's min-merge): a replay
+        # of an already-committed batch must be a no-op, else the model
+        # double-counts and permanently diverges from the at-rest one.
+        if not created and batch_already_applied(store, batch_id):
+            return
         prev = None if created else store.read().select(
             "bucket", "c_raw", "c_tgt"
         )
@@ -67,10 +80,11 @@ def dsir_foreach_batch(
             id_col=id_col,
             text_col=text_col,
         )
-        # Materialize scores BEFORE the store advances: they are
-        # defined against the post-merge model of THIS batch, computed
-        # from the last COMMITTED prev — idempotent under replay.
-        scores.write.mode("append").parquet(scores_path)
+        # Materialize scores BEFORE the store advances, into a
+        # batch-keyed partition (overwrite-in-place, so a replay that
+        # crashed between the scores write and the store commit
+        # rewrites identical rows instead of duplicating them).
+        write_batch_scores(scores, scores_path, batch_id)
         store.overwrite(updated, meta={"batch_id": int(batch_id)})
 
     return step

@@ -26,6 +26,10 @@ from rootstock_collective_state_sync_spark.operators.dedup import (
     ngram_novelty_incremental,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
+from rootstock_collective_state_sync_spark.streaming.replay import (
+    batch_already_applied,
+    write_batch_scores,
+)
 
 STORE_SCHEMA = T.StructType(
     [
@@ -48,16 +52,22 @@ def novelty_foreach_batch(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.create_if_not_exists(
+        created = store.create_if_not_exists(
             STORE_SCHEMA, merge_keys=["gram_hash"], num_buckets=16
         )
+        # Skip fully-applied replays: the min-merge converges, but a
+        # replayed batch re-scored against the post-merge store would
+        # see its own grams as stale and mis-score (:mod:`.replay`).
+        if not created and batch_already_applied(store, batch_id):
+            return
         prev = store.read().select("gram_hash", "first_id")
         updated, scores = ngram_novelty_incremental(
             batch_df, prev, text_col=text_col, id_col=id_col, n=n
         )
-        # Materialize scores BEFORE the store advances: they are
-        # defined against the pre/post-merge state of THIS batch.
-        scores.write.mode("append").parquet(scores_path)
+        # Materialize scores BEFORE the store advances, into a
+        # batch-keyed partition so a replay overwrites its own rows
+        # instead of appending duplicates (:mod:`.replay`).
+        write_batch_scores(scores, scores_path, batch_id)
         store.overwrite(updated, meta={"batch_id": int(batch_id)})
 
     return step

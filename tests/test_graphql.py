@@ -457,6 +457,100 @@ def test_multi_partition_ordered_read_globally_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pushed_id_bound_intersects_partition_range(spark):
+    """r09 advice (subgraph_source.py:300): a pushed `id > X` filter
+    must survive the per-partition id-range bounds — the reader
+    intersects (max of lowers, min of uppers) instead of clobbering.
+    Covers BOTH the ordered path (partition bounds written into
+    `where`) and the keyset path (`first_page_request`'s cursor)."""
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    from rootstock_collective_state_sync_spark.sources.subgraph_source import (
+        SubgraphDataSource,
+        SubgraphReader,
+    )
+
+    cutoff = "0x80000000"
+    want = [r for r in fake_subgraph.universe() if r["id"] > cutoff]
+    assert 0 < len(want) < fake_subgraph.N_VOTES  # cutoff is interior
+
+    # keyset path, reader-level: partition 0's "0x00" cursor and
+    # partition 1's lower bound must both lose to the pushed bound
+    r = SubgraphReader(
+        {
+            "url": "fake://endpoint",
+            "config_path": str(FIXTURE),
+            "entity": "VoteCast",
+            "page_size": "7",
+            "num_partitions": "4",
+            "transport": "tests.fake_subgraph:transport",
+        }
+    )
+    list(r.pushFilters([GreaterThan(("id",), bytes.fromhex(cutoff[2:]))]))
+    assert r.pushed_where == {"id_gt": cutoff}
+    rows = [row for p in r.partitions() for row in r.read(p)]
+    got_ids = sorted("0x" + bytes(row[0]).hex() for row in rows)
+    assert got_ids == sorted(rec["id"] for rec in want)
+
+    # ordered path, reader-level: pushed id_lt must shrink the last
+    # partition's unbounded range (and id_gt the first's)
+    fake_subgraph.LIMIT_REQUESTS.clear()
+    r2 = SubgraphReader(
+        {
+            "url": "fake://endpoint",
+            "config_path": str(FIXTURE),
+            "entity": "VoteCast",
+            "limit": "40",
+            "num_partitions": "2",
+            "order_by": "blockNumber",
+            "order_direction": "asc",
+            "transport": "tests.fake_subgraph:counting_transport",
+        }
+    )
+    list(
+        r2.pushFilters(
+            [
+                GreaterThan(("id",), bytes.fromhex(cutoff[2:])),
+                LessThan(("id",), bytes.fromhex("c0000000")),
+            ]
+        )
+    )
+    rows2 = [row for p in r2.partitions() for row in r2.read(p)]
+    got2 = sorted("0x" + bytes(row[0]).hex() for row in rows2)
+    want2 = sorted(
+        rec["id"]
+        for rec in fake_subgraph.universe()
+        if cutoff < rec["id"] < "0xc0000000"
+    )
+    assert got2 == want2
+    # golden: partition 0's wire request carries the PUSHED lower bound
+    # (max("0x00"-cursor, pushed)), partition 1 its own lower "0x80"
+    reqs = fake_subgraph.LIMIT_REQUESTS
+    assert len(reqs) == 2
+    assert all(f'id_gt: "{cutoff}"' in q for q in reqs)  # max(lower, pushed)
+    # partition 0's upper "0x80" wins (min), partition 1 keeps the pushed one
+    assert any('id_lt: "0x80"' in q for q in reqs)
+    assert any('id_lt: "0xc0000000"' in q for q in reqs)
+
+    # end-to-end through the Spark scan: filter pushed by Catalyst
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(SubgraphDataSource)
+    df = (
+        spark.read.format("subgraph")
+        .option("url", "fake://endpoint")
+        .option("config_path", str(FIXTURE))
+        .option("entity", "VoteCast")
+        .option("page_size", 7)
+        .option("num_partitions", 4)
+        .option("transport", "tests.fake_subgraph:transport")
+        .load()
+        .filter(F.col("id") > F.lit(bytes.fromhex(cutoff[2:])))
+    )
+    got_e2e = sorted("0x" + bytes(row.id).hex() for row in df.collect())
+    assert got_e2e == sorted(rec["id"] for rec in want)
+
+
 def test_push_filters_translation(ctx):
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, IsNull
 
