@@ -55,6 +55,7 @@ def _calibrate() -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from rootstock_collective_state_sync_spark import get_spark
+    from rootstock_collective_state_sync_spark.caching import release_tracked
     from rootstock_collective_state_sync_spark.plans.registry import bench_queries
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
@@ -69,6 +70,7 @@ def main() -> None:
         # query's execution memory and get evicted mid-measurement —
         # the main source of cross-round bench noise
         spark.catalog.clearCache()
+        release_tracked()  # drop refs so the tracked list stays bounded
         # settle the JVM heap before measuring: the r07 ann_lsh_topk
         # spread ([1.09, 5.87] s around a 1.14 s median) was a single
         # GC/eviction stall inside a timed run, not a plan change

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from rootstock_collective_state_sync_spark.caching import tracked_persist
+
 from rootstock_collective_state_sync_spark.operators.text import tokens, word_shingles
 
 
@@ -111,11 +113,10 @@ def _capped_index(idx: DataFrame, max_docs_per_shingle: int) -> DataFrame:
     # document frequency via a window over the shingle key: one
     # shuffle, no separate aggregate+broadcast job pair
     df_ = F.count(F.lit(1)).over(Window.partitionBy("s"))
-    return (
+    return tracked_persist(
         idx.withColumn("df_", df_)
         .filter(F.col("df_") <= max_docs_per_shingle)
         .drop("df_")
-        .persist()
     )
 
 
@@ -366,10 +367,9 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = (
+    banded = tracked_persist(
         wide.select("id", F.explode(band_entries).alias("p"))
         .select("id", F.col("p.band").alias("band"), F.col("p.bh").alias("bh"))
-        .persist()
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
@@ -515,7 +515,7 @@ def benchmark_contamination(
     b = shingle_index(benchmark, text_col=text_col, id_col=id_col, n=n).select(
         "s"
     ).distinct()
-    t = t.persist()  # scanned twice: sizes + overlap
+    t = tracked_persist(t)  # scanned twice: sizes + overlap
     sizes = t.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     shared = (
         t.join(F.broadcast(b), "s")
@@ -673,7 +673,7 @@ def incremental_near_dups(
     new_sigs = minhash_signatures(
         new_docs, num_hashes, text_col, id_col, n, _index=capped_new
     )
-    new_bands = banded_signatures(new_sigs, rows_per_band).persist()
+    new_bands = tracked_persist(banded_signatures(new_sigs, rows_per_band))
 
     a = new_bands.select(F.col("id").alias("id_a"), "band", "bh")
     old = band_store.select(F.col("id").alias("id_b"), "band", "bh")

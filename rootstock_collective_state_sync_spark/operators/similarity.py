@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from rootstock_collective_state_sync_spark.caching import tracked_persist
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -484,12 +486,15 @@ def semantic_dedup(
     # keeper join — without it the corpus is scanned and cell-assigned
     # (an Arrow stage) once per consumer (three redundant full scans at
     # 100 TB; r08 judge item). Mirrors dedup.py's persist-before-
-    # self-join; bench/pipeline callers clear the cache per query.
-    tagged = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        assign(F.col(vec_col)).alias("cell"),
-    ).persist()
+    # self-join; tracked so `caching.release_tracked()` (called by the
+    # registry between queries) bounds the cache lifetime.
+    tagged = tracked_persist(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            assign(F.col(vec_col)).alias("cell"),
+        )
+    )
     # Skew guard for the in-cell pair stage: one dense embedding
     # cluster (boilerplate pages, near-identical templates) can pull a
     # macroscopic corpus fraction into ONE cell, turning the bounded
@@ -1466,12 +1471,14 @@ def hard_negatives_celled(
     # Persisted for the same reason as semantic_dedup's `tagged`: it
     # feeds both pair branches and the NULL-surfacing anchor join, and
     # its lineage carries the cell-assignment Arrow stage + an id join.
-    tagged = emb.join(cells, id_col).select(
-        F.col(id_col).alias("aid"),
-        F.col(vec_col).alias("v"),
-        F.col(label_col).alias("lab"),
-        "cell",
-    ).persist()
+    tagged = tracked_persist(
+        emb.join(cells, id_col).select(
+            F.col(id_col).alias("aid"),
+            F.col(vec_col).alias("v"),
+            F.col(label_col).alias("lab"),
+            "cell",
+        )
+    )
     a = tagged.select(
         F.col("cell"),
         F.col("aid").alias("anchor_id"),
@@ -1710,11 +1717,13 @@ def semantic_contamination(
     )
     cent = _train_ivf_centroids(train, num_cells, id_col, vec_col)
     assign = _cell_udf(cent)
-    tagged = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        assign(F.col(vec_col)).alias("cell"),
-    ).persist()
+    tagged = tracked_persist(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            assign(F.col(vec_col)).alias("cell"),
+        )
+    )
     bench = benchmark.select(
         F.col(vec_col).alias("bvec"),
         assign(F.col(vec_col)).alias("cell"),

@@ -1204,3 +1204,49 @@ SELECT path,
 FROM tri WHERE third IS NOT NULL
 GROUP BY path ORDER BY path
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity governance census
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy governance census over ``orders``: quasi-identifier =
+    (status, priority, order month), sensitive = customer key. One
+    QI-keyed shuffle then a single-row reduction — see
+    :func:`..operators.profile.k_anonymity_census`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        k_anonymity_census,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.trunc("o_orderdate", "month")
+    )
+    return k_anonymity_census(
+        orders,
+        qi_cols=["o_orderstatus", "o_orderpriority", "o_month"],
+        sensitive_col="o_custkey",
+        k_risk=5,
+    )
+
+
+Q_K_ANONYMITY_ORACLE = """
+WITH grp AS (
+  SELECT o_orderstatus, o_orderpriority, date_trunc('month', o_orderdate) AS o_month,
+         count(*)::BIGINT AS k,
+         count(DISTINCT o_custkey)::BIGINT AS l
+  FROM orders
+  GROUP BY 1, 2, 3
+)
+SELECT sum(k)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_groups,
+       min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k,
+       (sum(k) // count(*))::BIGINT AS mean_k,
+       sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+       sum(CASE WHEN k < 5 THEN k ELSE 0 END)::BIGINT AS rows_below_k,
+       min(l)::BIGINT AS min_l,
+       sum(CASE WHEN l = 1 THEN 1 ELSE 0 END)::BIGINT AS n_l1_groups
+FROM grp
+"""

@@ -922,3 +922,44 @@ SELECT t.doc_id,
 FROM corpus t LEFT JOIN v USING (doc_id)
 GROUP BY t.doc_id ORDER BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability screen
+# ---------------------------------------------------------------------------
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch-reading-ease screen (Flesch 1948), e3-snapped
+    integer arithmetic so Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` agree bit-for-bit (all terms are clamped
+    nonnegative). See :func:`..operators.text.readability_scores` —
+    three JVM regex passes, zero shuffle."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        readability_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability_scores(docs).orderBy("id")
+
+
+Q_READABILITY_ORACLE = """
+WITH c AS (
+  SELECT doc_id AS id,
+         greatest(len(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')), 1)::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+           AS n_syllables
+  FROM documents
+)
+SELECT id, n_words, n_sentences, n_syllables,
+       greatest(least(
+         206835
+         - 1015 * ((n_words * 1000) // n_sentences) // 1000
+         - 84600 * ((n_syllables * 1000) // n_words) // 1000,
+         206835), 0)::BIGINT AS flesch_e3
+FROM c ORDER BY id
+"""

@@ -164,6 +164,9 @@ SPECS: dict[str, QuerySpec] = {
     "profile_orders": QuerySpec(
         AN.q_profile_orders, AN.Q_PROFILE_ORDERS_ORACLE, ("analytics", "agg")
     ),
+    "k_anonymity": QuerySpec(
+        AN.q_k_anonymity, AN.Q_K_ANONYMITY_ORACLE, ("analytics", "pii", "agg")
+    ),
     "hourly_anomalies": QuerySpec(
         AN.q_hourly_anomalies, AN.Q_HOURLY_ANOMALIES_ORACLE, ("analytics", "agg")
     ),
@@ -222,6 +225,9 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "containment_pairs": QuerySpec(
         TR.q_containment_pairs, TR.Q_CONTAINMENT_PAIRS_ORACLE, ("dedup",)
+    ),
+    "winnow_pairs": QuerySpec(
+        TR.q_winnow_pairs, TR.Q_WINNOW_PAIRS_ORACLE, ("dedup", "text")
     ),
     "bpe_merges": QuerySpec(
         TR.q_bpe_merges, TR.Q_BPE_MERGES_ORACLE, ("text",)
@@ -409,6 +415,9 @@ SPECS: dict[str, QuerySpec] = {
     # robust scaling, curriculum interleave, crawl novelty
     "credit_card_audit": QuerySpec(
         Q.q_credit_card_audit, Q.Q_CREDIT_CARD_AUDIT_ORACLE, ("text", "pii")
+    ),
+    "readability": QuerySpec(
+        Q.q_readability, Q.Q_READABILITY_ORACLE, ("text", "filter")
     ),
     "embedding_gram": QuerySpec(
         TR.q_embedding_gram,
@@ -729,8 +738,22 @@ SPECS = {
 }
 
 
+def _released(fn: Callable) -> Callable:
+    """Release the PREVIOUS query's tracked caches before building the
+    next one, so a driver window pins at most one query's persisted
+    self-join intermediates (see :mod:`..caching`)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rootstock_collective_state_sync_spark.caching import release_tracked
+
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in SPECS.items()}
+    return {name: _released(spec.fn) for name, spec in SPECS.items()}
 
 
 def oracle_sql() -> dict[str, str]:

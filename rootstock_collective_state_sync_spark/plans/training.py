@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from rootstock_collective_state_sync_spark.caching import tracked_persist
 from rootstock_collective_state_sync_spark.operators import dedup as D
 from rootstock_collective_state_sync_spark.operators import similarity as S
 from rootstock_collective_state_sync_spark.operators import text as X
@@ -1984,14 +1985,13 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the one shingle explode: (id, s) over the exact survivors,
     # persisted — both tier indexes and all scoring joins read it
-    idx1 = D.shingle_index(s1).persist()
+    idx1 = tracked_persist(D.shingle_index(s1))
 
     # tier 2: near-dup pairs among s1; kill the higher id of each pair
-    killed2 = (
+    killed2 = tracked_persist(  # read twice: survivor count + tier-3 filter
         D.ngram_jaccard_pairs(s1, threshold=0.5, _index=idx1)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
-        .persist()  # read twice: survivor count + tier-3 index filter
     )
     s2 = s1.join(killed2, "doc_id", "left_anti")
 
