@@ -59,3 +59,54 @@ def binary_auc(
             F.when(denom > 0, F.col("u2") / denom).otherwise(F.lit(0.5)), 6
         ).alias("auc"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, true_col: str, pred_col: str
+) -> DataFrame:
+    """Chance-corrected agreement between two label columns (Cohen
+    1960): one governance row ``(n_docs, n_agree, po_e6, pe_e6,
+    kappa_e6)`` in exact e6 fixed-point — ``po`` the observed
+    agreement, ``pe`` the chance agreement from the marginals,
+    ``kappa = (po - pe) / (1 - pe)``. Kappa may be negative
+    (worse-than-chance); the sign is factored out so both engines
+    truncate an absolute value and agree bit-for-bit.
+
+    Scale shape: two label-keyed aggregations (map-side combined; the
+    label alphabet is tiny) and a labels-sized marginal join — after
+    the first exchange only control-plane rows move. The raw table is
+    scanned once.
+    """
+    pair = df.select(
+        F.col(true_col).alias("t"), F.col(pred_col).alias("p")
+    )
+    base = pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("t") == F.col("p"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rowm = pair.groupBy("t").agg(F.count(F.lit(1)).alias("r"))
+    colm = pair.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    pe_num = (
+        rowm.join(colm, rowm.t == colm.p)
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)).alias("rc"))
+    )
+    out = base.crossJoin(pe_num).select(  # 1-row x 1-row
+        "n_docs",
+        "n_agree",
+        F.expr("n_agree * 1000000 div n_docs").cast("long").alias("po_e6"),
+        F.expr("rc * 1000000 div (n_docs * n_docs)")
+        .cast("long")
+        .alias("pe_e6"),
+    )
+    num = F.col("po_e6") - F.col("pe_e6")
+    den = F.lit(1000000) - F.col("pe_e6")
+    kappa = F.when(den == 0, F.lit(0)).otherwise(
+        F.signum(num).cast("long")
+        * F.expr("abs(po_e6 - pe_e6) * 1000000 div (1000000 - pe_e6)")
+    )
+    return out.select(
+        "n_docs", "n_agree", "po_e6", "pe_e6",
+        kappa.cast("long").alias("kappa_e6"),
+    )

@@ -23,7 +23,7 @@ Design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import DoubleType, FloatType
 
 
@@ -233,4 +233,46 @@ def k_anonymity_census(
         F.sum(F.when(F.col("l") == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_l1_groups"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight (over values ``<= v``, RANGE frame — so ties
+    are order-invariant) reaches half the group total. All decimal /
+    integer arithmetic — exact on both engines, no interpolation.
+
+    Scale shape: ONE shuffle on the group key; the RANGE-frame cumsum
+    is a per-partition sort within that exchange (no global sort), and
+    the argmin reduction reuses the same partitioning. At 100 TB this
+    is the cost of one wide aggregation — never a collect.
+    """
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("v").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).alias("v"),
+        F.col(weight_col).alias("w"),
+    ).select(
+        *group_cols,
+        "v",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        ranked.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("v").alias("wmedian"),
+            F.max("tw").alias("total_weight"),
+        )
     )

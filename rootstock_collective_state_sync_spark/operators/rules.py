@@ -260,3 +260,78 @@ def repetition_signals(
         *[c.alias(n) for n, c in rules.items()],
         keep.alias("rep_keep"),
     )
+
+
+def c4_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """Per-document C4 cleaning-rule audit (Raffel et al. 2020 §2.2 —
+    the heuristics behind the C4 corpus), the companion to
+    :func:`gopher_quality`'s Gopher table. Per line: a line is KEPT
+    when it ends in terminal punctuation (``. ! ? "``) and carries at
+    least ``min_line_words`` whitespace words. Per page: flags for the
+    "lorem ipsum" placeholder, a curly brace (code/templating), any
+    ``javascript`` line, and the >= ``min_sentences`` sentence floor
+    (``[.!?]+`` runs, as :func:`..text.readability_scores`). Emits
+    counts + per-rule booleans + the conjunction ``c4_keep`` so the
+    kill-rate audit can be GROUPed before anything is deleted.
+
+    Fractions are e6-snapped integer divisions (identical truncation
+    on both engines). Plan shape: one all-JVM HOF projection over the
+    scan — no shuffle, no UDF; parquet-read speed at 100 TB.
+    """
+    c = F.col(text_col)
+    lns = F.split(c, "\n")
+    kept = F.filter(
+        lns,
+        lambda l: (F.rtrim(l).rlike('[.!?"]$'))
+        & (
+            F.size(F.filter(F.split(l, "[ \t\r]+"), lambda w: w != ""))
+            >= min_line_words
+        ),
+    )
+    js = F.filter(lns, lambda l: F.lower(l).contains("javascript"))
+    n_lines = F.size(lns).cast("long")
+    n_kept = F.size(kept).cast("long")
+    n_sent = F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), 0)).cast("long")
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    n_js = F.size(js).cast("long")
+    rules = {
+        "rule_min_sentences": n_sent >= min_sentences,
+        "rule_no_lorem": ~has_lorem,
+        "rule_no_brace": ~has_brace,
+        "rule_no_javascript": n_js == 0,
+        "rule_any_kept_line": n_kept >= 1,
+    }
+    keep = None
+    for r in rules.values():
+        keep = r if keep is None else (keep & r)
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        (n_kept * 1000000).cast("long").alias("_knum"),
+        F.greatest(n_lines, F.lit(1)).alias("_den"),
+        n_sent.alias("n_sentences"),
+        n_js.alias("n_js_lines"),
+        has_lorem.cast("int").alias("has_lorem"),
+        has_brace.cast("int").alias("has_brace"),
+        *[v.cast("int").alias(k) for k, v in rules.items()],
+        keep.cast("int").alias("c4_keep"),
+    ).select(
+        id_col,
+        "n_lines",
+        "n_kept_lines",
+        F.expr("_knum div _den").cast("long").alias("frac_kept_e6"),
+        "n_sentences",
+        "n_js_lines",
+        "has_lorem",
+        "has_brace",
+        *rules.keys(),
+        "c4_keep",
+    )

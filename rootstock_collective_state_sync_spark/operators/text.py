@@ -1857,3 +1857,76 @@ def readability_scores(
             F.lit(0),
         ).cast("long").alias("flesch_e3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script / character-class census
+# ---------------------------------------------------------------------------
+
+#: BMP-only script ranges (identical codepoint semantics in Java regex
+#: and DuckDB's RE2 — both count characters, and every range below is
+#: in the Basic Multilingual Plane, so UTF-16 units == codepoints).
+SCRIPT_RANGES: dict[str, tuple[str, str]] = {
+    "latin": ("[A-Za-z]", "[A-Za-z]"),
+    "cyrillic": ("[Ѐ-ӿ]", "[\\x{0400}-\\x{04ff}]"),
+    "greek": ("[Ͱ-Ͽ]", "[\\x{0370}-\\x{03ff}]"),
+    "arabic": ("[؀-ۿ]", "[\\x{0600}-\\x{06ff}]"),
+    "cjk": ("[一-鿿]", "[\\x{4e00}-\\x{9fff}]"),
+}
+
+
+def script_census(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-class census: counts of characters in
+    each :data:`SCRIPT_RANGES` script plus digits, whitespace, ASCII
+    punctuation, and the remainder, with ``main_script`` = argmax over
+    the script classes (name-ascending tie-break, ``none`` when no
+    script character occurs). The multilingual screen upstream of
+    :func:`lang_id` — script mixing (e.g. Cyrillic lookalikes inside
+    Latin text) is a spam/homoglyph signal no stopword model sees.
+
+    Each count is ``length(text) - length(regexp_replace(text, class,
+    ''))``-style pure JVM regex arithmetic: zero shuffle, zero UDF,
+    full codegen — parquet-scan speed at 100 TB.
+    """
+    c = F.col(text_col)
+
+    def _cnt(java_cls: str):
+        return (
+            F.length(c) - F.length(F.regexp_replace(c, java_cls, ""))
+        ).cast("long")
+
+    script_counts = {
+        name: _cnt(java_cls) for name, (java_cls, _) in SCRIPT_RANGES.items()
+    }
+    n_digit = _cnt("[0-9]")
+    n_space = _cnt("[ \t\n\r]")
+    n_punct = _cnt("[!-/:-@\\[-`{-~]")
+    n_chars = F.length(c).cast("long")
+    # digits and ASCII punctuation overlap no script range; 'other' is
+    # whatever remains (combining marks, CJK punctuation, emoji, ...)
+    known = None
+    for col in list(script_counts.values()) + [n_digit, n_space, n_punct]:
+        known = col if known is None else (known + col)
+    best_n, best_name = None, None
+    for name in sorted(script_counts):  # ascending name = stable tie-break
+        cand = script_counts[name]
+        if best_n is None:
+            best_n, best_name = cand, F.lit(name)
+        else:
+            take = cand > best_n
+            best_name = F.when(take, F.lit(name)).otherwise(best_name)
+            best_n = F.when(take, cand).otherwise(best_n)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        *[script_counts[n].alias(f"n_{n}") for n in sorted(script_counts)],
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        n_punct.alias("n_punct_ascii"),
+        (n_chars - known).cast("long").alias("n_other"),
+        F.when(best_n > 0, best_name).otherwise(F.lit("none")).alias(
+            "main_script"
+        ),
+    )

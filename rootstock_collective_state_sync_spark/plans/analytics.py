@@ -1250,3 +1250,56 @@ SELECT sum(k)::BIGINT AS n_rows,
        sum(CASE WHEN l = 1 THEN 1 ELSE 0 END)::BIGINT AS n_l1_groups
 FROM grp
 """
+
+
+# ---------------------------------------------------------------------------
+# exact weighted median per group
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median extended price per return flag
+    (integer cents, so the RANGE-frame cumulative weights are exact on
+    both engines — no floating-point summation-order hazard). See
+    :func:`..operators.profile.weighted_median`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        weighted_median,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round("l_quantity", 0).cast("long").alias("qty"),
+    )
+    return (
+        weighted_median(li, ["l_returnflag"], "price_c", "qty")
+        .select(
+            "l_returnflag",
+            F.col("wmedian").alias("wmedian_price_c"),
+            F.col("total_weight").cast("long").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_WEIGHTED_MEDIAN_PRICE_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM r
+)
+SELECT l_returnflag,
+       min(v)::BIGINT AS wmedian_price_c,
+       max(tw)::BIGINT AS total_qty
+FROM c WHERE cw * 2 >= tw
+GROUP BY 1 ORDER BY l_returnflag
+"""

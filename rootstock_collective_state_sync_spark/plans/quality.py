@@ -963,3 +963,184 @@ SELECT id, n_words, n_sentences, n_syllables,
          206835), 0)::BIGINT AS flesch_e3
 FROM c ORDER BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning-rule audit
+# ---------------------------------------------------------------------------
+
+
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document C4 rule audit (Raffel et al. 2020 §2.2): kept-line
+    census (terminal punctuation + >=5 words), sentence floor, lorem /
+    brace / javascript flags, aggregate keep. All-JVM HOF projection;
+    the oracle replays every rule. See
+    :func:`..operators.rules.c4_quality`."""
+    from rootstock_collective_state_sync_spark.operators.rules import c4_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return c4_quality(docs).orderBy("doc_id")
+
+
+Q_C4_QUALITY_ORACLE = """
+WITH l AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lns FROM documents
+),
+f AS (
+  SELECT doc_id,
+    len(lns)::BIGINT AS n_lines,
+    len(list_filter(lns, x -> regexp_matches(rtrim(x), '[.!?"]$')
+        AND len(list_filter(string_split_regex(x, '[ \t\r]+'),
+                            w -> w <> '')) >= 5))::BIGINT AS n_kept_lines,
+    len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences,
+    len(list_filter(lns, x -> contains(lower(x), 'javascript')))::BIGINT
+      AS n_js_lines,
+    contains(lower(text), 'lorem ipsum')::INTEGER AS has_lorem,
+    contains(text, '{')::INTEGER AS has_brace
+  FROM l
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       (n_kept_lines * 1000000 // greatest(n_lines, 1))::BIGINT
+         AS frac_kept_e6,
+       n_sentences, n_js_lines, has_lorem, has_brace,
+       (n_sentences >= 3)::INTEGER AS rule_min_sentences,
+       (has_lorem = 0)::INTEGER AS rule_no_lorem,
+       (has_brace = 0)::INTEGER AS rule_no_brace,
+       (n_js_lines = 0)::INTEGER AS rule_no_javascript,
+       (n_kept_lines >= 1)::INTEGER AS rule_any_kept_line,
+       (n_sentences >= 3 AND has_lorem = 0 AND has_brace = 0
+        AND n_js_lines = 0 AND n_kept_lines >= 1)::INTEGER AS c4_keep
+FROM f ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unicode script census
+# ---------------------------------------------------------------------------
+
+
+def q_script_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class census + dominant script (pure JVM
+    regex arithmetic, zero shuffle). See
+    :func:`..operators.text.script_census`."""
+    from rootstock_collective_state_sync_spark.operators.text import script_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    return script_census(docs).orderBy("doc_id")
+
+
+def _script_census_oracle() -> str:
+    from rootstock_collective_state_sync_spark.operators.text import SCRIPT_RANGES
+
+    cnt = "(length(text) - length(regexp_replace(text, '{p}', '', 'g')))::BIGINT"
+    script_cols = ",\n         ".join(
+        cnt.format(p=SCRIPT_RANGES[n][1]) + f" AS n_{n}"
+        for n in sorted(SCRIPT_RANGES)
+    )
+    names = sorted(SCRIPT_RANGES)
+    known = " + ".join([f"n_{n}" for n in names] + ["n_digit", "n_space", "n_punct_ascii"])
+    # argmax with ascending-name tie-break: test names in ascending
+    # order with >= max(rest) — the first (smallest) name among the
+    # maxima wins, exactly the Spark loop's semantics
+    branches = []
+    for n in names:
+        rest = ", ".join(f"n_{m}" for m in names if m != n)
+        branches.append(f"WHEN n_{n} >= greatest({rest}) THEN '{n}'")
+    case = (
+        f"CASE WHEN greatest({', '.join('n_' + n for n in names)}) = 0 "
+        f"THEN 'none' " + " ".join(branches) + " END"
+    )
+    digit_cnt = cnt.format(p="[0-9]")
+    space_cnt = cnt.format(p="[ \t\n\r]")
+    punct_cnt = cnt.format(p="[!-/:-@[-`{-~]")
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         {script_cols},
+         {digit_cnt} AS n_digit,
+         {space_cnt} AS n_space,
+         {punct_cnt} AS n_punct_ascii
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       {', '.join('n_' + n for n in names)},
+       n_digit, n_space, n_punct_ascii,
+       (n_chars - ({known}))::BIGINT AS n_other,
+       {case} AS main_script
+FROM c ORDER BY doc_id
+"""
+
+
+Q_SCRIPT_CENSUS_ORACLE = _script_census_oracle()
+
+
+# ---------------------------------------------------------------------------
+# lang-id agreement (Cohen's kappa vs the declared lang column)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between the declared ``lang`` column
+    and the heuristic :func:`..operators.text.lang_id` prediction —
+    the label-QC row an annotation pipeline reports. Exact e6
+    fixed-point; see :func:`..operators.evaluate.cohens_kappa`."""
+    from rootstock_collective_state_sync_spark.operators.evaluate import cohens_kappa
+    from rootstock_collective_state_sync_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_true"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+    return cohens_kappa(pred, "lang_true", "lang_pred")
+
+
+Q_LANG_ID_AGREEMENT_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, tok.lang AS t_lang, l.lang AS cand,
+         round(len(list_intersect(list_distinct(toks), l.words))::DOUBLE
+               / greatest(len(toks), 1), 6) AS score
+  FROM tok, (VALUES ('en', ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for']), ('de', ['der', 'die', 'das', 'und', 'ist', 'ein', 'eine', 'zu', 'mit', 'von']), ('fr', ['le', 'la', 'les', 'et', 'est', 'un', 'une', 'de', 'du', 'pour']), ('es', ['el', 'la', 'los', 'las', 'es', 'un', 'una', 'de', 'que', 'para'])) l(lang, words)
+),
+ranked AS (
+  SELECT doc_id, t_lang, cand, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand ASC) AS rn
+  FROM scores
+),
+pred AS (
+  SELECT doc_id, t_lang,
+         CASE WHEN score > 0 THEN cand ELSE 'und' END AS p_lang
+  FROM ranked WHERE rn = 1
+),
+base AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum((t_lang = p_lang)::INTEGER)::BIGINT AS n_agree
+  FROM pred
+),
+rowm AS (SELECT t_lang AS lab, count(*)::BIGINT AS r FROM pred GROUP BY 1),
+colm AS (SELECT p_lang AS lab, count(*)::BIGINT AS c FROM pred GROUP BY 1),
+pe AS (
+  SELECT coalesce(sum(r * c), 0)::BIGINT AS rc
+  FROM rowm JOIN colm USING (lab)
+),
+m AS (
+  SELECT n_docs, n_agree,
+         (n_agree * 1000000 // n_docs)::BIGINT AS po_e6,
+         (rc * 1000000 // (n_docs * n_docs))::BIGINT AS pe_e6
+  FROM base, pe
+)
+SELECT n_docs, n_agree, po_e6, pe_e6,
+       (CASE WHEN 1000000 - pe_e6 = 0 THEN 0
+             ELSE (CASE WHEN po_e6 >= pe_e6 THEN 1 ELSE -1 END)
+                  * (abs(po_e6 - pe_e6) * 1000000 // (1000000 - pe_e6))
+        END)::BIGINT AS kappa_e6
+FROM m
+"""

@@ -167,6 +167,11 @@ SPECS: dict[str, QuerySpec] = {
     "k_anonymity": QuerySpec(
         AN.q_k_anonymity, AN.Q_K_ANONYMITY_ORACLE, ("analytics", "pii", "agg")
     ),
+    "weighted_median_price": QuerySpec(
+        AN.q_weighted_median_price,
+        AN.Q_WEIGHTED_MEDIAN_PRICE_ORACLE,
+        ("analytics", "agg"),
+    ),
     "hourly_anomalies": QuerySpec(
         AN.q_hourly_anomalies, AN.Q_HOURLY_ANOMALIES_ORACLE, ("analytics", "agg")
     ),
@@ -418,6 +423,17 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "readability": QuerySpec(
         Q.q_readability, Q.Q_READABILITY_ORACLE, ("text", "filter")
+    ),
+    "c4_quality": QuerySpec(
+        Q.q_c4_quality, Q.Q_C4_QUALITY_ORACLE, ("text", "filter")
+    ),
+    "script_census": QuerySpec(
+        Q.q_script_census, Q.Q_SCRIPT_CENSUS_ORACLE, ("text",)
+    ),
+    "lang_id_agreement": QuerySpec(
+        Q.q_lang_id_agreement,
+        Q.Q_LANG_ID_AGREEMENT_ORACLE,
+        ("text", "analytics"),
     ),
     "embedding_gram": QuerySpec(
         TR.q_embedding_gram,

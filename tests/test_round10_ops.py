@@ -1,0 +1,104 @@
+"""Hand-computed contracts for the round-10 operators (oracle parity
+is covered by test_conformance; these pin the semantics on edge cases
+the synthetic corpus may not exercise)."""
+
+from __future__ import annotations
+
+from rootstock_collective_state_sync_spark.operators.evaluate import cohens_kappa
+from rootstock_collective_state_sync_spark.operators.profile import weighted_median
+from rootstock_collective_state_sync_spark.operators.rules import c4_quality
+from rootstock_collective_state_sync_spark.operators.text import script_census
+
+
+def test_c4_quality_line_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            # 2 kept lines (terminal punct + >=5 words), 1 too short,
+            # 1 without terminal punctuation
+            (
+                1,
+                "this line has five good words.\nshort line.\n"
+                "another line with enough words here!\nno terminal punct here",
+            ),
+            # killed by every page rule
+            (2, 'lorem ipsum { var x = 1; } javascript line."'),
+            # quote-terminated counts as terminal
+            (3, 'he said the words were truly "fine."\nSecond one. Third.'),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in c4_quality(docs).collect()}
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_kept_lines"] == 2
+    assert rows[1]["frac_kept_e6"] == 500000
+    assert rows[1]["rule_no_javascript"] == 1
+    assert rows[2]["has_lorem"] == 1 and rows[2]["has_brace"] == 1
+    assert rows[2]["n_js_lines"] == 1 and rows[2]["c4_keep"] == 0
+    assert rows[3]["n_kept_lines"] >= 1 and rows[3]["rule_min_sentences"] == 1
+
+
+def test_script_census_mixed_scripts(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc МИР 中文 123! x")],  # latin 4, cyrillic 3, cjk 2, digit 3
+        "doc_id long, text string",
+    )
+    r = script_census(docs).collect()[0].asDict()
+    assert r["n_latin"] == 4 and r["n_cyrillic"] == 3 and r["n_cjk"] == 2
+    assert r["n_digit"] == 3 and r["n_punct_ascii"] == 1
+    assert r["main_script"] == "latin"
+    assert r["n_chars"] == (
+        r["n_latin"] + r["n_cyrillic"] + r["n_cjk"] + r["n_digit"]
+        + r["n_space"] + r["n_punct_ascii"] + r["n_other"]
+    )
+
+
+def test_script_census_tie_breaks_ascending(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab 中文"), (2, "!!!")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["main_script"] for r in script_census(docs).collect()}
+    assert got[1] == "cjk"  # tie 2-2 -> 'cjk' < 'latin'
+    assert got[2] == "none"  # no script character at all
+
+
+def test_cohens_kappa_hand_case(spark):
+    # classic 2x2: n=100, agree=70, marginals t:(50,50) p:(60,40)
+    rows = (
+        [("a", "a")] * 40 + [("a", "b")] * 10
+        + [("b", "a")] * 20 + [("b", "b")] * 30
+    )
+    df = spark.createDataFrame(rows, "t string, p string")
+    r = cohens_kappa(df, "t", "p").collect()[0].asDict()
+    assert r["n_docs"] == 100 and r["n_agree"] == 70
+    assert r["po_e6"] == 700000
+    # pe = (50*60 + 50*40) / 100^2 = 0.5
+    assert r["pe_e6"] == 500000
+    # kappa = (0.7 - 0.5) / 0.5 = 0.4
+    assert r["kappa_e6"] == 400000
+
+
+def test_cohens_kappa_negative(spark):
+    # total disagreement on a balanced 2-label set: kappa = -1
+    rows = [("a", "b")] * 50 + [("b", "a")] * 50
+    df = spark.createDataFrame(rows, "t string, p string")
+    r = cohens_kappa(df, "t", "p").collect()[0].asDict()
+    assert r["kappa_e6"] == -1000000
+
+
+def test_weighted_median_hand_case(spark):
+    df = spark.createDataFrame(
+        [
+            # group g: values 1(w3), 2(w1), 3(w1): total 5, half 2.5 ->
+            # cum at v=1 is 3 >= 2.5 -> median 1
+            ("g", 1, 3), ("g", 2, 1), ("g", 3, 1),
+            # group h: tie weights across equal values — RANGE frame
+            # pools peers: v=5 cum=2(<3), v=7 cum 4*2>=6 -> 7
+            ("h", 5, 1), ("h", 5, 1), ("h", 7, 1), ("h", 9, 3),
+        ],
+        "grp string, v long, w long",
+    )
+    got = {
+        r["grp"]: (r["wmedian"], r["total_weight"])
+        for r in weighted_median(df, ["grp"], "v", "w").collect()
+    }
+    assert got["g"] == (1, 5)
+    assert got["h"] == (7, 6)
