@@ -188,3 +188,76 @@ def count_min(
     # every item increments exactly one bucket per row, so any row's
     # total is the exact stream size N
     return CountMin(table, int(table[0].sum()))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> "DataFrame":
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per
+    group (Bar-Yossef et al. 2002), side-by-side with the exact count
+    so the row IS its own accuracy report: ``(group, n_exact,
+    kmv_est, err_e6)``. Estimator: with ``h_k`` the k-th smallest of
+    the distinct 60-bit md5 hashes, ``est = (k-1) * 2^60 div h_k``;
+    when a group holds fewer than ``k`` distinct hashes the sketch is
+    exact by construction (est = distinct-hash count).
+
+    Deterministic md5 hashing makes the sketch layout-invariant —
+    bit-identical regardless of partitioning — which is what lets a
+    SQL oracle replay it value-for-value (same trick as
+    :class:`CountMin`'s salted schedule). ``n_exact`` counts distinct
+    VALUES; the estimator sees distinct hashes (collisions in the
+    2^60 space are part of the sketch's error, like any production
+    KMV).
+
+    Scale shape: the hash table is DISTINCT-VALUES-sized (vocabulary,
+    not corpus); the rank-k selection is one window over that table,
+    partitioned by group. At 100 TB the corpus collapses to its
+    vocabulary in the first map-side-combined distinct, and only
+    8-byte hashes shuffle.
+    """
+    from pyspark.sql import Window, functions as F
+
+    h = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    exact = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.countDistinct(F.col(value_col)).cast("long").alias("n_exact"))
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = h.select("grp", "h", F.row_number().over(w).alias("rn"))
+    per = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hashes"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    )
+    est = F.when(F.col("hk").isNull(), F.col("n_hashes")).otherwise(
+        F.expr(
+            f"CAST(CAST({k - 1} AS DECIMAL(38,0)) "
+            f"* CAST(1152921504606846976 AS DECIMAL(38,0)) div hk AS BIGINT)"
+        )
+    )
+    return (
+        exact.join(per, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            est.cast("long").alias("kmv_est"),
+        )
+        .select(
+            group_col,
+            "n_exact",
+            "kmv_est",
+            F.expr("abs(kmv_est - n_exact) * 1000000 div n_exact")
+            .cast("long")
+            .alias("err_e6"),
+        )
+    )

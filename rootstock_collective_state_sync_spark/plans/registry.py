@@ -500,6 +500,11 @@ SPECS: dict[str, QuerySpec] = {
         TR.Q_EMBEDDING_DIM_STATS_ORACLE,
         ("similarity", "agg"),
     ),
+    "kmv_distinct_tokens": QuerySpec(
+        TR.q_kmv_distinct_tokens,
+        TR.Q_KMV_DISTINCT_TOKENS_ORACLE,
+        ("sketch", "agg", "text"),
+    ),
     "count_min_tokens": QuerySpec(
         TR.q_count_min_tokens,
         TR.Q_COUNT_MIN_TOKENS_ORACLE,

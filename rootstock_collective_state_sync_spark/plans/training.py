@@ -2663,3 +2663,67 @@ GROUP BY 1, 2
 HAVING count(*) >= {_WINNOW_MIN_SHARED}
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (value-checked, like count_min_tokens)
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV bottom-256 distinct-token estimate next to the
+    exact count — the sketch itself is hash-checked because the md5
+    hash schedule is layout-invariant. See
+    :func:`..operators.sketches.kmv_distinct`."""
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("tokn")
+    )
+    return kmv_distinct(tok, "source", "tokn", k=256).orderBy("source")
+
+
+Q_KMV_DISTINCT_TOKENS_ORACLE = """
+WITH t AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS tokn
+  FROM documents
+),
+h AS (
+  SELECT DISTINCT source,
+         list_sum(list_transform(range(15), kk ->
+             (strpos('0123456789abcdef',
+                     substr(md5(tokn), kk + 1, 1)) - 1)
+             * (1::BIGINT << (4 * (14 - kk)))))::BIGINT AS h
+  FROM t
+),
+ex AS (
+  SELECT source, count(DISTINCT tokn)::BIGINT AS n_exact
+  FROM t GROUP BY 1
+),
+r AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+),
+per AS (
+  SELECT source,
+         count(*)::BIGINT AS n_hashes,
+         max(CASE WHEN rn = 256 THEN h END) AS hk
+  FROM r GROUP BY 1
+),
+m AS (
+  SELECT ex.source, n_exact,
+         CASE WHEN hk IS NULL THEN n_hashes
+              ELSE ((255::HUGEINT * 1152921504606846976::HUGEINT) // hk)::BIGINT
+         END AS kmv_est
+  FROM ex JOIN per ON ex.source = per.source
+)
+SELECT source, n_exact, kmv_est,
+       (abs(kmv_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_e6
+FROM m ORDER BY source
+"""

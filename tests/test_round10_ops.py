@@ -102,3 +102,25 @@ def test_weighted_median_hand_case(spark):
     }
     assert got["g"] == (1, 5)
     assert got["h"] == (7, 6)
+
+
+def test_kmv_exact_below_k_and_bounded_error(spark):
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    # group 'small': 100 distinct values < k=256 -> sketch is exact
+    # group 'big': 20000 distinct -> k=256 gives rse ~ 1/sqrt(254),
+    # assert within 20% (>3 sigma)
+    rows = [("small", f"s{i}") for i in range(100)] + [
+        ("big", f"b{i % 20000}") for i in range(40000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {
+        r["grp"]: r.asDict()
+        for r in kmv_distinct(df, "grp", "v", k=256).collect()
+    }
+    assert got["small"]["n_exact"] == 100
+    assert got["small"]["kmv_est"] == 100 and got["small"]["err_e6"] == 0
+    assert got["big"]["n_exact"] == 20000
+    assert abs(got["big"]["kmv_est"] - 20000) / 20000 < 0.20
