@@ -218,21 +218,65 @@ def kmv_distinct(
     vocabulary in the first map-side-combined distinct, and only
     8-byte hashes shuffle.
     """
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
-    h = (
-        df.select(
-            F.col(group_col).alias("grp"),
-            F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
-        .distinct()
-    )
+    h = kmv_hashes(df, group_col, value_col)
     exact = (
         df.groupBy(F.col(group_col).alias("grp"))
         .agg(F.countDistinct(F.col(value_col)).cast("long").alias("n_exact"))
     )
+    return (
+        exact.join(kmv_estimate(h, k), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            "kmv_est",
+        )
+        .select(
+            group_col,
+            "n_exact",
+            "kmv_est",
+            F.expr("abs(kmv_est - n_exact) * 1000000 div n_exact")
+            .cast("long")
+            .alias("err_e6"),
+        )
+    )
+
+
+def kmv_hashes(df: DataFrame, group_col: str, value_col: str) -> "DataFrame":
+    """Distinct deterministic 60-bit md5 hashes per group,
+    ``(grp, h)`` — the mergeable raw material of the KMV sketch."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(group_col).alias("grp"),
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+
+
+def kmv_bottom_k(h: DataFrame, k: int) -> "DataFrame":
+    """Truncate a ``(grp, h)`` hash table to each group's k smallest —
+    the bounded mergeable sketch state. Union-then-truncate of any two
+    bottom-k tables equals the bottom-k of the union (the KMV merge
+    law), so incremental maintenance is lossless for the estimator."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        h.select("grp", "h", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+
+
+def kmv_estimate(h: DataFrame, k: int) -> "DataFrame":
+    """``(grp, n_hashes, kmv_est)`` from a ``(grp, h)`` hash table
+    (full or bottom-k-truncated — the estimate is identical, which is
+    what makes the sketch mergeable)."""
+    from pyspark.sql import Window, functions as F
+
     w = Window.partitionBy("grp").orderBy("h")
     ranked = h.select("grp", "h", F.row_number().over(w).alias("rn"))
     per = ranked.groupBy("grp").agg(
@@ -245,19 +289,4 @@ def kmv_distinct(
             f"* CAST(1152921504606846976 AS DECIMAL(38,0)) div hk AS BIGINT)"
         )
     )
-    return (
-        exact.join(per, "grp")
-        .select(
-            F.col("grp").alias(group_col),
-            "n_exact",
-            est.cast("long").alias("kmv_est"),
-        )
-        .select(
-            group_col,
-            "n_exact",
-            "kmv_est",
-            F.expr("abs(kmv_est - n_exact) * 1000000 div n_exact")
-            .cast("long")
-            .alias("err_e6"),
-        )
-    )
+    return per.select("grp", "n_hashes", est.cast("long").alias("kmv_est"))

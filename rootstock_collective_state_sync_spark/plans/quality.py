@@ -1144,3 +1144,72 @@ SELECT n_docs, n_agree, po_e6, pe_e6,
         END)::BIGINT AS kappa_e6
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph triangle census / clustering coefficients
+# ---------------------------------------------------------------------------
+
+
+def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per node of the
+    kNN cosine graph (same deterministic edge build as
+    `similarity_pagerank`): the template-neighborhood detector. The
+    oracle replays the edge build, the oriented wedge closure, and
+    the e6 coefficient exactly."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = G.knn_edges(emb, k=_PR_K)
+    return (
+        G.triangle_counts(edges)
+        .select(F.col("id").alias("vec_id"), "degree", "n_triangles", "cc_e6")
+        .orderBy("vec_id")
+    )
+
+
+def _knn_triangles_oracle(k: int = _PR_K) -> str:
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS src, c.vec_id AS dst,
+         {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS s
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY s DESC, dst ASC) AS rn
+  FROM scored
+),
+fwd AS (SELECT src, dst FROM rk WHERE rn <= {k}),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+  )
+),
+und AS MATERIALIZED (SELECT src, dst FROM e WHERE src < dst),
+tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM und ab
+  JOIN und bc ON ab.dst = bc.src
+  JOIN und ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+pern AS (
+  SELECT id, count(*)::BIGINT AS n_triangles FROM (
+    SELECT a AS id FROM tri
+    UNION ALL SELECT b AS id FROM tri
+    UNION ALL SELECT c AS id FROM tri
+  ) GROUP BY 1
+),
+deg AS (SELECT src AS id, count(*)::BIGINT AS degree FROM e GROUP BY 1)
+SELECT d.id AS vec_id, d.degree,
+       coalesce(p.n_triangles, 0)::BIGINT AS n_triangles,
+       (CASE WHEN d.degree < 2 THEN 0
+             ELSE (2 * coalesce(p.n_triangles, 0) * 1000000)
+                  // (d.degree * (d.degree - 1)) END)::BIGINT AS cc_e6
+FROM deg d LEFT JOIN pern p USING (id)
+ORDER BY vec_id
+"""
+
+
+Q_KNN_TRIANGLES_ORACLE = _knn_triangles_oracle()

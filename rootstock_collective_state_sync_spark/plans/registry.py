@@ -430,6 +430,9 @@ SPECS: dict[str, QuerySpec] = {
     "script_census": QuerySpec(
         Q.q_script_census, Q.Q_SCRIPT_CENSUS_ORACLE, ("text",)
     ),
+    "knn_triangles": QuerySpec(
+        Q.q_knn_triangles, Q.Q_KNN_TRIANGLES_ORACLE, ("graph", "similarity")
+    ),
     "lang_id_agreement": QuerySpec(
         Q.q_lang_id_agreement,
         Q.Q_LANG_ID_AGREEMENT_ORACLE,

@@ -124,3 +124,24 @@ def test_kmv_exact_below_k_and_bounded_error(spark):
     assert got["small"]["kmv_est"] == 100 and got["small"]["err_e6"] == 0
     assert got["big"]["n_exact"] == 20000
     assert abs(got["big"]["kmv_est"] - 20000) / 20000 < 0.20
+
+
+def test_triangle_counts_hand_graph(spark):
+    from rootstock_collective_state_sync_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 minus edge (3,4) plus pendant 5: triangles (1,2,3), (1,2,4)
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r["id"]: (r["degree"], r["n_triangles"], r["cc_e6"])
+        for r in triangle_counts(edges).collect()
+    }
+    assert got[1] == (4, 2, 333333)  # 2*2*1e6 div (4*3)
+    assert got[2] == (3, 2, 666666)
+    assert got[3] == (2, 1, 1000000)
+    assert got[4] == (2, 1, 1000000)
+    assert got[5] == (1, 0, 0)
