@@ -260,3 +260,115 @@ def attribution_touch(
             ).alias("last_touch_lag_us"),
         )
     )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact time-weighted average per group (the TWAP of irregular
+    time series): each observation holds until the next one, so its
+    weight is the microsecond gap to the successor under the
+    deterministic ``(ts, id)`` total order; the final row is a point
+    mass (zero width) and drops out, groups with a single event emit
+    nothing. Values snap to integer cents and gaps to exact
+    microsecond longs, products accumulate in DECIMAL(38,0) — both
+    engines agree bit-for-bit, no float summation order hazard.
+
+    Returns ``(group, n_segments, span_us, twap_c)``.
+
+    Scale shape: ONE shuffle on the group key; the lead() and the
+    aggregation reuse the same partitioning. Control-plane output
+    (one row per group).
+    """
+    w = Window.partitionBy(F.col(group_col)).orderBy(
+        F.col("t").asc(), F.col(id_col).asc()
+    )
+    # naive-epoch microseconds: tz-invariant (works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike) and equal to DuckDB's epoch_us on the same
+    # naive value — only differences are consumed anyway
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.expr(
+            f"timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01'), "
+            f"cast({ts_col} as timestamp_ntz))"
+        ).alias("t"),
+        F.round(F.col(value_col) * 100).cast("long").alias("vc"),
+    )
+    seg = base.select(
+        group_col,
+        "vc",
+        (F.lead("t").over(w) - F.col("t")).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        seg.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("dt").cast("long").alias("span_us"),
+            F.sum(F.col("vc").cast("decimal(38,0)") * F.col("dt")).alias(
+                "_vdt"
+            ),
+        )
+        .select(
+            group_col,
+            "n_segments",
+            "span_us",
+            F.expr("CAST(_vdt div span_us AS BIGINT)").alias("twap_c"),
+        )
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bar: str = "hour",
+) -> DataFrame:
+    """Open/high/low/close/volume bars per key per time bucket — the
+    rollup a serving layer builds over synced on-chain price/amount
+    events. Open/close are picked by the deterministic ``(ts, id)``
+    total order (two row_numbers over the SAME sort within one
+    partitioning), values snap to integer cents.
+
+    Returns ``(key, bar_ts, open_c, high_c, low_c, close_c, n_events,
+    volume_c)``.
+
+    Scale shape: one shuffle keyed on (key, bucket); both window
+    passes and the final aggregation reuse it. Bars are
+    keys x buckets — control-plane output.
+    """
+    base = df.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(ts_col).alias("ts_"),
+        F.date_trunc(bar, F.col(ts_col)).alias("bar_ts"),
+        F.round(F.col(value_col) * 100).cast("long").alias("vc"),
+    )
+    wpart = [F.col(key_col), F.col("bar_ts")]
+    wa = Window.partitionBy(*wpart).orderBy(
+        F.col("ts_").asc(), F.col(id_col).asc()
+    )
+    wd = Window.partitionBy(*wpart).orderBy(
+        F.col("ts_").desc(), F.col(id_col).desc()
+    )
+    marked = base.select(
+        key_col,
+        "bar_ts",
+        "vc",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return marked.groupBy(key_col, "bar_ts").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("vc"))).alias("open_c"),
+        F.max("vc").alias("high_c"),
+        F.min("vc").alias("low_c"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("vc"))).alias("close_c"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vc").cast("long").alias("volume_c"),
+    )

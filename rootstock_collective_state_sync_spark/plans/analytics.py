@@ -1303,3 +1303,84 @@ SELECT l_returnflag,
 FROM c WHERE cw * 2 >= tw
 GROUP BY 1 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# irregular-timeseries serving rollups: TWAP + OHLC bars
+# ---------------------------------------------------------------------------
+
+
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user time-weighted average event value (integer
+    cents x microsecond gaps, DECIMAL(38,0) accumulation). See
+    :func:`..operators.temporal.time_weighted_mean`."""
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        time_weighted_mean,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_mean(
+        ev, "user_id", "ts", "value", "event_id"
+    ).orderBy("user_id")
+
+
+Q_TWAP_USER_VALUE_ORACLE = """
+WITH b AS (
+  SELECT user_id, event_id,
+         epoch_us(ts)::BIGINT AS t,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+seg AS (
+  SELECT user_id, vc,
+         lead(t) OVER (PARTITION BY user_id
+                       ORDER BY t ASC, event_id ASC) - t AS dt
+  FROM b
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_segments,
+       sum(dt)::BIGINT AS span_us,
+       (sum(vc::HUGEINT * dt::HUGEINT) // sum(dt))::BIGINT AS twap_c
+FROM seg WHERE dt IS NOT NULL
+GROUP BY 1 ORDER BY user_id
+"""
+
+
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC/volume bars per event type with deterministic
+    (ts, event_id) open/close picks. See
+    :func:`..operators.temporal.ohlc_bars`."""
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        ohlc_bars,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(
+        ev, "event_type", "ts", "value", "event_id", bar="hour"
+    ).orderBy("event_type", "bar_ts")
+
+
+Q_OHLC_HOURLY_ORACLE = """
+WITH b AS (
+  SELECT event_type, event_id, ts,
+         date_trunc('hour', ts) AS bar_ts,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+m AS (
+  SELECT event_type, bar_ts, vc,
+         row_number() OVER (PARTITION BY event_type, bar_ts
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bar_ts
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type, bar_ts,
+       max(CASE WHEN rn_a = 1 THEN vc END)::BIGINT AS open_c,
+       max(vc)::BIGINT AS high_c,
+       min(vc)::BIGINT AS low_c,
+       max(CASE WHEN rn_d = 1 THEN vc END)::BIGINT AS close_c,
+       count(*)::BIGINT AS n_events,
+       sum(vc)::BIGINT AS volume_c
+FROM m GROUP BY 1, 2 ORDER BY event_type, bar_ts
+"""

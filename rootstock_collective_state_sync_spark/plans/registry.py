@@ -172,6 +172,12 @@ SPECS: dict[str, QuerySpec] = {
         AN.Q_WEIGHTED_MEDIAN_PRICE_ORACLE,
         ("analytics", "agg"),
     ),
+    "twap_user_value": QuerySpec(
+        AN.q_twap_user_value, AN.Q_TWAP_USER_VALUE_ORACLE, ("analytics", "agg")
+    ),
+    "ohlc_hourly": QuerySpec(
+        AN.q_ohlc_hourly, AN.Q_OHLC_HOURLY_ORACLE, ("analytics", "agg")
+    ),
     "hourly_anomalies": QuerySpec(
         AN.q_hourly_anomalies, AN.Q_HOURLY_ANOMALIES_ORACLE, ("analytics", "agg")
     ),

@@ -145,3 +145,61 @@ def test_triangle_counts_hand_graph(spark):
     assert got[3] == (2, 1, 1000000)
     assert got[4] == (2, 1, 1000000)
     assert got[5] == (1, 0, 0)
+
+
+def test_time_weighted_mean_hand_case(spark):
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        time_weighted_mean,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # user 1: v=100c for 10us then 300c for 30us -> twap =
+            # (100*10 + 300*30) / 40 = 250c; last event is a point mass
+            (1, 1, "2024-01-01 00:00:00.000000", 1.00),
+            (2, 1, "2024-01-01 00:00:00.000010", 3.00),
+            (3, 1, "2024-01-01 00:00:00.000040", 9.99),
+            # user 2: single event -> no segments, no row
+            (4, 2, "2024-01-01 00:00:00", 5.00),
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).selectExpr(
+        "event_id", "user_id", "cast(ts as timestamp_ntz) ts", "value"
+    )
+    got = {
+        r["user_id"]: (r["n_segments"], r["span_us"], r["twap_c"])
+        for r in time_weighted_mean(
+            df, "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert got == {1: (2, 40, 250)}
+
+
+def test_ohlc_bars_hand_case(spark):
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        ohlc_bars,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", "2024-01-01 10:05:00", 2.00),
+            (2, "x", "2024-01-01 10:10:00", 9.00),
+            (3, "x", "2024-01-01 10:20:00", 1.00),
+            (4, "x", "2024-01-01 10:50:00", 4.00),
+            (5, "x", "2024-01-01 11:01:00", 7.00),
+        ],
+        "event_id long, event_type string, ts string, value double",
+    ).selectExpr(
+        "event_id", "event_type", "cast(ts as timestamp_ntz) ts", "value"
+    )
+    got = {
+        str(r["bar_ts"]): (
+            r["open_c"], r["high_c"], r["low_c"], r["close_c"],
+            r["n_events"], r["volume_c"],
+        )
+        for r in ohlc_bars(
+            df, "event_type", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert got["2024-01-01 10:00:00"] == (200, 900, 100, 400, 4, 1600)
+    assert got["2024-01-01 11:00:00"] == (700, 700, 700, 700, 1, 700)
