@@ -333,42 +333,118 @@ def ohlc_bars(
     """Open/high/low/close/volume bars per key per time bucket — the
     rollup a serving layer builds over synced on-chain price/amount
     events. Open/close are picked by the deterministic ``(ts, id)``
-    total order (two row_numbers over the SAME sort within one
-    partitioning), values snap to integer cents.
+    total order via ``min/max(struct(t, id, vc))`` — ONE map-side-
+    combined aggregation, no window sort at all — and values snap to
+    integer cents.
 
     Returns ``(key, bar_ts, open_c, high_c, low_c, close_c, n_events,
     volume_c)``.
 
-    Scale shape: one shuffle keyed on (key, bucket); both window
-    passes and the final aggregation reuse it. Bars are
-    keys x buckets — control-plane output.
+    Scale shape: one shuffle keyed on (key, bucket), fully partial-
+    aggregated map-side (every accumulator — struct-min, struct-max,
+    min, max, sum — is associative and commutative, which is also what
+    makes the bar MERGEABLE: :func:`ohlc_render` over merged
+    :func:`ohlc_partial` partials equals the at-rest bars, the
+    contract the streaming twin relies on). Bars are keys x buckets —
+    control-plane output.
     """
+    return ohlc_render(
+        ohlc_partial(df, key_col, ts_col, value_col, id_col, bar)
+    )
+
+
+def ohlc_partial(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bar: str = "hour",
+) -> DataFrame:
+    """Mergeable OHLC partial per (key, bucket): the open/close picks
+    keep their (naive-epoch-microsecond, id) coordinates so two
+    partials merge exactly — ``min/max(struct)`` again. Columns:
+    ``(key, bar_ts, o_t, o_id, open_c, c_t, c_id, close_c, high_c,
+    low_c, n_events, volume_c)``."""
+    t = F.expr(
+        f"timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01'), "
+        f"cast({ts_col} as timestamp_ntz))"
+    )
     base = df.select(
         F.col(key_col),
-        F.col(id_col),
-        F.col(ts_col).alias("ts_"),
+        F.col(id_col).alias("id_"),
+        t.alias("t"),
         F.date_trunc(bar, F.col(ts_col)).alias("bar_ts"),
         F.round(F.col(value_col) * 100).cast("long").alias("vc"),
     )
-    wpart = [F.col(key_col), F.col("bar_ts")]
-    wa = Window.partitionBy(*wpart).orderBy(
-        F.col("ts_").asc(), F.col(id_col).asc()
+    return (
+        base.groupBy(key_col, "bar_ts")
+        .agg(
+            F.min(F.struct("t", "id_", "vc")).alias("o"),
+            F.max(F.struct("t", "id_", "vc")).alias("c"),
+            F.max("vc").alias("high_c"),
+            F.min("vc").alias("low_c"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("vc").cast("long").alias("volume_c"),
+        )
+        .select(
+            key_col,
+            "bar_ts",
+            F.col("o.t").alias("o_t"),
+            F.col("o.id_").cast("long").alias("o_id"),
+            F.col("o.vc").alias("open_c"),
+            F.col("c.t").alias("c_t"),
+            F.col("c.id_").cast("long").alias("c_id"),
+            F.col("c.vc").alias("close_c"),
+            "high_c",
+            "low_c",
+            "n_events",
+            "volume_c",
+        )
     )
-    wd = Window.partitionBy(*wpart).orderBy(
-        F.col("ts_").desc(), F.col(id_col).desc()
+
+
+def ohlc_merge(partials: DataFrame, key_col: str) -> DataFrame:
+    """Merge OHLC partials sharing a (key, bucket): struct-min/max on
+    the pick coordinates, min/max/sum elsewhere — associative, so any
+    merge tree gives the same bars."""
+    return (
+        partials.groupBy(key_col, "bar_ts")
+        .agg(
+            F.min(F.struct(F.col("o_t").alias("t"), F.col("o_id").alias("id_"), F.col("open_c").alias("vc"))).alias("o"),
+            F.max(F.struct(F.col("c_t").alias("t"), F.col("c_id").alias("id_"), F.col("close_c").alias("vc"))).alias("c"),
+            F.max("high_c").alias("high_c"),
+            F.min("low_c").alias("low_c"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("volume_c").cast("long").alias("volume_c"),
+        )
+        .select(
+            key_col,
+            "bar_ts",
+            F.col("o.t").alias("o_t"),
+            F.col("o.id_").cast("long").alias("o_id"),
+            F.col("o.vc").alias("open_c"),
+            F.col("c.t").alias("c_t"),
+            F.col("c.id_").cast("long").alias("c_id"),
+            F.col("c.vc").alias("close_c"),
+            "high_c",
+            "low_c",
+            "n_events",
+            "volume_c",
+        )
     )
-    marked = base.select(
-        key_col,
-        "bar_ts",
-        "vc",
-        F.row_number().over(wa).alias("rn_a"),
-        F.row_number().over(wd).alias("rn_d"),
-    )
-    return marked.groupBy(key_col, "bar_ts").agg(
-        F.max(F.when(F.col("rn_a") == 1, F.col("vc"))).alias("open_c"),
-        F.max("vc").alias("high_c"),
-        F.min("vc").alias("low_c"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("vc"))).alias("close_c"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum("vc").cast("long").alias("volume_c"),
+
+
+def ohlc_render(partials: DataFrame) -> DataFrame:
+    """Drop the merge coordinates from OHLC partials — the serving
+    columns ``(key, bar_ts, open_c, high_c, low_c, close_c, n_events,
+    volume_c)``."""
+    keep = [
+        c
+        for c in partials.columns
+        if c not in ("o_t", "o_id", "c_t", "c_id", "open_c", "close_c",
+                     "high_c", "low_c", "n_events", "volume_c")
+    ]
+    return partials.select(
+        *keep, "open_c", "high_c", "low_c", "close_c", "n_events", "volume_c"
     )
