@@ -315,3 +315,153 @@ def test_largest_remainder_invariants(spark, sizes, budget):
         exact = budget * n / total
         assert q >= 0
         assert abs(q - exact) < 1  # never off the ideal share by >=1
+
+
+# ---- round-10 merge laws ----------------------------------------------------
+
+_ohlc_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=99),        # minute offset
+        st.sampled_from(["x", "y"]),                   # key
+        st.integers(min_value=1, max_value=9999),      # value cents
+    ),
+    min_size=2,
+    max_size=24,
+    unique_by=lambda e: e[0],
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=_ohlc_events, cut=st.integers(min_value=0, max_value=23))
+def test_ohlc_merge_equals_at_rest_for_any_split(spark, events, cut):
+    """OHLC merge law: partial(batch1) ⊕ partial(batch2) rendered ==
+    ohlc_bars over the union, for ANY split point — the contract the
+    streaming twin relies on."""
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        ohlc_bars,
+        ohlc_merge,
+        ohlc_partial,
+        ohlc_render,
+    )
+
+    rows = [
+        (i, k, f"2024-01-01 {10 + m // 60}:{m % 60:02d}:00", c / 100.0)
+        for i, (m, k, c) in enumerate(events)
+    ]
+    cut = min(cut, len(rows) - 1) or 1
+
+    def df(rs):
+        return spark.createDataFrame(
+            rs, "event_id long, k string, ts string, value double"
+        ).selectExpr("event_id", "k", "cast(ts as timestamp_ntz) ts", "value")
+
+    p1 = ohlc_partial(df(rows[:cut]), "k", "ts", "value", "event_id", "hour")
+    p2 = ohlc_partial(df(rows[cut:]), "k", "ts", "value", "event_id", "hour")
+    merged = {
+        tuple(r)
+        for r in ohlc_render(ohlc_merge(p1.unionByName(p2), "k")).collect()
+    }
+    at_rest = {
+        tuple(r)
+        for r in ohlc_bars(df(rows), "k", "ts", "value", "event_id").collect()
+    }
+    assert merged == at_rest
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        min_size=1,
+        max_size=40,
+    ),
+    cut=st.integers(min_value=0, max_value=39),
+    k=st.sampled_from([4, 8]),
+)
+def test_kmv_bottom_k_merge_law(spark, vals, cut, k):
+    """bottom_k(bottom_k(A) ∪ bottom_k(B)) == bottom_k(A ∪ B), and the
+    estimate from the truncated table equals the full-table estimate."""
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        kmv_bottom_k,
+        kmv_estimate,
+        kmv_hashes,
+    )
+
+    cut = min(cut, len(vals))
+    rows = [("g", v) for v in vals]
+
+    def df(rs):
+        return spark.createDataFrame(rs, "grp string, v string")
+
+    full_h = kmv_hashes(df(rows), "grp", "v")
+    a = kmv_bottom_k(kmv_hashes(df(rows[:cut]), "grp", "v"), k)
+    b = kmv_bottom_k(kmv_hashes(df(rows[cut:]), "grp", "v"), k)
+    u = a.unionByName(b).distinct()
+    merged = {tuple(r) for r in kmv_bottom_k(u, k).collect()}
+    want = {tuple(r) for r in kmv_bottom_k(full_h, k).collect()}
+    assert merged == want
+    est_trunc = kmv_estimate(kmv_bottom_k(full_h, k), k).collect()[0]["kmv_est"]
+    est_full = kmv_estimate(full_h, k).collect()[0]["kmv_est"]
+    assert est_trunc == est_full
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abc")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cohens_kappa_bounds_and_po_pe(spark, pairs):
+    """kappa_e6 ∈ [-1e6, 1e6]; po_e6/pe_e6 match a Python fold."""
+    from rootstock_collective_state_sync_spark.operators.evaluate import (
+        cohens_kappa,
+    )
+
+    df = spark.createDataFrame(pairs, "t string, p string")
+    r = cohens_kappa(df, "t", "p").collect()[0]
+    n = len(pairs)
+    agree = sum(1 for t, p in pairs if t == p)
+    rowm, colm = {}, {}
+    for t, p in pairs:
+        rowm[t] = rowm.get(t, 0) + 1
+        colm[p] = colm.get(p, 0) + 1
+    rc = sum(rowm[l] * colm.get(l, 0) for l in rowm)
+    assert r["n_docs"] == n and r["n_agree"] == agree
+    assert r["po_e6"] == agree * 1000000 // n
+    assert r["pe_e6"] == rc * 1000000 // (n * n)
+    assert -1000000 <= r["kappa_e6"] <= 1000000
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),   # value
+            st.integers(min_value=1, max_value=9),    # weight
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_weighted_median_matches_reference_fold(spark, rows):
+    """wmedian == smallest v with cumweight(<= v) * 2 >= total — the
+    textbook definition, computed independently in Python."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v, w) for v, w in rows], "grp string, v long, w long"
+    )
+    got = weighted_median(df, ["grp"], "v", "w").collect()[0]
+    total = sum(w for _, w in rows)
+    acc, want = 0, None
+    for v in sorted({v for v, _ in rows}):
+        acc += sum(w for vv, w in rows if vv == v)
+        if acc * 2 >= total:
+            want = v
+            break
+    assert got["wmedian"] == want
+    assert got["total_weight"] == total
