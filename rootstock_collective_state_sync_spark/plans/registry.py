@@ -688,74 +688,66 @@ SPECS: dict[str, QuerySpec] = {
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
-    # r09 rotation (tools/window_planner.py policy):
-    # (a) the LAST query with zero driver evidence in any round —
-    # rows-only by design, earns its rows-only row like the r06
-    # HLL/GK sketches did (r08 verdict item 1)
-    "heavy_hitter_tokens",
-    # (b) changed this round (persist-before-self-join in
-    # semantic_dedup / hard_negatives_celled; shared shingle index +
-    # _index param in the funnel / jaccard / containment) — re-earn
+    # r10 rotation (tools/window_planner.py policy):
+    # (a) the 11 queries born this round — driver-checked immediately,
+    # no evidence debt (planner class `never`)
+    "winnow_pairs",
+    "readability",
+    "k_anonymity",
+    "c4_quality",
+    "script_census",
+    "lang_id_agreement",
+    "weighted_median_price",
+    "twap_user_value",
+    "ohlc_hourly",
+    "kmv_distinct_tokens",
+    "knn_triangles",
+    # (b) semantically touched this round (tracked_persist bounded
+    # cache lifetimes in the self-join paths) — re-earn their rows
     "semantic_dedup",
     "hard_negatives_celled",
-    "dedup_funnel",
-    "dedup_ngram_jaccard",
-    "containment_pairs",
-    # (c) bench-regression re-confirm (r08 verdict item 2)
-    "window_session",
-    # (d) staleness rotation: every remaining query whose latest
-    # hash-green row is r05 (the oldest cohort)
-    "filter_range_scan",
-    "fk_deref_join",
-    "q9_product_profit",
-    "asof_join",
-    "bigint_arith",
-    "hex_roundtrip",
-    "camel_case",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "pq_codes",
-    "stratified_sample",
-    "pack_sequences",
-    "budget_select",
-    "temperature_mix",
-    "pack_split_sequences",
-    "clean_corpus",
-    "pii_redaction",
-    "vocab_topk",
-    "tfidf_top_terms",
-    "contamination_check",
-    # (epoch_shuffle's and importance_sample's seats also went to (e))
-    "dup_ngram_fraction",
-    "lm_unigram_score",
-    "quality_percentiles",
-    # (zorder_key / export_manifest / window_tumbling / window_sliding
-    # / first_event_per_key / epoch_shuffle / importance_sample stay
-    # in the r05 cohort one more round — their seven seats went to the
-    # later batches of (e) births; all remain locally gated every
-    # pytest run)
-    # (e) new this round — driver-checked immediately, no evidence debt
-    "dsir_log_ratio",
-    "text_entropy",
-    "source_dup_matrix",
-    "dsir_select",
-    "unimax_alloc",
-    "doremi_weights",
-    "cdc_chunks",
-    "cdc_dup_stats",
     "semantic_contamination",
-    "bm25_topk",
-    "corpus_datasheet",
-    # (f) oldest r06 anchors filling the remaining slots
-    "watermark_max_block",
+    "dedup_funnel",
+    # (c) the entire oldest cohort (last green r05)
+    "epoch_shuffle",
+    "export_manifest",
+    "first_event_per_key",
+    "importance_sample",
+    "window_sliding",
+    "window_tumbling",
+    "zorder_key",
+    # (d) 28 seats to the next-oldest cohort (last green r06):
+    # core relational / TPC-H anchors first
+    "anti_join",
+    "approx_distinct",
+    "approx_quantiles",
+    "cube_counts",
+    "distinct_set",
+    "enum_label",
+    "events_json_stats",
+    "except_missing",
+    "exists_subquery",
+    "filter_isin_enum",
+    "group_count",
+    "grouping_sets",
+    "median_value_per_type",
+    "min_cost_per_part",
+    "pivot_status_by_priority",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disc_revenue",
+    "q20_supplier_part_share",
+    "q21_blamed_supplier",
+    "q22_idle_customers",
+    # (q3/q4/q5/q7/q8 + the remaining 8 r06 anchors carry to r11;
+    # all remain locally oracle-gated on every pytest run)
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -34,12 +34,13 @@ def main() -> None:
     from rootstock_collective_state_sync_spark.plans.registry import SPECS
     from rootstock_collective_state_sync_spark.session import get_spark
 
+    queries = sys.argv[1:] or QUERIES  # optional explicit query list
     spark = get_spark("scaling")
     out: dict[str, dict[str, float]] = {}
     for sf in ("0.001", "0.01", "0.1"):
         d = f"/root/testdata/sf{sf}"
         out[sf] = {}
-        for name in QUERIES:
+        for name in queries:
             spark.catalog.clearCache()
             spark._jvm.System.gc()
             fn = SPECS[name].fn
