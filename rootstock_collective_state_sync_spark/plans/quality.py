@@ -1213,3 +1213,77 @@ ORDER BY vec_id
 
 
 Q_KNN_TRIANGLES_ORACLE = _knn_triangles_oracle()
+
+
+def q_knn_triangles_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of `knn_triangles`: the kNN edges come from the
+    cell-confined IVF build (one corpus shuffle on `cell`,
+    O(n·cell_size) candidates — never n²), then the same oriented
+    wedge closure. Both the quantizer and the in-cell ranking are
+    deterministic, so the full chain is value-oracled — the brute
+    twin stays as the exact baseline, like `ann_cosine_topk` vs
+    `ann_ivf_topk`."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = G.knn_edges_celled(emb, k=_PR_K, num_cells=16)
+    return (
+        G.triangle_counts(edges)
+        .select(F.col("id").alias("vec_id"), "degree", "n_triangles", "cc_e6")
+        .orderBy("vec_id")
+    )
+
+
+def _knn_triangles_celled_oracle(k: int = _PR_K) -> str:
+    from rootstock_collective_state_sync_spark.plans.training import (
+        _ivf_cells_oracle,
+    )
+
+    return _ivf_cells_oracle(tail=f""",
+tagged AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM embeddings e JOIN cells c USING (vec_id)
+),
+scored AS (
+  SELECT q.vec_id AS src, t.vec_id AS dst,
+         {_COS_SQL.format(a="q.embedding", b="t.embedding")} AS s
+  FROM tagged q JOIN tagged t
+    ON q.cell = t.cell AND t.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY s DESC, dst ASC) AS rn
+  FROM scored
+),
+fwd AS (SELECT src, dst FROM rk WHERE rn <= {k}),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+  )
+),
+und AS MATERIALIZED (SELECT src, dst FROM e WHERE src < dst),
+tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM und ab
+  JOIN und bc ON ab.dst = bc.src
+  JOIN und ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+pern AS (
+  SELECT id, count(*)::BIGINT AS n_triangles FROM (
+    SELECT a AS id FROM tri
+    UNION ALL SELECT b AS id FROM tri
+    UNION ALL SELECT c AS id FROM tri
+  ) GROUP BY 1
+),
+deg AS (SELECT src AS id, count(*)::BIGINT AS degree FROM e GROUP BY 1)
+SELECT d.id AS vec_id, d.degree,
+       coalesce(p.n_triangles, 0)::BIGINT AS n_triangles,
+       (CASE WHEN d.degree < 2 THEN 0
+             ELSE (2 * coalesce(p.n_triangles, 0) * 1000000)
+                  // (d.degree * (d.degree - 1)) END)::BIGINT AS cc_e6
+FROM deg d LEFT JOIN pern p USING (id)
+ORDER BY vec_id""")
+
+
+Q_KNN_TRIANGLES_CELLED_ORACLE = _knn_triangles_celled_oracle()

@@ -439,6 +439,11 @@ SPECS: dict[str, QuerySpec] = {
     "knn_triangles": QuerySpec(
         Q.q_knn_triangles, Q.Q_KNN_TRIANGLES_ORACLE, ("graph", "similarity")
     ),
+    "knn_triangles_celled": QuerySpec(
+        Q.q_knn_triangles_celled,
+        Q.Q_KNN_TRIANGLES_CELLED_ORACLE,
+        ("graph", "similarity"),
+    ),
     "lang_id_agreement": QuerySpec(
         Q.q_lang_id_agreement,
         Q.Q_LANG_ID_AGREEMENT_ORACLE,
@@ -702,6 +707,7 @@ _DRIVER_WINDOW = [
     "ohlc_hourly",
     "kmv_distinct_tokens",
     "knn_triangles",
+    "knn_triangles_celled",
     # (b) semantically touched this round (tracked_persist bounded
     # cache lifetimes in the self-join paths) — re-earn their rows
     "semantic_dedup",
@@ -719,7 +725,6 @@ _DRIVER_WINDOW = [
     # (d) 28 seats to the next-oldest cohort (last green r06):
     # core relational / TPC-H anchors first
     "anti_join",
-    "approx_distinct",
     "approx_quantiles",
     "cube_counts",
     "distinct_set",
@@ -746,8 +751,10 @@ _DRIVER_WINDOW = [
     "q20_supplier_part_share",
     "q21_blamed_supplier",
     "q22_idle_customers",
-    # (q3/q4/q5/q7/q8 + the remaining 8 r06 anchors carry to r11;
-    # all remain locally oracle-gated on every pytest run)
+    # (q3/q4/q5/q7/q8, approx_distinct + the remaining r06 anchors
+    # carry to r11; all remain locally oracle-gated on every pytest
+    # run — approx_distinct's seat went to the celled triangles twin,
+    # born after the first cut of this window)
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
