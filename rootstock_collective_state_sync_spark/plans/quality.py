@@ -1287,3 +1287,76 @@ ORDER BY vec_id""")
 
 
 Q_KNN_TRIANGLES_CELLED_ORACLE = _knn_triangles_celled_oracle()
+
+
+def q_similarity_pagerank_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of `similarity_pagerank`: identical integer
+    fixed-point iterations over the IVF cell-confined kNN edges (one
+    corpus shuffle on `cell` instead of the n² brute edge build —
+    same trade as `knn_triangles_celled`). Every stage remains
+    deterministic and fully SQL-replayed."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = G.knn_edges_celled(emb, k=_PR_K, num_cells=16)
+    return (
+        G.pagerank_fixed(edges, iters=_PR_ITERS, damping_pct=_PR_DAMPING)
+        .select(F.col("id").alias("vec_id"), "pr")
+        .orderBy("vec_id")
+    )
+
+
+def _pagerank_celled_oracle(
+    k: int = _PR_K, iters: int = _PR_ITERS, damping: int = _PR_DAMPING
+) -> str:
+    from rootstock_collective_state_sync_spark.operators.graph import PR_SCALE
+    from rootstock_collective_state_sync_spark.plans.training import (
+        _ivf_cells_oracle,
+    )
+
+    parts = [f""",
+tagged AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM embeddings e JOIN cells c USING (vec_id)
+),
+scored AS (
+  SELECT q.vec_id AS src, t.vec_id AS dst,
+         {_COS_SQL.format(a="q.embedding", b="t.embedding")} AS s
+  FROM tagged q JOIN tagged t
+    ON q.cell = t.cell AND t.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY s DESC, dst ASC) AS rn
+  FROM scored
+),
+fwd AS (SELECT src, dst FROM rk WHERE rn <= {k}),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+  )
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+r0 AS MATERIALIZED (SELECT id, ({PR_SCALE} // n)::BIGINT AS pr FROM nodes, nn)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+s{t} AS (
+  SELECT e.dst AS id, sum(r.pr // d.deg)::BIGINT AS s
+  FROM e JOIN r{t - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+  GROUP BY 1
+),
+r{t} AS MATERIALIZED (
+  SELECT nodes.id,
+         (((100 - {damping})::BIGINT * {PR_SCALE}) // (100 * nn.n)
+          + ({damping} * coalesce(s{t}.s, 0)) // 100)::BIGINT AS pr
+  FROM nodes LEFT JOIN s{t} ON nodes.id = s{t}.id, nn
+)""")
+    parts.append(f"""
+SELECT id AS vec_id, pr FROM r{iters} ORDER BY vec_id""")
+    return _ivf_cells_oracle(tail="".join(parts))
+
+
+Q_SIMILARITY_PAGERANK_CELLED_ORACLE = _pagerank_celled_oracle()

@@ -444,6 +444,11 @@ SPECS: dict[str, QuerySpec] = {
         Q.Q_KNN_TRIANGLES_CELLED_ORACLE,
         ("graph", "similarity"),
     ),
+    "similarity_pagerank_celled": QuerySpec(
+        Q.q_similarity_pagerank_celled,
+        Q.Q_SIMILARITY_PAGERANK_CELLED_ORACLE,
+        ("graph", "similarity"),
+    ),
     "lang_id_agreement": QuerySpec(
         Q.q_lang_id_agreement,
         Q.Q_LANG_ID_AGREEMENT_ORACLE,
