@@ -713,6 +713,7 @@ _DRIVER_WINDOW = [
     "kmv_distinct_tokens",
     "knn_triangles",
     "knn_triangles_celled",
+    "similarity_pagerank_celled",
     # (b) semantically touched this round (tracked_persist bounded
     # cache lifetimes in the self-join paths) — re-earn their rows
     "semantic_dedup",
@@ -729,7 +730,6 @@ _DRIVER_WINDOW = [
     "zorder_key",
     # (d) 28 seats to the next-oldest cohort (last green r06):
     # core relational / TPC-H anchors first
-    "anti_join",
     "approx_quantiles",
     "cube_counts",
     "distinct_set",
@@ -756,10 +756,10 @@ _DRIVER_WINDOW = [
     "q20_supplier_part_share",
     "q21_blamed_supplier",
     "q22_idle_customers",
-    # (q3/q4/q5/q7/q8, approx_distinct + the remaining r06 anchors
-    # carry to r11; all remain locally oracle-gated on every pytest
-    # run — approx_distinct's seat went to the celled triangles twin,
-    # born after the first cut of this window)
+    # (q3/q4/q5/q7/q8, approx_distinct, anti_join + the remaining r06
+    # anchors carry to r11; all remain locally oracle-gated on every
+    # pytest run — approx_distinct's and anti_join's seats went to the
+    # two celled scale twins, born after the first cut of this window)
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
