@@ -118,6 +118,7 @@ def label_propagation(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    _edges: DataFrame | None = None,
 ) -> DataFrame:
     """Semi-supervised label propagation over the kNN similarity
     graph (Zhu & Ghahramani 2002, hard-label variant): nodes with
@@ -141,12 +142,22 @@ def label_propagation(
     ``label_prop`` may be null if a masked node never saw a labeled
     neighbor; ``correct`` is null there too.
     """
-    base = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(label_col).alias("label_true"),
-        (F.col(id_col) % seed_mod != 0).alias("seeded"),
-    ).persist()
-    edges = knn_edges(emb, k=k, id_col=id_col, vec_col=vec_col).persist()
+    from rootstock_collective_state_sync_spark.caching import tracked_persist
+
+    base = tracked_persist(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("label_true"),
+            (F.col(id_col) % seed_mod != 0).alias("seeded"),
+        )
+    )
+    # `_edges` lets scale callers inject the cell-confined build
+    # (:func:`knn_edges_celled`) without duplicating the round loop
+    edges = tracked_persist(
+        knn_edges(emb, k=k, id_col=id_col, vec_col=vec_col)
+        if _edges is None
+        else _edges
+    )
     edges.count()
     cur = base.select(
         "id", F.when(F.col("seeded"), F.col("label_true")).alias("cur")

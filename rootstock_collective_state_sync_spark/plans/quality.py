@@ -1360,3 +1360,82 @@ SELECT id AS vec_id, pr FROM r{iters} ORDER BY vec_id""")
 
 
 Q_SIMILARITY_PAGERANK_CELLED_ORACLE = _pagerank_celled_oracle()
+
+
+def q_label_propagation_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of `label_propagation`: identical hard-label
+    majority rounds over the IVF cell-confined kNN edges (the same
+    edge-build swap as `similarity_pagerank_celled`); quantizer, edge
+    build, and every round replayed in the composed oracle."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = G.knn_edges_celled(emb, k=3, num_cells=16)
+    return G.label_propagation(
+        emb, k=3, iters=3, seed_mod=5, _edges=edges
+    ).orderBy("id")
+
+
+def _label_prop_celled_oracle(k: int = 3, iters: int = 3, mod: int = 5) -> str:
+    from rootstock_collective_state_sync_spark.plans.training import (
+        _ivf_cells_oracle,
+    )
+
+    parts = [f""",
+tagged AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM embeddings e JOIN cells c USING (vec_id)
+),
+scored AS (
+  SELECT q.vec_id AS src, t.vec_id AS dst,
+         {_COS_SQL.format(a="q.embedding", b="t.embedding")} AS s
+  FROM tagged q JOIN tagged t
+    ON q.cell = t.cell AND t.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY s DESC, dst ASC) AS rn
+  FROM scored
+),
+fwd AS (SELECT src, dst FROM rk WHERE rn <= {k}),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+  )
+),
+base AS (
+  SELECT vec_id AS id, label AS label_true,
+         (vec_id % {mod} <> 0) AS seeded
+  FROM embeddings
+),
+l0 AS (SELECT id, CASE WHEN seeded THEN label_true END AS cur FROM base)"""]
+    for r in range(1, iters + 1):
+        parts.append(f""",
+v{r} AS (
+  SELECT e.src AS id, l.cur AS lbl, count(*)::BIGINT AS n
+  FROM e JOIN l{r - 1} l ON l.id = e.dst
+  WHERE l.cur IS NOT NULL GROUP BY 1, 2
+),
+b{r} AS (
+  SELECT id, min({{'negn': -n, 'lbl': lbl}}) AS m FROM v{r} GROUP BY id
+),
+l{r} AS (
+  SELECT base.id,
+         CASE WHEN base.seeded THEN base.label_true
+              ELSE coalesce(b.m.lbl, p.cur) END AS cur
+  FROM base
+  LEFT JOIN b{r} b USING (id)
+  JOIN l{r - 1} p USING (id)
+)""")
+    parts.append(f"""
+SELECT base.id, base.label_true, base.seeded::INTEGER AS seeded,
+       l.cur AS label_prop,
+       CASE WHEN l.cur IS NOT NULL
+            THEN (l.cur = base.label_true)::INTEGER END AS correct
+FROM base JOIN l{iters} l USING (id)
+ORDER BY base.id""")
+    return _ivf_cells_oracle(tail="".join(parts))
+
+
+Q_LABEL_PROPAGATION_CELLED_ORACLE = _label_prop_celled_oracle()

@@ -449,6 +449,11 @@ SPECS: dict[str, QuerySpec] = {
         Q.Q_SIMILARITY_PAGERANK_CELLED_ORACLE,
         ("graph", "similarity"),
     ),
+    "label_propagation_celled": QuerySpec(
+        Q.q_label_propagation_celled,
+        Q.Q_LABEL_PROPAGATION_CELLED_ORACLE,
+        ("graph", "similarity"),
+    ),
     "lang_id_agreement": QuerySpec(
         Q.q_lang_id_agreement,
         Q.Q_LANG_ID_AGREEMENT_ORACLE,
