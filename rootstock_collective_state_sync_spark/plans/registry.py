@@ -176,7 +176,7 @@ SPECS: dict[str, QuerySpec] = {
         AN.q_twap_user_value, AN.Q_TWAP_USER_VALUE_ORACLE, ("analytics", "agg")
     ),
     "ohlc_hourly": QuerySpec(
-        AN.q_ohlc_hourly, AN.Q_OHLC_HOURLY_ORACLE, ("analytics", "agg")
+        AN.q_ohlc_hourly, AN.Q_OHLC_HOURLY_ORACLE, ("analytics", "agg", "bench")
     ),
     "hourly_anomalies": QuerySpec(
         AN.q_hourly_anomalies, AN.Q_HOURLY_ANOMALIES_ORACLE, ("analytics", "agg")
@@ -527,7 +527,7 @@ SPECS: dict[str, QuerySpec] = {
     "kmv_distinct_tokens": QuerySpec(
         TR.q_kmv_distinct_tokens,
         TR.Q_KMV_DISTINCT_TOKENS_ORACLE,
-        ("sketch", "agg", "text"),
+        ("sketch", "agg", "text", "bench"),
     ),
     "count_min_tokens": QuerySpec(
         TR.q_count_min_tokens,
