@@ -111,3 +111,40 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert r_multi >= r_plain, (r_multi, r_plain)
     assert r_multi >= 0.8, f"multi-probe recall {r_multi:.2f} below 0.8"
     emb.unpersist()
+
+
+def test_celled_graph_twins_approximate_brute(spark):
+    """Drift pins for the cell-confined edge builds at sf0.001, so a
+    quantizer regression (bad seeding, wrong cell count) can't
+    silently gut the celled twins while their oracles stay
+    self-consistently green.
+
+    Context for the floors: the synthetic embeddings are near-UNIFORM
+    on the sphere — the worst case for cell confinement, since true
+    nearest neighbors carry no cluster structure to exploit (measured
+    edge recall ~0.25 here; clustered real corpora sit far higher —
+    that is the standard IVF recall/structure dependence, same as the
+    `ann_ivf_topk` floors). Downstream, label propagation still
+    agrees with the brute graph on ~87% of nodes because both graphs
+    are locally consistent. PageRank top-k overlap is NOT pinned: on
+    a structureless graph the rank distribution is nearly flat and
+    top-50 membership is tie-noise, not signal."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    brute = {tuple(r) for r in G.knn_edges(emb, k=3).collect()}
+    celled = {
+        tuple(r) for r in G.knn_edges_celled(emb, k=3, num_cells=16).collect()
+    }
+    edge_recall = len(brute & celled) / len(celled)
+    assert edge_recall >= 0.20, edge_recall
+
+    lp_b = {r["id"]: r["label_prop"] for r in G.label_propagation(emb).collect()}
+    lp_c = {
+        r["id"]: r["label_prop"]
+        for r in G.label_propagation(
+            emb, _edges=G.knn_edges_celled(emb, k=3, num_cells=16)
+        ).collect()
+    }
+    agree = sum(1 for i in lp_b if lp_b[i] == lp_c[i]) / len(lp_b)
+    assert agree >= 0.80, agree
