@@ -269,35 +269,48 @@ def knn_edges_celled(
     emb: DataFrame,
     k: int = 3,
     num_cells: int = 16,
+    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The scale path for :func:`knn_edges`: cell-confined kNN via the
-    deterministic IVF coarse quantizer — each vector picks its top-k
-    neighbors WITHIN its own cell (the SemDeDup trade: cross-cell
-    edges are missed, a bounded recall haircut), then edges symmetrize
-    and dedupe as in the exact build. The whole chain (k-means
-    training, assignment, in-cell ranking) is deterministic, so it
-    stays SQL-oracle-checkable — unlike most ANN graph builds.
+    deterministic IVF coarse quantizer with standard multi-probe —
+    each vector searches its ``nprobe`` nearest cells for its top-k
+    neighbors (a candidate lives only in its home cell, so no pair is
+    generated twice), then edges symmetrize and dedupe as in the
+    exact build. Neighbors outside all probed cells are missed — the
+    usual IVF recall/nprobe dial (``nprobe = num_cells`` degenerates
+    to exact brute force). The whole chain (k-means training, probe
+    selection, in-cell ranking) is deterministic, so it stays
+    SQL-oracle-checkable — unlike most ANN graph builds.
 
     Scale shape: ONE corpus shuffle on `cell`; candidate pairs are
-    O(n * cell_size), never n² — at 100 TB size `num_cells` so cells
-    fit an executor (and consider the `semantic_dedup` subcell guard
-    pattern if one embedding cluster dominates a cell).
+    O(n * nprobe * cell_size), never n² — at 100 TB size `num_cells`
+    so cells fit an executor (and consider the `semantic_dedup`
+    subcell guard pattern if one embedding cluster dominates a cell).
     """
     from rootstock_collective_state_sync_spark.operators.similarity import (
         cosine_vectorized,
-        ivf_cell_assignments,
+        ivf_probe_assignments,
     )
 
-    cells = ivf_cell_assignments(
-        emb, num_cells=num_cells, id_col=id_col, vec_col=vec_col
+    cells = ivf_probe_assignments(
+        emb,
+        num_cells=num_cells,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
     )
     tagged = emb.join(cells, id_col).select(
-        F.col(id_col).alias("id_"), F.col(vec_col).alias("v"), "cell"
+        F.col(id_col).alias("id_"),
+        F.col(vec_col).alias("v"),
+        "cell",
+        "probes",
     )
     a = tagged.select(
-        "cell", F.col("id_").alias("src"), F.col("v").alias("va")
+        F.explode("probes").alias("cell"),
+        F.col("id_").alias("src"),
+        F.col("v").alias("va"),
     )
     b = tagged.select(
         "cell", F.col("id_").alias("dst"), F.col("v").alias("vb")

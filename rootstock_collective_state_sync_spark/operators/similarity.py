@@ -305,6 +305,24 @@ def _cell_udf(cent: np.ndarray):
     return _udf.asNondeterministic()
 
 
+def _probe_udf(cent: np.ndarray, nprobe: int):
+    """Arrow-batched top-``nprobe`` centroid assignment (array<int>),
+    dot-desc with centroid-index-asc tie-break — the distributed twin
+    of the driver-side ``np.argsort`` probe selection in
+    :func:`ivf_topk`. Same nondeterminism pin as :func:`_cell_udf`."""
+
+    @F.pandas_udf("array<int>")
+    def _udf(vec: pd.Series) -> pd.Series:
+        A = np.stack(vec.values).astype(np.float64)
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        dots = A @ cent.T
+        # stable argsort on (-dot, index): lexsort's last key is primary
+        idx = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return _udf.asNondeterministic()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -444,6 +462,31 @@ def ivf_cell_assignments(
     cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
     assign = _cell_udf(cent)
     return corpus.select(F.col(id_col), assign(F.col(vec_col)).alias("cell"))
+
+
+def ivf_probe_assignments(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, probes) — the home cell plus the ``nprobe`` nearest
+    cells per vector, from ONE quantizer training. The distributed
+    counterpart of :func:`ivf_topk`'s driver-side probe selection, for
+    operators whose query side is the corpus itself (cell-confined
+    graph builds): a vector's candidates live in its probe cells while
+    it is a candidate only in its home cell, so no pair is generated
+    twice. Deterministic (dot-desc, centroid-index-asc tie-break) and
+    SQL-replayable like the single-cell assignment."""
+    cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
+    assign = _cell_udf(cent)
+    probe = _probe_udf(cent, nprobe)
+    return corpus.select(
+        F.col(id_col),
+        assign(F.col(vec_col)).alias("cell"),
+        probe(F.col(vec_col)).alias("probes"),
+    )
 
 
 def semantic_dedup(

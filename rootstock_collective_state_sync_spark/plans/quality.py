@@ -235,6 +235,7 @@ FROM fr ORDER BY doc_id, frame_no
 # ---------------------------------------------------------------------------
 
 _PR_K = 3
+_CELL_NPROBE = 4  # multi-probe width of the celled edge builds
 _PR_ITERS = 5
 _PR_DAMPING = 85
 
@@ -1226,7 +1227,7 @@ def q_knn_triangles_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rootstock_collective_state_sync_spark.operators import graph as G
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = G.knn_edges_celled(emb, k=_PR_K, num_cells=16)
+    edges = G.knn_edges_celled(emb, k=_PR_K, num_cells=16, nprobe=_CELL_NPROBE)
     return (
         G.triangle_counts(edges)
         .select(F.col("id").alias("vec_id"), "degree", "n_triangles", "cc_e6")
@@ -1244,11 +1245,20 @@ tagged AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, c.cell
   FROM embeddings e JOIN cells c USING (vec_id)
 ),
+probes AS MATERIALIZED (
+  SELECT vec_id, c AS pcell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS prn
+    FROM fdot
+  ) WHERE prn <= {_CELL_NPROBE}
+),
 scored AS (
   SELECT q.vec_id AS src, t.vec_id AS dst,
          {_COS_SQL.format(a="q.embedding", b="t.embedding")} AS s
-  FROM tagged q JOIN tagged t
-    ON q.cell = t.cell AND t.vec_id <> q.vec_id
+  FROM tagged q
+  JOIN probes p ON p.vec_id = q.vec_id
+  JOIN tagged t ON t.cell = p.pcell AND t.vec_id <> q.vec_id
 ),
 rk AS (
   SELECT src, dst,
@@ -1298,7 +1308,7 @@ def q_similarity_pagerank_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rootstock_collective_state_sync_spark.operators import graph as G
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = G.knn_edges_celled(emb, k=_PR_K, num_cells=16)
+    edges = G.knn_edges_celled(emb, k=_PR_K, num_cells=16, nprobe=_CELL_NPROBE)
     return (
         G.pagerank_fixed(edges, iters=_PR_ITERS, damping_pct=_PR_DAMPING)
         .select(F.col("id").alias("vec_id"), "pr")
@@ -1319,11 +1329,20 @@ tagged AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, c.cell
   FROM embeddings e JOIN cells c USING (vec_id)
 ),
+probes AS MATERIALIZED (
+  SELECT vec_id, c AS pcell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS prn
+    FROM fdot
+  ) WHERE prn <= {_CELL_NPROBE}
+),
 scored AS (
   SELECT q.vec_id AS src, t.vec_id AS dst,
          {_COS_SQL.format(a="q.embedding", b="t.embedding")} AS s
-  FROM tagged q JOIN tagged t
-    ON q.cell = t.cell AND t.vec_id <> q.vec_id
+  FROM tagged q
+  JOIN probes p ON p.vec_id = q.vec_id
+  JOIN tagged t ON t.cell = p.pcell AND t.vec_id <> q.vec_id
 ),
 rk AS (
   SELECT src, dst,
@@ -1370,7 +1389,7 @@ def q_label_propagation_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rootstock_collective_state_sync_spark.operators import graph as G
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = G.knn_edges_celled(emb, k=3, num_cells=16)
+    edges = G.knn_edges_celled(emb, k=3, num_cells=16, nprobe=_CELL_NPROBE)
     return G.label_propagation(
         emb, k=3, iters=3, seed_mod=5, _edges=edges
     ).orderBy("id")
@@ -1386,11 +1405,20 @@ tagged AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, c.cell
   FROM embeddings e JOIN cells c USING (vec_id)
 ),
+probes AS MATERIALIZED (
+  SELECT vec_id, c AS pcell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS prn
+    FROM fdot
+  ) WHERE prn <= {_CELL_NPROBE}
+),
 scored AS (
   SELECT q.vec_id AS src, t.vec_id AS dst,
          {_COS_SQL.format(a="q.embedding", b="t.embedding")} AS s
-  FROM tagged q JOIN tagged t
-    ON q.cell = t.cell AND t.vec_id <> q.vec_id
+  FROM tagged q
+  JOIN probes p ON p.vec_id = q.vec_id
+  JOIN tagged t ON t.cell = p.pcell AND t.vec_id <> q.vec_id
 ),
 rk AS (
   SELECT src, dst,

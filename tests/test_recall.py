@@ -121,14 +121,15 @@ def test_celled_graph_twins_approximate_brute(spark):
 
     Context for the floors: the synthetic embeddings are near-UNIFORM
     on the sphere — the worst case for cell confinement, since true
-    nearest neighbors carry no cluster structure to exploit (measured
-    edge recall ~0.25 here; clustered real corpora sit far higher —
-    that is the standard IVF recall/structure dependence, same as the
-    `ann_ivf_topk` floors). Downstream, label propagation still
-    agrees with the brute graph on ~87% of nodes because both graphs
-    are locally consistent. PageRank top-k overlap is NOT pinned: on
-    a structureless graph the rank distribution is nearly flat and
-    top-50 membership is tie-noise, not signal."""
+    nearest neighbors carry no cluster structure to exploit (that is
+    the standard IVF recall/structure dependence, same as the
+    `ann_ivf_topk` floors). Single-cell confinement measured ~0.25
+    edge recall here; the nprobe=4 multi-probe build lifts it to
+    ~0.62 (clustered real corpora sit higher still), with downstream
+    label propagation agreeing with the brute graph on ~90% of
+    nodes. PageRank top-k overlap is NOT pinned: on a structureless
+    graph the rank distribution is nearly flat and top-50 membership
+    is tie-noise, not signal."""
     from rootstock_collective_state_sync_spark.operators import graph as G
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
@@ -137,7 +138,7 @@ def test_celled_graph_twins_approximate_brute(spark):
         tuple(r) for r in G.knn_edges_celled(emb, k=3, num_cells=16).collect()
     }
     edge_recall = len(brute & celled) / len(celled)
-    assert edge_recall >= 0.20, edge_recall
+    assert edge_recall >= 0.50, edge_recall
 
     lp_b = {r["id"]: r["label_prop"] for r in G.label_propagation(emb).collect()}
     lp_c = {
@@ -147,4 +148,4 @@ def test_celled_graph_twins_approximate_brute(spark):
         ).collect()
     }
     agree = sum(1 for i in lp_b if lp_b[i] == lp_c[i]) / len(lp_b)
-    assert agree >= 0.80, agree
+    assert agree >= 0.85, agree
