@@ -1384,3 +1384,53 @@ SELECT event_type, bar_ts,
        sum(vc)::BIGINT AS volume_c
 FROM m GROUP BY 1, 2 ORDER BY event_type, bar_ts
 """
+
+
+def q_ohlc_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution bar maintenance, value-checked END-TO-END:
+    hourly OHLC partials are re-keyed to their day and MERGED
+    (struct-min/max open/close picks, min/max/sum elsewhere) — the
+    oracle computes the daily bars DIRECTLY from raw events, so the
+    driver hash verifies the merge law itself (bars of merged partials
+    == bars over the union), the property the streaming twin and any
+    rollup hierarchy rely on. One extra control-plane aggregation over
+    the keys x hours partial table."""
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        ohlc_merge,
+        ohlc_partial,
+        ohlc_render,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ohlc_partial(ev, "event_type", "ts", "value", "event_id", "hour")
+    daily = ohlc_merge(
+        hourly.withColumn("bar_ts", F.date_trunc("day", "bar_ts")),
+        "event_type",
+    )
+    return ohlc_render(daily).orderBy("event_type", "bar_ts")
+
+
+Q_OHLC_DAILY_ROLLUP_ORACLE = """
+WITH b AS (
+  SELECT event_type, event_id, ts,
+         date_trunc('day', ts)::TIMESTAMP AS bar_ts,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+m AS (
+  SELECT event_type, bar_ts, vc,
+         row_number() OVER (PARTITION BY event_type, bar_ts
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bar_ts
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type, bar_ts,
+       max(CASE WHEN rn_a = 1 THEN vc END)::BIGINT AS open_c,
+       max(vc)::BIGINT AS high_c,
+       min(vc)::BIGINT AS low_c,
+       max(CASE WHEN rn_d = 1 THEN vc END)::BIGINT AS close_c,
+       count(*)::BIGINT AS n_events,
+       sum(vc)::BIGINT AS volume_c
+FROM m GROUP BY 1, 2 ORDER BY event_type, bar_ts
+"""

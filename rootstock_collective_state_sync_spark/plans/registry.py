@@ -178,6 +178,11 @@ SPECS: dict[str, QuerySpec] = {
     "ohlc_hourly": QuerySpec(
         AN.q_ohlc_hourly, AN.Q_OHLC_HOURLY_ORACLE, ("analytics", "agg", "bench")
     ),
+    "ohlc_daily_rollup": QuerySpec(
+        AN.q_ohlc_daily_rollup,
+        AN.Q_OHLC_DAILY_ROLLUP_ORACLE,
+        ("analytics", "agg"),
+    ),
     "hourly_anomalies": QuerySpec(
         AN.q_hourly_anomalies, AN.Q_HOURLY_ANOMALIES_ORACLE, ("analytics", "agg")
     ),
@@ -522,6 +527,11 @@ SPECS: dict[str, QuerySpec] = {
     "embedding_dim_stats": QuerySpec(
         TR.q_embedding_dim_stats,
         TR.Q_EMBEDDING_DIM_STATS_ORACLE,
+        ("similarity", "agg"),
+    ),
+    "ivf_recall_report": QuerySpec(
+        TR.q_ivf_recall_report,
+        TR.Q_IVF_RECALL_REPORT_ORACLE,
         ("similarity", "agg"),
     ),
     "kmv_distinct_tokens": QuerySpec(

@@ -2727,3 +2727,113 @@ SELECT source, n_exact, kmv_est,
        (abs(kmv_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_e6
 FROM m ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF recall report: the eval itself as a value-checked query
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF path vs the exact ranking, AS AN ORACLED
+    QUERY: per query vector — hits, e6 recall, and an integer Borda
+    score (sum of ``6 - exact_rank`` over hits, weighting early exact
+    neighbors higher). Both rankings are deterministic, so the
+    retrieval EVALUATION is driver-hash-checked end-to-end, the same
+    move `ivf_nprobe_sweep` made for the tuning curve. Zero-hit
+    queries keep their row (left join) — silent recall holes can't
+    hide."""
+    queries_n = 25
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < queries_n)
+    exact = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rk").cast("long").alias("exact_rk"),
+    )
+    approx = S.ivf_topk(emb, queries, k=5, num_cells=16, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.sum(F.lit(6) - F.col("exact_rk")).cast("long").alias("borda_pts"),
+    )
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr("coalesce(n_hits, 0) * 1000000 div 5")
+            .cast("long")
+            .alias("recall_e6"),
+            F.coalesce("borda_pts", F.lit(0)).cast("long").alias("borda_pts"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ivf_recall_report_oracle() -> str:
+    cos_ap = _COS_SQL.format(a="qe.embedding", b="ce.embedding")
+    cos_ex = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    return _ivf_cells_oracle(tail=f""",
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS rn
+    FROM fdot WHERE vec_id < 25
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, t.vec_id AS neighbor_id
+  FROM probes p JOIN cells t ON p.cell = t.cell
+  WHERE t.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {cos_ap} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+ex_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos_ex} AS cos_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 25
+),
+exact AS (
+  SELECT query_id, neighbor_id, rk AS exact_rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+    FROM ex_scored
+  ) WHERE rk <= 5
+),
+h AS (
+  SELECT a.query_id,
+         count(*)::BIGINT AS n_hits,
+         sum(6 - e.exact_rk)::BIGINT AS borda_pts
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT q.vec_id AS query_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) * 1000000 // 5)::BIGINT AS recall_e6,
+       coalesce(h.borda_pts, 0)::BIGINT AS borda_pts
+FROM embeddings q LEFT JOIN h ON q.vec_id = h.query_id
+WHERE q.vec_id < 25
+ORDER BY query_id""")
+
+
+Q_IVF_RECALL_REPORT_ORACLE = _ivf_recall_report_oracle()
