@@ -729,6 +729,9 @@ _DRIVER_WINDOW = [
     "knn_triangles",
     "knn_triangles_celled",
     "similarity_pagerank_celled",
+    "label_propagation_celled",
+    "ohlc_daily_rollup",
+    "ivf_recall_report",
     # (b) semantically touched this round (tracked_persist bounded
     # cache lifetimes in the self-join paths) — re-earn their rows
     "semantic_dedup",
@@ -748,13 +751,10 @@ _DRIVER_WINDOW = [
     "approx_quantiles",
     "cube_counts",
     "distinct_set",
-    "enum_label",
-    "events_json_stats",
     "except_missing",
     "exists_subquery",
     "filter_isin_enum",
     "group_count",
-    "grouping_sets",
     "median_value_per_type",
     "min_cost_per_part",
     "pivot_status_by_priority",
@@ -771,10 +771,12 @@ _DRIVER_WINDOW = [
     "q20_supplier_part_share",
     "q21_blamed_supplier",
     "q22_idle_customers",
-    # (q3/q4/q5/q7/q8, approx_distinct, anti_join + the remaining r06
-    # anchors carry to r11; all remain locally oracle-gated on every
-    # pytest run — approx_distinct's and anti_join's seats went to the
-    # two celled scale twins, born after the first cut of this window)
+    # (q3/q4/q5/q7/q8, approx_distinct, anti_join, enum_label,
+    # events_json_stats, grouping_sets + the remaining r06 anchors
+    # carry to r11; all remain locally oracle-gated on every pytest
+    # run — their seats went to the queries born after the first cut
+    # of this window: the three celled scale twins, the bar-merge-law
+    # check, and the recall report)
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
