@@ -1,0 +1,107 @@
+"""Targeted deletion ("right to be forgotten") over a
+:class:`.table.VersionedTable` — the governance counterpart of
+:func:`..operators.profile.k_anonymity_census`: once a privacy review
+says rows must go, this is the machinery that removes them without
+rewriting the table.
+
+Two halves, deliberately separate:
+
+- :func:`forget_keys` — rewrite ONLY the buckets containing the
+  doomed keys (the bucket assignment is the same stable
+  ``bucket_expr`` hash the upsert sink uses, so the affected bucket
+  set is computable from the keys alone — a control-plane value ≤
+  num_buckets). Unaffected buckets keep their exact files; readers on
+  the previous version are untouched until the atomic pointer swing.
+  At 100 TB with K doomed users this touches K buckets' worth of
+  data, not the corpus.
+- :func:`purge_history` — versioned tables keep every snapshot for
+  time travel, so a forget alone leaves the doomed rows readable AT
+  OLDER VERSIONS (and their files on disk). Purging drops manifests
+  older than the current version and deletes every data file no
+  retained manifest references — the step that makes deletion REAL.
+  Run it after the forget commit (and after any readers drained).
+
+Cite: reference ``schema.ts:10-49`` for the blue/green pointer-swing
+semantics this builds on; the bucket-pruned rewrite mirrors
+``VersionedTable.diff``'s manifest-level pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from rootstock_collective_state_sync_spark.sinks.table import (
+    VersionedTable,
+    bucket_expr,
+)
+
+
+def forget_keys(
+    table: VersionedTable,
+    doomed: DataFrame,
+    meta_note: str = "forget_keys",
+) -> int:
+    """Delete every row of ``table`` whose merge-key tuple appears in
+    ``doomed`` (a DataFrame carrying the table's merge-key columns).
+    Only the buckets that can contain a doomed key are rewritten;
+    returns the new committed version."""
+    m = table.manifest()
+    keys = m.merge_keys
+    doomed_keys = doomed.select(*keys).distinct()
+    affected = sorted(
+        r["b"]
+        for r in doomed_keys.select(
+            bucket_expr(keys, m.num_buckets).alias("b")
+        )
+        .distinct()
+        .collect()  # control-plane: <= num_buckets ints
+    )
+    present = [str(b) for b in affected if str(b) in m.buckets]
+    if not present:
+        return m.version  # no bucket holds any doomed key: no-op
+    survivors = table.read(buckets=[int(b) for b in present]).join(
+        doomed_keys, keys, "left_anti"
+    )
+    written = table._write_tx(survivors, m.num_buckets, keys)
+    # buckets whose rows were all doomed produce no files — drop them
+    replaced = {b: written.get(b, []) for b in present}
+    return table.commit_buckets(
+        replaced,
+        m.version,
+        meta={"forget": meta_note, "forgotten_buckets": present},
+    )
+
+
+def purge_history(table: VersionedTable) -> dict[str, int]:
+    """Delete all manifests older than the current version and every
+    data file they alone reference. Returns counts
+    ``{"versions_removed": n, "files_removed": k}``. After this, no
+    snapshot or on-disk file contains previously-forgotten rows."""
+    cur = table.current_version()
+    keep = table.manifest(cur)
+    referenced = {rel for files in keep.buckets.values() for rel in files}
+    versions_removed = 0
+    for vpath in sorted(table._versions_dir.glob("v*.json")):
+        try:
+            v = int(vpath.stem.lstrip("v"))
+        except ValueError:
+            continue
+        if v < cur:
+            vpath.unlink()
+            versions_removed += 1
+    files_removed = 0
+    data_root = table.path / "data"
+    if data_root.exists():
+        for f in sorted(data_root.rglob("*.parquet")):
+            rel = str(f.relative_to(table.path))
+            if rel not in referenced:
+                f.unlink()
+                files_removed += 1
+        # drop now-empty tx/bucket dirs
+        for d in sorted(data_root.rglob("*"), reverse=True):
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
+    return {
+        "versions_removed": versions_removed,
+        "files_removed": files_removed,
+    }
