@@ -1434,3 +1434,59 @@ SELECT event_type, bar_ts,
        sum(vc)::BIGINT AS volume_c
 FROM m GROUP BY 1, 2 ORDER BY event_type, bar_ts
 """
+
+
+def q_k_anonymity_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governance loop closed: suppress every equivalence class
+    with k < 5 (the census's suppression candidates), then re-census —
+    the output row PROVES min_k >= 5 post-suppression, alongside how
+    much data the suppression cost. One extra class-keyed semi-join
+    over the `k_anonymity` machinery."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        k_anonymity_census,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.trunc("o_orderdate", "month")
+    )
+    qi = ["o_orderstatus", "o_orderpriority", "o_month"]
+    big = (
+        orders.groupBy(*qi)
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") >= 5)
+        .drop("_k")
+    )
+    kept = orders.join(big, qi, "left_semi")
+    return k_anonymity_census(kept, qi_cols=qi, sensitive_col="o_custkey", k_risk=5)
+
+
+Q_K_ANONYMITY_ENFORCE_ORACLE = """
+WITH o AS (
+  SELECT o_orderstatus, o_orderpriority,
+         date_trunc('month', o_orderdate) AS o_month, o_custkey
+  FROM orders
+),
+big AS (
+  SELECT o_orderstatus, o_orderpriority, o_month
+  FROM o GROUP BY 1, 2, 3 HAVING count(*) >= 5
+),
+kept AS (
+  SELECT o.* FROM o SEMI JOIN big USING (o_orderstatus, o_orderpriority, o_month)
+),
+grp AS (
+  SELECT o_orderstatus, o_orderpriority, o_month,
+         count(*)::BIGINT AS k,
+         count(DISTINCT o_custkey)::BIGINT AS l
+  FROM kept GROUP BY 1, 2, 3
+)
+SELECT sum(k)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_groups,
+       min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k,
+       (sum(k) // count(*))::BIGINT AS mean_k,
+       sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+       sum(CASE WHEN k < 5 THEN k ELSE 0 END)::BIGINT AS rows_below_k,
+       min(l)::BIGINT AS min_l,
+       sum(CASE WHEN l = 1 THEN 1 ELSE 0 END)::BIGINT AS n_l1_groups
+FROM grp
+"""

@@ -167,6 +167,11 @@ SPECS: dict[str, QuerySpec] = {
     "k_anonymity": QuerySpec(
         AN.q_k_anonymity, AN.Q_K_ANONYMITY_ORACLE, ("analytics", "pii", "agg")
     ),
+    "k_anonymity_enforce": QuerySpec(
+        AN.q_k_anonymity_enforce,
+        AN.Q_K_ANONYMITY_ENFORCE_ORACLE,
+        ("analytics", "pii", "agg"),
+    ),
     "weighted_median_price": QuerySpec(
         AN.q_weighted_median_price,
         AN.Q_WEIGHTED_MEDIAN_PRICE_ORACLE,
