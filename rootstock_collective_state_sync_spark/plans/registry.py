@@ -737,6 +737,7 @@ _DRIVER_WINDOW = [
     "label_propagation_celled",
     "ohlc_daily_rollup",
     "ivf_recall_report",
+    "k_anonymity_enforce",
     # (b) semantically touched this round (tracked_persist bounded
     # cache lifetimes in the self-join paths) — re-earn their rows
     "semantic_dedup",
@@ -760,7 +761,6 @@ _DRIVER_WINDOW = [
     "exists_subquery",
     "filter_isin_enum",
     "group_count",
-    "median_value_per_type",
     "min_cost_per_part",
     "pivot_status_by_priority",
     "q10_returned_items",
@@ -778,7 +778,8 @@ _DRIVER_WINDOW = [
     "q22_idle_customers",
     # (q3/q4/q5/q7/q8, approx_distinct, anti_join, enum_label,
     # events_json_stats, grouping_sets + the remaining r06 anchors
-    # carry to r11; all remain locally oracle-gated on every pytest
+    # carry to r11 (as does median_value_per_type); all remain locally
+    # oracle-gated on every pytest
     # run — their seats went to the queries born after the first cut
     # of this window: the three celled scale twins, the bar-merge-law
     # check, and the recall report)
