@@ -1802,3 +1802,66 @@ def semantic_contamination(
         F.col("max_bench_sim"),
         F.col("id_h").isNull().cast("int").alias("clean"),
     )
+
+
+def ivf_silhouette(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell simplified silhouette of the IVF coarse quantizer
+    (Hruschka et al. 2004: centroid distances stand in for the
+    pairwise means of the full silhouette): for every vector, ``a`` =
+    cosine distance to its own (nearest) centroid and ``b`` = distance
+    to the second-nearest, so ``s = (b - a) / max(a, b) =
+    (dot_own - dot_next) / (1 - dot_next)`` in cosine terms — 0 on a
+    cell boundary, 1 at a centroid. Under fresh nearest-centroid
+    assignment ``a <= b`` always, so ``s >= 0``; what the census
+    grades is cell SEPARATION, the quantity that prices how much an
+    ``nprobe`` misses (compare :func:`ivf_topk`'s recall report).
+    Output: ``(cell, n, mean_sil_e4, min_sil_e4, max_sil_e4)``.
+
+    Determinism: per-vector ``s`` is e4-snapped BEFORE aggregation
+    (the `embedding_dim_stats` trick), so the cell means are integer
+    divisions of exact integer sums — summation order cannot move
+    them; an engine-side last-ulp dot difference only matters if a
+    value sits within ~1e-12 of a rounding boundary.
+
+    Scale shape: one Arrow-batched matmul pass over the corpus
+    against the broadcast (cells x dim) centroid matrix, then a
+    cell-keyed map-side-combined aggregation — the full eval costs
+    one corpus scan, no pairs, no global sort.
+    """
+    cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
+
+    @F.pandas_udf("struct<cell:int, s_e4:bigint>")
+    def _sil(vec: pd.Series) -> pd.DataFrame:
+        A = np.stack(vec.values).astype(np.float64)
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        dots = A @ cent.T
+        own = np.argmax(dots, axis=1)
+        d = dots.copy()
+        d[np.arange(len(d)), own] = -np.inf
+        nxt = d.max(axis=1)
+        s = (dots[np.arange(len(dots)), own] - nxt) / np.maximum(
+            1.0 - nxt, 1e-12
+        )
+        return pd.DataFrame(
+            {
+                "cell": own.astype(np.int32),
+                "s_e4": np.floor(s * 1e4 + 0.5).astype(np.int64),
+            }
+        )
+
+    tagged = corpus.select(_sil.asNondeterministic()(F.col(vec_col)).alias("t"))
+    return (
+        tagged.groupBy(F.col("t.cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("sum(t.s_e4) div count(1)").cast("long").alias("mean_sil_e4"),
+            F.min("t.s_e4").cast("long").alias("min_sil_e4"),
+            F.max("t.s_e4").cast("long").alias("max_sil_e4"),
+        )
+        .orderBy("cell")
+    )

@@ -290,3 +290,143 @@ def kmv_estimate(h: DataFrame, k: int) -> "DataFrame":
         )
     )
     return per.select("grp", "n_hashes", est.cast("long").alias("kmv_est"))
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> "DataFrame":
+    """Pairwise KMV set-operation estimates between every two groups'
+    value sets (Beyer et al. 2007, "On synopses for distinct-value
+    estimation under multiset operations"), side-by-side with the
+    exact answer so each row is its own accuracy report:
+    ``(grp_a, grp_b, n_exact_a, n_exact_b, n_inter_exact,
+    n_union_exact, jaccard_exact_e6, n_x, kmv_matches,
+    kmv_union_est, kmv_inter_est, kmv_jaccard_e6, err_e6)``.
+
+    Estimators: with ``X`` the k smallest hashes of the UNION of the
+    two bottom-k sketches (itself a valid KMV sketch of the union —
+    the KMV merge law), ``union_est`` is the standard (k-1)*2^60/h_k
+    estimate on ``X``; ``rho = |{h in X : h in A and h in B}| / |X|``
+    estimates Jaccard; ``inter_est = rho * union_est``. When the
+    union holds fewer than k distinct hashes everything is exact by
+    construction.
+
+    "Exact" columns count distinct 60-bit HASHES (hash collisions are
+    part of the sketch's error budget, exactly as in
+    :func:`kmv_distinct`); the deterministic md5 schedule makes every
+    column layout-invariant and hence SQL-replayable value-for-value.
+
+    Scale shape: sketches are k-bounded per group, so the pairwise
+    stage is #groups^2 x k rows — control-plane sized for source-level
+    census (the intended use; pair docs with MinHash-LSH instead).
+    The pair spine is a broadcast nested-loop over the DISTINCT GROUP
+    LIST only, never over data rows. The exact columns are the
+    accuracy report: a vocabulary-sized hash self-join that a 100 TB
+    deployment drops (the sketch columns are the product; the join is
+    the audit).
+    """
+    from pyspark.sql import Window, functions as F
+
+    h = kmv_hashes(df, group_col, value_col)
+    bk = kmv_bottom_k(h, k)
+
+    g = h.select("grp").distinct()
+    pairs = (
+        g.select(F.col("grp").alias("grp_a"))
+        .join(g.select(F.col("grp").alias("grp_b")), F.col("grp_a") < F.col("grp_b"))
+    )
+
+    tag_a = pairs.join(
+        bk.select(F.col("grp").alias("grp_a"), "h"), "grp_a"
+    ).select("grp_a", "grp_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    tag_b = pairs.join(
+        bk.select(F.col("grp").alias("grp_b"), "h"), "grp_b"
+    ).select("grp_a", "grp_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    merged = (
+        tag_a.unionByName(tag_b)
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    x = (
+        merged.select("grp_a", "grp_b", "h", "ia", "ib", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .groupBy("grp_a", "grp_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_x"),
+            F.sum(F.col("ia") * F.col("ib")).cast("long").alias("kmv_matches"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+        )
+    )
+    union_est = F.when(F.col("hk").isNull(), F.col("n_x")).otherwise(
+        F.expr(
+            f"CAST(CAST({k - 1} AS DECIMAL(38,0)) "
+            f"* CAST(1152921504606846976 AS DECIMAL(38,0)) div hk AS BIGINT)"
+        )
+    )
+    sk = x.select(
+        "grp_a",
+        "grp_b",
+        "n_x",
+        "kmv_matches",
+        union_est.cast("long").alias("kmv_union_est"),
+    ).select(
+        "grp_a",
+        "grp_b",
+        "n_x",
+        "kmv_matches",
+        "kmv_union_est",
+        F.expr(
+            "CAST(CAST(kmv_matches AS DECIMAL(38,0)) "
+            "* CAST(kmv_union_est AS DECIMAL(38,0)) div n_x AS BIGINT)"
+        ).alias("kmv_inter_est"),
+        F.expr("kmv_matches * 1000000 div n_x").cast("long").alias("kmv_jaccard_e6"),
+    )
+
+    cnt = h.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        h.select(F.col("grp").alias("grp_a"), "h")
+        .join(h.select(F.col("grp").alias("grp_b"), "h"), "h")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter_exact"))
+    )
+    exact = (
+        pairs.join(cnt.select(F.col("grp").alias("grp_a"), F.col("n").alias("n_exact_a")), "grp_a")
+        .join(cnt.select(F.col("grp").alias("grp_b"), F.col("n").alias("n_exact_b")), "grp_b")
+        .join(inter, ["grp_a", "grp_b"], "left")
+        .withColumn("n_inter_exact", F.coalesce(F.col("n_inter_exact"), F.lit(0)).cast("long"))
+        .withColumn(
+            "n_union_exact",
+            (F.col("n_exact_a") + F.col("n_exact_b") - F.col("n_inter_exact")).cast("long"),
+        )
+        .withColumn(
+            "jaccard_exact_e6",
+            F.expr("n_inter_exact * 1000000 div n_union_exact").cast("long"),
+        )
+    )
+    return (
+        exact.join(sk, ["grp_a", "grp_b"])
+        .withColumn(
+            "err_e6",
+            F.abs(F.col("kmv_jaccard_e6") - F.col("jaccard_exact_e6")).cast("long"),
+        )
+        .select(
+            F.col("grp_a").alias(f"{group_col}_a"),
+            F.col("grp_b").alias(f"{group_col}_b"),
+            "n_exact_a",
+            "n_exact_b",
+            "n_inter_exact",
+            "n_union_exact",
+            "jaccard_exact_e6",
+            "n_x",
+            "kmv_matches",
+            "kmv_union_est",
+            "kmv_inter_est",
+            "kmv_jaccard_e6",
+            "err_e6",
+        )
+    )

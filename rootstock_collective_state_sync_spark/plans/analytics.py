@@ -1490,3 +1490,126 @@ SELECT sum(k)::BIGINT AS n_rows,
        sum(CASE WHEN l = 1 THEN 1 ELSE 0 END)::BIGINT AS n_l1_groups
 FROM grp
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (apriori-pruned support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+_AR_MIN_SUP_E6 = 25_000  # 2.5% of baskets
+_AR_MIN_CONF_E6 = 150_000  # 15%
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand->brand association rules mined from order baskets
+    (Agrawal & Srikant 1994, apriori-pruned): for every ordered brand
+    pair co-occurring in >= 2.5% of orders, emit integer-e6 support,
+    confidence and lift. Apriori monotonicity is applied BEFORE the
+    pair explode — a brand below min-support cannot appear in any
+    frequent pair, so infrequent items are semi-join-pruned from the
+    baskets first.
+
+    Scale shape: the basket table shuffles ONCE on the basket key;
+    pair generation is a per-basket self-join (co-located, pairs per
+    basket bounded by the squared basket width); item and pair counts
+    are map-side-combined aggregations; the frequent-item filter and
+    the item-count table that prices confidence/lift are tiny
+    (#brands) and broadcast. No global sort, no cartesian — at 100 TB
+    the only corpus-sized shuffle is the initial basket keying.
+    All arithmetic is integer-e6 (``div``), so the driver hash
+    matches DuckDB bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = baskets.select("bk").distinct().count()  # control-plane scalar
+    min_sup_abs = (_AR_MIN_SUP_E6 * n) // 1_000_000
+    item_cnt = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    frequent = item_cnt.filter(F.col("cnt") >= min_sup_abs)
+    pruned = baskets.join(
+        F.broadcast(frequent.select("item")), "item", "left_semi"
+    )
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "bk")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_sup_abs)
+    )
+    # both rule directions from each unordered frequent pair
+    rules = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_cnt",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "pair_cnt",
+        )
+    )
+    ca = item_cnt.select(F.col("item").alias("antecedent"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("item").alias("consequent"), F.col("cnt").alias("cnt_b"))
+    return (
+        rules.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_cnt",
+            F.expr(f"pair_cnt * 1000000 div {n}").cast("long").alias("support_e6"),
+            F.expr("pair_cnt * 1000000 div cnt_a").cast("long").alias("confidence_e6"),
+            F.expr(
+                f"CAST(CAST(pair_cnt AS DECIMAL(38,0)) * {n} * 1000000 "
+                "div (cnt_a * cnt_b) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+        .filter(F.col("confidence_e6") >= _AR_MIN_CONF_E6)
+        .orderBy("antecedent", "consequent")
+    )
+
+
+Q_ASSOC_RULES_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+nb AS (SELECT count(DISTINCT bk) AS n FROM baskets),
+minsup AS (SELECT ({_AR_MIN_SUP_E6}::BIGINT * n) // 1000000 AS s FROM nb),
+item_cnt AS (
+  SELECT item, count(*)::BIGINT AS cnt FROM baskets GROUP BY 1
+),
+pruned AS (
+  SELECT b.* FROM baskets b
+  WHERE b.item IN (SELECT item FROM item_cnt, minsup WHERE cnt >= s)
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS pair_cnt
+  FROM pruned a JOIN pruned b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= (SELECT s FROM minsup)
+),
+rules AS (
+  SELECT item_a AS antecedent, item_b AS consequent, pair_cnt FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, pair_cnt FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.pair_cnt,
+       (r.pair_cnt * 1000000 // (SELECT n FROM nb))::BIGINT AS support_e6,
+       (r.pair_cnt * 1000000 // ca.cnt)::BIGINT AS confidence_e6,
+       (r.pair_cnt::HUGEINT * (SELECT n FROM nb) * 1000000
+        // (ca.cnt * cb.cnt))::BIGINT AS lift_e6
+FROM rules r
+JOIN item_cnt ca ON ca.item = r.antecedent
+JOIN item_cnt cb ON cb.item = r.consequent
+WHERE (r.pair_cnt * 1000000 // ca.cnt) >= {_AR_MIN_CONF_E6}
+ORDER BY antecedent, consequent
+"""

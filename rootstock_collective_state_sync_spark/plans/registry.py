@@ -107,6 +107,9 @@ SPECS: dict[str, QuerySpec] = {
     "q21_blamed_supplier": QuerySpec(
         TX.q21_blamed_supplier, TX.Q21_ORACLE, ("join", "subquery")
     ),
+    "pareto_front": QuerySpec(
+        TX.q_pareto_front, TX.Q_PARETO_FRONT_ORACLE, ("window", "join")
+    ),
     # event-log analytics
     "events_json_stats": QuerySpec(
         AN.q_events_json_stats, AN.Q_EVENTS_JSON_ORACLE, ("analytics",)
@@ -515,6 +518,11 @@ SPECS: dict[str, QuerySpec] = {
         AN.Q_ATTRIBUTION_TOUCH_ORACLE,
         ("analytics", "temporal", "window"),
     ),
+    "assoc_rules": QuerySpec(
+        AN.q_assoc_rules,
+        AN.Q_ASSOC_RULES_ORACLE,
+        ("analytics", "join", "agg"),
+    ),
     "dedup_funnel": QuerySpec(
         TR.q_dedup_funnel, TR.Q_DEDUP_FUNNEL_ORACLE, ("dedup", "agg")
     ),
@@ -543,6 +551,16 @@ SPECS: dict[str, QuerySpec] = {
         TR.q_kmv_distinct_tokens,
         TR.Q_KMV_DISTINCT_TOKENS_ORACLE,
         ("sketch", "agg", "text", "bench"),
+    ),
+    "ivf_silhouette": QuerySpec(
+        TR.q_ivf_silhouette,
+        TR.Q_IVF_SILHOUETTE_ORACLE,
+        ("similarity", "agg"),
+    ),
+    "kmv_overlap": QuerySpec(
+        TR.q_kmv_overlap,
+        TR.Q_KMV_OVERLAP_ORACLE,
+        ("sketch", "agg", "text"),
     ),
     "count_min_tokens": QuerySpec(
         TR.q_count_min_tokens,
@@ -738,6 +756,9 @@ _DRIVER_WINDOW = [
     "ohlc_daily_rollup",
     "ivf_recall_report",
     "k_anonymity_enforce",
+    "kmv_overlap",
+    "assoc_rules",
+    "pareto_front",
     # (b) semantically touched this round (tracked_persist bounded
     # cache lifetimes in the self-join paths) — re-earn their rows
     "semantic_dedup",
@@ -752,12 +773,12 @@ _DRIVER_WINDOW = [
     "window_sliding",
     "window_tumbling",
     "zorder_key",
-    # (d) 28 seats to the next-oldest cohort (last green r06):
-    # core relational / TPC-H anchors first
-    "approx_quantiles",
-    "cube_counts",
-    "distinct_set",
-    "except_missing",
+    # (d) seats to the next-oldest cohort (last green r06):
+    # core relational / TPC-H anchors first (cube_counts,
+    # approx_quantiles and distinct_set carry to r11 — their seats
+    # went to kmv_overlap / assoc_rules / pareto_front, born late
+    # this round; except_missing's to ivf_silhouette)
+    "ivf_silhouette",
     "exists_subquery",
     "filter_isin_enum",
     "group_count",

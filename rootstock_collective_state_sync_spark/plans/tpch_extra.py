@@ -688,3 +688,71 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto front): cheapest-and-biggest parts
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (Börzsönyi et al. 2001): parts not dominated on
+    (minimize ``p_retailprice``, maximize ``p_size``) — ``d``
+    dominates ``s`` iff ``d`` is no worse on both axes and strictly
+    better on one.
+
+    Distributed shape (the classic local-skyline/merge decomposition):
+    (1) LOCAL skyline per price bucket — a per-bucket window over the
+    per-(bucket, price) maxima, fully parallel, output bounded by
+    #distinct sizes per bucket; (2) cross-bucket prune against the
+    running max size of strictly-cheaper buckets (a #buckets-row
+    control-plane frame, broadcast); (3) exact dominance anti-join on
+    the now-tiny survivor set (sound prunes + a complete final check
+    = exact skyline). At 100 TB the only corpus-sized operations are
+    one bucket-keyed aggregation and one broadcast-filter scan — the
+    quadratic check never touches more than #buckets x #sizes rows.
+    The oracle replays the O(n log n) sorted-sweep formulation; both
+    compute the identical skyline."""
+    from rootstock_collective_state_sync_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    sky = skyline_2d(
+        pt,
+        minimize="p_retailprice",
+        maximize="p_size",
+        bucket=F.expr("CAST(p_retailprice AS BIGINT) div 100"),
+    )
+    # price stays DOUBLE (both engines read the identical parquet
+    # float64, and the driver's pandas materialization would collapse
+    # a fixed-scale decimal's trailing zeros on the oracle side only)
+    return sky.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("psize"),
+    ).orderBy("price", "p_partkey")
+
+
+Q_PARETO_FRONT_ORACLE = """
+WITH pp AS (
+  SELECT p_retailprice AS price, max(p_size) AS pmax
+  FROM part GROUP BY 1
+),
+c AS (
+  SELECT price, pmax,
+         max(pmax) OVER (ORDER BY price
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS m_strict
+  FROM pp
+)
+SELECT p.p_partkey,
+       p.p_retailprice AS price,
+       p.p_size::BIGINT AS psize
+FROM part p JOIN c ON p.p_retailprice = c.price
+WHERE (c.m_strict IS NULL OR p.p_size > c.m_strict)
+  AND p.p_size >= c.pmax
+ORDER BY price, p_partkey
+"""

@@ -2837,3 +2837,165 @@ ORDER BY query_id""")
 
 
 Q_IVF_RECALL_REPORT_ORACLE = _ivf_recall_report_oracle()
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: cross-source vocabulary overlap (value-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap via KMV bottom-256 sketch
+    set operations (union / intersection / Jaccard estimates), each
+    row carrying the exact answer as its own accuracy report. The
+    deterministic md5 hash schedule makes even the sketch columns
+    layout-invariant, so the whole set-operation estimator is
+    driver-hash-checked. See :func:`..operators.sketches.kmv_overlap`."""
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("tokn")
+    )
+    return kmv_overlap(tok, "source", "tokn", k=256).orderBy(
+        "source_a", "source_b"
+    )
+
+
+Q_KMV_OVERLAP_ORACLE = """
+WITH t AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS tokn
+  FROM documents
+),
+h AS (
+  SELECT DISTINCT source,
+         list_sum(list_transform(range(15), kk ->
+             (strpos('0123456789abcdef',
+                     substr(md5(tokn), kk + 1, 1)) - 1)
+             * (1::BIGINT << (4 * (14 - kk)))))::BIGINT AS h
+  FROM t
+),
+bk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= 256
+),
+pairs AS (
+  SELECT a.source AS grp_a, b.source AS grp_b
+  FROM (SELECT DISTINCT source FROM h) a
+  JOIN (SELECT DISTINCT source FROM h) b ON a.source < b.source
+),
+m AS (
+  SELECT grp_a, grp_b, h, max(ia) AS ia, max(ib) AS ib FROM (
+    SELECT p.grp_a, p.grp_b, bk.h, 1 AS ia, 0 AS ib
+    FROM pairs p JOIN bk ON bk.source = p.grp_a
+    UNION ALL
+    SELECT p.grp_a, p.grp_b, bk.h, 0 AS ia, 1 AS ib
+    FROM pairs p JOIN bk ON bk.source = p.grp_b
+  ) GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT grp_a, grp_b, h, ia, ib,
+         row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+  FROM m
+),
+x AS (
+  SELECT grp_a, grp_b,
+         count(*)::BIGINT AS n_x,
+         sum(ia * ib)::BIGINT AS kmv_matches,
+         max(CASE WHEN rn = 256 THEN h END) AS hk
+  FROM r WHERE rn <= 256 GROUP BY 1, 2
+),
+sk AS (
+  SELECT grp_a, grp_b, n_x, kmv_matches,
+         CASE WHEN hk IS NULL THEN n_x
+              ELSE ((255::HUGEINT * 1152921504606846976::HUGEINT) // hk)::BIGINT
+         END AS kmv_union_est
+  FROM x
+),
+sk2 AS (
+  SELECT grp_a, grp_b, n_x, kmv_matches, kmv_union_est,
+         (kmv_matches::HUGEINT * kmv_union_est::HUGEINT // n_x)::BIGINT
+           AS kmv_inter_est,
+         (kmv_matches * 1000000 // n_x)::BIGINT AS kmv_jaccard_e6
+  FROM sk
+),
+cnt AS (SELECT source, count(*)::BIGINT AS n FROM h GROUP BY 1),
+iv AS (
+  SELECT a.source AS grp_a, b.source AS grp_b,
+         count(*)::BIGINT AS n_inter_exact
+  FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT p.grp_a, p.grp_b,
+         ca.n AS n_exact_a, cb.n AS n_exact_b,
+         coalesce(iv.n_inter_exact, 0)::BIGINT AS n_inter_exact,
+         (ca.n + cb.n - coalesce(iv.n_inter_exact, 0))::BIGINT AS n_union_exact
+  FROM pairs p
+  JOIN cnt ca ON ca.source = p.grp_a
+  JOIN cnt cb ON cb.source = p.grp_b
+  LEFT JOIN iv ON iv.grp_a = p.grp_a AND iv.grp_b = p.grp_b
+)
+SELECT ex.grp_a AS source_a, ex.grp_b AS source_b,
+       n_exact_a, n_exact_b, n_inter_exact, n_union_exact,
+       (n_inter_exact * 1000000 // n_union_exact)::BIGINT AS jaccard_exact_e6,
+       n_x, kmv_matches, kmv_union_est, kmv_inter_est, kmv_jaccard_e6,
+       abs(kmv_jaccard_e6 - (n_inter_exact * 1000000 // n_union_exact))::BIGINT
+         AS err_e6
+FROM ex JOIN sk2 ON ex.grp_a = sk2.grp_a AND ex.grp_b = sk2.grp_b
+ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF silhouette: clustering-quality evaluation as an oracled query
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell simplified silhouette of the IVF quantizer — the
+    cluster-separation eval next to `ivf_recall_report`'s retrieval
+    eval, fully value-checked: the oracle replays the identical
+    k-means (via the shared unroll) and the identical e4-snapped
+    silhouette. See :func:`..operators.similarity.ivf_silhouette`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_silhouette(emb, num_cells=16)
+
+
+def _ivf_silhouette_oracle() -> str:
+    return _ivf_cells_oracle(tail=""",
+top2 AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN dot END) AS dot_own,
+         max(CASE WHEN rn = 2 THEN dot END) AS dot_next,
+         max(CASE WHEN rn = 1 THEN c END) AS cell
+  FROM (
+    SELECT vec_id, c, dot,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS rn
+    FROM fdot
+  ) GROUP BY 1
+),
+sv AS (
+  SELECT cell,
+         CAST(floor((dot_own - dot_next)
+                    / greatest(1.0 - dot_next, 1e-12) * 10000 + 0.5)
+              AS BIGINT) AS s_e4
+  FROM top2
+)
+SELECT cell::BIGINT AS cell,
+       count(*)::BIGINT AS n,
+       (sum(s_e4) // count(*))::BIGINT AS mean_sil_e4,
+       min(s_e4)::BIGINT AS min_sil_e4,
+       max(s_e4)::BIGINT AS max_sil_e4
+FROM sv GROUP BY 1 ORDER BY cell""")
+
+
+Q_IVF_SILHOUETTE_ORACLE = _ivf_silhouette_oracle()

@@ -506,3 +506,46 @@ def test_forget_keys_equals_set_difference(spark, tmp_path_factory, doomed):
         _pd.concat([_pd.read_parquet(f, columns=["user_id"]) for f in files])["user_id"]
     )
     assert not on_disk & doomed
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_skyline_2d_matches_brute_force(spark, pts):
+    """The distributed local-skyline/prune/verify pipeline must equal
+    the quadratic brute-force skyline on arbitrary point sets —
+    including duplicates (incomparable ties all survive) and
+    degenerate single-bucket layouts."""
+    from rootstock_collective_state_sync_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        (r["id"], r["x"], r["y"])
+        for r in skyline_2d(
+            df, minimize="x", maximize="y", bucket=F.expr("x div 7")
+        ).collect()
+    }
+    want = {
+        (i, x, y)
+        for i, x, y in rows
+        if not any(
+            (dx <= x and dy >= y and (dx < x or dy > y))
+            for _, dx, dy in rows
+        )
+    }
+    assert got == want

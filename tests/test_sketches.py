@@ -157,3 +157,36 @@ def test_count_min_bounds_and_merge_invariance(spark):
         assert e1 >= true.get(v, 0)  # never under-estimates
         assert e1 <= true.get(v, 0) + budget * 4  # loose collision cap
     assert cm1.estimate("alpha") >= 500
+
+
+def test_kmv_overlap_exact_when_small_and_sane_when_big(spark):
+    """Below k the union sketch holds every hash, so the estimator
+    columns must EQUAL the exact ones; above k the Jaccard estimate
+    must land within the published ~1/sqrt(k) band of truth."""
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    # small: two 40-element sets sharing 20 values (k=256 >> union)
+    rows = [("a", f"v{i}") for i in range(40)] + [
+        ("b", f"v{i}") for i in range(20, 60)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    r = kmv_overlap(df, "grp", "v", k=256).collect()[0]
+    assert r["n_inter_exact"] == 20 and r["n_union_exact"] == 60
+    assert r["kmv_union_est"] == r["n_union_exact"]
+    assert r["kmv_inter_est"] == r["n_inter_exact"]
+    assert r["kmv_jaccard_e6"] == r["jaccard_exact_e6"]
+    assert r["err_e6"] == 0
+
+    # big: 4000-element sets, 2000 shared -> union 6000 > k=256;
+    # jaccard truth 1/3, band 3.5/sqrt(256) ~ 0.22 absolute
+    rows = [("a", f"v{i}") for i in range(4000)] + [
+        ("b", f"v{i}") for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    r = kmv_overlap(df, "grp", "v", k=256).collect()[0]
+    assert r["n_x"] == 256
+    assert abs(r["kmv_jaccard_e6"] - r["jaccard_exact_e6"]) < 220_000
+    rel = abs(r["kmv_union_est"] - r["n_union_exact"]) / r["n_union_exact"]
+    assert rel < 0.25
