@@ -1613,3 +1613,135 @@ JOIN item_cnt cb ON cb.item = r.consequent
 WHERE (r.pair_cnt * 1000000 // ca.cnt) >= {_AR_MIN_CONF_E6}
 ORDER BY antecedent, consequent
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert: exact nearest-rank latency percentiles
+# ---------------------------------------------------------------------------
+
+_TTC_STARTS = ("click", "signup", "view")
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per entry-event funnel latency census: for each start type, the
+    time from a user's FIRST start event to their first purchase at or
+    after it — conversion rate plus exact nearest-rank p50/p90/p99 of
+    the microsecond delay (rank = ceil(p*n/100) picked under (delay, user_id)
+    order — the `winsorize` no-interpolation policy, so every column
+    is an integer and bit-identical across engines).
+
+    Scale shape: two event-type-pruned scans aggregated to per-user
+    firsts (map-side-combined), one user-keyed join to pick the first
+    purchase at-or-after the start (conversions-per-user bounded), one
+    window over the per-(start_type, user) DELAY table — users-sized,
+    not events-sized — and a 3-row final aggregate. No self-join over
+    raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = (
+        ev.filter(F.col("event_type").isin(*_TTC_STARTS))
+        .groupBy(F.col("user_id"), F.col("event_type").alias("start_type"))
+        .agg(F.min("ts").alias("t0"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    conv = (
+        starts.join(buys, "user_id")
+        .filter(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id", "start_type", "t0")
+        .agg(F.min("tp").alias("tp"))
+        .select(
+            "start_type",
+            "user_id",
+            F.expr(
+                "unix_micros(cast(tp as timestamp))"
+                " - unix_micros(cast(t0 as timestamp))"
+            )
+            .cast("long")
+            .alias("delay_us"),
+        )
+    )
+    w = Window.partitionBy("start_type").orderBy(
+        F.col("delay_us").asc(), F.col("user_id").asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("start_type"))
+    ranked = conv.select(
+        "start_type",
+        "delay_us",
+        F.row_number().over(w).alias("_rn"),
+        n.alias("_n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("_rn") == F.floor((F.col("_n") * p + 99) / 100),
+            F.col("delay_us"),
+        )
+    )
+    per = ranked.groupBy("start_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.sum("delay_us").cast("long").alias("_sum"),
+        pick(50).cast("long").alias("p50_us"),
+        pick(90).cast("long").alias("p90_us"),
+        pick(99).cast("long").alias("p99_us"),
+    )
+    started = starts.groupBy("start_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_started")
+    )
+    return (
+        started.join(per, "start_type")
+        .select(
+            "start_type",
+            "n_started",
+            "n_converted",
+            F.expr("n_converted * 1000000 div n_started")
+            .cast("long")
+            .alias("conv_rate_e6"),
+            F.expr("_sum div n_converted").cast("long").alias("mean_us"),
+            "p50_us",
+            "p90_us",
+            "p99_us",
+        )
+        .orderBy("start_type")
+    )
+
+
+Q_TIME_TO_CONVERT_ORACLE = f"""
+WITH starts AS (
+  SELECT user_id, event_type AS start_type, min(ts) AS t0
+  FROM events WHERE event_type IN {str(tuple(_TTC_STARTS))}
+  GROUP BY 1, 2
+),
+conv AS (
+  SELECT s.start_type, s.user_id,
+         (epoch_us(min(b.ts)) - epoch_us(s.t0))::BIGINT AS delay_us
+  FROM starts s
+  JOIN events b ON b.user_id = s.user_id
+   AND b.event_type = 'purchase' AND b.ts >= s.t0
+  GROUP BY s.start_type, s.user_id, s.t0
+),
+ranked AS (
+  SELECT start_type, delay_us,
+         row_number() OVER (PARTITION BY start_type
+                            ORDER BY delay_us, user_id) AS rn,
+         count(*) OVER (PARTITION BY start_type) AS n
+  FROM conv
+),
+per AS (
+  SELECT start_type,
+         count(*)::BIGINT AS n_converted,
+         sum(delay_us)::BIGINT AS s,
+         max(CASE WHEN rn = (n * 50 + 99) // 100 THEN delay_us END)::BIGINT AS p50_us,
+         max(CASE WHEN rn = (n * 90 + 99) // 100 THEN delay_us END)::BIGINT AS p90_us,
+         max(CASE WHEN rn = (n * 99 + 99) // 100 THEN delay_us END)::BIGINT AS p99_us
+  FROM ranked GROUP BY 1
+),
+st AS (
+  SELECT start_type, count(*)::BIGINT AS n_started FROM starts GROUP BY 1
+)
+SELECT st.start_type, st.n_started, per.n_converted,
+       (per.n_converted * 1000000 // st.n_started)::BIGINT AS conv_rate_e6,
+       (per.s // per.n_converted)::BIGINT AS mean_us,
+       per.p50_us, per.p90_us, per.p99_us
+FROM st JOIN per USING (start_type)
+ORDER BY start_type
+"""

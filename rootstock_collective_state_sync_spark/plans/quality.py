@@ -1467,3 +1467,149 @@ ORDER BY base.id""")
 
 
 Q_LABEL_PROPAGATION_CELLED_ORACLE = _label_prop_celled_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Degree-mixing census: assortativity of the celled kNN graph
+# ---------------------------------------------------------------------------
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree summary + Pearson degree assortativity (Newman 2002) of
+    the cell-confined kNN cosine graph — does the similarity graph
+    wire hubs to hubs (r > 0, clique-prone corpora) or hubs to leaves
+    (r < 0)? Over the symmetric directed edge set with endpoint
+    degrees j, k: ``r = (4·M·Σjk − (Σ(j+k))²) / (2·M·Σ(j²+k²) −
+    (Σ(j+k))²)`` — an EXACT integer rational (per-edge sums are
+    integers; the one division happens at e6 at the very end with the
+    kappa-style sign split), so the statistic is value-checked
+    bit-for-bit.
+
+    Scale shape: the celled edge build is the audited one-shuffle
+    O(n·cell) path shared with `knn_triangles_celled`; degrees are one
+    map-side-combined count; the moment sums are one edge-keyed join
+    against the broadcast-joinable degree table + a single aggregation;
+    the final combine is 1-row x 1-row (control-plane cross of two
+    scalar aggregates). DECIMAL(38,0) holds the M-scaled products far
+    past bigint range."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = G.knn_edges_celled(emb, k=_PR_K, num_cells=16, nprobe=_CELL_NPROBE)
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ej = (
+        e.join(deg.select(F.col("id").alias("src"), F.col("d").alias("dj")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dk")), "dst")
+    )
+    sums = ej.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("dj") * F.col("dk")).cast("long").alias("a"),
+        F.sum(F.col("dj") + F.col("dk")).cast("long").alias("b"),
+        F.sum(F.col("dj") * F.col("dj") + F.col("dk") * F.col("dk"))
+        .cast("long")
+        .alias("c"),
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum("d").cast("long").alias("_dsum"),
+    )
+    num = (
+        "CAST(4 AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))"
+        " * CAST(a AS DECIMAL(38,0))"
+        " - CAST(b AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))"
+    )
+    den = (
+        "CAST(2 AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))"
+        " * CAST(c AS DECIMAL(38,0))"
+        " - CAST(b AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))"
+    )
+    return nodes.crossJoin(sums).select(
+        "n_nodes",
+        F.expr("m div 2").cast("long").alias("n_edges"),
+        "min_degree",
+        "max_degree",
+        F.expr("_dsum * 1000000 div n_nodes").cast("long").alias("mean_degree_e6"),
+        F.expr(
+            f"CASE WHEN ({den}) = 0 THEN 0"
+            f" ELSE (CASE WHEN ({num}) >= 0 THEN 1 ELSE -1 END)"
+            f" * CAST(abs({num}) * 1000000 div ({den}) AS BIGINT) END"
+        )
+        .cast("long")
+        .alias("assortativity_e6"),
+    )
+
+
+def _graph_assortativity_oracle(k: int = _PR_K) -> str:
+    from rootstock_collective_state_sync_spark.plans.training import (
+        _ivf_cells_oracle,
+    )
+
+    return _ivf_cells_oracle(tail=f""",
+tagged AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM embeddings e JOIN cells c USING (vec_id)
+),
+probes AS MATERIALIZED (
+  SELECT vec_id, c AS pcell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS prn
+    FROM fdot
+  ) WHERE prn <= {_CELL_NPROBE}
+),
+scored AS (
+  SELECT q.vec_id AS src, t.vec_id AS dst,
+         {_COS_SQL.format(a="q.embedding", b="t.embedding")} AS s
+  FROM tagged q
+  JOIN probes p ON p.vec_id = q.vec_id
+  JOIN tagged t ON t.cell = p.pcell AND t.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY s DESC, dst ASC) AS rn
+  FROM scored
+),
+fwd AS (SELECT src, dst FROM rk WHERE rn <= {k}),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+  )
+),
+deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM e GROUP BY 1),
+ej AS (
+  SELECT dj.d AS dj, dk.d AS dk
+  FROM e JOIN deg dj ON dj.id = e.src JOIN deg dk ON dk.id = e.dst
+),
+sums AS (
+  SELECT count(*)::BIGINT AS m,
+         sum(dj * dk)::BIGINT AS a,
+         sum(dj + dk)::BIGINT AS b,
+         sum(dj * dj + dk * dk)::BIGINT AS c
+  FROM ej
+),
+nodes AS (
+  SELECT count(*)::BIGINT AS n_nodes,
+         min(d)::BIGINT AS min_degree,
+         max(d)::BIGINT AS max_degree,
+         sum(d)::BIGINT AS dsum
+  FROM deg
+)
+SELECT n_nodes,
+       (m // 2)::BIGINT AS n_edges,
+       min_degree, max_degree,
+       (dsum * 1000000 // n_nodes)::BIGINT AS mean_degree_e6,
+       (CASE WHEN (2::HUGEINT * m * c - b::HUGEINT * b) = 0 THEN 0
+             ELSE (CASE WHEN (4::HUGEINT * m * a - b::HUGEINT * b) >= 0
+                        THEN 1 ELSE -1 END)
+                  * (abs(4::HUGEINT * m * a - b::HUGEINT * b) * 1000000
+                     // (2::HUGEINT * m * c - b::HUGEINT * b))
+        END)::BIGINT AS assortativity_e6
+FROM nodes, sums""")
+
+
+Q_GRAPH_ASSORTATIVITY_ORACLE = _graph_assortativity_oracle()

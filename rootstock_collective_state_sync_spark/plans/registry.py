@@ -467,6 +467,11 @@ SPECS: dict[str, QuerySpec] = {
         Q.Q_LABEL_PROPAGATION_CELLED_ORACLE,
         ("graph", "similarity"),
     ),
+    "graph_assortativity": QuerySpec(
+        Q.q_graph_assortativity,
+        Q.Q_GRAPH_ASSORTATIVITY_ORACLE,
+        ("graph", "similarity", "agg"),
+    ),
     "lang_id_agreement": QuerySpec(
         Q.q_lang_id_agreement,
         Q.Q_LANG_ID_AGREEMENT_ORACLE,
@@ -522,6 +527,11 @@ SPECS: dict[str, QuerySpec] = {
         AN.q_assoc_rules,
         AN.Q_ASSOC_RULES_ORACLE,
         ("analytics", "join", "agg"),
+    ),
+    "time_to_convert": QuerySpec(
+        AN.q_time_to_convert,
+        AN.Q_TIME_TO_CONVERT_ORACLE,
+        ("analytics", "temporal", "window"),
     ),
     "dedup_funnel": QuerySpec(
         TR.q_dedup_funnel, TR.Q_DEDUP_FUNNEL_ORACLE, ("dedup", "agg")
@@ -777,20 +787,22 @@ _DRIVER_WINDOW = [
     # core relational / TPC-H anchors first (cube_counts,
     # approx_quantiles and distinct_set carry to r11 — their seats
     # went to kmv_overlap / assoc_rules / pareto_front, born late
-    # this round; except_missing's to ivf_silhouette)
+    # this round; except_missing / pivot_status_by_priority /
+    # q16_supplier_variety seats went to ivf_silhouette /
+    # time_to_convert / graph_assortativity)
     "ivf_silhouette",
+    "time_to_convert",
+    "graph_assortativity",
     "exists_subquery",
     "filter_isin_enum",
     "group_count",
     "min_cost_per_part",
-    "pivot_status_by_priority",
     "q10_returned_items",
     "q11_important_parts",
     "q12_priority_by_status",
     "q13_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_supplier_variety",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disc_revenue",
