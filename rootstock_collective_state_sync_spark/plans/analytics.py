@@ -1518,6 +1518,12 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only corpus-sized shuffle is the initial basket keying.
     All arithmetic is integer-e6 (``div``), so the driver hash
     matches DuckDB bit-for-bit."""
+    from rootstock_collective_state_sync_spark.operators.basket import (
+        assoc_rules_from_counts,
+        basket_item_counts,
+        basket_pair_counts,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
@@ -1527,53 +1533,11 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = baskets.select("bk").distinct().count()  # control-plane scalar
     min_sup_abs = (_AR_MIN_SUP_E6 * n) // 1_000_000
-    item_cnt = baskets.groupBy("item").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    item_cnt = basket_item_counts(baskets)
     frequent = item_cnt.filter(F.col("cnt") >= min_sup_abs)
-    pruned = baskets.join(
-        F.broadcast(frequent.select("item")), "item", "left_semi"
-    )
-    pairs = (
-        pruned.alias("a")
-        .join(pruned.alias("b"), "bk")
-        .filter(F.col("a.item") < F.col("b.item"))
-        .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= min_sup_abs)
-    )
-    # both rule directions from each unordered frequent pair
-    rules = pairs.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        "pair_cnt",
-    ).unionByName(
-        pairs.select(
-            F.col("item_b").alias("antecedent"),
-            F.col("item_a").alias("consequent"),
-            "pair_cnt",
-        )
-    )
-    ca = item_cnt.select(F.col("item").alias("antecedent"), F.col("cnt").alias("cnt_a"))
-    cb = item_cnt.select(F.col("item").alias("consequent"), F.col("cnt").alias("cnt_b"))
-    return (
-        rules.join(F.broadcast(ca), "antecedent")
-        .join(F.broadcast(cb), "consequent")
-        .select(
-            "antecedent",
-            "consequent",
-            "pair_cnt",
-            F.expr(f"pair_cnt * 1000000 div {n}").cast("long").alias("support_e6"),
-            F.expr("pair_cnt * 1000000 div cnt_a").cast("long").alias("confidence_e6"),
-            F.expr(
-                f"CAST(CAST(pair_cnt AS DECIMAL(38,0)) * {n} * 1000000 "
-                "div (cnt_a * cnt_b) AS BIGINT)"
-            ).alias("lift_e6"),
-        )
-        .filter(F.col("confidence_e6") >= _AR_MIN_CONF_E6)
-        .orderBy("antecedent", "consequent")
+    pair_cnt = basket_pair_counts(baskets, frequent=frequent)
+    return assoc_rules_from_counts(
+        n, item_cnt, pair_cnt, _AR_MIN_SUP_E6, _AR_MIN_CONF_E6
     )
 
 
