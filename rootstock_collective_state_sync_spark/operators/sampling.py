@@ -846,3 +846,32 @@ def unimax_alloc(
         alloc.alias("alloc"),
         F.round(alloc / F.col("n").cast("double"), 6).alias("epochs"),
     ).orderBy(group_col)
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic fixed-size sample: exactly ``min(k, |group|)``
+    rows per group, chosen by md5(key) rank — the fixed-COUNT
+    counterpart of :func:`stratified_sample`'s fixed-RATE draw
+    (exemplar picks, per-source eval slices, capped debugging dumps).
+    The draw is a pure function of the key: stable under retries,
+    partition layout, and engine, and adding rows to OTHER groups
+    never changes a group's sample.
+
+    Scale shape: one group-keyed window (rank over the 32-hex draw);
+    with k << group size the shuffle carries only (group, key, draw)
+    — project the payload back in afterwards via the keys. Ties are
+    impossible in practice (md5 collisions) but the (draw, key)
+    compound order makes even those deterministic.
+    """
+    draw = F.md5(F.col(key_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(draw.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumnRenamed("_rk", "sample_rank")
+    )

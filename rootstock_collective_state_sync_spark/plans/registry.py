@@ -309,6 +309,11 @@ SPECS: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         TR.q_stratified_sample, TR.Q_STRATIFIED_SAMPLE_ORACLE, ("sampling",)
     ),
+    "sample_k_per_group": QuerySpec(
+        TR.q_sample_k_per_group,
+        TR.Q_SAMPLE_K_PER_GROUP_ORACLE,
+        ("sampling",),
+    ),
     "pack_sequences": QuerySpec(
         TR.q_pack_sequences, TR.Q_PACK_SEQUENCES_ORACLE, ("sampling",)
     ),
@@ -788,15 +793,16 @@ _DRIVER_WINDOW = [
     # approx_quantiles and distinct_set carry to r11 — their seats
     # went to kmv_overlap / assoc_rules / pareto_front, born late
     # this round; except_missing / pivot_status_by_priority /
-    # q16_supplier_variety seats went to ivf_silhouette /
-    # time_to_convert / graph_assortativity)
+    # q16_supplier_variety / min_cost_per_part seats went to
+    # ivf_silhouette / time_to_convert / graph_assortativity /
+    # sample_k_per_group)
     "ivf_silhouette",
     "time_to_convert",
     "graph_assortativity",
+    "sample_k_per_group",
     "exists_subquery",
     "filter_isin_enum",
     "group_count",
-    "min_cost_per_part",
     "q10_returned_items",
     "q11_important_parts",
     "q12_priority_by_status",

@@ -2999,3 +2999,35 @@ FROM sv GROUP BY 1 ORDER BY cell""")
 
 
 Q_IVF_SILHOUETTE_ORACLE = _ivf_silhouette_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Fixed-k per-group sampling
+# ---------------------------------------------------------------------------
+
+
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source document sample by md5(doc_id) rank
+    — the fixed-COUNT sampling primitive next to `stratified_sample`'s
+    fixed-RATE draw. See
+    :func:`..operators.sampling.sample_k_per_group`."""
+    from rootstock_collective_state_sync_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        SA.sample_k_per_group(docs, "source", "doc_id", k=5)
+        .select("source", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank"))
+        .orderBy("source", "sample_rank")
+    )
+
+
+Q_SAMPLE_K_PER_GROUP_ORACLE = """
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT
+           AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+ORDER BY source, sample_rank
+"""
