@@ -40,7 +40,15 @@ def basket_pair_counts(
     """``(item_a, item_b, pair_cnt)`` with ``item_a < item_b`` —
     baskets containing both items. Pass ``frequent`` (an ``(item)``
     frame) to apriori-prune the explode; counts for surviving pairs
-    are identical either way."""
+    are identical either way.
+
+    The self-join is on the basket key of ONE (persisted) frame, so
+    the physical plan exchanges it once and reuses the exchange for
+    the other side (ReusedExchange); the pair aggregation map-side-
+    combines onto the #items² key space. (An in-row collect_set +
+    combination-explode variant measured ~20% slower at sf0.1 — the
+    join emits pairs straight out of codegen with no array
+    materialization.)"""
     pruned = (
         baskets.join(F.broadcast(frequent.select("item")), "item", "left_semi")
         if frequent is not None

@@ -1524,9 +1524,15 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         basket_pair_counts,
     )
 
+    from rootstock_collective_state_sync_spark.caching import tracked_persist
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
+    # persisted: the basket table feeds the total count, the item
+    # counts, and BOTH sides of the pair self-join — without the
+    # persist the lineitem-part join + distinct re-runs four times
+    # (the r08 semantic_dedup lesson; released by the registry wrapper)
+    baskets = tracked_persist(
         li.join(pt, li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("item"))
         .distinct()
