@@ -1715,3 +1715,63 @@ SELECT st.start_type, st.n_started, per.n_converted,
 FROM st JOIN per USING (start_type)
 ORDER BY start_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Daily active / new / cumulative users
+# ---------------------------------------------------------------------------
+
+
+def q_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day audience census over the event stream: distinct active
+    users, first-ever-seen (new) users, and the cumulative user count
+    — the canonical serving dashboard for a synced event table. All
+    exact: DAU is one (day,user)-distinct + day count; new users come
+    from the per-user min(day) table (map-side-combined); the running
+    total is a window over the DAYS spine only (#days rows,
+    control-plane) — raw events are never windowed. Days render as
+    'yyyy-MM-dd' strings so both engines hash identically."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.to_date("ts").alias("day")
+    )
+    dau = (
+        ev.distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(new_users, "day", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("long"))
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("long"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            "n_new",
+            "cum_users",
+        )
+        .orderBy("day")
+    )
+
+
+Q_NEW_USERS_DAILY_ORACLE = """
+WITH e AS (SELECT user_id, ts::DATE AS day FROM events),
+dau AS (
+  SELECT day, count(*)::BIGINT AS n_active
+  FROM (SELECT DISTINCT day, user_id FROM e) GROUP BY 1
+),
+fs AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+nu AS (SELECT day, count(*)::BIGINT AS n_new FROM fs GROUP BY 1)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+       dau.n_active,
+       coalesce(nu.n_new, 0)::BIGINT AS n_new,
+       sum(coalesce(nu.n_new, 0)) OVER (ORDER BY dau.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS cum_users
+FROM dau LEFT JOIN nu ON dau.day = nu.day
+ORDER BY day
+"""

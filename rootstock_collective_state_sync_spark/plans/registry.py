@@ -475,7 +475,7 @@ SPECS: dict[str, QuerySpec] = {
     "graph_assortativity": QuerySpec(
         Q.q_graph_assortativity,
         Q.Q_GRAPH_ASSORTATIVITY_ORACLE,
-        ("graph", "similarity", "agg"),
+        ("graph", "similarity", "agg", "bench"),
     ),
     "lang_id_agreement": QuerySpec(
         Q.q_lang_id_agreement,
@@ -531,12 +531,17 @@ SPECS: dict[str, QuerySpec] = {
     "assoc_rules": QuerySpec(
         AN.q_assoc_rules,
         AN.Q_ASSOC_RULES_ORACLE,
-        ("analytics", "join", "agg"),
+        ("analytics", "join", "agg", "bench"),
     ),
     "time_to_convert": QuerySpec(
         AN.q_time_to_convert,
         AN.Q_TIME_TO_CONVERT_ORACLE,
         ("analytics", "temporal", "window"),
+    ),
+    "new_users_daily": QuerySpec(
+        AN.q_new_users_daily,
+        AN.Q_NEW_USERS_DAILY_ORACLE,
+        ("analytics", "temporal", "agg"),
     ),
     "dedup_funnel": QuerySpec(
         TR.q_dedup_funnel, TR.Q_DEDUP_FUNNEL_ORACLE, ("dedup", "agg")
@@ -793,19 +798,20 @@ _DRIVER_WINDOW = [
     # approx_quantiles and distinct_set carry to r11 — their seats
     # went to kmv_overlap / assoc_rules / pareto_front, born late
     # this round; except_missing / pivot_status_by_priority /
-    # q16_supplier_variety / min_cost_per_part seats went to
-    # ivf_silhouette / time_to_convert / graph_assortativity /
-    # sample_k_per_group)
+    # q16_supplier_variety / min_cost_per_part /
+    # q12_priority_by_status seats went to ivf_silhouette /
+    # time_to_convert / graph_assortativity / sample_k_per_group /
+    # new_users_daily)
     "ivf_silhouette",
     "time_to_convert",
     "graph_assortativity",
     "sample_k_per_group",
+    "new_users_daily",
     "exists_subquery",
     "filter_isin_enum",
     "group_count",
     "q10_returned_items",
     "q11_important_parts",
-    "q12_priority_by_status",
     "q13_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
