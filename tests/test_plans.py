@@ -9,6 +9,8 @@ products anywhere in the registry.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from rootstock_collective_state_sync_spark.plans.registry import SPECS
@@ -379,3 +381,48 @@ def test_source_interleave_no_global_sort(spark):
         l for l in p.splitlines() if "Window" in l and "doc_id" in l
     ]
     assert all("source#" in l for l in doc_windows)
+
+
+def test_assoc_rules_reuses_basket_exchange(spark):
+    """The pair stage self-joins ONE persisted basket frame on the
+    basket key — the physical plan must reuse that exchange for the
+    second side, not re-shuffle the corpus; pricing joins broadcast."""
+    from rootstock_collective_state_sync_spark.caching import release_tracked
+
+    p = plan(spark, SPECS["assoc_rules"].fn(spark, SF_SMOKE), "simple")
+    release_tracked()
+    # both self-join sides read the SAME persisted frame (one
+    # materialization; under AQE the reuse shows as two cache scans)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # frequent-item prune + pricing
+
+
+def test_pareto_front_quadratic_only_on_survivors(spark):
+    """The exact dominance check must be a broadcast nested loop over
+    the pruned survivor set — never a sort-merge or cartesian over the
+    part table — and the scan must prune to the 3 used columns."""
+    p = plan(spark, SPECS["pareto_front"].fn(spark, SF_SMOKE), "formatted")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    # column pruning reached the scan: only the 3 used part columns
+    # (ReadSchema lines may be display-truncated, so check exclusions)
+    schemas = re.findall(r"ReadSchema: \S+", p)
+    assert schemas and all(
+        "p_name" not in sch and "p_type" not in sch for sch in schemas
+    )
+
+
+def test_time_to_convert_windows_user_table_not_events(spark):
+    """The percentile window must consume the per-(start,user) delay
+    aggregate — a window directly over raw events would sort the
+    stream; the events scan must also prune to the 3 used columns."""
+    p = plan(spark, SPECS["time_to_convert"].fn(spark, SF_SMOKE), "formatted")
+    # window input comes from an aggregate, so the plan has hash
+    # aggregates BEFORE the window and no events-sized window sort
+    assert p.index("HashAggregate") < p.index("Window")
+    # both event scans prune the unused value/props columns
+    schemas = re.findall(r"ReadSchema: \S+", p)
+    assert schemas and all(
+        "props" not in sch and "value" not in sch for sch in schemas
+    )

@@ -549,3 +549,48 @@ def test_skyline_2d_matches_brute_force(spark, pts):
         )
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    extra=st.lists(st.integers(51, 99), max_size=5, unique=True),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sample_k_per_group_stable_and_sized(spark, rows, extra):
+    """Fixed-k sampling contracts: exactly min(k, |group|) rows per
+    group, the draw is a pure function of the key (re-running gives
+    identical samples), and adding rows to OTHER groups never changes
+    a group's sample."""
+    from collections import Counter
+
+    from rootstock_collective_state_sync_spark.operators.sampling import (
+        sample_k_per_group,
+    )
+
+    k = 3
+    df = spark.createDataFrame(rows, "grp string, key long")
+    got = sample_k_per_group(df, "grp", "key", k=k).collect()
+    sizes = Counter(r["grp"] for r in got)
+    full = Counter(g for g, _ in rows)
+    assert sizes == {g: min(k, n) for g, n in full.items()}
+
+    # stability: growing group 'zzz' must not move a/b/c's samples
+    df2 = spark.createDataFrame(
+        rows + [("zzz", e) for e in extra], "grp string, key long"
+    )
+    keep = lambda res: sorted(  # noqa: E731
+        (r["grp"], r["key"], r["sample_rank"])
+        for r in res
+        if r["grp"] != "zzz"
+    )
+    got2 = sample_k_per_group(df2, "grp", "key", k=k).collect()
+    assert keep(got2) == keep(got)
