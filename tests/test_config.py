@@ -160,3 +160,26 @@ def test_generated_artifacts_cover_registry():
         f"SURVEY.md §2.12 totals say {m.group(1)}/{m.group(2)}; registry "
         f"holds {len(SPECS)}/{n_oracled}"
     )
+
+
+def test_survey_component_count_matches_table():
+    """Doc-drift guard (the r08 'one query behind' lesson, applied to
+    the §2.12 component COUNT): the bolded '**N extension
+    components**' preamble must equal the number of unique X-* rows in
+    the table, and row ids must be unique (a reused id hides a row
+    from any count)."""
+    import re
+    from pathlib import Path
+
+    survey = Path(__file__).parent.parent.joinpath("SURVEY.md").read_text()
+    start = survey.index("### 2.12")
+    end = survey.index("Mid-round-7", start)
+    ids = re.findall(r"^\| (X-[A-Z]+\d+[a-z]?) \|", survey[start:end], re.M)
+    assert len(ids) == len(set(ids)), sorted(
+        i for i in ids if ids.count(i) > 1
+    )
+    m = re.search(r"\*\*(\d+) extension components\*\*", survey)
+    assert m, "SURVEY §2.12 missing the '**N extension components**' line"
+    assert int(m.group(1)) == len(ids), (
+        f"SURVEY says {m.group(1)} components; table holds {len(ids)}"
+    )
