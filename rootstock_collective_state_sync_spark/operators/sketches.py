@@ -297,6 +297,7 @@ def kmv_overlap(
     group_col: str,
     value_col: str,
     k: int = 256,
+    include_exact: bool = True,
 ) -> "DataFrame":
     """Pairwise KMV set-operation estimates between every two groups'
     value sets (Beyer et al. 2007, "On synopses for distinct-value
@@ -324,9 +325,11 @@ def kmv_overlap(
     census (the intended use; pair docs with MinHash-LSH instead).
     The pair spine is a broadcast nested-loop over the DISTINCT GROUP
     LIST only, never over data rows. The exact columns are the
-    accuracy report: a vocabulary-sized hash self-join that a 100 TB
-    deployment drops (the sketch columns are the product; the join is
-    the audit).
+    accuracy report: a value-universe-sized hash self-join that a
+    100 TB deployment drops — pass ``include_exact=False`` for the
+    production shape, where the only data-sized work left is the one
+    distinct-hash scan (measured: the audit join is >80% of wall time
+    once the value universe is corpus-sized, e.g. shingles).
     """
     from pyspark.sql import Window, functions as F
 
@@ -385,6 +388,17 @@ def kmv_overlap(
         ).alias("kmv_inter_est"),
         F.expr("kmv_matches * 1000000 div n_x").cast("long").alias("kmv_jaccard_e6"),
     )
+
+    if not include_exact:
+        return sk.select(
+            F.col("grp_a").alias(f"{group_col}_a"),
+            F.col("grp_b").alias(f"{group_col}_b"),
+            "n_x",
+            "kmv_matches",
+            "kmv_union_est",
+            "kmv_inter_est",
+            "kmv_jaccard_e6",
+        )
 
     cnt = h.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
     inter = (

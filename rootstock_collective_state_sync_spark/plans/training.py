@@ -2845,10 +2845,13 @@ Q_IVF_RECALL_REPORT_ORACLE = _ivf_recall_report_oracle()
 
 
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise source-vocabulary overlap via KMV bottom-256 sketch
-    set operations (union / intersection / Jaccard estimates), each
-    row carrying the exact answer as its own accuracy report. The
-    deterministic md5 hash schedule makes even the sketch columns
+    """Pairwise source overlap of word 3-gram SHINGLE sets via KMV
+    bottom-256 sketch set operations (union / intersection / Jaccard
+    estimates), each row carrying the exact answer as its own
+    accuracy report — the sketch-level cross-source contamination
+    census (shingle universes vary by source where the raw token
+    vocabulary is near-shared, so the Jaccard spread is informative).
+    The deterministic md5 hash schedule makes even the sketch columns
     layout-invariant, so the whole set-operation estimator is
     driver-hash-checked. See :func:`..operators.sketches.kmv_overlap`."""
     from rootstock_collective_state_sync_spark.operators.sketches import (
@@ -2856,20 +2859,29 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "source", F.explode(X.tokens(F.col("text"))).alias("tokn")
+    sh = docs.select(
+        "source",
+        F.explode(X.word_shingles(X.tokens(F.col("text")))).alias("tokn"),
     )
-    return kmv_overlap(tok, "source", "tokn", k=256).orderBy(
+    return kmv_overlap(sh, "source", "tokn", k=256).orderBy(
         "source_a", "source_b"
     )
 
 
 Q_KMV_OVERLAP_ORACLE = """
-WITH t AS (
+WITH tk AS (
   SELECT source,
-         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                x -> x <> '')) AS tokn
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
   FROM documents
+),
+t AS (
+  SELECT source, unnest(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [] END) AS tokn
+  FROM tk
 ),
 h AS (
   SELECT DISTINCT source,

@@ -17,7 +17,11 @@ the "scaling" measurement would instead measure duplicate density:
 - ``lineitem``: replica k offsets ``l_orderkey`` (group-by measures
   scale 10x exactly; the q1 oracle re-runs cheaply at sf1).
 
-ids offset by k * (max_id + 1). Output goes under a caller-supplied
+Row groups are kept small (2 000 docs/vectors, 200 000 lineitems) so
+Spark gets real scan parallelism — a single-row-group file caps every
+downstream map stage at one task regardless of cluster size, which is
+a file-layout artifact, not a plan property (at 100 TB inputs arrive
+as thousands of files). ids offset by k * (max_id + 1). Output goes under a caller-supplied
 writable directory (default /tmp/spark_graft_sf1), never /root/testdata.
 
 Usage: PYTHONPATH=/root/repo python tools/scale_data.py [out_dir]
@@ -53,7 +57,7 @@ def build(out_dir: str = "/tmp/spark_graft_sf1") -> str:
                  lang, source, n_chars
           FROM '{SRC}/documents.parquet', range_k
           ORDER BY doc_id
-        ) TO '{out_dir}/documents.parquet' (FORMAT parquet)
+        ) TO '{out_dir}/documents.parquet' (FORMAT parquet, ROW_GROUP_SIZE 2000)
         """
     )
 
@@ -70,7 +74,7 @@ def build(out_dir: str = "/tmp/spark_graft_sf1") -> str:
                  label
           FROM '{SRC}/embeddings.parquet', range_k
           ORDER BY vec_id
-        ) TO '{out_dir}/embeddings.parquet' (FORMAT parquet)
+        ) TO '{out_dir}/embeddings.parquet' (FORMAT parquet, ROW_GROUP_SIZE 2000)
         """
     )
 
@@ -85,7 +89,7 @@ def build(out_dir: str = "/tmp/spark_graft_sf1") -> str:
                  l_extendedprice, l_discount, l_tax, l_returnflag,
                  l_linestatus, l_shipdate
           FROM '{SRC}/lineitem.parquet', range_k
-        ) TO '{out_dir}/lineitem.parquet' (FORMAT parquet)
+        ) TO '{out_dir}/lineitem.parquet' (FORMAT parquet, ROW_GROUP_SIZE 200000)
         """
     )
     return out_dir
