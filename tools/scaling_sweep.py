@@ -41,15 +41,21 @@ def main() -> None:
         d = f"/root/testdata/sf{sf}"
         out[sf] = {}
         for name in queries:
+            from rootstock_collective_state_sync_spark.caching import (
+                release_tracked,
+            )
+
             spark.catalog.clearCache()
             spark._jvm.System.gc()
             fn = SPECS[name].fn
             fn(spark, d).count()  # warm-up
+            release_tracked()  # every timed run pays its own persists
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, d).count()
                 ts.append(time.perf_counter() - t0)
+                release_tracked()
             out[sf][name] = round(sorted(ts)[1], 4)
     print(json.dumps(out))
     spark.stop()
