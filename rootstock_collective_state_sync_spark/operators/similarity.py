@@ -480,12 +480,19 @@ def ivf_probe_assignments(
     twice. Deterministic (dot-desc, centroid-index-asc tie-break) and
     SQL-replayable like the single-cell assignment."""
     cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
-    assign = _cell_udf(cent)
     probe = _probe_udf(cent, nprobe)
+    # one Arrow matmul pass: the home cell IS the first probe (both
+    # rank dot-desc with centroid-index-asc tie-break — `np.argmax`'s
+    # first-max equals the argsort head), so a separate `_cell_udf`
+    # pass over the corpus would double the Python-boundary cost for
+    # identical values (measured ~2x Arrow time on the celled graph
+    # builds before this fusion)
     return corpus.select(
+        F.col(id_col), probe(F.col(vec_col)).alias("probes")
+    ).select(
         F.col(id_col),
-        assign(F.col(vec_col)).alias("cell"),
-        probe(F.col(vec_col)).alias("probes"),
+        F.element_at("probes", 1).alias("cell"),
+        F.col("probes"),
     )
 
 
