@@ -190,3 +190,33 @@ def test_kmv_overlap_exact_when_small_and_sane_when_big(spark):
     assert abs(r["kmv_jaccard_e6"] - r["jaccard_exact_e6"]) < 220_000
     rel = abs(r["kmv_union_est"] - r["n_union_exact"]) / r["n_union_exact"]
     assert rel < 0.25
+
+
+def test_kmv_overlap_sketch_only_matches_audited(spark):
+    """`include_exact=False` (the production shape) must return the
+    identical sketch columns the audited run computes — dropping the
+    exact audit join cannot move the estimator."""
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    rows = (
+        [("a", f"v{i}") for i in range(500)]
+        + [("b", f"v{i}") for i in range(250, 750)]
+        + [("c", f"v{i}") for i in range(700, 800)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v string")
+    full = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in kmv_overlap(df, "grp", "v", k=64).collect()
+    }
+    lean = kmv_overlap(df, "grp", "v", k=64, include_exact=False)
+    assert lean.columns == [
+        "grp_a", "grp_b", "n_x", "kmv_matches",
+        "kmv_union_est", "kmv_inter_est", "kmv_jaccard_e6",
+    ]
+    for r in lean.collect():
+        f = full[(r["grp_a"], r["grp_b"])]
+        for c in ("n_x", "kmv_matches", "kmv_union_est",
+                  "kmv_inter_est", "kmv_jaccard_e6"):
+            assert r[c] == f[c], (r["grp_a"], r["grp_b"], c)
