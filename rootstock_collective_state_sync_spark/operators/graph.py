@@ -268,7 +268,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 def knn_edges_celled(
     emb: DataFrame,
     k: int = 3,
-    num_cells: int = 16,
+    num_cells: "int | str" = "auto",
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -285,9 +285,15 @@ def knn_edges_celled(
     SQL-oracle-checkable — unlike most ANN graph builds.
 
     Scale shape: ONE corpus shuffle on `cell`; candidate pairs are
-    O(n * nprobe * cell_size), never n² — at 100 TB size `num_cells`
-    so cells fit an executor (and consider the `semantic_dedup`
-    subcell guard pattern if one embedding cluster dominates a cell).
+    O(n * nprobe * cell_size), never n² — the DEFAULT ``"auto"``
+    geometry derives ``num_cells`` from the corpus size (standard IVF
+    sizing: hold cell_size ~constant), which is what keeps the build
+    linear per decade; a FIXED cell count makes cell_size ∝ n and
+    in-cell pairs ∝ n² (the 18×/decade shape SCALING.md measured at
+    sf1 with 16 pinned cells). Pin an integer only where an external
+    replayer (the DuckDB unrolled-k-means oracle) needs a fixed
+    geometry — and consider the `semantic_dedup` subcell guard
+    pattern if one embedding cluster dominates a cell.
     """
     from rootstock_collective_state_sync_spark.operators.similarity import (
         cosine_vectorized,

@@ -250,6 +250,40 @@ def _bucket_udf(num_tables: int, num_planes: int, dim: int):
     return _bucket_udfs[key]
 
 
+#: default per-cell population target for ``num_cells="auto"`` — the
+#: standard IVF sizing rule (hold cell_size constant, grow num_cells
+#: with the corpus) so in-cell candidate generation stays O(n), never
+#: O(n * cell_size) with cell_size ∝ n. 128 keeps the driver testdata
+#: at the oracle-tractable 16 cells through sf0.1 (500–2000 vectors)
+#: while the sf1 constructed decade (20 000) gets ~157 cells — the
+#: geometry SCALING.md measured back on the linear asymptote.
+AUTO_CELL_TARGET = 128
+
+
+def auto_num_cells(
+    n: int, target_cell_size: int = AUTO_CELL_TARGET, floor: int = 16
+) -> int:
+    """``max(floor, ceil(n / target_cell_size))`` — corpus-derived cell
+    count for the celled ANN/graph family. Deriving the geometry from
+    ``n`` (instead of pinning it) is what keeps the celled builds
+    linear per decade: fixed cells means cell_size ∝ n and in-cell
+    pairs ∝ n² (the 18×/decade shape SCALING.md measured at sf1)."""
+    return max(floor, -(-int(n) // int(target_cell_size)))
+
+
+def resolve_num_cells(
+    corpus: DataFrame,
+    num_cells: "int | str",
+    target_cell_size: int = AUTO_CELL_TARGET,
+) -> int:
+    """Resolve a ``num_cells`` knob that may be the literal ``"auto"``:
+    one control-plane ``count()`` (a metadata-cheap parquet row-count
+    scan) feeds :func:`auto_num_cells`; integers pass through."""
+    if num_cells == "auto":
+        return auto_num_cells(corpus.count(), target_cell_size)
+    return int(num_cells)
+
+
 def _train_ivf_centroids(
     corpus: DataFrame,
     num_cells: int,
@@ -466,7 +500,7 @@ def ivf_cell_assignments(
 
 def ivf_probe_assignments(
     corpus: DataFrame,
-    num_cells: int = 16,
+    num_cells: "int | str" = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -478,7 +512,12 @@ def ivf_probe_assignments(
     graph builds): a vector's candidates live in its probe cells while
     it is a candidate only in its home cell, so no pair is generated
     twice. Deterministic (dot-desc, centroid-index-asc tie-break) and
-    SQL-replayable like the single-cell assignment."""
+    SQL-replayable like the single-cell assignment.
+
+    ``num_cells="auto"`` derives the geometry from the corpus size
+    (:func:`auto_num_cells`) — the shape a 100 TB deployment wants,
+    and what keeps the celled graph family linear per decade."""
+    num_cells = resolve_num_cells(corpus, num_cells)
     cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
     probe = _probe_udf(cent, nprobe)
     # one Arrow matmul pass: the home cell IS the first probe (both

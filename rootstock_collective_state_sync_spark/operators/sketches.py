@@ -297,14 +297,17 @@ def kmv_overlap(
     group_col: str,
     value_col: str,
     k: int = 256,
-    include_exact: bool = True,
+    include_exact: bool = False,
 ) -> "DataFrame":
     """Pairwise KMV set-operation estimates between every two groups'
     value sets (Beyer et al. 2007, "On synopses for distinct-value
-    estimation under multiset operations"), side-by-side with the
-    exact answer so each row is its own accuracy report:
-    ``(grp_a, grp_b, n_exact_a, n_exact_b, n_inter_exact,
-    n_union_exact, jaccard_exact_e6, n_x, kmv_matches,
+    estimation under multiset operations"). The DEFAULT is the
+    production shape — sketch columns only, ``(grp_a, grp_b, n_x,
+    kmv_matches, kmv_union_est, kmv_inter_est, kmv_jaccard_e6)``;
+    ``include_exact=True`` opts IN to the audit shape that carries
+    the exact answer beside every estimate so each row is its own
+    accuracy report: ``(grp_a, grp_b, n_exact_a, n_exact_b,
+    n_inter_exact, n_union_exact, jaccard_exact_e6, n_x, kmv_matches,
     kmv_union_est, kmv_inter_est, kmv_jaccard_e6, err_e6)``.
 
     Estimators: with ``X`` the k smallest hashes of the UNION of the
@@ -326,10 +329,12 @@ def kmv_overlap(
     The pair spine is a broadcast nested-loop over the DISTINCT GROUP
     LIST only, never over data rows. The exact columns are the
     accuracy report: a value-universe-sized hash self-join that a
-    100 TB deployment drops — pass ``include_exact=False`` for the
-    production shape, where the only data-sized work left is the one
-    distinct-hash scan (measured: the audit join is >80% of wall time
-    once the value universe is corpus-sized, e.g. shingles).
+    100 TB deployment drops — which is why the sketch-only shape is
+    the DEFAULT (measured: the audit join is >80% of wall time once
+    the value universe is corpus-sized, e.g. shingles; the
+    sketch-only path's single data-sized term is the one
+    distinct-hash scan). ``include_exact=True`` is the explicit
+    opt-in for the audit.
     """
     from pyspark.sql import Window, functions as F
 

@@ -1227,7 +1227,7 @@ def q_knn_triangles_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rootstock_collective_state_sync_spark.operators import graph as G
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = G.knn_edges_celled(emb, k=_PR_K, num_cells=16, nprobe=_CELL_NPROBE)
+    edges = G.knn_edges_celled(emb, k=_PR_K, num_cells="auto", nprobe=_CELL_NPROBE)
     return (
         G.triangle_counts(edges)
         .select(F.col("id").alias("vec_id"), "degree", "n_triangles", "cc_e6")
@@ -1308,7 +1308,7 @@ def q_similarity_pagerank_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rootstock_collective_state_sync_spark.operators import graph as G
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = G.knn_edges_celled(emb, k=_PR_K, num_cells=16, nprobe=_CELL_NPROBE)
+    edges = G.knn_edges_celled(emb, k=_PR_K, num_cells="auto", nprobe=_CELL_NPROBE)
     return (
         G.pagerank_fixed(edges, iters=_PR_ITERS, damping_pct=_PR_DAMPING)
         .select(F.col("id").alias("vec_id"), "pr")
@@ -1389,7 +1389,7 @@ def q_label_propagation_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rootstock_collective_state_sync_spark.operators import graph as G
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = G.knn_edges_celled(emb, k=3, num_cells=16, nprobe=_CELL_NPROBE)
+    edges = G.knn_edges_celled(emb, k=3, num_cells="auto", nprobe=_CELL_NPROBE)
     return G.label_propagation(
         emb, k=3, iters=3, seed_mod=5, _edges=edges
     ).orderBy("id")
@@ -1495,7 +1495,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rootstock_collective_state_sync_spark.operators import graph as G
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = G.knn_edges_celled(emb, k=_PR_K, num_cells=16, nprobe=_CELL_NPROBE)
+    e = G.knn_edges_celled(emb, k=_PR_K, num_cells="auto", nprobe=_CELL_NPROBE)
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )

@@ -580,6 +580,11 @@ SPECS: dict[str, QuerySpec] = {
     "kmv_overlap": QuerySpec(
         TR.q_kmv_overlap,
         TR.Q_KMV_OVERLAP_ORACLE,
+        ("sketch", "agg", "text", "bench"),
+    ),
+    "kmv_overlap_audit": QuerySpec(
+        TR.q_kmv_overlap_audit,
+        TR.Q_KMV_OVERLAP_AUDIT_ORACLE,
         ("sketch", "agg", "text"),
     ),
     "count_min_tokens": QuerySpec(

@@ -2844,31 +2844,51 @@ Q_IVF_RECALL_REPORT_ORACLE = _ivf_recall_report_oracle()
 # ---------------------------------------------------------------------------
 
 
+def _kmv_overlap_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "source",
+        F.explode(X.word_shingles(X.tokens(F.col("text")))).alias("tokn"),
+    )
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source overlap of word 3-gram SHINGLE sets via KMV
     bottom-256 sketch set operations (union / intersection / Jaccard
-    estimates), each row carrying the exact answer as its own
-    accuracy report — the sketch-level cross-source contamination
-    census (shingle universes vary by source where the raw token
-    vocabulary is near-shared, so the Jaccard spread is informative).
-    The deterministic md5 hash schedule makes even the sketch columns
-    layout-invariant, so the whole set-operation estimator is
-    driver-hash-checked. See :func:`..operators.sketches.kmv_overlap`."""
+    estimates) — the PRODUCTION shape: sketch columns only, so the
+    single data-sized term is the one distinct-hash scan (the exact
+    audit self-join, >80% of wall once the shingle universe is
+    corpus-sized, is the opt-in twin `kmv_overlap_audit`). The
+    deterministic md5 hash schedule keeps even the sketch columns
+    layout-invariant, so the estimator itself is driver-hash-checked.
+    See :func:`..operators.sketches.kmv_overlap`."""
     from rootstock_collective_state_sync_spark.operators.sketches import (
         kmv_overlap,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "source",
-        F.explode(X.word_shingles(X.tokens(F.col("text")))).alias("tokn"),
-    )
+    sh = _kmv_overlap_shingles(spark, sf_dir)
     return kmv_overlap(sh, "source", "tokn", k=256).orderBy(
         "source_a", "source_b"
     )
 
 
-Q_KMV_OVERLAP_ORACLE = """
+def q_kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accuracy-audit twin of `kmv_overlap`: every sketch estimate
+    carries the exact answer (distinct-hash counts) beside it plus the
+    realized error — the shape a deployment runs on a SAMPLE to size
+    k, not on the corpus (the exact columns are a value-universe-sized
+    self-join; see the operator docstring's measured 80% figure)."""
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    sh = _kmv_overlap_shingles(spark, sf_dir)
+    return kmv_overlap(sh, "source", "tokn", k=256, include_exact=True).orderBy(
+        "source_a", "source_b"
+    )
+
+
+_KMV_OVERLAP_PREFIX = """
 WITH tk AS (
   SELECT source,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -2937,7 +2957,16 @@ sk2 AS (
            AS kmv_inter_est,
          (kmv_matches * 1000000 // n_x)::BIGINT AS kmv_jaccard_e6
   FROM sk
-),
+)"""
+
+Q_KMV_OVERLAP_ORACLE = _KMV_OVERLAP_PREFIX + """
+SELECT grp_a AS source_a, grp_b AS source_b,
+       n_x, kmv_matches, kmv_union_est, kmv_inter_est, kmv_jaccard_e6
+FROM sk2
+ORDER BY source_a, source_b
+"""
+
+Q_KMV_OVERLAP_AUDIT_ORACLE = _KMV_OVERLAP_PREFIX + """,
 cnt AS (SELECT source, count(*)::BIGINT AS n FROM h GROUP BY 1),
 iv AS (
   SELECT a.source AS grp_a, b.source AS grp_b,

@@ -172,7 +172,7 @@ def test_kmv_overlap_exact_when_small_and_sane_when_big(spark):
         ("b", f"v{i}") for i in range(20, 60)
     ]
     df = spark.createDataFrame(rows, "grp string, v string")
-    r = kmv_overlap(df, "grp", "v", k=256).collect()[0]
+    r = kmv_overlap(df, "grp", "v", k=256, include_exact=True).collect()[0]
     assert r["n_inter_exact"] == 20 and r["n_union_exact"] == 60
     assert r["kmv_union_est"] == r["n_union_exact"]
     assert r["kmv_inter_est"] == r["n_inter_exact"]
@@ -185,7 +185,7 @@ def test_kmv_overlap_exact_when_small_and_sane_when_big(spark):
         ("b", f"v{i}") for i in range(2000, 6000)
     ]
     df = spark.createDataFrame(rows, "grp string, v string")
-    r = kmv_overlap(df, "grp", "v", k=256).collect()[0]
+    r = kmv_overlap(df, "grp", "v", k=256, include_exact=True).collect()[0]
     assert r["n_x"] == 256
     assert abs(r["kmv_jaccard_e6"] - r["jaccard_exact_e6"]) < 220_000
     rel = abs(r["kmv_union_est"] - r["n_union_exact"]) / r["n_union_exact"]
@@ -193,11 +193,20 @@ def test_kmv_overlap_exact_when_small_and_sane_when_big(spark):
 
 
 def test_kmv_overlap_sketch_only_matches_audited(spark):
-    """`include_exact=False` (the production shape) must return the
-    identical sketch columns the audited run computes — dropping the
-    exact audit join cannot move the estimator."""
+    """The DEFAULT (sketch-only, the production shape — r10 verdict
+    item 2 flipped it) must return the identical sketch columns the
+    audited run computes — dropping the exact audit join cannot move
+    the estimator."""
+    import inspect
+
     from rootstock_collective_state_sync_spark.operators.sketches import (
         kmv_overlap,
+    )
+
+    # pin: the scale-safe shape is what naive callers get
+    assert (
+        inspect.signature(kmv_overlap).parameters["include_exact"].default
+        is False
     )
 
     rows = (
@@ -208,9 +217,9 @@ def test_kmv_overlap_sketch_only_matches_audited(spark):
     df = spark.createDataFrame(rows, "grp string, v string")
     full = {
         (r["grp_a"], r["grp_b"]): r
-        for r in kmv_overlap(df, "grp", "v", k=64).collect()
+        for r in kmv_overlap(df, "grp", "v", k=64, include_exact=True).collect()
     }
-    lean = kmv_overlap(df, "grp", "v", k=64, include_exact=False)
+    lean = kmv_overlap(df, "grp", "v", k=64)
     assert lean.columns == [
         "grp_a", "grp_b", "n_x", "kmv_matches",
         "kmv_union_est", "kmv_inter_est", "kmv_jaccard_e6",
