@@ -476,6 +476,15 @@ def twap_partial(
         t.alias("t"),
         F.round(F.col(value_col) * 100).cast("long").alias("vc"),
     )
+    return twap_partial_from_base(base, group_col)
+
+
+def twap_partial_from_base(base: DataFrame, group_col: str) -> DataFrame:
+    """:func:`twap_partial` over an already-projected ``(group, t,
+    id_, vc)`` frame (naive-epoch-microsecond ``t``, integer-cent
+    ``vc``) — the shape the watermark-bounded streaming twin buffers
+    pending events in, so finalization can build chunk partials
+    without round-tripping through timestamps."""
     w = Window.partitionBy(group_col).orderBy(
         F.col("t").asc(), F.col("id_").asc()
     )

@@ -10,8 +10,12 @@ family of arrival contract as TWAP's monotone arrival). Under it,
 counts over disjoint basket sets ADD EXACTLY, so rendering rules from
 the store equals the at-rest :func:`..operators.basket` pipeline over
 the full stream bit-for-bit (pinned by ``tests/test_streaming_basket.py``).
-A basket split across batches would double-count its items — route
-late basket fragments through a batch recompute instead.
+A basket split across batches would double-count its items — since
+round 11 the step ENFORCES the contract: basket keys are monotone
+under the order-keyed ingest, so a batch whose min key does not
+strictly exceed the store's high-water key raises
+:class:`.contracts.ArrivalContractError` before any store mutation
+(route late basket fragments through a batch recompute instead).
 
 The sums are NOT idempotent, so fully-applied replays are skipped via
 the :mod:`.replay` batch_id guard; per-batch rendered rules land
@@ -33,6 +37,9 @@ from rootstock_collective_state_sync_spark.operators.basket import (
     basket_pair_counts,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
+from rootstock_collective_state_sync_spark.streaming.contracts import (
+    check_basket_alignment,
+)
 from rootstock_collective_state_sync_spark.streaming.replay import (
     batch_already_applied,
     write_batch_scores,
@@ -108,6 +115,14 @@ def basket_foreach_batch(
         if not created and batch_already_applied(store, batch_id):
             return
         baskets = batch_df.select("bk", "item").distinct()
+        lo, hi = baskets.agg(F.min("bk"), F.max("bk")).collect()[0]
+        if not created:
+            # loud-fail BEFORE mutating: a straddling basket fragment
+            # would double-count its items (two scalars vs one
+            # manifest integer — control-plane)
+            check_basket_alignment(
+                store.manifest().meta.get("max_bk"), lo, hi, "basket"
+            )
         prev = store.read().select("kind", "a", "b", "cnt")
         merged = (
             prev.unionByName(_batch_counts(baskets))
@@ -131,6 +146,8 @@ def basket_foreach_batch(
             n, item_cnt, pair_cnt, min_sup_e6, min_conf_e6
         )
         write_batch_scores(rules, scores_path, batch_id)
-        store.overwrite(merged, meta={"batch_id": int(batch_id)})
+        store.overwrite(
+            merged, meta={"batch_id": int(batch_id), "max_bk": int(hi)}
+        )
 
     return step

@@ -11,8 +11,12 @@ bridges the store's last observation to the batch's first with
 exactly the segment the at-rest :func:`time_weighted_mean` would
 build, so the rendered store equals the batch operator bit-for-bit
 (pinned by ``tests/test_streaming_twap.py``). Out-of-order arrival
-violates the contract and mis-weights the bridge — use the batch
-operator over the at-rest table for late-data corrections.
+violates the contract and mis-weights the bridge — since round 11
+the step ENFORCES it: a violating batch raises
+:class:`.contracts.ArrivalContractError` before any store mutation
+(use the batch operator over the at-rest table for late-data
+corrections, or the watermark-bounded :mod:`.latebars` twin when
+the source genuinely delivers out of order).
 
 The merge's sums are NOT idempotent, so fully-applied replays are
 skipped via the :mod:`.replay` batch_id guard; per-batch rendered
@@ -33,6 +37,9 @@ from rootstock_collective_state_sync_spark.operators.temporal import (
     twap_render,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
+from rootstock_collective_state_sync_spark.streaming.contracts import (
+    check_monotone_groups,
+)
 from rootstock_collective_state_sync_spark.streaming.replay import (
     batch_already_applied,
     write_batch_scores,
@@ -78,6 +85,11 @@ def twap_foreach_batch(
             return
         new_p = twap_partial(batch_df, group_col, ts_col, value_col, id_col)
         prev = store.read().select(*[f.name for f in store_schema(group_col)])
+        if not created:
+            # loud-fail BEFORE mutating: an out-of-order batch would
+            # mis-weight the bridge segment (contract enforcement,
+            # groups-bounded join — control-plane)
+            check_monotone_groups(prev, new_p, group_col, "twap")
         merged = twap_merge2(prev, new_p, group_col)
         write_batch_scores(twap_render(merged, group_col), scores_path, batch_id)
         store.overwrite(merged, meta={"batch_id": int(batch_id)})
