@@ -111,12 +111,17 @@ def _capped_index(idx: DataFrame, max_docs_per_shingle: int) -> DataFrame:
     from pyspark.sql import Window
 
     # document frequency via a window over the shingle key: one
-    # shuffle, no separate aggregate+broadcast job pair
+    # shuffle, no separate aggregate+broadcast job pair. df_ RIDES
+    # ALONG on the capped rows: the pair-generating self-joins prune
+    # their inputs to df_ >= 2 for free (a shingle in one document can
+    # never produce a pair — at 3-gram granularity that is MOST of the
+    # index), which subsumes the Bloom-prune idea exactly: same
+    # effect, no false positives, no extra pass. Per-doc set sizes
+    # must keep counting df_ = 1 rows — consumers aggregate BEFORE
+    # applying the prune.
     df_ = F.count(F.lit(1)).over(Window.partitionBy("s"))
     return tracked_persist(
-        idx.withColumn("df_", df_)
-        .filter(F.col("df_") <= max_docs_per_shingle)
-        .drop("df_")
+        idx.withColumn("df_", df_).filter(F.col("df_") <= max_docs_per_shingle)
     )
 
 
@@ -124,8 +129,9 @@ def _hashed(capped: DataFrame) -> DataFrame:
     """Collapse shingle strings to 64-bit hashes for the verification
     joins: downstream shuffles move 8-byte keys instead of ~20-byte
     strings. Relabeling set elements preserves intersection / union
-    sizes — and therefore Jaccard — modulo ~1e-19 collision odds."""
-    return capped.select("id", F.xxhash64("s").alias("sh"))
+    sizes — and therefore Jaccard — modulo ~1e-19 collision odds.
+    Document frequency rides along for the df_ >= 2 join-side prune."""
+    return capped.select("id", F.xxhash64("s").alias("sh"), "df_")
 
 
 def _verified_jaccard_sets(
@@ -176,8 +182,13 @@ def _verified_jaccard(
     """Exact Jaccard over the hashed index, restricted to ``candidates``
     (id_a, id_b) when given, else to all index-sharing pairs."""
     sizes = capped.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = capped.select(F.col("id").alias("id_a"), "sh")
-    b = capped.select(F.col("id").alias("id_b"), "sh")
+    # df_ >= 2 prune: single-document shingles cannot intersect — drop
+    # them from BOTH join sides before the shuffle (sizes above keep
+    # them; for explicit candidates both docs are in the index, so a
+    # shared shingle necessarily has df_ >= 2 and counts are unchanged)
+    shared = capped.filter(F.col("df_") >= 2)
+    a = shared.select(F.col("id").alias("id_a"), "sh")
+    b = shared.select(F.col("id").alias("id_b"), "sh")
     if candidates is None:
         joined = a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
     else:
@@ -894,8 +905,11 @@ def containment_pairs(
     capped = _capped_index(idx, max_docs_per_shingle)
     hashed = _hashed(capped)
     sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = hashed.select(F.col("id").alias("id_a"), "sh")
-    b = hashed.select(F.col("id").alias("id_b"), "sh")
+    # df_ >= 2 prune (see _verified_jaccard): sizes keep df_=1 rows,
+    # the pair-generating self-join never needs to see them
+    shared = hashed.filter(F.col("df_") >= 2)
+    a = shared.select(F.col("id").alias("id_a"), "sh")
+    b = shared.select(F.col("id").alias("id_b"), "sh")
     inter = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))

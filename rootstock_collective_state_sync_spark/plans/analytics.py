@@ -280,6 +280,86 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout-invariant deterministic twin of `approx_quantiles`
+    (r10 verdict item 6): approximate per-type percentiles via a
+    DETERMINISTIC uniform sample — each type's 512 smallest
+    md5(event_id) rows (the same salted-hash schedule that made
+    `kmv_distinct_tokens` / `count_min_tokens` value-checkable) —
+    then exact nearest-rank quantiles on the sample. Hash-ordered
+    sampling IS uniform sampling with a replayable RNG: the estimate
+    carries the standard sample-quantile error bound yet every byte
+    is reproducible across engines and partitionings, so the driver
+    hash-checks the SKETCH itself, not just its error band. The
+    native Greenwald-Khanna `approx_quantiles` stays the production
+    alias (mergeable, one pass); this twin is the audit.
+
+    Scale shape: one window per type over md5 ranks prunes the corpus
+    to 512 rows/type before any quantile work; values snap to integer
+    cents so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    w_samp = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string").cast("binary")), F.col("event_id")
+    )
+    samp = (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+            F.row_number().over(w_samp).alias("srn"),
+        )
+        .filter(F.col("srn") <= 512)
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = samp.select(
+        "event_type",
+        "vc",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+
+    def at(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("vc"))
+        ).cast("long")
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_sample"),
+            at(0.5).alias("p50_c"),
+            at(0.9).alias("p90_c"),
+            at(0.99).alias("p99_c"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_APPROX_QUANTILES_SAMPLED_ORACLE = """
+WITH s AS (
+  SELECT event_type, event_id, round(value * 100)::BIGINT AS vc,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(event_id::VARCHAR), event_id) AS srn
+  FROM events
+),
+samp AS (SELECT event_type, event_id, vc FROM s WHERE srn <= 512),
+r AS (
+  SELECT event_type, vc,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY vc, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM samp
+)
+SELECT event_type,
+       max(n)::BIGINT AS n_sample,
+       max(CASE WHEN rn = ceil(n * 0.5) THEN vc END)::BIGINT AS p50_c,
+       max(CASE WHEN rn = ceil(n * 0.9) THEN vc END)::BIGINT AS p90_c,
+       max(CASE WHEN rn = ceil(n * 0.99) THEN vc END)::BIGINT AS p99_c
+FROM r GROUP BY 1 ORDER BY event_type
+"""
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history build from the event log: per-user validity
     intervals of the tracked state (event_type), consecutive

@@ -42,7 +42,17 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "cube_counts": QuerySpec(R.q_cube_counts, R.Q_CUBE_ORACLE, ("agg",)),
     "approx_distinct": QuerySpec(R.q_approx_distinct, None, ("agg",)),
+    "approx_distinct_kmv": QuerySpec(
+        R.q_approx_distinct_kmv,
+        R.Q_APPROX_DISTINCT_KMV_ORACLE,
+        ("agg", "sketch"),
+    ),
     "approx_quantiles": QuerySpec(AN.q_approx_quantiles, None, ("agg", "sketch")),
+    "approx_quantiles_sampled": QuerySpec(
+        AN.q_approx_quantiles_sampled,
+        AN.Q_APPROX_QUANTILES_SAMPLED_ORACLE,
+        ("agg", "sketch"),
+    ),
     "heavy_hitter_tokens": QuerySpec(
         TR.q_heavy_hitter_tokens, None, ("agg", "sketch", "text")
     ),

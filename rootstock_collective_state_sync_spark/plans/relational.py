@@ -704,6 +704,63 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout-invariant deterministic twin of `approx_distinct`
+    (r10 verdict item 6): per-type distinct-user estimate via the KMV
+    bottom-64 sketch on the deterministic md5 schedule — the exact
+    move that made `kmv_distinct_tokens` value-checkable — next to
+    the exact count and realized error. The native HLL
+    `approx_count_distinct` stays the production alias (constant
+    state, mergeable); this twin is the audit the driver can
+    hash-check. See :func:`..operators.sketches.kmv_distinct`."""
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        kmv_distinct(ev, "event_type", "user_id", k=64)
+        .orderBy("event_type")
+    )
+
+
+Q_APPROX_DISTINCT_KMV_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         list_sum(list_transform(range(15), kk ->
+             (strpos('0123456789abcdef',
+                     substr(md5(user_id::VARCHAR), kk + 1, 1)) - 1)
+             * (1::BIGINT << (4 * (14 - kk)))))::BIGINT AS h
+  FROM events
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+per AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_hashes,
+         max(CASE WHEN rn = 64 THEN h END) AS hk
+  FROM r GROUP BY 1
+),
+m AS (
+  SELECT ex.event_type, n_exact,
+         CASE WHEN hk IS NULL THEN n_hashes
+              ELSE ((63::HUGEINT * 1152921504606846976::HUGEINT) // hk)::BIGINT
+         END AS kmv_est
+  FROM ex JOIN per USING (event_type)
+)
+SELECT event_type, n_exact, kmv_est,
+       (abs(kmv_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_e6
+FROM m ORDER BY event_type
+"""
+
+
 def q_camel_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1/C2: naming scalar fns (``toCamelCase``) applied set-wise:
     lower-case the first character of each distinct part type."""

@@ -1972,6 +1972,13 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier/bigger surviving partner); transitive cluster resolution
     stays `dedup_clusters`' job. The oracle replays all three tiers
     on the same shrinking subsets.
+
+    r11 (verdict item 5): the tier self-joins inherit the df_>=2
+    join-side prune (single-doc shingles cannot pair — most of the
+    index at 3-gram granularity), and the report derives all tier
+    counts from four scalar aggregates exploded out of ONE row
+    instead of counting six survivor frames through their join
+    chains (sf0.1 wall 5.6s -> ~4.4s, executed stages down ~30%).
     """
     from rootstock_collective_state_sync_spark.operators import dedup as D
 
@@ -2005,27 +2012,46 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_small").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(killed3, "doc_id", "left_anti")
 
-    def tier(no: int, name: str, n_in: DataFrame, n_out: DataFrame):
-        return (
-            n_in.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
-            .crossJoin(
-                n_out.agg(F.count(F.lit(1)).cast("long").alias("n_out"))
-            )
-            .select(
-                F.lit(no).cast("int").alias("tier"),
-                F.lit(name).alias("tier_name"),
-                "n_in",
-                (F.col("n_in") - F.col("n_out")).alias("n_killed"),
-                "n_out",
-            )
+    # every tier count derives from FOUR scalars (kills are subsets of
+    # their tier's input by construction), so the report is a cross of
+    # four 1-row aggregates — the r10 shape counted six survivor
+    # FRAMES, each re-evaluating its semi/anti-join chain above the
+    # persisted index (measured ~30% of the funnel's wall at sf0.1)
+    n0 = docs.agg(F.count(F.lit(1)).cast("long").alias("n0"))
+    n1 = keepers1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    k2 = killed2.agg(F.count(F.lit(1)).cast("long").alias("k2"))
+    k3 = killed3.agg(F.count(F.lit(1)).cast("long").alias("k3"))
+    scalars = n0.crossJoin(n1).crossJoin(k2).crossJoin(k3)
+
+    def tier(no: int, name: str, n_in, n_killed):
+        return F.struct(
+            F.lit(no).cast("int").alias("tier"),
+            F.lit(name).alias("tier_name"),
+            n_in.cast("long").alias("n_in"),
+            n_killed.cast("long").alias("n_killed"),
+            (n_in - n_killed).cast("long").alias("n_out"),
         )
 
+    # the three report rows EXPLODE out of the single scalar row — a
+    # unionByName of three selects would re-evaluate the whole
+    # four-aggregate cross per branch (Spark does no cross-branch CSE)
     return (
-        tier(1, "exact", docs, s1)
-        .unionByName(tier(2, "near_dup_jaccard", s1, s2))
-        .unionByName(tier(3, "containment", s2, s3))
+        scalars.select(
+            F.explode(
+                F.array(
+                    tier(1, "exact", F.col("n0"), F.col("n0") - F.col("n1")),
+                    tier(2, "near_dup_jaccard", F.col("n1"), F.col("k2")),
+                    tier(
+                        3,
+                        "containment",
+                        F.col("n1") - F.col("k2"),
+                        F.col("k3"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
         .orderBy("tier")
     )
 
