@@ -71,6 +71,7 @@ def shingle_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """(id, shingle) inverted index — distinct word n-grams per doc.
 
@@ -78,11 +79,17 @@ def shingle_index(
     higher-order array transform: HOFs are interpreted expression
     trees in Spark while explode/window/concat stay inside whole-stage
     codegen — ~4x faster on this stage, identical output.
+
+    ``extra_cols`` ride along unchanged (id-functionally-dependent
+    columns like ``source``), so group-keyed consumers (the KMV
+    overlap census) get the fast build without a corpus-sized
+    id join afterwards.
     """
     from pyspark.sql import Window
 
     tok = df.select(
         F.col(id_col).alias("id"),
+        *extra_cols,
         F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
     )
     w = Window.partitionBy("id").orderBy("pos")
@@ -90,11 +97,12 @@ def shingle_index(
     return (
         tok.select(
             "id",
+            *extra_cols,
             F.concat_ws(" ", *parts).alias("s"),
             F.lead("t", n - 1).over(w).alias("__last"),
         )
         .filter(F.col("__last").isNotNull())
-        .select("id", "s")
+        .select("id", *extra_cols, "s")
         .distinct()
     )
 

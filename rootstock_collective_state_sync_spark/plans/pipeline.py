@@ -137,6 +137,89 @@ def _stage_novelty_floor(df: DataFrame, p: dict[str, Any]) -> DataFrame:
     return df.join(keep, "doc_id", "left_semi")
 
 
+def _stage_entropy_floor(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Drop gibberish/template docs below the Shannon-entropy floors
+    (token- and/or char-level; either floor may be omitted)."""
+    from rootstock_collective_state_sync_spark.operators.text import entropy_scores
+
+    sc = entropy_scores(df)
+    cond = F.lit(True)
+    if "min_token_entropy" in p:
+        cond = cond & (F.col("token_entropy") >= float(p["min_token_entropy"]))
+    if "min_char_entropy" in p:
+        cond = cond & (F.col("char_entropy") >= float(p["min_char_entropy"]))
+    if "max_char_entropy" in p:  # binary/garbled payload ceiling
+        cond = cond & (F.col("char_entropy") <= float(p["max_char_entropy"]))
+    return df.join(
+        sc.filter(cond).select("doc_id"), "doc_id", "left_semi"
+    )
+
+
+def _stage_script_filter(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Keep only docs whose dominant character script is allowed —
+    the homoglyph/spam screen upstream of lang-id."""
+    from rootstock_collective_state_sync_spark.operators.text import script_census
+
+    allowed = [s.lower() for s in p.get("scripts", ["latin"])]
+    keep = (
+        script_census(df)
+        .filter(F.col("main_script").isin(*allowed))
+        .select("doc_id")
+    )
+    return df.join(keep, "doc_id", "left_semi")
+
+
+def _stage_c4_filter(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) as a keep-filter."""
+    flags = RL.c4_quality(
+        df,
+        min_line_words=int(p.get("min_line_words", 5)),
+        min_sentences=int(p.get("min_sentences", 3)),
+    )
+    return df.join(
+        flags.filter(F.col("c4_keep") == 1).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+
+def _stage_readability_band(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Keep docs inside a Flesch reading-ease band (e3-snapped ints;
+    both too-hard and suspiciously-easy text can be cut)."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        readability_scores,
+    )
+
+    keep = (
+        readability_scores(df)
+        .filter(
+            (F.col("flesch_e3") >= int(p.get("min_e3", 0)))
+            & (F.col("flesch_e3") <= int(p.get("max_e3", 206_835)))
+        )
+        .select(F.col("id").alias("doc_id"))
+    )
+    return df.join(keep, "doc_id", "left_semi")
+
+
+def _stage_dsir_floor(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Keep docs whose DSIR mean log-likelihood ratio against the
+    target subcorpus clears the floor (``target_sources`` marks the
+    target slice; the raw side is the whole pool, per the paper)."""
+    from rootstock_collective_state_sync_spark.operators.text import dsir_log_ratio
+
+    marked = df.withColumn(
+        "is_target", F.col(p.get("source_col", "source")).isin(
+            *p["target_sources"]
+        )
+    )
+    keep = (
+        dsir_log_ratio(marked, num_buckets=int(p.get("num_buckets", 4096)))
+        .filter(F.col("mean_lr") >= float(p["min_mean_lr"]))
+        .select("doc_id")
+    )
+    return df.join(keep, "doc_id", "left_semi")
+
+
 STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
     "gopher_filter": _stage_gopher_filter,
     "exact_dedup": _stage_exact_dedup,
@@ -149,6 +232,12 @@ STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
     "containment_dedup": _stage_containment_dedup,
     "pii_card_filter": _stage_pii_card_filter,
     "novelty_floor": _stage_novelty_floor,
+    # r11: the round-9/10 quality screens as declarative stages
+    "entropy_floor": _stage_entropy_floor,
+    "script_filter": _stage_script_filter,
+    "c4_filter": _stage_c4_filter,
+    "readability_band": _stage_readability_band,
+    "dsir_floor": _stage_dsir_floor,
 }
 
 

@@ -2871,10 +2871,18 @@ Q_IVF_RECALL_REPORT_ORACLE = _ivf_recall_report_oracle()
 
 
 def _kmv_overlap_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, shingle) rows via the codegen posexplode+window build
+    (operators.dedup.shingle_index with `source` riding along) — the
+    interpreted `word_shingles` HOF was 4-5x slower on this, the
+    dominant stage of both kmv_overlap shapes. Per-doc dedup is
+    harmless here: kmv_hashes dedups per (source, hash) anyway."""
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        shingle_index,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "source",
-        F.explode(X.word_shingles(X.tokens(F.col("text")))).alias("tokn"),
+    return shingle_index(docs, extra_cols=("source",)).select(
+        "source", F.col("s").alias("tokn")
     )
 
 

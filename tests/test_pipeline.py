@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from rootstock_collective_state_sync_spark.plans.pipeline import (
     compile_pipeline,
     run_pipeline,
@@ -120,3 +122,54 @@ def test_pii_and_novelty_stages(spark):
     assert [t["stage"] for t in trail] == [
         "input", "pii_card_filter", "novelty_floor"
     ]
+
+
+def test_r11_quality_screen_stages(spark):
+    """The round-9/10 screens as declarative stages (r10 verdict item
+    8): entropy floor, script filter, C4 rules, readability band, and
+    the DSIR weight floor compose into one auditable spec over the
+    real documents table."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # the testdata docs carry no terminal punctuation, so the c4 stage
+    # is exercised on the synthetic corpus below instead
+    spec = [
+        {"stage": "script_filter", "scripts": ["latin"]},
+        {"stage": "entropy_floor", "min_char_entropy": 0.5},
+        {"stage": "readability_band", "min_e3": 0, "max_e3": 206_835},
+        {
+            "stage": "dsir_floor",
+            "target_sources": ["src0", "src1"],
+            "min_mean_lr": -10.0,
+        },
+    ]
+    out, trail = run_pipeline(docs, spec, audit=True)
+    assert [t["stage"] for t in trail] == [
+        "input", "script_filter", "entropy_floor",
+        "readability_band", "dsir_floor",
+    ]
+    counts = [t["rows"] for t in trail]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] == 500 and out.count() == counts[-1] > 0
+    # the stages actually bite on synthetic junk rows
+    good = (
+        "The quick brown fox jumps over the lazy dog today. "
+        "It was a bright cold day in April and the clocks struck."
+    )
+    corpus = spark.createDataFrame(
+        [(1, good),
+         (2, "aaaa aaaa aaaa aaaa."),                       # low entropy
+         (3, "Добрый день всем сегодня."),                  # cyrillic
+         (4, "no terminal punctuation here at all")],       # c4 kill
+        "doc_id long, text string",
+    ).withColumn("source", F.lit("srcX"))
+    out2, _ = run_pipeline(
+        corpus,
+        [
+            {"stage": "script_filter", "scripts": ["latin"]},
+            {"stage": "entropy_floor", "min_char_entropy": 2.0},
+            {"stage": "c4_filter", "min_line_words": 2, "min_sentences": 1},
+        ],
+        audit=False,
+    )
+    ids2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
+    assert ids2 == {1}

@@ -1,0 +1,67 @@
+"""Gate on the per-round sf1 decade artifact (r10 verdict items 1+7):
+BENCH_sf1_r<N>.json is emitted by tools/sf1_bench.py each round; this
+test fails the build when (a) the celled-graph family leaves its
+linear asymptote again (the r10 `weak` was graph_assortativity at
+18x/decade under fixed 16-cell geometry), or (b) any headline query's
+sf1/sf0.1 ratio DOUBLES round-over-round (host-drift-normalized via
+the paired calibration probes)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# bench seats built on the celled kNN edge path (auto cell geometry)
+CELLED = {"graph_assortativity"}
+# measured 2.9x at r11 (auto geometry); 8 leaves room for host noise
+# while still failing long before the 18x fixed-geometry shape
+CELLED_MAX_RATIO = 8.0
+
+
+def _artifacts():
+    return sorted(glob.glob(os.path.join(ROOT, "BENCH_sf1_r*.json")))
+
+
+def _mid_drift(d: dict) -> float:
+    """How much the host slowed between the artifact's start and end
+    calibration probes (sf1 legs run last, so they absorb this)."""
+    c0, c1 = d.get("calibration_sec"), d.get("calibration_end_sec")
+    if not c0 or not c1:
+        return 1.0
+    return max(1.0, c1 / c0)
+
+
+def test_celled_family_stays_linear_per_decade():
+    arts = _artifacts()
+    if not arts:
+        pytest.skip("no BENCH_sf1 artifact yet (tools/sf1_bench.py)")
+    d = json.load(open(arts[-1]))
+    drift = _mid_drift(d)
+    for q in CELLED & set(d["ratio_sf1_over_sf0_1"]):
+        ratio = d["ratio_sf1_over_sf0_1"][q] / drift
+        assert ratio <= CELLED_MAX_RATIO, (
+            f"{q}: sf1/sf0.1 = {d['ratio_sf1_over_sf0_1'][q]} "
+            f"(drift-adjusted {ratio:.2f}) > {CELLED_MAX_RATIO} — the "
+            f"celled geometry has left the linear family; check that "
+            f"num_cells still derives from corpus size "
+            f"(operators/similarity.auto_num_cells)"
+        )
+
+
+def test_no_headline_ratio_doubles_round_over_round():
+    arts = _artifacts()
+    if len(arts) < 2:
+        pytest.skip("needs two rounds of BENCH_sf1 artifacts")
+    prev, cur = json.load(open(arts[-2])), json.load(open(arts[-1]))
+    pr, cr = prev["ratio_sf1_over_sf0_1"], cur["ratio_sf1_over_sf0_1"]
+    pd_, cd = _mid_drift(prev), _mid_drift(cur)
+    bad = []
+    for q in set(pr) & set(cr):
+        if pr[q] and cr[q] and (cr[q] / cd) > 2.0 * (pr[q] / pd_):
+            bad.append((q, pr[q], cr[q]))
+    assert not bad, f"decade-scale regressions (prev_ratio, cur_ratio): {bad}"

@@ -14,8 +14,16 @@ the "scaling" measurement would instead measure duplicate density:
   the sf0.1 results.
 - ``embeddings``: replica k rotates the vector left by k positions —
   norm- and distribution-preserving, decorrelates replicas.
-- ``lineitem``: replica k offsets ``l_orderkey`` (group-by measures
-  scale 10x exactly; the q1 oracle re-runs cheaply at sf1).
+- ``lineitem`` + ``orders``: replica k offsets the SHARED order-key
+  space (one offset for both tables, so orderkey joins keep working
+  at sf1); customer keys are kept, so each customer carries 10x
+  orders — the realistic decade shape for the TPC-H join queries.
+- ``events``: replica k offsets ``event_id``; user/type/ts/value kept,
+  so per-key and per-bucket event volumes scale 10x exactly (the bar /
+  session / basket families measure a real data-term decade).
+- dimension tables (``region nation customer supplier part``) are
+  copied verbatim — dims grow slower than facts; keeping them fixed
+  preserves broadcast-side sizes, which is what the plans assume.
 
 Row groups are kept small (2 000 docs/vectors, 200 000 lineitems) so
 Spark gets real scan parallelism — a single-row-group file caps every
@@ -78,13 +86,15 @@ def build(out_dir: str = "/tmp/spark_graft_sf1") -> str:
         """
     )
 
-    loff = con.execute(
-        f"SELECT max(l_orderkey) + 1 FROM '{SRC}/lineitem.parquet'"
+    okey_off = con.execute(
+        f"""SELECT greatest(
+              (SELECT max(l_orderkey) FROM '{SRC}/lineitem.parquet'),
+              (SELECT max(o_orderkey) FROM '{SRC}/orders.parquet')) + 1"""
     ).fetchone()[0]
     con.execute(
         f"""
         COPY (
-          SELECT l_orderkey + k * {loff} AS l_orderkey,
+          SELECT l_orderkey + k * {okey_off} AS l_orderkey,
                  l_partkey, l_suppkey, l_linenumber, l_quantity,
                  l_extendedprice, l_discount, l_tax, l_returnflag,
                  l_linestatus, l_shipdate
@@ -92,6 +102,46 @@ def build(out_dir: str = "/tmp/spark_graft_sf1") -> str:
         ) TO '{out_dir}/lineitem.parquet' (FORMAT parquet, ROW_GROUP_SIZE 200000)
         """
     )
+    ocols = [
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/orders.parquet'"
+        ).fetchall()
+    ]
+    rest = ", ".join(c for c in ocols if c != "o_orderkey")
+    con.execute(
+        f"""
+        COPY (
+          SELECT o_orderkey + k * {okey_off} AS o_orderkey, {rest}
+          FROM '{SRC}/orders.parquet', range_k
+        ) TO '{out_dir}/orders.parquet' (FORMAT parquet, ROW_GROUP_SIZE 200000)
+        """
+    )
+
+    eoff = con.execute(
+        f"SELECT max(event_id) + 1 FROM '{SRC}/events.parquet'"
+    ).fetchone()[0]
+    ecols = [
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/events.parquet'"
+        ).fetchall()
+    ]
+    erest = ", ".join(c for c in ecols if c != "event_id")
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + k * {eoff} AS event_id, {erest}
+          FROM '{SRC}/events.parquet', range_k
+        ) TO '{out_dir}/events.parquet' (FORMAT parquet, ROW_GROUP_SIZE 200000)
+        """
+    )
+
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        con.execute(
+            f"""COPY (SELECT * FROM '{SRC}/{dim}.parquet')
+                TO '{out_dir}/{dim}.parquet' (FORMAT parquet)"""
+        )
     return out_dir
 
 
