@@ -236,6 +236,107 @@ def k_anonymity_census(
     )
 
 
+def k_anonymity_generalize_census(
+    df: DataFrame,
+    qi_cols: list[str],
+    fine_col: str,
+    coarse_col: str,
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """One-level generalization ladder before suppression — Sweeney's
+    standard k-anonymity mechanism (Sweeney 2002 §"generalization"):
+    rows whose full-precision quasi-identifier class is below ``k``
+    are not dropped outright; first their ``fine_col`` dimension is
+    GENERALIZED to ``coarse_col`` (e.g. month -> quarter — both must
+    already be materialized on ``df``), the failing rows re-group at
+    the coarser key, and only classes still below ``k`` are
+    suppressed. Local recoding: rows already safe at full precision
+    keep it (maximal utility), only at-risk rows lose precision.
+
+    Returns ONE governance row proving the ladder: ``n_rows``,
+    ``n_level0`` (kept at full precision), ``n_generalized`` (kept at
+    the coarser level), ``n_suppressed`` (dropped after the ladder),
+    ``n_suppressed_suppression_only`` (what suppression-only would
+    have dropped — strictly >= n_suppressed; the difference is the
+    rows the ladder SAVED), ``n_groups`` (kept classes across both
+    levels), ``min_k`` over kept classes (>= k by construction — the
+    proof obligation), and ``min_l`` (distinct sensitive values in
+    the weakest kept class).
+
+    Scale shape (100 TB): two QI-keyed shuffles (full-precision class
+    sizes; coarse re-grouping of the FAILING rows only — typically a
+    small residue) + one single-row reduction. Class keys move, rows
+    do not leave with sensitive values attached past the first
+    aggregate.
+    """
+    qi1 = [c for c in qi_cols if c != fine_col]
+
+    lvl0 = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("k0"),
+        F.countDistinct(F.col(sensitive_col)).cast("long").alias("l0"),
+    )
+    # class-level routing: safe classes keep full precision
+    keep0 = lvl0.filter(F.col("k0") >= k)
+    fail0_rows = df.join(
+        lvl0.filter(F.col("k0") < k).select(*qi_cols), qi_cols, "left_semi"
+    )
+    lvl1 = fail0_rows.groupBy(*qi1, coarse_col).agg(
+        F.count(F.lit(1)).cast("long").alias("k1"),
+        F.countDistinct(F.col(sensitive_col)).cast("long").alias("l1"),
+    )
+    keep1 = lvl1.filter(F.col("k1") >= k)
+
+    s0 = keep0.agg(
+        F.coalesce(F.sum("k0"), F.lit(0)).cast("long").alias("n_level0"),
+        F.count(F.lit(1)).cast("long").alias("g0"),
+        F.min("k0").cast("long").alias("mk0"),
+        F.min("l0").cast("long").alias("ml0"),
+    )
+    s1 = keep1.agg(
+        F.coalesce(F.sum("k1"), F.lit(0)).cast("long").alias("n_generalized"),
+        F.count(F.lit(1)).cast("long").alias("g1"),
+        F.min("k1").cast("long").alias("mk1"),
+        F.min("l1").cast("long").alias("ml1"),
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    fail = fail0_rows.agg(
+        F.count(F.lit(1))
+        .cast("long")
+        .alias("n_suppressed_suppression_only")
+    )
+    return (
+        tot.crossJoin(s0)
+        .crossJoin(s1)
+        .crossJoin(fail)
+        .select(
+            "n_rows",
+            "n_level0",
+            "n_generalized",
+            (
+                F.col("n_suppressed_suppression_only")
+                - F.col("n_generalized")
+            )
+            .cast("long")
+            .alias("n_suppressed"),
+            "n_suppressed_suppression_only",
+            (F.col("g0") + F.col("g1")).cast("long").alias("n_groups"),
+            # explicit empty-level cases: least() null-handling differs
+            # across engines, CASE does not
+            F.when(F.col("g0") == 0, F.col("mk1"))
+            .when(F.col("g1") == 0, F.col("mk0"))
+            .otherwise(F.least("mk0", "mk1"))
+            .cast("long")
+            .alias("min_k"),
+            F.when(F.col("g0") == 0, F.col("ml1"))
+            .when(F.col("g1") == 0, F.col("ml0"))
+            .otherwise(F.least("ml0", "ml1"))
+            .cast("long")
+            .alias("min_l"),
+        )
+    )
+
+
 def weighted_median(
     df: DataFrame,
     group_cols: list[str],

@@ -1572,6 +1572,90 @@ FROM grp
 """
 
 
+def q_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweeney's generalization ladder before suppression (r10 verdict
+    item 10): rows whose (status, priority, DAY) class is below k=5
+    first coarsen the date to MONTH; only classes still small after
+    the ladder are suppressed. The output row proves min_k >= 5 AND
+    n_suppressed < n_suppressed_suppression_only — generalization
+    buys back rows suppression-only would have destroyed (at sf0.01:
+    ~15k of them; day-level QI re-identifies almost everyone). See
+    :func:`..operators.profile.k_anonymity_generalize_census`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        k_anonymity_generalize_census,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_day", F.col("o_orderdate"))
+        .withColumn("o_month", F.trunc("o_orderdate", "month"))
+    )
+    return k_anonymity_generalize_census(
+        orders,
+        qi_cols=["o_orderstatus", "o_orderpriority", "o_day"],
+        fine_col="o_day",
+        coarse_col="o_month",
+        sensitive_col="o_custkey",
+        k=5,
+    )
+
+
+Q_K_ANONYMITY_GENERALIZE_ORACLE = """
+WITH o AS (
+  SELECT o_orderstatus, o_orderpriority,
+         o_orderdate AS o_day,
+         date_trunc('month', o_orderdate) AS o_month,
+         o_custkey
+  FROM orders
+),
+lvl0 AS (
+  SELECT o_orderstatus, o_orderpriority, o_day,
+         count(*)::BIGINT AS k0,
+         count(DISTINCT o_custkey)::BIGINT AS l0
+  FROM o GROUP BY 1, 2, 3
+),
+keep0 AS (SELECT * FROM lvl0 WHERE k0 >= 5),
+fail0_rows AS (
+  SELECT o.* FROM o
+  SEMI JOIN (SELECT o_orderstatus, o_orderpriority, o_day
+             FROM lvl0 WHERE k0 < 5) f
+  USING (o_orderstatus, o_orderpriority, o_day)
+),
+lvl1 AS (
+  SELECT o_orderstatus, o_orderpriority, o_month,
+         count(*)::BIGINT AS k1,
+         count(DISTINCT o_custkey)::BIGINT AS l1
+  FROM fail0_rows GROUP BY 1, 2, 3
+),
+keep1 AS (SELECT * FROM lvl1 WHERE k1 >= 5),
+s0 AS (
+  SELECT coalesce(sum(k0), 0)::BIGINT AS n_level0,
+         count(*)::BIGINT AS g0,
+         min(k0)::BIGINT AS mk0, min(l0)::BIGINT AS ml0
+  FROM keep0
+),
+s1 AS (
+  SELECT coalesce(sum(k1), 0)::BIGINT AS n_generalized,
+         count(*)::BIGINT AS g1,
+         min(k1)::BIGINT AS mk1, min(l1)::BIGINT AS ml1
+  FROM keep1
+),
+tot AS (SELECT count(*)::BIGINT AS n_rows FROM o),
+fl AS (SELECT count(*)::BIGINT AS n_fail FROM fail0_rows)
+SELECT n_rows,
+       n_level0,
+       n_generalized,
+       (n_fail - n_generalized)::BIGINT AS n_suppressed,
+       n_fail AS n_suppressed_suppression_only,
+       (g0 + g1)::BIGINT AS n_groups,
+       (CASE WHEN g0 = 0 THEN mk1 WHEN g1 = 0 THEN mk0
+             ELSE least(mk0, mk1) END)::BIGINT AS min_k,
+       (CASE WHEN g0 = 0 THEN ml1 WHEN g1 = 0 THEN ml0
+             ELSE least(ml0, ml1) END)::BIGINT AS min_l
+FROM tot, s0, s1, fl
+"""
+
+
 # ---------------------------------------------------------------------------
 # Market-basket association rules (apriori-pruned support/confidence/lift)
 # ---------------------------------------------------------------------------

@@ -185,6 +185,11 @@ SPECS: dict[str, QuerySpec] = {
         AN.Q_K_ANONYMITY_ENFORCE_ORACLE,
         ("analytics", "pii", "agg"),
     ),
+    "k_anonymity_generalize": QuerySpec(
+        AN.q_k_anonymity_generalize,
+        AN.Q_K_ANONYMITY_GENERALIZE_ORACLE,
+        ("analytics", "pii", "agg"),
+    ),
     "weighted_median_price": QuerySpec(
         AN.q_weighted_median_price,
         AN.Q_WEIGHTED_MEDIAN_PRICE_ORACLE,

@@ -65,3 +65,54 @@ def test_knn_edges_celled_auto_geometry_scales_cell_count(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     n = emb.count()
     assert S.auto_num_cells(n, target_cell_size=16) == -(-n // 16) == 32
+
+
+def test_k_anonymity_generalize_ladder_proof(spark):
+    """The Sweeney ladder's two proof obligations (r10 verdict item
+    10): every kept class has k >= 5 (min_k), and generalization
+    suppresses STRICTLY fewer rows than suppression-only on the same
+    input; plus the row-accounting identity."""
+    from rootstock_collective_state_sync_spark.plans.registry import SPECS
+
+    r = (
+        SPECS["k_anonymity_generalize"].fn(spark, SF_SMOKE).collect()[0]
+    )
+    assert r["min_k"] >= 5 and r["min_l"] >= 1
+    assert r["n_suppressed"] < r["n_suppressed_suppression_only"]
+    assert (
+        r["n_rows"]
+        == r["n_level0"] + r["n_generalized"] + r["n_suppressed"]
+    )
+
+
+def test_k_anonymity_generalize_local_recoding(spark):
+    """Local recoding semantics on a hand-built frame: safe
+    full-precision classes stay at level 0; failing rows that
+    consolidate at the coarse key are generalized; a failing row with
+    no coarse companion is suppressed."""
+    from pyspark.sql import functions as F
+
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        k_anonymity_generalize_census,
+    )
+
+    rows = (
+        # class A/day1: k=3 -> safe at level 0 (k=3 >= k=3)
+        [("A", f"2024-01-0{d}", i) for i, d in enumerate([1, 1, 1])]
+        # class A/day2 + A/day3: k=1 each -> fail, consolidate at month
+        + [("A", "2024-01-02", 10), ("A", "2024-01-03", 11),
+           ("A", "2024-01-04", 12)]
+        # class B/day9: k=1, alone in its month -> suppressed
+        + [("B", "2024-03-09", 20)]
+    )
+    df = (
+        spark.createDataFrame(rows, "grp string, day string, cust long")
+        .withColumn("day", F.to_date("day"))
+        .withColumn("month", F.trunc("day", "month"))
+    )
+    r = k_anonymity_generalize_census(
+        df, qi_cols=["grp", "day"], fine_col="day", coarse_col="month",
+        sensitive_col="cust", k=3,
+    ).collect()[0]
+    assert (r["n_level0"], r["n_generalized"], r["n_suppressed"]) == (3, 3, 1)
+    assert r["min_k"] == 3 and r["n_groups"] == 2
