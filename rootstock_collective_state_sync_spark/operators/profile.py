@@ -236,6 +236,173 @@ def k_anonymity_census(
     )
 
 
+#: round(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law expected
+#: first-digit shares, pinned as integers so both engines compare the
+#: same constants (no float log in either plan).
+BENFORD_E6 = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def benford_audit(
+    df: DataFrame, value_col: str, cents: bool = True
+) -> DataFrame:
+    """First-significant-digit census vs Benford's law (Newcomb 1881 /
+    Benford 1938) — the classic fabricated-numbers screen for financial
+    columns, and for training data a synthetic-vs-organic numeral
+    signal. The digit is extracted from the INTEGER cent string
+    (``substr(cast(round(v*100) as string), 1, 1)``), never via float
+    ``log10`` — exact at every power-of-ten boundary on both engines.
+
+    Returns one row per digit 1-9: ``(digit, n, freq_e6,
+    benford_e6, dev_e6)``, freq over the positive values only.
+
+    Scale shape: one projection + one 9-group aggregation (map-side
+    combined) + a broadcast 9-row expected-value spine — no
+    corpus-sized shuffle at any size.
+    """
+    vc = (
+        F.round(F.col(value_col) * 100).cast("long")
+        if cents
+        else F.col(value_col).cast("long")
+    )
+    digits = (
+        df.select(vc.alias("vc"))
+        .filter(F.col("vc") > 0)
+        .select(F.substring(F.col("vc").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    per = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d + 1, BENFORD_E6[d]) for d in range(9)], "digit int, benford_e6 long"
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("_t"))
+    return (
+        spine
+        # per/tot are 9-row and 1-row aggregates — broadcast the BUILD
+        # side (right of the left-outer; the stream side can't build)
+        .join(F.broadcast(per), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr("coalesce(n, 0) * 1000000 div _t").cast("long").alias("freq_e6"),
+            "benford_e6",
+            F.abs(
+                F.expr("coalesce(n, 0) * 1000000 div _t") - F.col("benford_e6")
+            )
+            .cast("long")
+            .alias("dev_e6"),
+        )
+    )
+
+
+def gini_index(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact per-group Gini concentration index (e6 integer) over
+    nonnegative integer values — inequality of order totals per
+    segment, or (training-data governance) how concentrated a
+    source's token budget is over its documents. Rank formulation:
+    ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)`` over values sorted
+    ascending — tie-invariant (equal values commute under the rank
+    weights), so the ``id_col`` tiebreak affects nothing and the
+    statistic is value-checkable bit-for-bit. DECIMAL(38,0)
+    accumulation; one final integer div to e6.
+
+    Scale shape: ONE shuffle on the group key; the rank window and
+    the aggregate reuse that partitioning; output is one row per
+    group.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("v").asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        *group_cols, F.col(id_col), F.col(value_col).alias("v")
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("rn").cast("decimal(38,0)") * F.col("v")).alias("ws"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            F.col("s").cast("long").alias("total"),
+            F.expr(
+                "CAST((2 * ws - (n + 1) * s) * 1000000 div (n * s) AS BIGINT)"
+            ).alias("gini_e6"),
+        )
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Equi-DEPTH histogram (optimizer-stats shape: equal row counts
+    per bucket, data-driven boundaries) — the companion to the
+    fixed-grid equi-width histogram. ``ntile`` over the deterministic
+    ``(value, id)`` total order is SQL-standard on both engines
+    (first ``n mod B`` buckets take the extra row), so boundaries are
+    value-checkable exactly.
+
+    Returns ``(bucket, n, lo, hi)`` — monotone, contiguous coverage.
+
+    Scale shape: a naive ``ntile() OVER (ORDER BY ...)`` would move
+    EVERY row through one partition (Spark warns exactly that), so
+    the global rank is decomposed instead: per-value counts (one
+    map-side-combined shuffle, DISTINCT-VALUES-sized output), a
+    cumulative offset over that value table (the only single-
+    partition window — |V| rows, vocabulary- not corpus-sized), a
+    per-VALUE row_number for the tie split (distributed window keyed
+    on v), and the SQL-standard ntile bucket computed arithmetically
+    from ``offset + rn``. Bit-identical to ntile over the (value,
+    id) total order — the DuckDB oracle replays plain ntile.
+    """
+    t = df.select(F.col(id_col).alias("_id"), F.col(value_col).alias("v"))
+    per_v = t.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    off = per_v.withColumn(
+        "off", F.coalesce(F.sum("c").over(w_v), F.lit(0)).cast("long")
+    )
+    tot = per_v.agg(F.sum("c").cast("long").alias("_n"))
+    w_in = Window.partitionBy("v").orderBy(F.col("_id").asc())
+    ranked = (
+        t.withColumn("rn_in", F.row_number().over(w_in))
+        .join(off.select("v", "off"), "v")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("r", (F.col("off") + F.col("rn_in")).cast("long"))
+    )
+    # SQL-standard ntile: the first (n % B) buckets take ceil(n/B)
+    # rows, the rest floor(n/B) — all-integer `div`, no float rounding
+    B = int(buckets)
+    t2 = ranked.withColumn(
+        "bucket",
+        F.expr(
+            f"CAST(CASE WHEN r <= (_n % {B}) * (_n div {B} + 1) "
+            f"THEN (r - 1) div (_n div {B} + 1) + 1 "
+            f"ELSE (_n % {B}) + "
+            f"(r - (_n % {B}) * (_n div {B} + 1) - 1) div (_n div {B}) + 1 "
+            f"END AS INT)"
+        ),
+    )
+    return (
+        t2.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def k_anonymity_generalize_census(
     df: DataFrame,
     qi_cols: list[str],

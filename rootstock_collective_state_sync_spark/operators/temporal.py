@@ -322,6 +322,61 @@ def time_weighted_mean(
     )
 
 
+def interarrival_stats(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-key inter-arrival-gap census over the deterministic
+    ``(ts, id)`` total order: gap count, min/max/mean microsecond gap,
+    and the burstiness statistic ``cv2_e6`` = e6·CV² =
+    ``(n·Σd² − (Σd)²)·1e6 div (Σd)²`` — the squared coefficient of
+    variation as an EXACT integer (CV² ≈ 0 for a metronome, 1 for a
+    Poisson process, >1 for bursty arrival; no float sqrt on either
+    engine). DECIMAL(38,0) holds Σd² far past bigint.
+
+    Scale shape: ONE shuffle on the key; the lead() and the aggregate
+    reuse the partitioning (the :func:`time_weighted_mean` skeleton);
+    one row per key out.
+    """
+    w = Window.partitionBy(F.col(group_col)).orderBy(
+        F.col("t").asc(), F.col(id_col).asc()
+    )
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.expr(
+            f"timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01'), "
+            f"cast({ts_col} as timestamp_ntz))"
+        ).alias("t"),
+    )
+    seg = base.select(
+        group_col, (F.lead("t").over(w) - F.col("t")).alias("d")
+    ).filter(F.col("d").isNotNull())
+    return (
+        seg.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("d").cast("long").alias("min_gap_us"),
+            F.max("d").cast("long").alias("max_gap_us"),
+            F.sum("d").cast("decimal(38,0)").alias("_s"),
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("_s2"),
+        )
+        .select(
+            group_col,
+            "n_gaps",
+            "min_gap_us",
+            "max_gap_us",
+            F.expr("CAST(_s div n_gaps AS BIGINT)").alias("mean_gap_us"),
+            F.expr(
+                "CAST((n_gaps * _s2 - _s * _s) * 1000000 div (_s * _s) "
+                "AS BIGINT)"
+            ).alias("cv2_e6"),
+        )
+    )
+
+
 def ohlc_bars(
     df: DataFrame,
     key_col: str,

@@ -1656,6 +1656,186 @@ FROM tot, s0, s1, fl
 """
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford census of order totals — the fabricated-
+    numbers screen; exact digit extraction from integer cent strings,
+    pinned e6 expected shares (no float log in either engine). See
+    :func:`..operators.profile.benford_audit`."""
+    from rootstock_collective_state_sync_spark.operators.profile import benford_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_audit(orders, "o_totalprice").orderBy("digit")
+
+
+Q_BENFORD_ORACLE = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS vc FROM orders
+  WHERE round(o_totalprice * 100) > 0
+),
+d AS (SELECT CAST(substr(vc::VARCHAR, 1, 1) AS INT) AS digit FROM v),
+per AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS t FROM per),
+spine AS (
+  SELECT unnest(range(1, 10))::INT AS digit,
+         unnest([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                 51153, 45757])::BIGINT AS benford_e6
+)
+SELECT s.digit, coalesce(p.n, 0)::BIGINT AS n,
+       (coalesce(p.n, 0) * 1000000 // t)::BIGINT AS freq_e6,
+       s.benford_e6,
+       abs((coalesce(p.n, 0) * 1000000 // t) - s.benford_e6)::BIGINT
+         AS dev_e6
+FROM spine s LEFT JOIN per p USING (digit), tot
+ORDER BY digit
+"""
+
+
+def q_gini_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration of order value per priority segment
+    (e6 integer, tie-invariant rank formulation) — the inequality
+    census; for corpora the same operator measures how concentrated a
+    source's token budget is. See
+    :func:`..operators.profile.gini_index`."""
+    from rootstock_collective_state_sync_spark.operators.profile import gini_index
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+    )
+    return gini_index(
+        orders, ["o_orderpriority"], "vc", "o_orderkey"
+    ).orderBy("o_orderpriority")
+
+
+Q_GINI_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY round(o_totalprice * 100), o_orderkey)
+           AS rn
+  FROM orders
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n,
+       sum(v)::BIGINT AS total,
+       ((2 * sum(rn::HUGEINT * v) - (count(*) + 1) * sum(v::HUGEINT))
+        * 1000000 // (count(*) * sum(v::HUGEINT)))::BIGINT AS gini_e6
+FROM r GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+def q_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-bucket equi-depth histogram of order totals (integer
+    cents) — optimizer-stats boundaries, SQL-standard ntile over the
+    deterministic (value, key) total order on both engines. See
+    :func:`..operators.profile.equidepth_histogram`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        equidepth_histogram,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+    )
+    return (
+        equidepth_histogram(orders, "vc", "o_orderkey", buckets=8)
+        .select(
+            "bucket",
+            "n",
+            F.col("lo").cast("long").alias("lo_c"),
+            F.col("hi").cast("long").alias("hi_c"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q_EQUIDEPTH_ORACLE = """
+WITH r AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         ntile(8) OVER (ORDER BY round(o_totalprice * 100), o_orderkey)
+           AS bucket
+  FROM orders
+)
+SELECT bucket, count(*)::BIGINT AS n,
+       min(v)::BIGINT AS lo_c, max(v)::BIGINT AS hi_c
+FROM r GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival burstiness census: exact integer
+    microsecond gaps, CV² as an e6 integer (Poisson ≈ 1e6) — the
+    arrival-process profile a stream-capacity plan reads. See
+    :func:`..operators.temporal.interarrival_stats`."""
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        interarrival_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival_stats(ev, "event_type", "ts", "event_id").orderBy(
+        "event_type"
+    )
+
+
+Q_INTERARRIVAL_ORACLE = """
+WITH b AS (
+  SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS t FROM events
+),
+s AS (
+  SELECT event_type,
+         lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) - t
+           AS d
+  FROM b
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_gaps,
+       min(d)::BIGINT AS min_gap_us,
+       max(d)::BIGINT AS max_gap_us,
+       (sum(d::HUGEINT) // count(*))::BIGINT AS mean_gap_us,
+       ((count(*) * sum(d::HUGEINT * d) - sum(d::HUGEINT) * sum(d::HUGEINT))
+        * 1000000 // (sum(d::HUGEINT) * sum(d::HUGEINT)))::BIGINT AS cv2_e6
+FROM s WHERE d IS NOT NULL
+GROUP BY 1 ORDER BY event_type
+"""
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week volume profile per event type (ISO weekday 1-7,
+    share e6) — the seasonality baseline an anomaly screen divides
+    out. One map-side-combined aggregate + a per-type window."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "event_type",
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("isodow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type")
+    return (
+        per.withColumn("_t", F.sum("n").over(w))
+        .select(
+            "event_type",
+            "isodow",
+            "n",
+            F.expr("n * 1000000 div _t").cast("long").alias("share_e6"),
+        )
+        .orderBy("event_type", "isodow")
+    )
+
+
+Q_DOW_ORACLE = """
+WITH per AS (
+  SELECT event_type, isodow(ts::TIMESTAMP)::INT AS isodow,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, isodow, n,
+       (n * 1000000 // sum(n) OVER (PARTITION BY event_type))::BIGINT
+         AS share_e6
+FROM per ORDER BY event_type, isodow
+"""
+
+
 # ---------------------------------------------------------------------------
 # Market-basket association rules (apriori-pruned support/confidence/lift)
 # ---------------------------------------------------------------------------

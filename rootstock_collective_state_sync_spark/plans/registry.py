@@ -83,6 +83,30 @@ SPECS: dict[str, QuerySpec] = {
     "min_cost_per_part": QuerySpec(
         TX.q_min_cost_per_part, TX.Q_MIN_COST_ORACLE, ("window",)
     ),
+    "q2_min_cost_supplier": QuerySpec(
+        TX.q2_min_cost_supplier,
+        TX.Q2_MIN_COST_SUPPLIER_ORACLE,
+        ("tpch", "join", "window"),
+    ),
+    "benford_audit": QuerySpec(
+        AN.q_benford_audit, AN.Q_BENFORD_ORACLE, ("analytics", "agg")
+    ),
+    "gini_order_totals": QuerySpec(
+        AN.q_gini_order_totals, AN.Q_GINI_ORACLE, ("analytics", "agg")
+    ),
+    "equidepth_price_histogram": QuerySpec(
+        AN.q_equidepth_price_histogram,
+        AN.Q_EQUIDEPTH_ORACLE,
+        ("analytics", "agg", "window"),
+    ),
+    "interarrival_stats": QuerySpec(
+        AN.q_interarrival_stats,
+        AN.Q_INTERARRIVAL_ORACLE,
+        ("analytics", "temporal"),
+    ),
+    "dow_seasonality": QuerySpec(
+        AN.q_dow_seasonality, AN.Q_DOW_ORACLE, ("analytics", "temporal")
+    ),
     "exists_subquery": QuerySpec(TX.q_exists_subquery, TX.Q_EXISTS_ORACLE, ("join",)),
     "q4_priority_exists": QuerySpec(TX.q4_priority_exists, TX.Q4_ORACLE, ("join",)),
     "q8_market_share": QuerySpec(TX.q8_market_share, TX.Q8_ORACLE, ("join",)),

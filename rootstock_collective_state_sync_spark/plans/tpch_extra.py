@@ -180,6 +180,84 @@ ORDER BY l_partkey, order_at_min
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (the one TPC-H number the registry still lacked):
+    for each small part, the EUROPE supplier(s) quoting its minimum
+    price — correlated scalar-min over a region-filtered
+    supplier×part cost table, returning supplier detail columns
+    ordered by account balance. The driver testdata has no partsupp
+    table, so lineitem stands in as the cost relation (min
+    extendedprice per (part, supplier) — decimal-exact, no division).
+
+    Plan shape: dims broadcast into the fact scan; the cost table
+    shuffles once on (partkey, suppkey); the correlated min is a
+    window over partkey reusing that exchange's key prefix; top-100
+    is a TakeOrderedAndProject, never a global sort materialization.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+
+    supp_eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        l.join(F.broadcast(supp_eu), l.l_suppkey == supp_eu.s_suppkey)
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("min_cost").cast("double").alias("min_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_MIN_COST_SUPPLIER_ORACLE = """
+WITH supp_eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cost AS (
+  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem JOIN supp_eu ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4, 5
+),
+best AS (
+  SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM cost
+)
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+       p_partkey, p_name, CAST(min_cost AS DOUBLE) AS min_cost
+FROM best JOIN part ON l_partkey = p_partkey
+WHERE cost = min_cost AND p_size <= 15
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
 def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS via SQL (the engine's SQL surface — Catalyst
     rewrites it to the same left-semi the DataFrame form plans)."""
