@@ -265,6 +265,52 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def kcore_bounded(
+    edges: DataFrame, k: int = 4, rounds: int = 6
+) -> DataFrame:
+    """Bounded-round k-core peel (Seidman 1983 coreness, the standard
+    iterative degree-peel): each round removes every node whose
+    degree in the SURVIVING subgraph is below ``k`` together with its
+    incident edges. ``rounds`` is a FIXED unroll — not a driver-side
+    convergence loop — so the whole computation is one lazy plan and
+    an external replayer (the DuckDB oracle) can run the identical
+    rounds CTE-for-CTE; at the driver scale factors six rounds reach
+    the fixpoint (asserted in tests: round 6 == round 5). Returns
+    ``(id, in_core, core_degree)`` over every node of the input edge
+    set — ``in_core`` = survived all rounds, ``core_degree`` = degree
+    within the surviving subgraph (0 for peeled nodes).
+
+    Scale shape: per round one map-side-combined degree count + two
+    semi-joins on the edge keys — all shuffles share the src/dst
+    hash keys; edges only ever SHRINK, so later rounds are cheaper;
+    nothing is collected. At 100 TB pair this with the celled edge
+    build (`knn_edges_celled`) like the triangle/assortativity
+    censuses."""
+    all_nodes = edges.select(F.col("src").alias("id")).distinct()
+    e = edges
+    for _ in range(rounds):
+        deg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        keep = deg.filter(F.col("d") >= k).select("id")
+        e = e.join(
+            keep.select(F.col("id").alias("src")), "src", "left_semi"
+        ).join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
+    fin = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+    return (
+        all_nodes.join(fin, "id", "left")
+        .select(
+            "id",
+            F.col("core_degree").isNotNull().cast("int").alias("in_core"),
+            F.coalesce("core_degree", F.lit(0)).cast("long").alias(
+                "core_degree"
+            ),
+        )
+    )
+
+
 def knn_edges_celled(
     emb: DataFrame,
     k: int = 3,

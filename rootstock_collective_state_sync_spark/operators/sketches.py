@@ -243,6 +243,98 @@ def kmv_distinct(
     )
 
 
+#: HLL bias constant for m=256 registers: round(1e9 * 0.7213 /
+#: (1 + 1.079/256)) — pinned as an integer so neither engine computes
+#: a float alpha.
+HLL_ALPHA_E9_M256 = 718272593
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str
+) -> "DataFrame":
+    """VALUE-CHECKED HyperLogLog (Flajolet et al. 2007) per group,
+    beside the exact count: ``(group, n_exact, hll_est, err_e6)`` —
+    the same move that made Count-Min and KMV hash-checkable where
+    the native ``approx_count_distinct`` stays rows-only. Every
+    source of cross-engine drift is removed:
+
+    - registers come from the deterministic 60-bit md5 schedule
+      (:func:`kmv_hashes`): top 8 bits pick one of m=256 registers,
+      rho = leading-zero count of the low 52 bits + 1 via INTEGER
+      binary-string length (no float log2);
+    - the harmonic mean is EXACT: ``Z = Σ_j 2^(60 − M_j)`` summed in
+      DECIMAL(38,0) (every term is an integer power of two — no
+      float summation-order hazard), with the m − V empty registers
+      contributing 2^60 each;
+    - ``est_raw = alpha·m²·2^60 div Z`` in integer arithmetic
+      (alpha pinned e9); the small-range branch (est ≤ 5m/2 with
+      empty registers) uses the repo's ``round(ln·1e6)`` fixed-point
+      convention for linear counting.
+
+    Scale shape: identical to :func:`kmv_distinct` — the corpus
+    collapses to distinct (group, hash) in the first map-side-
+    combined distinct; register state is m rows per group.
+    """
+    from pyspark.sql import functions as F
+
+    h = kmv_hashes(df, group_col, value_col)
+    b = h.select(
+        "grp",
+        F.expr("h div 4503599627370496").cast("int").alias("j"),  # 2^52
+        F.expr("h % 4503599627370496").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        53 - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+    )
+    regs = b.groupBy("grp", "j").agg(F.max(rho).cast("int").alias("m_j"))
+    per = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 60 - m_j) AS DECIMAL(38,0))")
+        ).alias("z_used"),
+    )
+    est = per.select(
+        "grp",
+        (F.lit(256) - F.col("n_regs")).cast("long").alias("v"),
+        (
+            F.col("z_used")
+            + (F.lit(256) - F.col("n_regs")).cast("decimal(38,0)")
+            * F.lit(1152921504606846976).cast("decimal(38,0)")  # 2^60
+        ).alias("z"),
+    ).select(
+        "grp",
+        "v",
+        F.expr(
+            f"CAST(CAST({HLL_ALPHA_E9_M256} AS DECIMAL(38,0)) * 65536 "
+            f"* CAST(1152921504606846976 AS DECIMAL(38,0)) "
+            f"div z div 1000000000 AS BIGINT)"
+        ).alias("est_raw"),
+    ).select(
+        "grp",
+        F.when(
+            (F.col("est_raw") <= 640) & (F.col("v") > 0),
+            F.expr(
+                "CAST(256 * round(ln(256.0 / v) * 1000000) "
+                "div 1000000 AS BIGINT)"
+            ),
+        )
+        .otherwise(F.col("est_raw"))
+        .cast("long")
+        .alias("hll_est"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(F.col(value_col)).cast("long").alias("n_exact")
+    )
+    return exact.join(est, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_exact",
+        "hll_est",
+        F.expr("abs(hll_est - n_exact) * 1000000 div n_exact")
+        .cast("long")
+        .alias("err_e6"),
+    )
+
+
 def kmv_hashes(df: DataFrame, group_col: str, value_col: str) -> "DataFrame":
     """Distinct deterministic 60-bit md5 hashes per group,
     ``(grp, h)`` — the mergeable raw material of the KMV sketch."""

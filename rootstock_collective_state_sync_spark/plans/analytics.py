@@ -1656,6 +1656,88 @@ FROM tot, s0, s1, fl
 """
 
 
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection (Page 1954) over daily
+    event volumes per type — exact and WINDOW-expressible via the
+    running-min identity: the recursive ``C_t = max(0, C_{t-1} +
+    x_t)`` fold equals ``S_t − min(S_0..S_t)`` for the prefix sums
+    ``S`` of the drift-adjusted deviations, so no fold/UDF is needed
+    on either engine. Deviations are e6 integers around the type's
+    own mean daily volume with drift k = mean/4; a day flags when the
+    CUSUM exceeds h = 2×mean. Returns flagged days only:
+    ``(event_type, day, n, cusum_e6)``.
+
+    Scale shape: daily counts (one map-combined shuffle to #days ×
+    #types rows), a broadcast per-type mean, then windows over the
+    DAYS SPINE only — raw events never enter a window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    means = daily.groupBy("event_type").agg(
+        F.expr("sum(n) * 1000000 div count(1)").cast("long").alias("mean_e6")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = daily.join(F.broadcast(means), "event_type").withColumn(
+        "x_e6",
+        (F.col("n") * 1_000_000 - F.col("mean_e6"))
+        - F.expr("mean_e6 div 4"),
+    )
+    s = x.withColumn("s_e6", F.sum("x_e6").over(w_cum)).withColumn(
+        "cusum_e6",
+        F.col("s_e6")
+        - F.least(F.min("s_e6").over(w_cum), F.lit(0).cast("long")),
+    )
+    return (
+        s.filter(F.col("cusum_e6") > 2 * F.col("mean_e6"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.col("cusum_e6").cast("long").alias("cusum_e6"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+Q_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, (sum(n) * 1000000 // count(*))::BIGINT AS mean_e6
+  FROM daily GROUP BY 1
+),
+x AS (
+  SELECT d.event_type, d.day, d.n, m.mean_e6,
+         (d.n * 1000000 - m.mean_e6) - (m.mean_e6 // 4) AS x_e6
+  FROM daily d JOIN m USING (event_type)
+),
+s AS (
+  SELECT *, sum(x_e6) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS s_e6
+  FROM x
+),
+c AS (
+  SELECT *, s_e6 - least(min(s_e6) OVER (PARTITION BY event_type
+                                          ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING),
+                         0) AS cusum_e6
+  FROM s
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       cusum_e6::BIGINT AS cusum_e6
+FROM c WHERE cusum_e6 > 2 * mean_e6
+ORDER BY event_type, day
+"""
+
+
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-digit Benford census of order totals — the fabricated-
     numbers screen; exact digit extraction from integer cent strings,

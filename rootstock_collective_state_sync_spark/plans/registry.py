@@ -800,78 +800,68 @@ SPECS: dict[str, QuerySpec] = {
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
-    # r10 rotation (tools/window_planner.py policy):
-    # (a) the 11 queries born this round — driver-checked immediately,
+    # r11 rotation (tools/window_planner.py policy, base 2e6495e):
+    # (a) the 10 queries born this round — driver-checked immediately,
     # no evidence debt (planner class `never`)
-    "winnow_pairs",
-    "readability",
-    "k_anonymity",
-    "c4_quality",
-    "script_census",
-    "lang_id_agreement",
-    "weighted_median_price",
-    "twap_user_value",
-    "ohlc_hourly",
-    "kmv_distinct_tokens",
-    "knn_triangles",
+    "approx_distinct_kmv",
+    "approx_quantiles_sampled",
+    "kmv_overlap_audit",
+    "k_anonymity_generalize",
+    "q2_min_cost_supplier",
+    "benford_audit",
+    "gini_order_totals",
+    "equidepth_price_histogram",
+    "interarrival_stats",
+    "dow_seasonality",
+    # (b) semantically changed this round — re-earn their rows:
+    # kmv_overlap flipped to the sketch-only default + the fast
+    # shingle build; the celled four inherit auto cell geometry; the
+    # dedup pair family inherits the df_>=2 join-side prune; the
+    # funnel's report derives from four scalars
+    "kmv_overlap",
+    "graph_assortativity",
     "knn_triangles_celled",
     "similarity_pagerank_celled",
     "label_propagation_celled",
-    "ohlc_daily_rollup",
-    "ivf_recall_report",
-    "k_anonymity_enforce",
-    "kmv_overlap",
-    "assoc_rules",
-    "pareto_front",
-    # (b) semantically touched this round (tracked_persist bounded
-    # cache lifetimes in the self-join paths) — re-earn their rows
-    "semantic_dedup",
-    "hard_negatives_celled",
-    "semantic_contamination",
     "dedup_funnel",
-    # (c) the entire oldest cohort (last green r05)
-    "epoch_shuffle",
-    "export_manifest",
-    "first_event_per_key",
-    "importance_sample",
-    "window_sliding",
-    "window_tumbling",
-    "zorder_key",
-    # (d) seats to the next-oldest cohort (last green r06):
-    # core relational / TPC-H anchors first (cube_counts,
-    # approx_quantiles and distinct_set carry to r11 — their seats
-    # went to kmv_overlap / assoc_rules / pareto_front, born late
-    # this round; except_missing / pivot_status_by_priority /
-    # q16_supplier_variety / min_cost_per_part /
-    # q12_priority_by_status seats went to ivf_silhouette /
-    # time_to_convert / graph_assortativity / sample_k_per_group /
-    # new_users_daily)
-    "ivf_silhouette",
-    "time_to_convert",
-    "graph_assortativity",
-    "sample_k_per_group",
-    "new_users_daily",
-    "exists_subquery",
-    "filter_isin_enum",
-    "group_count",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disc_revenue",
-    "q20_supplier_part_share",
-    "q21_blamed_supplier",
-    "q22_idle_customers",
-    # (q3/q4/q5/q7/q8, approx_distinct, anti_join, enum_label,
-    # events_json_stats, grouping_sets + the remaining r06 anchors
-    # carry to r11 (as does median_value_per_type); all remain locally
-    # oracle-gated on every pytest
-    # run — their seats went to the queries born after the first cut
-    # of this window: the three celled scale twins, the bar-merge-law
-    # check, and the recall report)
+    "dedup_ngram_jaccard",
+    "containment_pairs",
+    "dedup_minhash_lsh",
+    "dedup_threshold_sweep",
+    "minhash_accuracy",
+    "source_dup_matrix",
+    # (c) the entire oldest cohort (last green r06) — 27 seats
+    "anti_join",
+    "approx_distinct",
+    "approx_quantiles",
+    "cube_counts",
+    "distinct_set",
+    "enum_label",
+    "events_json_stats",
+    "except_missing",
+    "grouping_sets",
+    "median_value_per_type",
+    "min_cost_per_part",
+    "pivot_status_by_priority",
+    "q12_priority_by_status",
+    "q16_supplier_variety",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q7_volume_by_year",
+    "q8_market_share",
+    "range_join",
+    "rollup_status_priority",
+    "running_user_value",
+    "semi_join",
+    "top1_latest",
+    "topk_per_group",
+    "union_distinct",
+    "unpivot_measures",
+    # (d) one seat to the now-oldest r07 cohort (the rest carry to
+    # r12; all 217 stay locally oracle-gated on every pytest run and
+    # by tools/strict_check.py regardless of window membership)
+    "event_type_correlation",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -2755,6 +2755,84 @@ FROM m ORDER BY source
 """
 
 
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-token estimate next to the
+    exact count — a VALUE-CHECKED HLL (deterministic md5 registers,
+    exact integer harmonic sum, pinned alpha), where the native
+    `approx_count_distinct` stays rows-only by design. See
+    :func:`..operators.sketches.hll_distinct`."""
+    from rootstock_collective_state_sync_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("tokn")
+    )
+    return hll_distinct(tok, "source", "tokn").orderBy("source")
+
+
+Q_HLL_DISTINCT_TOKENS_ORACLE = """
+WITH t AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS tokn
+  FROM documents
+),
+h AS (
+  SELECT DISTINCT source,
+         list_sum(list_transform(range(15), kk ->
+             (strpos('0123456789abcdef',
+                     substr(md5(tokn), kk + 1, 1)) - 1)
+             * (1::BIGINT << (4 * (14 - kk)))))::BIGINT AS h
+  FROM t
+),
+b AS (
+  SELECT source, (h // 4503599627370496)::INT AS j,
+         (h % 4503599627370496)::BIGINT AS w
+  FROM h
+),
+r AS (
+  SELECT source, j,
+         max(CASE WHEN w = 0 THEN 53
+                  ELSE 53 - length(bin(w)) END)::INT AS m_j
+  FROM b GROUP BY 1, 2
+),
+per AS (
+  SELECT source, count(*)::BIGINT AS n_regs,
+         sum((1::BIGINT << (60 - m_j))::HUGEINT) AS z_used
+  FROM r GROUP BY 1
+),
+e AS (
+  SELECT source, (256 - n_regs)::BIGINT AS v,
+         z_used + (256 - n_regs)::HUGEINT
+                  * 1152921504606846976::HUGEINT AS z
+  FROM per
+),
+raw AS (
+  SELECT source, v,
+         (718272593::HUGEINT * 65536 * 1152921504606846976::HUGEINT
+          // z // 1000000000)::BIGINT AS est_raw
+  FROM e
+),
+est AS (
+  SELECT source,
+         CASE WHEN est_raw <= 640 AND v > 0
+              THEN (256 * round(ln(256.0 / v) * 1000000)::HUGEINT
+                    // 1000000)::BIGINT
+              ELSE est_raw END AS hll_est
+  FROM raw
+),
+ex AS (
+  SELECT source, count(DISTINCT tokn)::BIGINT AS n_exact FROM t GROUP BY 1
+)
+SELECT ex.source, n_exact, hll_est,
+       (abs(hll_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_e6
+FROM ex JOIN est USING (source)
+ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF recall report: the eval itself as a value-checked query
 # ---------------------------------------------------------------------------
