@@ -274,8 +274,14 @@ def kcore_bounded(
     incident edges. ``rounds`` is a FIXED unroll — not a driver-side
     convergence loop — so the whole computation is one lazy plan and
     an external replayer (the DuckDB oracle) can run the identical
-    rounds CTE-for-CTE; at the driver scale factors six rounds reach
-    the fixpoint (asserted in tests: round 6 == round 5). Returns
+    rounds CTE-for-CTE. The result is the true k-core only when the
+    peel has converged within ``rounds`` (worst case needs O(|V|)
+    rounds); the bounded result is well-defined either way — a
+    superset of the k-core that shrinks monotonically in ``rounds``
+    — and is what the registered `kcore_celled` query value-checks
+    round-for-round against DuckDB
+    (tests/test_graph.py::test_kcore_bounded_matches_reference pins
+    the per-round semantics against a pure-Python peel). Returns
     ``(id, in_core, core_degree)`` over every node of the input edge
     set — ``in_core`` = survived all rounds, ``core_degree`` = degree
     within the surviving subgraph (0 for peeled nodes).

@@ -24,7 +24,7 @@ Design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import DoubleType, FloatType
+from pyspark.sql.types import DoubleType, FloatType, NumericType
 
 
 def _canon(df: DataFrame, c, col):
@@ -339,6 +339,88 @@ def gini_index(
     )
 
 
+NUM_RANGE_BUCKETS = 64
+"""Range buckets for the distributed prefix sum — sized to the
+cluster (shuffle parallelism), NOT the data: the per-bucket base
+offsets form the only ordered single-partition window and it holds
+exactly this many rows at any data scale."""
+
+
+def _distributed_prefix_sum(
+    per_v: DataFrame, v_col: str, c_col: str, out_col: str
+) -> DataFrame:
+    """Exclusive prefix sum of ``c_col`` over ``per_v`` in ``v_col``
+    order, WITHOUT a global single-partition window.
+
+    Two-level decomposition: (1) bucket values by driver-collected
+    ``approx_percentile`` boundaries (monotone in ``v_col``; the
+    collect is a bounded NUM_RANGE_BUCKETS-1-element control-plane
+    read); (2) exclusive cumsum within each bucket (distributed
+    window, partitioned by bucket); (3) per-bucket totals → exclusive
+    cumsum over the NUM_RANGE_BUCKETS-row table (bounded window) →
+    broadcast back as base offsets. ``base + local`` equals the
+    global exclusive prefix sum for ANY monotone bucketing, so the
+    approx quantile sketch (whose output can depend on partition
+    order) affects only balance, never values.
+
+    Non-numeric ``v_col`` (no approx_percentile support) falls back
+    to the single global window — acceptable only when the caller
+    knows |distinct values| is vocabulary-sized.
+    """
+    if not isinstance(per_v.schema[v_col].dataType, NumericType):
+        w_v = Window.orderBy(v_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return per_v.withColumn(
+            out_col,
+            F.coalesce(F.sum(c_col).over(w_v), F.lit(0)).cast("long"),
+        )
+    bnds = (
+        per_v.agg(
+            F.percentile_approx(
+                F.col(v_col).cast("double"),
+                [i / NUM_RANGE_BUCKETS for i in range(1, NUM_RANGE_BUCKETS)],
+                1000,
+            ).alias("b")
+        ).head()
+    )["b"]
+    uniq: list[float] = []
+    for b in bnds or []:
+        if b is not None and (not uniq or b > uniq[-1]):
+            uniq.append(float(b))
+    bkt = F.lit(0)
+    if uniq:
+        bkt = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in uniq]),
+                lambda b: b < F.col(v_col).cast("double"),
+            )
+        )
+    bucketed = per_v.withColumn("_rb", bkt)
+    w_local = (
+        Window.partitionBy("_rb")
+        .orderBy(v_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_loc", F.coalesce(F.sum(c_col).over(w_local), F.lit(0))
+    )
+    w_base = Window.orderBy("_rb").rowsBetween(Window.unboundedPreceding, -1)
+    base = (
+        bucketed.groupBy("_rb")
+        .agg(F.sum(c_col).alias("_bc"))
+        .withColumn(
+            "_base", F.coalesce(F.sum("_bc").over(w_base), F.lit(0))
+        )
+        .select("_rb", "_base")
+    )
+    return (
+        local.join(F.broadcast(base), "_rb")
+        .withColumn(out_col, (F.col("_base") + F.col("_loc")).cast("long"))
+        .drop("_rb", "_loc", "_base")
+    )
+
+
 def equidepth_histogram(
     df: DataFrame,
     value_col: str,
@@ -357,20 +439,28 @@ def equidepth_histogram(
     Scale shape: a naive ``ntile() OVER (ORDER BY ...)`` would move
     EVERY row through one partition (Spark warns exactly that), so
     the global rank is decomposed instead: per-value counts (one
-    map-side-combined shuffle, DISTINCT-VALUES-sized output), a
-    cumulative offset over that value table (the only single-
-    partition window — |V| rows, vocabulary- not corpus-sized), a
-    per-VALUE row_number for the tie split (distributed window keyed
-    on v), and the SQL-standard ntile bucket computed arithmetically
-    from ``offset + rn``. Bit-identical to ntile over the (value,
-    id) total order — the DuckDB oracle replays plain ntile.
+    map-side-combined shuffle), then a DISTRIBUTED two-level prefix
+    sum over the value table — the value column here is often
+    near-unique (prices, totals), so |distinct values| ~ |rows| and a
+    single ``Window.orderBy(v)`` over it would itself be the
+    corpus-sized one-partition stage it was meant to avoid. Instead:
+    range-bucket the values by driver-collected approx-quantile
+    boundaries (a bounded, NUM_RANGE_BUCKETS-1-element control-plane
+    read), cumsum WITHIN each bucket (distributed window keyed on the
+    bucket), and add the per-bucket base offsets (a
+    NUM_RANGE_BUCKETS-row — cluster-, not data-sized — window,
+    broadcast back). The global offset is boundary-INVARIANT: any
+    monotone bucketing yields the same ``base + local`` sum, so the
+    approx (partition-order-dependent) quantile sketch only affects
+    balance, never values. Finally a per-VALUE row_number splits ties
+    (distributed window keyed on v) and the SQL-standard ntile bucket
+    is computed arithmetically from ``offset + rn``. Bit-identical to
+    ntile over the (value, id) total order — the DuckDB oracle
+    replays plain ntile.
     """
     t = df.select(F.col(id_col).alias("_id"), F.col(value_col).alias("v"))
     per_v = t.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    off = per_v.withColumn(
-        "off", F.coalesce(F.sum("c").over(w_v), F.lit(0)).cast("long")
-    )
+    off = _distributed_prefix_sum(per_v, "v", "c", "off")
     tot = per_v.agg(F.sum("c").cast("long").alias("_n"))
     w_in = Window.partitionBy("v").orderBy(F.col("_id").asc())
     ranked = (
@@ -425,11 +515,15 @@ def k_anonymity_generalize_census(
     ``n_level0`` (kept at full precision), ``n_generalized`` (kept at
     the coarser level), ``n_suppressed`` (dropped after the ladder),
     ``n_suppressed_suppression_only`` (what suppression-only would
-    have dropped — strictly >= n_suppressed; the difference is the
-    rows the ladder SAVED), ``n_groups`` (kept classes across both
-    levels), ``min_k`` over kept classes (>= k by construction — the
-    proof obligation), and ``min_l`` (distinct sensitive values in
-    the weakest kept class).
+    have dropped — always >= n_suppressed; the difference is the
+    rows the ladder SAVED. The inequality is not strict in general:
+    when no failing rows consolidate at the coarse key the ladder
+    saves nothing — the registered query's driver data does exhibit
+    a strict saving, asserted in its test), ``n_groups`` (kept
+    classes across both levels), ``min_k`` over kept classes (>= k
+    by construction — the proof obligation), and ``min_l`` (distinct
+    sensitive values in the weakest kept class). When NO class
+    survives at either level, min_k/min_l report 0 (not NULL).
 
     Scale shape (100 TB): two QI-keyed shuffles (full-precision class
     sizes; coarse re-grouping of the FAILING rows only — typically a
@@ -490,14 +584,20 @@ def k_anonymity_generalize_census(
             (F.col("g0") + F.col("g1")).cast("long").alias("n_groups"),
             # explicit empty-level cases: least() null-handling differs
             # across engines, CASE does not
-            F.when(F.col("g0") == 0, F.col("mk1"))
-            .when(F.col("g1") == 0, F.col("mk0"))
-            .otherwise(F.least("mk0", "mk1"))
+            F.coalesce(
+                F.when(F.col("g0") == 0, F.col("mk1"))
+                .when(F.col("g1") == 0, F.col("mk0"))
+                .otherwise(F.least("mk0", "mk1")),
+                F.lit(0),
+            )
             .cast("long")
             .alias("min_k"),
-            F.when(F.col("g0") == 0, F.col("ml1"))
-            .when(F.col("g1") == 0, F.col("ml0"))
-            .otherwise(F.least("ml0", "ml1"))
+            F.coalesce(
+                F.when(F.col("g0") == 0, F.col("ml1"))
+                .when(F.col("g1") == 0, F.col("ml0"))
+                .otherwise(F.least("ml0", "ml1")),
+                F.lit(0),
+            )
             .cast("long")
             .alias("min_l"),
         )

@@ -314,7 +314,7 @@ def hll_distinct(
         F.when(
             (F.col("est_raw") <= 640) & (F.col("v") > 0),
             F.expr(
-                "CAST(256 * round(ln(256.0 / v) * 1000000) "
+                "CAST(256 * CAST(round(ln(256.0 / v) * 1000000) AS BIGINT) "
                 "div 1000000 AS BIGINT)"
             ),
         )

@@ -1648,10 +1648,10 @@ SELECT n_rows,
        (n_fail - n_generalized)::BIGINT AS n_suppressed,
        n_fail AS n_suppressed_suppression_only,
        (g0 + g1)::BIGINT AS n_groups,
-       (CASE WHEN g0 = 0 THEN mk1 WHEN g1 = 0 THEN mk0
-             ELSE least(mk0, mk1) END)::BIGINT AS min_k,
-       (CASE WHEN g0 = 0 THEN ml1 WHEN g1 = 0 THEN ml0
-             ELSE least(ml0, ml1) END)::BIGINT AS min_l
+       coalesce(CASE WHEN g0 = 0 THEN mk1 WHEN g1 = 0 THEN mk0
+                     ELSE least(mk0, mk1) END, 0)::BIGINT AS min_k,
+       coalesce(CASE WHEN g0 = 0 THEN ml1 WHEN g1 = 0 THEN ml0
+                     ELSE least(ml0, ml1) END, 0)::BIGINT AS min_l
 FROM tot, s0, s1, fl
 """
 
@@ -1664,8 +1664,12 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``S`` of the drift-adjusted deviations, so no fold/UDF is needed
     on either engine. Deviations are e6 integers around the type's
     own mean daily volume with drift k = mean/4; a day flags when the
-    CUSUM exceeds h = 2×mean. Returns flagged days only:
-    ``(event_type, day, n, cusum_e6)``.
+    CUSUM exceeds h = 2×mean. Returns the TOP-3 CUSUM days per type
+    with the flag as a column — ``(event_type, day, n, cusum_e6,
+    flagged)`` — so the running-min identity is value-checked on real
+    values even on stationary corpora where nothing flags (the driver
+    testdata's volumes are stationary by construction; a
+    flagged-rows-only result would be vacuously empty there).
 
     Scale shape: daily counts (one map-combined shuffle to #days ×
     #types rows), a broadcast per-type mean, then windows over the
@@ -1693,13 +1697,20 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_e6")
         - F.least(F.min("s_e6").over(w_cum), F.lit(0).cast("long")),
     )
+    w_top = Window.partitionBy("event_type").orderBy(
+        F.col("cusum_e6").desc(), F.col("day").asc()
+    )
     return (
-        s.filter(F.col("cusum_e6") > 2 * F.col("mean_e6"))
+        s.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
         .select(
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "n",
             F.col("cusum_e6").cast("long").alias("cusum_e6"),
+            (F.col("cusum_e6") > 2 * F.col("mean_e6"))
+            .cast("int")
+            .alias("flagged"),
         )
         .orderBy("event_type", "day")
     )
@@ -1732,8 +1743,13 @@ c AS (
   FROM s
 )
 SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
-       cusum_e6::BIGINT AS cusum_e6
-FROM c WHERE cusum_e6 > 2 * mean_e6
+       cusum_e6::BIGINT AS cusum_e6,
+       (cusum_e6 > 2 * mean_e6)::INT AS flagged
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cusum_e6 DESC, day ASC) AS rn
+  FROM c
+) WHERE rn <= 3
 ORDER BY event_type, day
 """
 

@@ -1299,6 +1299,104 @@ ORDER BY vec_id""")
 Q_KNN_TRIANGLES_CELLED_ORACLE = _knn_triangles_celled_oracle()
 
 
+_KCORE_K = 4
+_KCORE_ROUNDS = 6
+
+
+def q_kcore_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peel (Seidman 1983) over the IVF
+    cell-confined kNN graph — the community-density screen next to
+    the triangle/assortativity censuses. The fixed 6-round unroll is
+    one lazy plan the DuckDB oracle replays CTE-for-CTE, so the
+    BOUNDED peel (a monotone-shrinking superset of the true k-core;
+    see :func:`..operators.graph.kcore_bounded`) is value-checked
+    round-for-round; per-round semantics are additionally pinned
+    against a pure-Python reference peel in
+    ``tests/test_graph.py::test_kcore_bounded_matches_reference``."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = G.knn_edges_celled(
+        emb, k=_PR_K, num_cells="auto", nprobe=_CELL_NPROBE
+    )
+    return (
+        G.kcore_bounded(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+        .select(
+            F.col("id").alias("vec_id"),
+            "in_core",
+            "core_degree",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _kcore_celled_oracle(
+    k: int = _PR_K, kk: int = _KCORE_K, rounds: int = _KCORE_ROUNDS
+) -> str:
+    from rootstock_collective_state_sync_spark.plans.training import (
+        _ivf_cells_oracle,
+    )
+
+    peel = []
+    for i in range(1, rounds + 1):
+        prev = f"e{i - 1}"
+        peel.append(
+            f"""d{i} AS (SELECT src AS id, count(*) AS d FROM {prev} GROUP BY 1),
+k{i} AS (SELECT id FROM d{i} WHERE d >= {kk}),
+e{i} AS MATERIALIZED (
+  SELECT t.src, t.dst FROM {prev} t
+  JOIN k{i} a ON a.id = t.src JOIN k{i} b ON b.id = t.dst
+)"""
+        )
+    peeled = ",\n".join(peel)
+    return _ivf_cells_oracle(tail=f""",
+tagged AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM embeddings e JOIN cells c USING (vec_id)
+),
+probes AS MATERIALIZED (
+  SELECT vec_id, c AS pcell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c ASC) AS prn
+    FROM fdot
+  ) WHERE prn <= {_CELL_NPROBE}
+),
+scored AS (
+  SELECT q.vec_id AS src, t.vec_id AS dst,
+         {_COS_SQL.format(a="q.embedding", b="t.embedding")} AS s
+  FROM tagged q
+  JOIN probes p ON p.vec_id = q.vec_id
+  JOIN tagged t ON t.cell = p.pcell AND t.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY s DESC, dst ASC) AS rn
+  FROM scored
+),
+fwd AS (SELECT src, dst FROM rk WHERE rn <= {k}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+  )
+),
+{peeled},
+fin AS (
+  SELECT src AS id, count(*)::BIGINT AS core_degree
+  FROM e{rounds} GROUP BY 1
+),
+nodes AS (SELECT DISTINCT src AS id FROM e0)
+SELECT n.id AS vec_id,
+       (f.id IS NOT NULL)::INT AS in_core,
+       coalesce(f.core_degree, 0)::BIGINT AS core_degree
+FROM nodes n LEFT JOIN fin f ON f.id = n.id
+ORDER BY vec_id""")
+
+
+Q_KCORE_CELLED_ORACLE = _kcore_celled_oracle()
+
+
 def q_similarity_pagerank_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of `similarity_pagerank`: identical integer
     fixed-point iterations over the IVF cell-confined kNN edges (one

@@ -107,6 +107,18 @@ SPECS: dict[str, QuerySpec] = {
     "dow_seasonality": QuerySpec(
         AN.q_dow_seasonality, AN.Q_DOW_ORACLE, ("analytics", "temporal")
     ),
+    # round-12 additions
+    "cusum_changepoints": QuerySpec(
+        AN.q_cusum_changepoints, AN.Q_CUSUM_ORACLE, ("analytics", "temporal")
+    ),
+    "hll_distinct_tokens": QuerySpec(
+        TR.q_hll_distinct_tokens,
+        TR.Q_HLL_DISTINCT_TOKENS_ORACLE,
+        ("agg", "sketch", "text"),
+    ),
+    "kcore_celled": QuerySpec(
+        Q.q_kcore_celled, Q.Q_KCORE_CELLED_ORACLE, ("graph", "similarity")
+    ),
     "exists_subquery": QuerySpec(TX.q_exists_subquery, TX.Q_EXISTS_ORACLE, ("join",)),
     "q4_priority_exists": QuerySpec(TX.q4_priority_exists, TX.Q4_ORACLE, ("join",)),
     "q8_market_share": QuerySpec(TX.q8_market_share, TX.Q8_ORACLE, ("join",)),

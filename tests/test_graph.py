@@ -81,3 +81,83 @@ def test_label_propagation_recovers_held_out_labels(spark):
     # determinism: a second run is identical
     again = label_propagation(emb, k=3, iters=3, seed_mod=5).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_kcore_bounded_matches_reference(spark):
+    """Pin the per-round peel semantics against a pure-Python
+    reference on a graph engineered to peel over several rounds: a
+    5-clique (true 4-core) with a tail of degree-boosting hangers-on
+    that unravel one round at a time. The registered `kcore_celled`
+    query value-checks the same bounded semantics against DuckDB."""
+
+    def ref_kcore(edge_set, k, rounds):
+        nodes = {s for s, _ in edge_set}
+        e = set(edge_set)
+        for _ in range(rounds):
+            deg = {}
+            for s, _ in e:
+                deg[s] = deg.get(s, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            e = {(s, d) for s, d in e if s in keep and d in keep}
+        core_deg = {}
+        for s, _ in e:
+            core_deg[s] = core_deg.get(s, 0) + 1
+        return sorted(
+            (n, 1 if n in core_deg else 0, core_deg.get(n, 0))
+            for n in nodes
+        )
+
+    # 5-clique 0..4; chain 5-6-7 hanging off the clique, each chain
+    # node padded with leaf neighbors so its degree starts >= 4 and
+    # only drops below k after its outer neighbor peels: leaves peel
+    # in round 1, node 7 in round 2, node 6 in round 3, node 5 in
+    # round 4 -- a genuinely multi-round unravel.
+    und = set()
+    for a in range(5):
+        for b in range(a + 1, 5):
+            und.add((a, b))
+    und |= {(4, 5), (5, 6), (6, 7)}
+    leaf = 100
+    for chain_node, n_leaves in ((5, 2), (6, 2), (7, 3)):
+        for _ in range(n_leaves):
+            und.add((chain_node, leaf))
+            leaf += 1
+    sym = und | {(b, a) for a, b in und}
+    df = spark.createDataFrame(sorted(sym), EDGE_SCHEMA)
+    for rounds in (1, 2, 3, 4, 5):
+        got = sorted(
+            map(tuple, G.kcore_bounded(df, k=4, rounds=rounds).collect())
+        )
+        assert got == ref_kcore(sym, 4, rounds), f"rounds={rounds}"
+    # by round 4 the chain has fully unraveled: exactly the clique
+    # survives, and round 5 confirms the fixpoint on this graph
+    final = {r[0] for r in got if r[1] == 1}
+    assert final == {0, 1, 2, 3, 4}
+
+
+def test_oracle_cell_geometry_pinned_at_driver_scales(spark):
+    """The celled oracle-checked queries pass num_cells='auto' while
+    their DuckDB oracles replay a PINNED 16-cell unrolled k-means —
+    the equivalence holds only while every driver corpus resolves
+    auto -> 16. If the testdata embeddings ever outgrow
+    floor * AUTO_CELL_TARGET vectors, this fails HERE with a pointer,
+    not as four silent celled-oracle hash mismatches."""
+    import os
+
+    from rootstock_collective_state_sync_spark.operators.similarity import (
+        AUTO_CELL_TARGET,
+        resolve_num_cells,
+    )
+    from rootstock_collective_state_sync_spark.plans.tables import load_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        emb = load_table(spark, sf_dir, "embeddings")
+        got = resolve_num_cells(emb, "auto")
+        assert got == 16, (
+            f"{sf}: auto cell geometry resolved to {got}, not the 16 the "
+            f"celled DuckDB oracles unroll — either re-pin the oracles or "
+            f"bump AUTO_CELL_TARGET (={AUTO_CELL_TARGET}) consciously"
+        )
