@@ -154,7 +154,17 @@ def _verified_jaccard_sets(
     ~2.5x on the MinHash path at sf0.1. The inverted-index path keeps
     the count-in-pass plan (generating candidates there requires the
     shingle self-join anyway, so the set join would be pure
-    overhead)."""
+    overhead).
+
+    Deliberately NOT pruned to candidate-member ids: a semi-join of
+    the set build against the candidate id list (plain or broadcast)
+    measured 1.5-1.7x SLOWER at sf0.1 (r12, ~1.9 s -> ~3.1 s min)
+    because it serializes the banded self-join ahead of the set
+    aggregation — as independent subtrees of ONE action they execute
+    concurrently across the local thread pool, and the same overlap
+    holds on a multi-executor cluster. The unpruned build is one
+    linear map-side-combined shuffle of 8-byte hashes, the same
+    shape and cost class as the signature aggregation feeding LSH."""
     sets = capped.groupBy("id").agg(
         F.array_sort(F.collect_list(F.xxhash64("s"))).alias("hs"),
         F.count(F.lit(1)).alias("n_sh"),
@@ -188,7 +198,19 @@ def _verified_jaccard(
     capped: DataFrame, candidates: DataFrame | None, threshold: float
 ) -> DataFrame:
     """Exact Jaccard over the hashed index, restricted to ``candidates``
-    (id_a, id_b) when given, else to all index-sharing pairs."""
+    (id_a, id_b) when given, else to all index-sharing pairs.
+
+    Measured dead end (r12), recorded so it is not retried: PPJoin
+    prefix filtering (Bayardo WWW'07 / Xiao WWW'08 — generate
+    candidates only from each doc's rarest ``|x|−ceil(t|x|)+1``
+    shingles under a global (df, hash) order, then verify) LOST
+    2-4x at sf0.1. On this boilerplate-heavy corpus the prefix cut
+    candidates just 1.13M -> 409k while verification switched from
+    the in-pass count (the pair join IS the intersection count;
+    1.26M joined rows total) to a candidates x doc-shingles explode
+    (~21M rows) plus an id-keyed window pass. Count-in-pass wins
+    whenever candidates are dense; the stop-shingle cap already
+    bounds the worst-case fan-out."""
     sizes = capped.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # df_ >= 2 prune: single-document shingles cannot intersect — drop
     # them from BOTH join sides before the shuffle (sizes above keep

@@ -189,10 +189,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, so lineitem stands in as the cost relation (min
     extendedprice per (part, supplier) — decimal-exact, no division).
 
-    Plan shape: dims broadcast into the fact scan; the cost table
-    shuffles once on (partkey, suppkey); the correlated min is a
-    window over partkey reusing that exchange's key prefix; top-100
-    is a TakeOrderedAndProject, never a global sort materialization.
+    Plan shape: BOTH selective dims broadcast into the fact scan
+    before any aggregation — the ``p_size <= 15`` part filter prunes
+    lineitems ahead of the (partkey, suppkey) groupBy, so the shuffle
+    and the correlated-min window only process small-part rows
+    (filtering whole partkey groups commutes with a window
+    PARTITIONed BY partkey, so this is exactly the r11 shape's
+    result); the cost table shuffles once on (partkey, suppkey); the
+    correlated min is a window over partkey reusing that exchange's
+    key prefix; top-100 is a TakeOrderedAndProject, never a global
+    sort materialization.
     """
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -206,17 +212,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = (
-        l.join(F.broadcast(supp_eu), l.l_suppkey == supp_eu.s_suppkey)
-        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_name")),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp_eu), l.l_suppkey == supp_eu.s_suppkey)
+        .groupBy(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name"
+        )
         .agg(F.min(_dec("l_extendedprice")).alias("cost"))
     )
-    w = Window.partitionBy("l_partkey")
+    w = Window.partitionBy("p_partkey")
     best = cost.withColumn("min_cost", F.min("cost").over(w)).filter(
         F.col("cost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .select(
+        best.select(
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
             "s_name",
             "n_name",

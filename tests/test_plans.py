@@ -426,3 +426,23 @@ def test_time_to_convert_windows_user_table_not_events(spark):
     assert schemas and all(
         "props" not in sch and "value" not in sch for sch in schemas
     )
+
+
+def test_q2_part_filter_prunes_before_aggregation(spark):
+    """Q2's p_size <= 15 selectivity must reach the lineitem rows
+    BEFORE the (partkey, suppkey) cost aggregation (r11 verdict item
+    5): the part broadcast join sits under the partial HashAggregate,
+    the size filter is pushed to the part scan, and the correlated-min
+    window reuses the aggregation's p_partkey exchange (no second
+    shuffle between them)."""
+    df = SPECS["q2_min_cost_supplier"].fn(spark, SF_SMOKE)
+    p = plan(spark, df, "simple")
+    agg = p.index("HashAggregate")
+    part_join = p.index("BroadcastHashJoin [l_partkey")
+    assert agg < part_join, "part join must sit UNDER the aggregation"
+    assert "LessThanOrEqual(p_size,15)" in p  # pushed to the part scan
+    # two p_partkey-prefixed exchanges and no more: the 6-key cost
+    # aggregation, then the narrow window re-key over the already
+    # part×supplier-sized aggregate — raw lineitems enter neither
+    assert p.count("Exchange hashpartitioning(p_partkey") == 2
+    assert "TakeOrderedAndProject" in p  # top-100 never a global sort
