@@ -163,13 +163,76 @@ def records_to_rows(
 
 def _id_range_bounds(num_partitions: int) -> list[tuple[str, str | None]]:
     """Split the 0x-hex id space by first byte into N (lower, upper)
-    string ranges; upper=None for the last (unbounded) range."""
+    string ranges; upper=None for the last (unbounded) range. The
+    STATIC split — uniform over first bytes, degenerate when every id
+    shares one prefix (the reference seeds ``id_gt: '0x00'``,
+    subgraphSyncer.ts:39-42, and e.g. an all-0x00-prefixed tenant
+    lands every row in partition 0). The default ``adaptive`` mode
+    (:func:`_adaptive_id_bounds`) probes the observed id range
+    instead."""
     bounds: list[tuple[str, str | None]] = []
     for i in range(num_partitions):
         lo = int(i * 256 / num_partitions)
         hi = int((i + 1) * 256 / num_partitions)
         lower = "0x00" if i == 0 else f"0x{lo:02x}"
         upper = None if i == num_partitions - 1 else f"0x{hi:02x}"
+        bounds.append((lower, upper))
+    return bounds
+
+
+def _adaptive_id_bounds(
+    min_id: str, max_id: str, num_partitions: int
+) -> "list[tuple[str, str | None]] | None":
+    """Split the OBSERVED [min_id, max_id] id range into N ranges on
+    the hex window after the ids' common prefix — the skew remedy for
+    single-prefix id spaces where the static first-byte split
+    collapses to one occupied partition.
+
+    Boundary strings are kept strictly shorter than the probed ids
+    (window capped at ``len(id) - len(prefix) - 1`` hex chars) AND
+    terminated with ``'/'`` — the ASCII character just below ``'0'``,
+    so a boundary sorts after its bare prefix and before any hex
+    continuation of it — meaning a boundary can never equal ANY id
+    (even a mixed-length tenant's shorter id) and every id compares
+    strictly against it lexicographically, keeping the strict
+    ``id_gt lower AND id_lt upper`` range union complete and
+    disjoint. First range opens at the reference's ``'0x00'`` seed
+    and the last is unbounded, so the union also covers ids outside
+    the probed window (late writes between probe and scan).
+
+    Returns None (caller falls back to the static split) when the ids
+    do not expose a usable window: non-0x, mixed lengths, a single
+    distinct id, or no room for a shorter-than-id boundary."""
+    mn, mx = str(min_id), str(max_id)
+    if not (mn.startswith("0x") and mx.startswith("0x")):
+        return None
+    a, b = mn[2:].lower(), mx[2:].lower()
+    if len(a) != len(b) or not a or a > b:
+        return None
+    i = 0
+    while i < len(a) and a[i] == b[i]:
+        i += 1
+    w = min(4, len(a) - i - 1)
+    if i >= len(a) or w <= 0:
+        return None
+    prefix = a[:i]
+    lo16 = int((a[i : i + w]), 16)
+    hi16 = int((b[i : i + w]), 16)
+    span = hi16 - lo16 + 1
+    if span < num_partitions:
+        return None
+    bounds: list[tuple[str, str | None]] = []
+    for k in range(num_partitions):
+        lower = (
+            "0x00"
+            if k == 0
+            else f"0x{prefix}{lo16 + k * span // num_partitions:0{w}x}/"
+        )
+        upper = (
+            None
+            if k == num_partitions - 1
+            else f"0x{prefix}{lo16 + (k + 1) * span // num_partitions:0{w}x}/"
+        )
         bounds.append((lower, upper))
     return bounds
 
@@ -206,6 +269,18 @@ class SubgraphReader(DataSourceReader):
         self.entity_name = options["entity"]
         self.page_size = int(options.get("page_size", 1000))
         self.num_partitions = int(options.get("num_partitions", 1))
+        # id-range planning mode: "adaptive" (default) probes the
+        # observed min/max ids at planning time and splits on the
+        # post-common-prefix hex window — balanced even when every id
+        # shares a long prefix (the reference's id_gt '0x00' seed
+        # world); "static" pins the probe-free uniform first-byte
+        # split (golden-tested wire shapes)
+        self.id_partitioning = options.get("id_partitioning", "adaptive")
+        if self.id_partitioning not in ("adaptive", "static"):
+            raise ValueError(
+                f"id_partitioning must be 'adaptive' or 'static', "
+                f"got {self.id_partitioning!r}"
+            )
         self.transport_path = options.get("transport")
         self.hex_shadow = str(options.get("uint256_shadow", "false")).lower() == "true"
         # limit-N pushdown (reference pushes `first: N`,
@@ -264,10 +339,55 @@ class SubgraphReader(DataSourceReader):
     # -- planning / execution ----------------------------------------------
 
     def partitions(self) -> list[InputPartition]:
+        if self.num_partitions > 1 and self.id_partitioning == "adaptive":
+            bounds = self._probe_adaptive_bounds()
+            if bounds is not None:
+                return [IdRangePartition(lo, hi) for lo, hi in bounds]
         return [
             IdRangePartition(lo, hi)
             for lo, hi in _id_range_bounds(self.num_partitions)
         ]
+
+    def _probe_adaptive_bounds(
+        self,
+    ) -> "list[tuple[str, str | None]] | None":
+        """Driver-side planning probe (the JDBC-source min/max
+        pattern): two ``first: 1`` ordered reads fetch the extreme
+        ids WITHIN any pushed where-filters, and the split derives
+        from the observed range (:func:`_adaptive_id_bounds`). Any
+        probe failure — transport error, empty entity, unusable id
+        shapes — falls back to the static first-byte split, never
+        fails the scan."""
+        from rootstock_collective_state_sync_spark.sources.graphql import (
+            QueryOptions,
+            create_entity_query,
+        )
+
+        try:
+            ctx = load_entities(self.config_path)
+            client = self._client()
+
+            def extreme(direction: str) -> "str | None":
+                req = create_entity_query(
+                    ctx,
+                    self.entity_name,
+                    QueryOptions(
+                        first=1,
+                        order_by="id",
+                        order_direction=direction,
+                        where=self.pushed_where or None,
+                    ),
+                )
+                data, _ = client.execute([req])
+                recs = data.get(self.entity_name, [])
+                return str(recs[0]["id"]) if recs else None
+
+            mn, mx = extreme("asc"), extreme("desc")
+            if mn is None or mx is None:
+                return None
+            return _adaptive_id_bounds(mn, mx, self.num_partitions)
+        except Exception:
+            return None
 
     def _client(self) -> SubgraphClient:
         transport = http_transport

@@ -146,6 +146,12 @@ def state_transport(url: str, body: dict) -> dict:
         recs = [r for r in recs if _matches(r, where)]
         if cb:
             recs = [r for r in recs if r["__changedAtBlock"] >= int(cb["number_gte"])]
+        if "orderBy" in parsed:
+            recs = sorted(
+                recs,
+                key=_order_key(parsed["orderBy"]),
+                reverse=parsed.get("orderDirection") == "desc",
+            )
         if "first" in parsed:
             recs = recs[: parsed["first"]]
         data[f"{entity}_{idx}"] = [
@@ -174,3 +180,9 @@ LIMIT_REQUESTS: list[str] = []
 def counting_transport(url: str, body: dict) -> dict:
     LIMIT_REQUESTS.append(body["query"])
     return transport(url, body)
+
+
+def failing_transport(url: str, body: dict) -> dict:
+    """Transport that always errors — exercises planning-probe
+    fallback paths."""
+    raise ConnectionError("fake transport down")

@@ -414,6 +414,7 @@ def test_multi_partition_ordered_read_globally_ordered(spark):
             "num_partitions": "4",
             "order_by": "blockNumber",
             "order_direction": "desc",
+            "id_partitioning": "static",  # this golden pins the static wire shapes
             "transport": "tests.fake_subgraph:counting_transport",
         }
     )
@@ -526,11 +527,21 @@ def test_pushed_id_bound_intersects_partition_range(spark):
     # golden: partition 0's wire request carries the PUSHED lower bound
     # (max("0x00"-cursor, pushed)), partition 1 its own lower "0x80"
     reqs = fake_subgraph.LIMIT_REQUESTS
+    probes = [q for q in reqs if "first: 1," in q]
+    reqs = [q for q in reqs if "first: 40" in q]
+    # the adaptive planning probes must ALSO carry the pushed bounds
+    # (min/max within the predicate, not the whole table)
+    assert all('id_gt: "0x80000000"' in q for q in probes)
     assert len(reqs) == 2
-    assert all(f'id_gt: "{cutoff}"' in q for q in reqs)  # max(lower, pushed)
-    # partition 0's upper "0x80" wins (min), partition 1 keeps the pushed one
-    assert any('id_lt: "0x80"' in q for q in reqs)
-    assert any('id_lt: "0xc0000000"' in q for q in reqs)
+    # every wire bound is AT LEAST as tight as the pushed predicate
+    # (adaptive partition bounds probed within the predicate may be
+    # tighter; they must never be looser)
+    import re as _re
+
+    gts = [_re.search(r'id_gt: "([^"]+)"', q).group(1) for q in reqs]
+    lts = [_re.search(r'id_lt: "([^"]+)"', q).group(1) for q in reqs]
+    assert all(g >= cutoff for g in gts), gts
+    assert all(lt <= "0xc0000000" for lt in lts), lts
 
     # end-to-end through the Spark scan: filter pushed by Catalyst
     from pyspark.sql import functions as F
@@ -725,6 +736,7 @@ def test_keyset_both_pushed_bounds_wire_golden():
             "entity": "VoteCast",
             "page_size": "5",
             "num_partitions": "4",
+            "id_partitioning": "static",  # golden pins 0x40/0x80/0xc0
             "transport": "tests.fake_subgraph:transport",
         }
     )
@@ -799,6 +811,7 @@ def test_skewed_prefix_ids_static_split_documented(tmp_path):
             "entity": "VoteCast",
             "page_size": "5",
             "num_partitions": "4",
+            "id_partitioning": "static",
             "transport": "tests.fake_subgraph:state_transport",
         }
     )
@@ -811,3 +824,106 @@ def test_skewed_prefix_ids_static_split_documented(tmp_path):
         "0x" + bytes(row[0]).hex() for rows in per_partition for row in rows
     )
     assert got == sorted(rec["id"] for rec in skewed)
+
+
+def test_adaptive_id_bounds_unit_goldens():
+    """Boundary-shape goldens for the adaptive split: post-prefix hex
+    window, '/'-terminated boundaries (never equal to any id), 0x00
+    seed first, unbounded last, and the documented fallbacks."""
+    from rootstock_collective_state_sync_spark.sources.subgraph_source import (
+        _adaptive_id_bounds,
+    )
+
+    # shared "00" prefix, 8-hex ids: window is the next 4 hex chars
+    b = _adaptive_id_bounds("0x00000000", "0x00ffffff", 4)
+    assert b == [
+        ("0x00", "0x004000/"),
+        ("0x004000/", "0x008000/"),
+        ("0x008000/", "0x00c000/"),
+        ("0x00c000/", None),
+    ]
+    # no shared prefix: window is the leading 4 hex chars
+    b = _adaptive_id_bounds("0x00000000", "0xffffffff", 2)
+    assert b == [("0x00", "0x8000/"), ("0x8000/", None)]
+    # boundaries stay strictly shorter than ids: short ids shrink the
+    # window ("0xab0".."0xabf" shares "ab", 1 char left -> no room)
+    assert _adaptive_id_bounds("0xab0", "0xabf", 2) is None
+    # fallbacks: single id, mixed lengths, non-hex, inverted range
+    assert _adaptive_id_bounds("0x07aaaaaa", "0x07aaaaaa", 4) is None
+    assert _adaptive_id_bounds("0x07aa", "0x07aaaaaa", 4) is None
+    assert _adaptive_id_bounds("seven", "0x07aaaaaa", 4) is None
+    assert _adaptive_id_bounds("0x09ffffff", "0x07000000", 4) is None
+    # range narrower than the partition count
+    assert _adaptive_id_bounds("0x00000000", "0x00000002", 4) is None
+
+
+def test_adaptive_split_balances_skewed_prefix(tmp_path):
+    """r11 verdict item 8: the adaptive (default) planner probes the
+    observed id range, so a single-prefix tenant — where the static
+    first-byte split degenerates to [N, 0, 0, 0] — still gets
+    balanced partitions (>= 0.5 of the ideal share each) with the
+    exact complete disjoint row union."""
+    import json as _json
+
+    from rootstock_collective_state_sync_spark.sources.subgraph_source import (
+        SubgraphReader,
+    )
+
+    n = 64
+    skewed = [
+        {
+            "id": f"0x07{i:06x}",
+            "voter": {"id": f"0x{'aa' * 19}{i % 7:02x}"},
+            "proposal": {"id": f"0x{'bb' * 31}{i % 3:02x}"},
+            "support": i % 3,
+            "weight": str(10**20 + i),
+            "reason": f"reason-{i}",
+            "blockNumber": str(1000 + i),
+        }
+        for i in range(n)
+    ]
+    state = tmp_path / "skewed.json"
+    state.write_text(_json.dumps({"VoteCast": skewed}))
+    r = SubgraphReader(
+        {
+            "url": f"fake-state://{state}",
+            "config_path": str(FIXTURE),
+            "entity": "VoteCast",
+            "page_size": "5",
+            "num_partitions": "4",
+            "transport": "tests.fake_subgraph:state_transport",
+        }
+    )
+    per_partition = [list(r.read(p)) for p in r.partitions()]
+    sizes = [len(rows) for rows in per_partition]
+    assert len(sizes) == 4
+    # balance: every partition holds at least half its ideal share
+    # (vs the static split's [64, 0, 0, 0])
+    assert min(sizes) >= (n / 4) * 0.5, sizes
+    # exact complete disjoint union
+    got = sorted(
+        "0x" + bytes(row[0]).hex() for rows in per_partition for row in rows
+    )
+    assert got == sorted(rec["id"] for rec in skewed)
+    assert len(got) == len(set(got))
+
+
+def test_adaptive_probe_failure_falls_back_to_static():
+    """A probe that cannot run (transport error) must degrade to the
+    static split, never fail the scan."""
+    from rootstock_collective_state_sync_spark.sources.subgraph_source import (
+        SubgraphReader,
+        _id_range_bounds,
+    )
+
+    r = SubgraphReader(
+        {
+            "url": "fake://endpoint",
+            "config_path": str(FIXTURE),
+            "entity": "VoteCast",
+            "num_partitions": "4",
+            "transport": "tests.fake_subgraph:failing_transport",
+        }
+    )
+    got = [(p.lower, p.upper) for p in r.partitions()]
+    assert got == _id_range_bounds(4)
