@@ -220,6 +220,61 @@ def _stage_dsir_floor(df: DataFrame, p: dict[str, Any]) -> DataFrame:
     return df.join(keep, "doc_id", "left_semi")
 
 
+def _audit_benford(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Benford first-digit census of a numeric column (report rows:
+    one per digit) — the fabricated-numbers screen run IN the
+    pipeline so a curation run's audit trail carries it."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        benford_audit,
+    )
+
+    return benford_audit(
+        df, p["value_col"], cents=bool(p.get("cents", True))
+    )
+
+
+def _audit_gini(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Per-group Gini concentration of a numeric column (one report
+    row per group) — the dominance screen (is one source/shard
+    hogging the value mass?)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        gini_index,
+    )
+
+    return gini_index(
+        df, list(p["group_cols"]), p["value_col"], p["id_col"]
+    )
+
+
+def _audit_equidepth(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Equi-depth histogram of a numeric column (one report row per
+    bucket) — the optimizer-stats boundary report, distributed
+    prefix-sum build."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        equidepth_histogram,
+    )
+
+    return equidepth_histogram(
+        df, p["value_col"], p["id_col"], buckets=int(p.get("buckets", 8))
+    )
+
+
+#: AUDIT stages: pass-through for the data plan (compile_pipeline
+#: treats them as identity — the curated output is unchanged), but in
+#: ``run_pipeline(audit=True)`` their bounded report rows are embedded
+#: in the trail entry. This is how the r11 table screens (Benford /
+#: Gini / equi-depth) ride in a declarative curation run without
+#: becoming row filters.
+AUDIT_STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
+    "benford_audit": _audit_benford,
+    "gini_audit": _audit_gini,
+    "equidepth_audit": _audit_equidepth,
+}
+
+#: hard cap on embedded report rows — an audit trail is a control-
+#: plane artifact, never a data sink
+MAX_AUDIT_REPORT_ROWS = 100
+
 STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
     "gopher_filter": _stage_gopher_filter,
     "exact_dedup": _stage_exact_dedup,
@@ -242,16 +297,23 @@ STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
 
 
 def compile_pipeline(df: DataFrame, spec: list[dict[str, Any]]) -> DataFrame:
-    """Fold the spec into one lazy plan. Unknown stages fail loudly at
-    compile time, not mid-job."""
-    unknown = [s.get("stage") for s in spec if s.get("stage") not in STAGES]
+    """Fold the spec into one lazy plan (audit stages are identity —
+    their reports only exist in ``run_pipeline(audit=True)``'s trail).
+    Unknown stages fail loudly at compile time, not mid-job."""
+    unknown = [
+        s.get("stage")
+        for s in spec
+        if s.get("stage") not in STAGES and s.get("stage") not in AUDIT_STAGES
+    ]
     if unknown:
         raise ValueError(
-            f"unknown pipeline stages {unknown}; known: {sorted(STAGES)}"
+            f"unknown pipeline stages {unknown}; "
+            f"known: {sorted(STAGES) + sorted(AUDIT_STAGES)}"
         )
     out = df
     for s in spec:
-        out = STAGES[s["stage"]](out, s)
+        if s["stage"] in STAGES:
+            out = STAGES[s["stage"]](out, s)
     return out
 
 
@@ -259,7 +321,10 @@ def run_pipeline(
     df: DataFrame, spec: list[dict[str, Any]], audit: bool = False
 ) -> tuple[DataFrame, list[dict[str, Any]]]:
     """Compile and (optionally) audit: with ``audit=True`` each
-    stage's surviving row count is measured (the kill-rate report);
+    filter stage's surviving row count is measured (the kill-rate
+    report) and each AUDIT stage's bounded report rows are embedded
+    at their position in the trail (capped at
+    ``MAX_AUDIT_REPORT_ROWS`` — trails are control-plane artifacts);
     the input is cached for the prefix counts and released after."""
     out = compile_pipeline(df, spec)
     trail: list[dict[str, Any]] = []
@@ -270,6 +335,21 @@ def run_pipeline(
             trail.append({"stage": "input", "rows": prev})
             cur = cached
             for s in spec:
+                if s["stage"] in AUDIT_STAGES:
+                    rep = (
+                        AUDIT_STAGES[s["stage"]](cur, s)
+                        .limit(MAX_AUDIT_REPORT_ROWS)
+                        .collect()
+                    )
+                    trail.append(
+                        {
+                            "stage": s["stage"],
+                            "rows": prev,
+                            "killed": 0,
+                            "report": [r.asDict() for r in rep],
+                        }
+                    )
+                    continue
                 cur = STAGES[s["stage"]](cur, s)
                 n = cur.count()
                 trail.append(

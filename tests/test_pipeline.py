@@ -173,3 +173,53 @@ def test_r11_quality_screen_stages(spark):
     )
     ids2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
     assert ids2 == {1}
+
+
+def test_audit_stages_embed_reports_without_filtering(spark):
+    """r11 verdict item 10: the table screens (Benford / Gini /
+    equi-depth) ride in a pipeline as AUDIT stages — identity for the
+    data plan, bounded report rows embedded at their trail position."""
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+        )
+    )
+    spec = [
+        {"stage": "benford_audit", "value_col": "vc", "cents": False},
+        {"stage": "gini_audit", "group_cols": ["o_orderpriority"],
+         "value_col": "vc", "id_col": "o_orderkey"},
+        {"stage": "equidepth_audit", "value_col": "vc",
+         "id_col": "o_orderkey", "buckets": 4},
+    ]
+    n_in = orders.count()
+    out, trail = run_pipeline(orders, spec, audit=True)
+    # identity for the data plan — audit stages never filter
+    assert out.count() == n_in
+    assert [t["stage"] for t in trail] == [
+        "input", "benford_audit", "gini_audit", "equidepth_audit"
+    ]
+    assert all(t.get("killed", 0) == 0 for t in trail[1:])
+    benford, gini, eqd = (t["report"] for t in trail[1:])
+    assert len(benford) == 9 and {r["digit"] for r in benford} == set(
+        range(1, 10)
+    )
+    assert sum(r["n"] for r in benford) == n_in
+    assert len(gini) == 5  # one row per order priority
+    assert all(0 <= r["gini_e6"] <= 1_000_000 for r in gini)
+    assert len(eqd) == 4 and sum(r["n"] for r in eqd) == n_in
+    # depth balance: buckets within one row of each other
+    depths = [r["n"] for r in eqd]
+    assert max(depths) - min(depths) <= 1
+    # boundaries contiguous + monotone
+    assert all(
+        eqd[i]["hi"] <= eqd[i + 1]["lo"] for i in range(len(eqd) - 1)
+    )
+    # composition with a filter stage: the audit runs at its position
+    spec2 = [
+        {"stage": "benford_audit", "value_col": "vc", "cents": False},
+    ]
+    out2, trail2 = run_pipeline(orders, spec2, audit=False)
+    assert trail2 == [] and out2.count() == n_in
