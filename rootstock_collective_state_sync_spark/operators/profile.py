@@ -347,10 +347,16 @@ exactly this many rows at any data scale."""
 
 
 def _distributed_prefix_sum(
-    per_v: DataFrame, v_col: str, c_col: str, out_col: str
+    per_v: DataFrame,
+    v_col: str,
+    c_col: str,
+    out_col: str,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``c_col`` over ``per_v`` in ``v_col``
-    order, WITHOUT a global single-partition window.
+    order — per ``group_cols`` group when given — WITHOUT a global
+    (or per-group-global: a handful of groups each holding a corpus
+    share is the same pathology) single-partition window.
 
     Two-level decomposition: (1) bucket values by driver-collected
     ``approx_percentile`` boundaries (monotone in ``v_col``; the
@@ -363,12 +369,19 @@ def _distributed_prefix_sum(
     approx quantile sketch (whose output can depend on partition
     order) affects only balance, never values.
 
+    With groups, every window simply gains the group key in its
+    PARTITION BY (value boundaries stay GLOBAL — monotone bucketing
+    per group holds for any shared boundary set) and the base-offset
+    table grows to #groups x NUM_RANGE_BUCKETS rows — still
+    cluster-sized, still broadcast.
+
     Non-numeric ``v_col`` (no approx_percentile support) falls back
-    to the single global window — acceptable only when the caller
+    to the single per-group window — acceptable only when the caller
     knows |distinct values| is vocabulary-sized.
     """
+    g = list(group_cols or [])
     if not isinstance(per_v.schema[v_col].dataType, NumericType):
-        w_v = Window.orderBy(v_col).rowsBetween(
+        w_v = Window.partitionBy(*g).orderBy(v_col).rowsBetween(
             Window.unboundedPreceding, -1
         )
         return per_v.withColumn(
@@ -398,27 +411,87 @@ def _distributed_prefix_sum(
         )
     bucketed = per_v.withColumn("_rb", bkt)
     w_local = (
-        Window.partitionBy("_rb")
+        Window.partitionBy(*g, "_rb")
         .orderBy(v_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = bucketed.withColumn(
         "_loc", F.coalesce(F.sum(c_col).over(w_local), F.lit(0))
     )
-    w_base = Window.orderBy("_rb").rowsBetween(Window.unboundedPreceding, -1)
+    w_base = (
+        Window.partitionBy(*g)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     base = (
-        bucketed.groupBy("_rb")
+        bucketed.groupBy(*g, "_rb")
         .agg(F.sum(c_col).alias("_bc"))
         .withColumn(
             "_base", F.coalesce(F.sum("_bc").over(w_base), F.lit(0))
         )
-        .select("_rb", "_base")
+        .select(*g, "_rb", "_base")
     )
     return (
-        local.join(F.broadcast(base), "_rb")
+        local.join(F.broadcast(base), [*g, "_rb"])
         .withColumn(out_col, (F.col("_base") + F.col("_loc")).cast("long"))
         .drop("_rb", "_loc", "_base")
     )
+
+
+def ntile_assign(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    buckets: int,
+    group_cols: "list[str] | None" = None,
+    extra_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Row-level SQL-standard ``ntile(buckets)`` over the
+    deterministic ``(value, id)`` total order (per ``group_cols``
+    group when given) WITHOUT a single-partition global window: the
+    global rank decomposes into per-value counts, the distributed
+    two-level prefix sum (:func:`_distributed_prefix_sum`), and a
+    per-value row_number tie split; the bucket is then pure integer
+    arithmetic (the first ``n mod B`` buckets take the extra row —
+    exactly DuckDB's ntile). Returns ``(*group_cols, _id, v,
+    bucket)``. Shared by the equi-depth histogram and the WOE/IV
+    feature binning. ``extra_cols`` ride along unchanged (row-level
+    payload like the WOE target flag — they enter no window key)."""
+    g = list(group_cols or [])
+    x = list(extra_cols or [])
+    t = df.select(
+        *g, *x, F.col(id_col).alias("_id"), F.col(value_col).alias("v")
+    )
+    per_v = t.groupBy(*g, "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    off = _distributed_prefix_sum(per_v, "v", "c", "off", group_cols=g)
+    w_in = Window.partitionBy(*g, "v").orderBy(F.col("_id").asc())
+    ranked = t.withColumn("rn_in", F.row_number().over(w_in)).join(
+        off.select(*g, "v", "off"), [*g, "v"]
+    )
+    if g:
+        tot = per_v.groupBy(*g).agg(F.sum("c").cast("long").alias("_n"))
+        ranked = ranked.join(F.broadcast(tot), g)
+    else:
+        tot = per_v.agg(F.sum("c").cast("long").alias("_n"))
+        ranked = ranked.crossJoin(F.broadcast(tot))
+    ranked = ranked.withColumn(
+        "r", (F.col("off") + F.col("rn_in")).cast("long")
+    )
+    # SQL-standard ntile: the first (n % B) buckets take ceil(n/B)
+    # rows, the rest floor(n/B) — all-integer `div`, no float rounding
+    B = int(buckets)
+    return ranked.withColumn(
+        "bucket",
+        F.expr(
+            f"CAST(CASE WHEN r <= (_n % {B}) * (_n div {B} + 1) "
+            f"THEN (r - 1) div (_n div {B} + 1) + 1 "
+            f"ELSE (_n % {B}) + "
+            f"(r - (_n % {B}) * (_n div {B} + 1) - 1) div (_n div {B}) + 1 "
+            f"END AS INT)"
+        ),
+    ).drop("rn_in", "off", "_n", "r")
 
 
 def equidepth_histogram(
@@ -426,6 +499,7 @@ def equidepth_histogram(
     value_col: str,
     id_col: str,
     buckets: int = 8,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Equi-DEPTH histogram (optimizer-stats shape: equal row counts
     per bucket, data-driven boundaries) — the companion to the
@@ -434,7 +508,13 @@ def equidepth_histogram(
     (first ``n mod B`` buckets take the extra row), so boundaries are
     value-checkable exactly.
 
-    Returns ``(bucket, n, lo, hi)`` — monotone, contiguous coverage.
+    Returns ``(bucket, n, lo, hi)`` — monotone, contiguous coverage —
+    prefixed by ``group_cols`` when given (one independent histogram
+    per group: the per-group-stats shape ANALYZE keeps per partition;
+    a handful of corpus-share groups would make naive per-group
+    windows exactly as pathological as the global one, so every stage
+    below simply gains the group key — see
+    :func:`_distributed_prefix_sum`).
 
     Scale shape: a naive ``ntile() OVER (ORDER BY ...)`` would move
     EVERY row through one partition (Spark warns exactly that), so
@@ -458,38 +538,16 @@ def equidepth_histogram(
     ntile over the (value, id) total order — the DuckDB oracle
     replays plain ntile.
     """
-    t = df.select(F.col(id_col).alias("_id"), F.col(value_col).alias("v"))
-    per_v = t.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    off = _distributed_prefix_sum(per_v, "v", "c", "off")
-    tot = per_v.agg(F.sum("c").cast("long").alias("_n"))
-    w_in = Window.partitionBy("v").orderBy(F.col("_id").asc())
-    ranked = (
-        t.withColumn("rn_in", F.row_number().over(w_in))
-        .join(off.select("v", "off"), "v")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("r", (F.col("off") + F.col("rn_in")).cast("long"))
-    )
-    # SQL-standard ntile: the first (n % B) buckets take ceil(n/B)
-    # rows, the rest floor(n/B) — all-integer `div`, no float rounding
-    B = int(buckets)
-    t2 = ranked.withColumn(
-        "bucket",
-        F.expr(
-            f"CAST(CASE WHEN r <= (_n % {B}) * (_n div {B} + 1) "
-            f"THEN (r - 1) div (_n div {B} + 1) + 1 "
-            f"ELSE (_n % {B}) + "
-            f"(r - (_n % {B}) * (_n div {B} + 1) - 1) div (_n div {B}) + 1 "
-            f"END AS INT)"
-        ),
-    )
+    g = list(group_cols or [])
+    t2 = ntile_assign(df, value_col, id_col, buckets, group_cols=g)
     return (
-        t2.groupBy("bucket")
+        t2.groupBy(*g, "bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
         )
-        .orderBy("bucket")
+        .orderBy(*g, "bucket")
     )
 
 
@@ -643,4 +701,75 @@ def weighted_median(
             F.min("v").alias("wmedian"),
             F.max("tw").alias("total_weight"),
         )
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    target_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence / information-value feature binning (the
+    credit-scoring standard; Siddiqi 2006): equi-depth-bin a numeric
+    feature (:func:`ntile_assign` — exact SQL ntile, no
+    single-partition window) and report, per bin, the event/non-event
+    counts, ``woe_e9 = round(ln((pos_i·neg_tot)/(neg_i·pos_tot))·1e9)``
+    (the log argument is an exact integer rational — no float division
+    before the one ln), and the bin's IV contribution ``iv_e9 =
+    round((pos_i/pos_tot − neg_i/neg_tot)·ln(...)·1e9)``. ``Σ iv_e9``
+    is the feature's predictive-power screen (rule of thumb: < 0.02
+    useless, > 0.5 suspicious). A bin with zero events or zero
+    non-events reports NULL woe/iv (standard practice is merging such
+    bins; the NULL keeps the report honest instead of clamping).
+
+    ``target_col`` must be 0/1-valued. Scale shape: the ntile
+    assignment's decomposed rank (group-keyed windows + one bounded
+    base-offset table), then ONE bins-sized aggregate and a broadcast
+    totals row.
+    """
+    assigned = ntile_assign(
+        df, value_col, id_col, bins, extra_cols=[target_col]
+    )
+    per_bin = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(target_col).cast("long")).cast("long").alias("n_pos"),
+    )
+    per_bin = per_bin.withColumn(
+        "n_neg", (F.col("n") - F.col("n_pos")).cast("long")
+    )
+    tot = per_bin.agg(
+        F.sum("n_pos").cast("long").alias("tot_pos"),
+        F.sum("n_neg").cast("long").alias("tot_neg"),
+    )
+    lg = F.log(
+        (F.col("n_pos").cast("double") * F.col("tot_neg").cast("double"))
+        / (F.col("n_neg").cast("double") * F.col("tot_pos").cast("double"))
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            "n_neg",
+            F.when(ok, F.round(lg * 1e9, 0).cast("long")).alias("woe_e9"),
+            F.when(
+                ok,
+                F.round(
+                    (
+                        F.col("n_pos").cast("double")
+                        / F.col("tot_pos").cast("double")
+                        - F.col("n_neg").cast("double")
+                        / F.col("tot_neg").cast("double")
+                    )
+                    * lg
+                    * 1e9,
+                    0,
+                ).cast("long"),
+            ).alias("iv_e9"),
+        )
+        .orderBy("bucket")
     )

@@ -644,3 +644,114 @@ def twap_render(partials: DataFrame, group_col: str) -> DataFrame:
         "span_us",
         F.expr("CAST(vdt div span_us AS BIGINT)").alias("twap_c"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    subject_col: str,
+    ts_col: str,
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival census (Kaplan & Meier 1958) over subject
+    LIFETIMES with right-censoring at the observation edge — the
+    churn/retention curve every engagement dashboard carries. A
+    subject's lifetime is ``datediff(last event, first event)`` in
+    days; the death is OBSERVED when the subject went quiet at least
+    ``horizon_days`` before the stream's end (otherwise the lifetime
+    is right-CENSORED: still alive as far as the data can tell).
+
+    Returns one row per distinct lifetime, ordered:
+    ``(t_days, n_at_risk, n_deaths, n_censored, term_e9,
+    log_surv_e9, hits_zero)`` where ``term_e9 =
+    round(ln((n_at_risk − d_t)/n_at_risk)·1e9)`` at death times (the
+    log argument is an exact integer rational) and ``log_surv_e9``
+    is its running sum — ``exp(log_surv_e9/1e9)`` is the KM survival
+    estimate S(t), kept in log-space so the artifact stays
+    integer-exact and engine-portable (no cross-engine ``exp``
+    rounding in the hash). If the curve reaches zero (every at-risk
+    subject dies at some t), that row sets ``hits_zero = 1``, its
+    term contributes 0, and later rows are flagged too — S(t) is 0
+    from there on and the log is undefined.
+
+    Scale shape (100 TB): one subject-keyed aggregate (map-side
+    combined) collapses the corpus to one row per subject; one more
+    shrinks that to one row per distinct lifetime (~days-range-sized
+    but treated as unbounded); the at-risk suffix sum and the
+    survival running sum both ride the DISTRIBUTED two-level prefix
+    sum (:func:`..operators.profile._distributed_prefix_sum`) — no
+    single-partition window anywhere; the observation end is one
+    control-plane scalar.
+    """
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        _distributed_prefix_sum,
+    )
+
+    end = df.agg(F.max(F.col(ts_col)).alias("m")).first()["m"]
+    per = df.groupBy(F.col(subject_col).alias("subj")).agg(
+        F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
+    )
+    per = per.select(
+        F.datediff(F.col("last_ts"), F.col("first_ts"))
+        .cast("long")
+        .alias("t_days"),
+        (
+            F.col("last_ts")
+            < F.lit(end) - F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+        )
+        .cast("long")
+        .alias("event"),
+    )
+    tbl = per.groupBy("t_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("event").cast("long").alias("n_deaths"),
+    )
+    off = _distributed_prefix_sum(tbl, "t_days", "n_total", "off")
+    grand = tbl.agg(F.sum("n_total").cast("long").alias("_g"))
+    risk = off.crossJoin(F.broadcast(grand)).select(
+        "t_days",
+        "n_deaths",
+        (F.col("n_total") - F.col("n_deaths")).cast("long").alias(
+            "n_censored"
+        ),
+        (F.col("_g") - F.col("off")).cast("long").alias("n_at_risk"),
+    )
+    zero = (F.col("n_deaths") > 0) & (
+        F.col("n_at_risk") == F.col("n_deaths")
+    )
+    term = F.when(
+        (F.col("n_deaths") > 0) & ~zero,
+        F.round(
+            F.log(
+                (F.col("n_at_risk") - F.col("n_deaths")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+            * 1e9,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = risk.select(
+        "t_days",
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        term.alias("term_e9"),
+        zero.cast("long").alias("_z"),
+    )
+    cum = _distributed_prefix_sum(scored, "t_days", "term_e9", "_off")
+    zcum = _distributed_prefix_sum(cum, "t_days", "_z", "_zoff")
+    return (
+        zcum.select(
+            "t_days",
+            "n_at_risk",
+            "n_deaths",
+            "n_censored",
+            "term_e9",
+            (F.col("_off") + F.col("term_e9")).cast("long").alias(
+                "log_surv_e9"
+            ),
+            ((F.col("_zoff") + F.col("_z")) > 0).cast("int").alias(
+                "hits_zero"
+            ),
+        )
+        .orderBy("t_days")
+    )

@@ -2217,3 +2217,157 @@ SELECT strftime(dau.day, '%Y-%m-%d') AS day,
 FROM dau LEFT JOIN nu ON dau.day = nu.day
 ORDER BY day
 """
+
+
+def q_equidepth_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP equi-depth histogram (4 buckets of order totals per
+    order priority) — the per-partition optimizer-stats shape. All
+    windows carry the group key; the offset stage is the per-group
+    distributed prefix sum (no single-partition window even when a
+    handful of groups each hold a corpus share). See
+    :func:`..operators.profile.equidepth_histogram`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        equidepth_histogram,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+    )
+    return (
+        equidepth_histogram(
+            orders,
+            "vc",
+            "o_orderkey",
+            buckets=4,
+            group_cols=["o_orderpriority"],
+        )
+        .select(
+            "o_orderpriority",
+            "bucket",
+            "n",
+            F.col("lo").cast("long").alias("lo_c"),
+            F.col("hi").cast("long").alias("hi_c"),
+        )
+        .orderBy("o_orderpriority", "bucket")
+    )
+
+
+Q_EQUIDEPTH_BY_PRIORITY_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY round(o_totalprice * 100), o_orderkey)
+           AS bucket
+  FROM orders
+)
+SELECT o_orderpriority, bucket,
+       count(*)::BIGINT AS n,
+       min(v)::BIGINT AS lo_c,
+       max(v)::BIGINT AS hi_c
+FROM r GROUP BY 1, 2 ORDER BY o_orderpriority, bucket
+"""
+
+
+def q_woe_iv_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of order total
+    (deciles) against the fulfilled-order flag — the credit-scoring
+    binning report. See :func:`..operators.profile.woe_iv`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        woe_iv,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("tgt"),
+    )
+    return woe_iv(orders, "vc", "o_orderkey", "tgt", bins=10)
+
+
+Q_WOE_IV_ORACLE = """
+WITH r AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         (o_orderstatus = 'F')::BIGINT AS tgt
+  FROM orders
+),
+b AS (
+  SELECT *, ntile(10) OVER (ORDER BY v, o_orderkey) AS bucket FROM r
+),
+pb AS (
+  SELECT bucket, count(*)::BIGINT AS n, sum(tgt)::BIGINT AS n_pos
+  FROM b GROUP BY 1
+),
+p2 AS (SELECT bucket, n, n_pos, (n - n_pos)::BIGINT AS n_neg FROM pb),
+t AS (
+  SELECT sum(n_pos)::BIGINT AS tp, sum(n_neg)::BIGINT AS tn FROM p2
+)
+SELECT bucket, n, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(ln((n_pos::DOUBLE * tn) / (n_neg::DOUBLE * tp))
+                       * 1e9)::BIGINT END AS woe_e9,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round((n_pos::DOUBLE / tp - n_neg::DOUBLE / tn)
+                       * ln((n_pos::DOUBLE * tn) / (n_neg::DOUBLE * tp))
+                       * 1e9)::BIGINT END AS iv_e9
+FROM p2, t ORDER BY bucket
+"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-lifetime survival curve over the events
+    stream (deaths = users quiet >= 7 days before the observation
+    edge; the rest right-censored), in integer log-space. See
+    :func:`..operators.temporal.kaplan_meier`."""
+    from rootstock_collective_state_sync_spark.operators.temporal import (
+        kaplan_meier,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return kaplan_meier(ev, "user_id", "ts", horizon_days=7)
+
+
+Q_KAPLAN_MEIER_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+per AS (
+  SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+),
+d AS (
+  SELECT date_diff('day', f::DATE, l::DATE)::BIGINT AS t_days,
+         (l < (SELECT m FROM mx) - INTERVAL 7 DAY)::BIGINT AS event
+  FROM per
+),
+tbl AS (
+  SELECT t_days, count(*)::BIGINT AS n_total,
+         sum(event)::BIGINT AS n_deaths
+  FROM d GROUP BY 1
+),
+risk AS (
+  SELECT t_days, n_deaths,
+         (n_total - n_deaths)::BIGINT AS n_censored,
+         ((SELECT sum(n_total) FROM tbl)
+          - coalesce(sum(n_total) OVER (ORDER BY t_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0))::BIGINT AS n_at_risk
+  FROM tbl
+),
+scored AS (
+  SELECT *,
+         (n_deaths > 0 AND n_at_risk = n_deaths)::BIGINT AS z,
+         CASE WHEN n_deaths > 0 AND n_at_risk > n_deaths
+              THEN round(ln((n_at_risk - n_deaths)::DOUBLE
+                            / n_at_risk) * 1e9)::BIGINT
+              ELSE 0 END AS term_e9
+  FROM risk
+)
+SELECT t_days, n_at_risk, n_deaths, n_censored, term_e9,
+       sum(term_e9) OVER (ORDER BY t_days
+                          ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS log_surv_e9,
+       (sum(z) OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)
+        > 0)::INT AS hits_zero
+FROM scored ORDER BY t_days
+"""

@@ -111,6 +111,24 @@ SPECS: dict[str, QuerySpec] = {
     "cusum_changepoints": QuerySpec(
         AN.q_cusum_changepoints, AN.Q_CUSUM_ORACLE, ("analytics", "temporal")
     ),
+    "equidepth_by_priority": QuerySpec(
+        AN.q_equidepth_by_priority,
+        AN.Q_EQUIDEPTH_BY_PRIORITY_ORACLE,
+        ("analytics", "agg", "window"),
+    ),
+    "woe_iv_bins": QuerySpec(
+        AN.q_woe_iv_bins, AN.Q_WOE_IV_ORACLE, ("analytics", "agg")
+    ),
+    "kaplan_meier": QuerySpec(
+        AN.q_kaplan_meier,
+        AN.Q_KAPLAN_MEIER_ORACLE,
+        ("analytics", "temporal"),
+    ),
+    "matryoshka_recall": QuerySpec(
+        TR.q_matryoshka_recall,
+        TR.Q_MATRYOSHKA_RECALL_ORACLE,
+        ("similarity",),
+    ),
     "hll_distinct_tokens": QuerySpec(
         TR.q_hll_distinct_tokens,
         TR.Q_HLL_DISTINCT_TOKENS_ORACLE,

@@ -3208,3 +3208,121 @@ SELECT source, doc_id, sample_rank FROM (
 ) WHERE sample_rank <= 5
 ORDER BY source, sample_rank
 """
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-truncation recall sweep (Kusupati et al.
+    2022, arXiv:2205.13147): top-10 cosine recall of the FIRST-d-dims
+    ranking against the full-64-dim truth, for d in {8,16,32,64} — the
+    embedding-compression tuning curve, a sibling of
+    ``ivf_nprobe_sweep``. One bounded query set (vec_id < 16 — the
+    deterministic convention of `ann_cosine_topk`), ONE corpus scan:
+    every (query, candidate) pair scores all four prefixes in one
+    projection, explodes to (dims, score), and ranks per (query,
+    dims). d=64 recalls 1e6 by construction — an in-band sanity row.
+
+    Scale shape (100 TB): bounded-query brute force — the corpus is
+    scanned once, pairs are |Q| x corpus (linear), the rank is a
+    per-(query,dims) WindowGroupLimit; the IVF/LSH celled paths are
+    the unbounded-query alternative, this is the tuning-curve
+    auditor. Exact integer recall: hits*1e6 div (|Q|*10).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    pairs = q.crossJoin(c).filter(F.col("qid") != F.col("cid"))
+
+    def cos_d(d: int):
+        return F.expr(
+            f"round(aggregate(zip_with(slice(qe, 1, {d}), slice(ce, 1, {d}),"
+            f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            f" 0D, (a, x) -> a + x)"
+            f" / (sqrt(aggregate(slice(qe, 1, {d}),"
+            f"   0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+            f" * sqrt(aggregate(slice(ce, 1, {d}),"
+            f"   0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),"
+            f" 6)"
+        )
+
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("dims"),
+                        cos_d(d).alias("score"),
+                    )
+                    for d in (8, 16, 32, 64)
+                ]
+            )
+        ).alias("s"),
+    ).select("qid", "cid", "s.dims", "s.score")
+    w = Window.partitionBy("qid", "dims").orderBy(
+        F.col("score").desc(), F.col("cid").asc()
+    )
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "cid", "dims")
+    )
+    truth = top.filter(F.col("dims") == 64).select("qid", "cid")
+    hits = (
+        top.join(truth, ["qid", "cid"], "left_semi")
+        .groupBy("dims")
+        .agg(F.count(F.lit(1)).cast("long").alias("h"))
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        hits.crossJoin(F.broadcast(nq))
+        .select(
+            "dims",
+            "n_queries",
+            F.expr("h * 1000000 div (n_queries * 10)")
+            .cast("long")
+            .alias("recall_e6"),
+        )
+        .orderBy("dims")
+    )
+
+
+Q_MATRYOSHKA_RECALL_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 16),
+pairs AS (
+  SELECT q.qid, c.vec_id AS cid, q.qe, c.embedding AS ce
+  FROM q JOIN embeddings c ON c.vec_id <> q.qid
+),
+scored AS (
+  SELECT qid, cid, d.dims,
+         round(
+           list_sum(list_transform(range(1, d.dims + 1),
+                    i -> qe[i]::DOUBLE * ce[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, d.dims + 1),
+                     i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, d.dims + 1),
+                     i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))), 6)
+           AS score
+  FROM pairs, (SELECT unnest([8, 16, 32, 64]) AS dims) d
+),
+rk AS (
+  SELECT qid, cid, dims,
+         row_number() OVER (PARTITION BY qid, dims
+                            ORDER BY score DESC, cid ASC) AS rn
+  FROM scored
+),
+top AS (SELECT qid, cid, dims FROM rk WHERE rn <= 10),
+truth AS (SELECT qid, cid FROM top WHERE dims = 64),
+nq AS (SELECT count(*)::BIGINT AS n FROM q)
+SELECT t.dims,
+       (SELECT n FROM nq) AS n_queries,
+       (count(*) * 1000000 // ((SELECT n FROM nq) * 10))::BIGINT
+         AS recall_e6
+FROM top t JOIN truth USING (qid, cid)
+GROUP BY t.dims ORDER BY t.dims
+"""

@@ -11,6 +11,14 @@ The artifact is gated by ``tests/test_scaling_artifact.py``: the
 celled-graph family must stay on its linear asymptote, and no
 headline query's sf1/sf0.1 ratio may double round-over-round.
 
+r12 (verdict item 4): the sf0.1 and sf1 legs are INTERLEAVED per
+query with a per-query calibration probe — the r11 artifact ran all
+sf1 legs last and the host slowed 2.1x mid-sweep, inflating every
+late ratio (dedup_minhash_lsh read 13.3x where the drift-adjusted
+truth was ~6x). Per-query pairing means both legs of a ratio see the
+same host regime; ``calibration_per_query`` records the probe beside
+each pair.
+
 Usage: PYTHONPATH=/root/repo python tools/sf1_bench.py <round_no>
 """
 
@@ -28,26 +36,23 @@ from tools.scale_data import build  # noqa: E402
 RUNS = 3
 
 
-def _time_queries(spark, names, sf_dir):
+def _time_one(spark, name, sf_dir):
     from rootstock_collective_state_sync_spark.caching import release_tracked
     from rootstock_collective_state_sync_spark.plans.registry import SPECS
 
-    out = {}
-    for name in names:
-        spark.catalog.clearCache()
+    spark.catalog.clearCache()
+    release_tracked()
+    spark._jvm.System.gc()
+    fn = SPECS[name].fn
+    fn(spark, sf_dir).count()  # warm-up
+    release_tracked()
+    ts = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        ts.append(time.perf_counter() - t0)
         release_tracked()
-        spark._jvm.System.gc()
-        fn = SPECS[name].fn
-        fn(spark, sf_dir).count()  # warm-up
-        release_tracked()
-        ts = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            ts.append(time.perf_counter() - t0)
-            release_tracked()
-        out[name] = round(sorted(ts)[RUNS // 2], 4)
-    return out
+    return round(sorted(ts)[RUNS // 2], 4)
 
 
 def main() -> None:
@@ -61,8 +66,11 @@ def main() -> None:
     names = sorted(n for n, s in SPECS.items() if "bench" in s.tags)
     calibration = _calibrate()
     spark = get_spark("sf1-bench")
-    t01 = _time_queries(spark, names, "/root/testdata/sf0.1")
-    t1 = _time_queries(spark, names, sf1_dir)
+    t01, t1, cal_q = {}, {}, {}
+    for n in names:  # interleaved: both legs of a ratio share a regime
+        cal_q[n] = _calibrate()
+        t01[n] = _time_one(spark, n, "/root/testdata/sf0.1")
+        t1[n] = _time_one(spark, n, sf1_dir)
     calibration_end = _calibrate()
     spark.stop()
 
@@ -77,6 +85,7 @@ def main() -> None:
         "ratio_sf1_over_sf0_1": ratios,
         "calibration_sec": calibration,
         "calibration_end_sec": calibration_end,
+        "calibration_per_query": cal_q,
         "runs_per_query": RUNS,
     }
     out_path = os.path.join(
