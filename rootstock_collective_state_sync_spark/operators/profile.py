@@ -259,6 +259,16 @@ def benford_audit(
     combined) + a broadcast 9-row expected-value spine — no
     corpus-sized shuffle at any size.
     """
+    per = benford_digit_counts(df, value_col, cents)
+    return benford_from_counts(per)
+
+
+def benford_digit_counts(
+    df: DataFrame, value_col: str, cents: bool = True
+) -> DataFrame:
+    """(digit, n) first-significant-digit counts over the positive
+    values — the MERGEABLE half of the Benford audit (counts over
+    disjoint row sets add exactly), shared with the streaming twin."""
     vc = (
         F.round(F.col(value_col) * 100).cast("long")
         if cents
@@ -269,8 +279,15 @@ def benford_audit(
         .filter(F.col("vc") > 0)
         .select(F.substring(F.col("vc").cast("string"), 1, 1).cast("int").alias("digit"))
     )
-    per = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    spark = df.sparkSession
+    return digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def benford_from_counts(per: DataFrame) -> DataFrame:
+    """(digit, n) counts -> the full audit report (the render half,
+    shared by the at-rest scan and the streaming store)."""
+    spark = per.sparkSession
     spine = spark.createDataFrame(
         [(d + 1, BENFORD_E6[d]) for d in range(9)], "digit int, benford_e6 long"
     )
@@ -772,4 +789,76 @@ def woe_iv(
             ).alias("iv_e9"),
         )
         .orderBy("bucket")
+    )
+
+
+def theil_decomposition(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index with its exact between/within GROUP
+    decomposition (Theil 1967; the GE(1) member of the generalized
+    entropy family — the one inequality measure that decomposes
+    additively, which Gini does not): per group ``g``,
+
+    - ``theil_g_e9``  — the within-group index
+      ``(1/n_g) Σ (x_i·n_g/S_g)·ln(x_i·n_g/S_g)`` (each row term has
+      an exact integer rational inside and outside the one ``ln``,
+      e9-snapped before summation — the package fixed-point policy);
+    - ``between_term_e9`` — the group's contribution
+      ``(S_g/S)·ln(S_g·n/(S·n_g))`` to the between-group index;
+    - ``within_term_e9`` — its weighted within contribution
+      ``(S_g/S)·theil_g``.
+
+    ``Σ between_term + Σ within_term = T_total`` up to the snapping.
+    Requires strictly positive values.
+
+    Scale shape: one group-keyed map-side-combined aggregate for the
+    (S_g, n_g) table (broadcast back), per-row terms computed in the
+    scan projection, one more group aggregate — the corpus is scanned
+    once and only group keys shuffle.
+    """
+    x = F.col(value_col).cast("double")
+    per_g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sum(value_col).cast("long").alias("sg"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    )
+    tot = per_g.agg(
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("ng").cast("long").alias("n"),
+    )
+    rows = df.select(F.col(group_col).alias("g"), x.alias("x")).join(
+        F.broadcast(per_g), "g"
+    )
+    ratio = F.col("x") * F.col("ng").cast("double") / F.col("sg").cast("double")
+    terms = rows.select(
+        "g",
+        F.round(ratio * F.log(ratio) * 1e9, 0).cast("long").alias("t_e9"),
+    )
+    within = terms.groupBy("g").agg(
+        F.expr("sum(t_e9) div count(1)").cast("long").alias("theil_g_e9")
+    )
+    share = F.col("sg").cast("double") / F.col("s").cast("double")
+    lg_btw = F.log(
+        F.col("sg").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("s").cast("double") * F.col("ng").cast("double"))
+    )
+    return (
+        per_g.join(within, "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("ng").alias("n_rows"),
+            F.expr("sg * 1000000 div s").cast("long").alias("share_e6"),
+            "theil_g_e9",
+            F.round(share * lg_btw * 1e9, 0).cast("long").alias(
+                "between_term_e9"
+            ),
+            F.round(share * F.col("theil_g_e9").cast("double"), 0)
+            .cast("long")
+            .alias("within_term_e9"),
+        )
+        .orderBy(group_col)
     )

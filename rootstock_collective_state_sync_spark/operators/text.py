@@ -1930,3 +1930,86 @@ def script_census(
             "main_script"
         ),
     )
+
+
+def token_pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 64,
+    min_cooc: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top token-pair pointwise mutual information (Church & Hanks
+    1990) at DOCUMENT co-occurrence granularity: ``pmi_e9 =
+    round(ln(c_ab·n_docs/(c_a·c_b))·1e9)`` — exact integer rational
+    inside the one ``ln`` — over pairs of the ``vocab_size`` most
+    frequent tokens (by document frequency, ties by token), with a
+    ``min_cooc`` co-occurrence floor. The collocation/market-basket
+    screen for text: which terms travel together far beyond chance.
+
+    Scale shape (100 TB): the vocabulary cap is the whole design —
+    the (doc, token) incidence is semi-joined to the BROADCAST top-V
+    vocab before any pair explode, so per-doc pair fan-out is
+    ≤ min(len, V)², never len²; counts are map-side-combined onto
+    V²-bounded keys. Returns ``(token_a, token_b, n_a, n_b, n_ab,
+    pmi_e9)``, top ``top_k`` by (pmi desc, token_a, token_b).
+    """
+    inc = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("t"),
+        )
+        .distinct()
+    )
+    dfreq = inc.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    vocab = (
+        dfreq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= vocab_size)
+        .select("t", "c")
+    )
+    kept = inc.join(F.broadcast(vocab.select("t")), "t")
+    a = kept.select("id", F.col("t").alias("token_a"))
+    b = kept.select("id", F.col("t").alias("token_b"))
+    cooc = (
+        a.join(b, "id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_cooc)
+    )
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    ca = vocab.select(F.col("t").alias("token_a"), F.col("c").alias("n_a"))
+    cb = vocab.select(F.col("t").alias("token_b"), F.col("c").alias("n_b"))
+    scored = (
+        cooc.join(F.broadcast(ca), "token_a")
+        .join(F.broadcast(cb), "token_b")
+        .select(
+            "token_a",
+            "token_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.lit(float(n_docs))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                )
+                * 1e9,
+                0,
+            )
+            .cast("long")
+            .alias("pmi_e9"),
+        )
+    )
+    w_top = Window.orderBy(
+        F.col("pmi_e9").desc(), F.col("token_a").asc(), F.col("token_b").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= top_k)
+        .drop("rk")
+        .orderBy(F.col("pmi_e9").desc(), "token_a", "token_b")
+    )

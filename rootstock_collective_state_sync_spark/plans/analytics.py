@@ -2371,3 +2371,57 @@ SELECT t_days, n_at_risk, n_deaths, n_censored, term_e9,
         > 0)::INT AS hits_zero
 FROM scored ORDER BY t_days
 """
+
+
+def q_theil_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of order totals with the exact
+    between/within decomposition per order priority. See
+    :func:`..operators.profile.theil_decomposition`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        theil_decomposition,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+    )
+    return theil_decomposition(orders, "o_orderpriority", "vc")
+
+
+Q_THEIL_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+),
+pg AS (
+  SELECT g, sum(x)::BIGINT AS sg, count(*)::BIGINT AS ng FROM o GROUP BY 1
+),
+t AS (SELECT sum(sg)::BIGINT AS s, sum(ng)::BIGINT AS n FROM pg),
+terms AS (
+  SELECT o.g,
+         round((o.x::DOUBLE * pg.ng / pg.sg)
+               * ln(o.x::DOUBLE * pg.ng / pg.sg) * 1e9)::BIGINT AS t_e9
+  FROM o JOIN pg USING (g)
+),
+wn AS (
+  -- truncate-toward-zero division (Spark's `div`), not DuckDB's
+  -- flooring `//`: snapped within-group sums can be epsilon-negative
+  SELECT g,
+         (CASE WHEN sum(t_e9) >= 0 THEN sum(t_e9) // count(*)
+               ELSE -((-sum(t_e9)) // count(*)) END)::BIGINT
+           AS theil_g_e9
+  FROM terms GROUP BY 1
+)
+SELECT pg.g AS o_orderpriority,
+       pg.ng AS n_rows,
+       (pg.sg * 1000000 // t.s)::BIGINT AS share_e6,
+       wn.theil_g_e9,
+       round((pg.sg::DOUBLE / t.s)
+             * ln((pg.sg::DOUBLE * t.n) / (t.s::DOUBLE * pg.ng))
+             * 1e9)::BIGINT AS between_term_e9,
+       round((pg.sg::DOUBLE / t.s) * wn.theil_g_e9)::BIGINT
+         AS within_term_e9
+FROM pg JOIN wn USING (g), t
+ORDER BY o_orderpriority
+"""

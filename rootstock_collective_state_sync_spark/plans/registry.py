@@ -124,6 +124,12 @@ SPECS: dict[str, QuerySpec] = {
         AN.Q_KAPLAN_MEIER_ORACLE,
         ("analytics", "temporal"),
     ),
+    "theil_by_priority": QuerySpec(
+        AN.q_theil_by_priority, AN.Q_THEIL_ORACLE, ("analytics", "agg")
+    ),
+    "token_pmi": QuerySpec(
+        TR.q_token_pmi, TR.Q_TOKEN_PMI_ORACLE, ("text", "agg")
+    ),
     "matryoshka_recall": QuerySpec(
         TR.q_matryoshka_recall,
         TR.Q_MATRYOSHKA_RECALL_ORACLE,

@@ -3326,3 +3326,56 @@ SELECT t.dims,
 FROM top t JOIN truth USING (qid, cid)
 GROUP BY t.dims ORDER BY t.dims
 """
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token-pair PMI collocations over the documents corpus
+    (top-64 vocabulary, co-occurrence floor 5). See
+    :func:`..operators.text.token_pmi_pairs`."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        token_pmi_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_pmi_pairs(
+        docs, vocab_size=64, min_cooc=5, top_k=20
+    )
+
+
+Q_TOKEN_PMI_ORACLE = """
+WITH inc AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS t
+  FROM documents
+),
+dfq AS (SELECT t, count(*)::BIGINT AS c FROM inc GROUP BY 1),
+vocab AS (
+  SELECT t, c FROM (
+    SELECT t, c, row_number() OVER (ORDER BY c DESC, t ASC) AS rk
+    FROM dfq
+  ) WHERE rk <= 64
+),
+kept AS (SELECT inc.id, inc.t FROM inc JOIN vocab USING (t)),
+cooc AS (
+  SELECT a.t AS token_a, b.t AS token_b, count(*)::BIGINT AS n_ab
+  FROM kept a JOIN kept b ON a.id = b.id AND a.t < b.t
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT token_a, token_b, va.c AS n_a, vb.c AS n_b, n_ab,
+         round(ln(n_ab::DOUBLE * (SELECT n FROM nd)
+                  / (va.c::DOUBLE * vb.c)) * 1e9)::BIGINT AS pmi_e9
+  FROM cooc
+  JOIN vocab va ON va.t = token_a
+  JOIN vocab vb ON vb.t = token_b
+)
+SELECT token_a, token_b, n_a, n_b, n_ab, pmi_e9
+FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi_e9 DESC, token_a, token_b)
+         AS rk
+  FROM scored
+) WHERE rk <= 20
+ORDER BY pmi_e9 DESC, token_a, token_b
+"""
