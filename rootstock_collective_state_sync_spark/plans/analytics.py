@@ -2425,3 +2425,96 @@ SELECT pg.g AS o_orderpriority,
 FROM pg JOIN wn USING (g), t
 ORDER BY o_orderpriority
 """
+
+
+def q_theil_sen_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen ROBUST trend per event type (Theil 1950 / Sen 1968):
+    the median of all pairwise slopes of daily volume against day
+    index — the breakdown-point-29% companion to `trend_slopes`' OLS
+    (one wild day drags least squares; it is one vote here). Slopes
+    are e6-snapped doubles of exact integer rationals; the median is
+    the LOWER nearest-rank element (no averaging — integer-exact,
+    engine-portable). Returns ``(event_type, n_days, n_pairs,
+    slope_e6)``.
+
+    Scale shape: events reduce to the (type, day) count table first
+    (map-side combined); the pair explode is a per-type self-join of
+    that DAYS-SPINE-sized frame (n_days² pairs per type — bounded by
+    the calendar, never by event volume); rank selection is a
+    per-type window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    base = daily.agg(F.min("day").alias("d0")).first()["d0"]
+    d = daily.select(
+        "event_type",
+        F.datediff("day", F.lit(base)).cast("long").alias("x"),
+        "y",
+    )
+    a = d.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, "event_type").filter(F.col("xa") < F.col("xb"))
+    slopes = pairs.select(
+        "event_type",
+        F.round(
+            (F.col("yb") - F.col("ya")).cast("double")
+            * 1e6
+            / (F.col("xb") - F.col("xa")).cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("s_e6"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("s_e6").asc())
+    cnt = Window.partitionBy("event_type")
+    med = (
+        slopes.withColumn("rn", F.row_number().over(w))
+        .withColumn("np", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("rn") == F.expr("(np + 1) div 2"))
+    )
+    ndays = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        med.join(F.broadcast(ndays), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("s_e6").alias("slope_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+d0 AS (SELECT min(day) AS d FROM daily),
+d AS (
+  SELECT event_type,
+         date_diff('day', (SELECT d FROM d0), day)::BIGINT AS x, y
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type,
+         round((b.y - a.y)::DOUBLE * 1e6 / (b.x - a.x))::BIGINT AS s_e6
+  FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x
+),
+rk AS (
+  SELECT event_type, s_e6,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s_e6 ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs
+),
+nd AS (SELECT event_type, count(*)::BIGINT AS n_days FROM d GROUP BY 1)
+SELECT rk.event_type, nd.n_days, rk.np::BIGINT AS n_pairs,
+       rk.s_e6 AS slope_e6
+FROM rk JOIN nd USING (event_type)
+WHERE rk.rn = (rk.np + 1) // 2
+ORDER BY rk.event_type
+"""

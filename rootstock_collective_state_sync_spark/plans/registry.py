@@ -124,6 +124,11 @@ SPECS: dict[str, QuerySpec] = {
         AN.Q_KAPLAN_MEIER_ORACLE,
         ("analytics", "temporal"),
     ),
+    "theil_sen_slopes": QuerySpec(
+        AN.q_theil_sen_slopes,
+        AN.Q_THEIL_SEN_ORACLE,
+        ("analytics", "temporal"),
+    ),
     "theil_by_priority": QuerySpec(
         AN.q_theil_by_priority, AN.Q_THEIL_ORACLE, ("analytics", "agg")
     ),
@@ -836,68 +841,71 @@ SPECS: dict[str, QuerySpec] = {
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
-    # r11 rotation (tools/window_planner.py policy, base 2e6495e):
-    # (a) the 10 queries born this round — driver-checked immediately,
+    # r12 rotation (tools/window_planner.py policy, base 647fb58):
+    # (a) the 9 queries born this round — driver-checked immediately,
     # no evidence debt (planner class `never`)
-    "approx_distinct_kmv",
-    "approx_quantiles_sampled",
-    "kmv_overlap_audit",
-    "k_anonymity_generalize",
-    "q2_min_cost_supplier",
-    "benford_audit",
-    "gini_order_totals",
-    "equidepth_price_histogram",
-    "interarrival_stats",
-    "dow_seasonality",
+    "cusum_changepoints",
+    "equidepth_by_priority",
+    "woe_iv_bins",
+    "kaplan_meier",
+    "theil_by_priority",
+    "token_pmi",
+    "matryoshka_recall",
+    "hll_distinct_tokens",
+    "kcore_celled",
+    "theil_sen_slopes",
     # (b) semantically changed this round — re-earn their rows:
-    # kmv_overlap flipped to the sketch-only default + the fast
-    # shingle build; the celled four inherit auto cell geometry; the
-    # dedup pair family inherits the df_>=2 join-side prune; the
-    # funnel's report derives from four scalars
-    "kmv_overlap",
-    "graph_assortativity",
-    "knn_triangles_celled",
-    "similarity_pagerank_celled",
-    "label_propagation_celled",
+    # equi-depth inherits the distributed prefix sum; Q2 the part
+    # pushdown; the funnel the fused tier-2/3 pair table; benford the
+    # mergeable-count refactor; k_anonymity_generalize the min_k/min_l
+    # coalesce; the dedup pair family went through (reverted)
+    # prefix-filter surgery this round
+    "equidepth_price_histogram",
+    "q2_min_cost_supplier",
     "dedup_funnel",
+    "benford_audit",
+    "k_anonymity_generalize",
     "dedup_ngram_jaccard",
     "containment_pairs",
     "dedup_minhash_lsh",
     "dedup_threshold_sweep",
     "minhash_accuracy",
     "source_dup_matrix",
-    # (c) the entire oldest cohort (last green r06) — 27 seats
-    "anti_join",
-    "approx_distinct",
-    "approx_quantiles",
-    "cube_counts",
-    "distinct_set",
-    "enum_label",
-    "events_json_stats",
-    "except_missing",
-    "grouping_sets",
-    "median_value_per_type",
-    "min_cost_per_part",
-    "pivot_status_by_priority",
-    "q12_priority_by_status",
-    "q16_supplier_variety",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q7_volume_by_year",
-    "q8_market_share",
-    "range_join",
-    "rollup_status_priority",
-    "running_user_value",
-    "semi_join",
-    "top1_latest",
-    "topk_per_group",
-    "union_distinct",
-    "unpivot_measures",
-    # (d) one seat to the now-oldest r07 cohort (the rest carry to
-    # r12; all 217 stay locally oracle-gated on every pytest run and
-    # by tools/strict_check.py regardless of window membership)
-    "event_type_correlation",
+    # (c) the oldest evidence cohort (last green r07) — 30 seats.
+    # Per r11 verdict item 6 the no-oracle natives (approx_distinct,
+    # approx_quantiles, heavy_hitter_tokens) are NOT seated: their
+    # value-checked twins are driver-green (r11) and the natives'
+    # accuracy contracts stay pytest-pinned — so the window carries
+    # zero structural `no_oracle` rows
+    "ann_lsh_topk",
+    "bloom_pruned_join",
+    "ccnet_buckets",
+    "chi_square_cells",
+    "cluster_exemplars",
+    "doc_chunks",
+    "domain_classifier_score",
+    "drop_dup_spans",
+    "event_transitions",
+    "funnel_conversion",
+    "gopher_quality",
+    "hourly_anomalies",
+    "image_ahash",
+    "image_dedup_clusters",
+    "image_near_dup_pairs",
+    "label_propagation",
+    "leakage_safe_split",
+    "line_dedup",
+    "llm_token_count",
+    "lm_bigram_score",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "nearest_centroid_confusion",
+    "pq_topk",
+    "profile_orders",
+    "quantile_align",
+    "repetition_signals",
+    "retention_cohorts",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

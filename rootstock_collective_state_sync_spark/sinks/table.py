@@ -347,6 +347,66 @@ class VersionedTable:
         self._commit(m, prev)
         return m.version
 
+    def vacuum(self, retain_last: int = 2) -> dict[str, int]:
+        """Snapshot expiration (Iceberg ``expireSnapshots`` / Delta
+        ``VACUUM`` semantics): drop every version manifest older than
+        the newest ``retain_last`` and physically delete the data
+        files no retained manifest references. Without it a
+        continuously-overwritten store (every streaming twin commits
+        a full snapshot per batch) grows unboundedly even though only
+        the tip is ever read.
+
+        Safety properties: the CURRENT version is always retained
+        (it is the newest); files referenced by ANY retained manifest
+        are never touched (immutable-file sharing across versions —
+        ``restore`` snapshots alias older files); deletion happens
+        AFTER the retained set is computed, so a crash mid-vacuum
+        leaves only harmless orphans for the next vacuum. The trade
+        is the standard one: ``restore``/``read`` of an expired
+        version now fails loudly (manifest gone), and a reader pinned
+        on an expired version can fail mid-scan — expire on a cadence
+        longer than your longest reader.
+
+        Returns ``{"versions_removed", "files_removed",
+        "bytes_removed"}``.
+        """
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        manifests = sorted(self._versions_dir.glob("v*.json"))
+        keep = manifests[-retain_last:]
+        drop = manifests[: max(0, len(manifests) - retain_last)]
+        live: set[str] = set()
+        for mf in keep:
+            m = Manifest.from_json(mf.read_text())
+            for files in m.buckets.values():
+                live.update(files)
+        files_removed = bytes_removed = 0
+        data_dir = self.path / "data"
+        if data_dir.exists():
+            for f in data_dir.rglob("*.parquet"):
+                rel = str(f.relative_to(self.path))
+                if rel not in live:
+                    bytes_removed += f.stat().st_size
+                    f.unlink()
+                    files_removed += 1
+            # prune emptied tx/bucket dirs (leaf-first)
+            for d in sorted(
+                (p for p in data_dir.rglob("*") if p.is_dir()),
+                key=lambda p: len(p.parts),
+                reverse=True,
+            ):
+                try:
+                    d.rmdir()
+                except OSError:
+                    pass
+        for mf in drop:
+            mf.unlink()
+        return {
+            "versions_removed": len(drop),
+            "files_removed": files_removed,
+            "bytes_removed": bytes_removed,
+        }
+
     def history(self) -> list[dict[str, Any]]:
         out = []
         for p in sorted(self._versions_dir.glob("v*.json")):

@@ -151,3 +151,63 @@ def test_jsonl_roundtrip_preserves_values_and_quarantines_corrupt(
     recs = r.collect()
     assert len(recs) == 2
     assert sum(1 for x in recs if x["_corrupt_record"] is not None) == 1
+
+
+def test_vacuum_expires_old_versions_keeps_tip(spark, tmp_path):
+    """X-E8: snapshot expiration — old manifests + unreferenced files
+    go, the retained tip reads identically, shared immutable files
+    survive (restore aliases old files into a NEW version), expired
+    reads fail loudly, and vacuum is idempotent."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from rootstock_collective_state_sync_spark.sinks.table import (
+        VersionedTable,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.LongType(), False),
+        ]
+    )
+    t = VersionedTable(spark, tmp_path / "t").create(
+        schema, merge_keys=["k"], num_buckets=2
+    )
+    for i in range(4):
+        t.overwrite(
+            spark.createDataFrame([(j, i) for j in range(6)], schema),
+            meta={"i": i},
+        )
+    # v5 aliases v4's files (restore shares immutable files)
+    t.restore(t.current_version() - 1)
+    tip_before = sorted(tuple(r) for r in t.read().collect())
+    n_files_before = len(list((tmp_path / "t" / "data").rglob("*.parquet")))
+
+    rep = t.vacuum(retain_last=2)
+    assert rep["versions_removed"] == 4  # v0..v3 of v0..v5
+    assert rep["files_removed"] > 0 and rep["bytes_removed"] > 0
+    # tip unchanged bit-for-bit; history shrank to the retained pair
+    assert sorted(tuple(r) for r in t.read().collect()) == tip_before
+    assert [h["version"] for h in t.history()] == [5, 6]
+    # the tip (v6 = restore of v4) ALIASES v4's files: vacuum must
+    # keep files referenced by any retained manifest even though
+    # their origin version expired — checked by the tip read above
+    # and the penultimate retained version here
+    assert t.read(5).count() == 6
+    # expired versions fail loudly
+    with _pytest.raises(FileNotFoundError):
+        t.manifest(2)
+    with _pytest.raises(FileNotFoundError):
+        t.restore(1)
+    # idempotent: nothing left to remove
+    rep2 = t.vacuum(retain_last=2)
+    assert rep2 == {
+        "versions_removed": 0,
+        "files_removed": 0,
+        "bytes_removed": 0,
+    }
+    assert (
+        len(list((tmp_path / "t" / "data").rglob("*.parquet")))
+        < n_files_before
+    )
