@@ -446,3 +446,27 @@ def test_q2_part_filter_prunes_before_aggregation(spark):
     # part×supplier-sized aggregate — raw lineitems enter neither
     assert p.count("Exchange hashpartitioning(p_partkey") == 2
     assert "TakeOrderedAndProject" in p  # top-100 never a global sort
+
+
+def test_equidepth_no_global_window_over_values(spark):
+    """r11 verdict item 2 (the round's `weak`): the equi-depth offset
+    stage must NOT run a global single-partition window over the
+    per-value table (|distinct values| ~ |rows| for price-like
+    columns). An order-ONLY windowspec prints as
+    `windowspecdefinition(<col> ASC ...`; a partitioned one leads
+    with its partition columns. The only order-only window allowed is
+    the one over `_rb` — the NUM_RANGE_BUCKETS(=64)-row base-offset
+    table, cluster- not data-sized. Both the global and the per-group
+    variants are pinned."""
+    import re
+
+    for q in ("equidepth_price_histogram", "equidepth_by_priority"):
+        df = SPECS[q].fn(spark, SF_SMOKE)
+        p = plan(spark, df, "simple")
+        order_only = re.findall(r"windowspecdefinition\((\w+)#\d+L? ASC", p)
+        # global variant: exactly the _rb base window; per-group
+        # variant: NONE (its base window is partitioned by the group)
+        assert set(order_only) <= {"_rb"}, (q, order_only)
+        # the corpus-sized windows stay keyed: tie-split by v, local
+        # cumsum by (_rb, v) — both appear as partitioned specs
+        assert re.search(r"windowspecdefinition\([^)]*v#\d+L?,", p), q
