@@ -54,10 +54,25 @@ def test_celled_family_stays_linear_per_decade():
 
 
 def test_no_headline_ratio_doubles_round_over_round():
+    """Like-with-like only (r11 verdict item 4): pre-r12 artifacts ran
+    every sf1 leg LAST and divided all ratios by one whole-sweep drift
+    factor — an uneven correction (the r11 host slowed 2.1x mid-sweep,
+    deflating early queries' normalized ratios far below truth).
+    r12+ artifacts interleave the sf0.1/sf1 legs per query
+    (``calibration_per_query`` marks the format), so their ratios are
+    drift-free by construction; comparing a deflated old artifact
+    against an honest new one misfires on every query. The doubling
+    gate therefore only compares artifacts of the SAME format."""
     arts = _artifacts()
     if len(arts) < 2:
         pytest.skip("needs two rounds of BENCH_sf1 artifacts")
     prev, cur = json.load(open(arts[-2])), json.load(open(arts[-1]))
+    if ("calibration_per_query" in cur) != ("calibration_per_query" in prev):
+        pytest.skip(
+            "artifact formats differ (whole-sweep-drift vs per-query "
+            "interleaved) — ratios are not comparable; the gate resumes "
+            "next round with two interleaved artifacts"
+        )
     pr, cr = prev["ratio_sf1_over_sf0_1"], cur["ratio_sf1_over_sf0_1"]
     pd_, cd = _mid_drift(prev), _mid_drift(cur)
     bad = []
