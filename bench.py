@@ -52,6 +52,35 @@ def _calibrate() -> float:
     return round(sorted(samples)[1], 4)
 
 
+def _calibrate_mt(threads: int = 8) -> float:
+    """MULTI-CORE yardstick beside the single-thread probe: a noisy
+    co-tenant stealing cores is invisible to one thread (r12 measured
+    every Arrow-UDF bench seat inflated 1.3-1.5x while the 1-thread
+    probe read equal; the r10-code worktree reproduced the same
+    inflation under the same host regime — code exonerated) but
+    throttles N concurrent GIL-releasing matmuls exactly like it
+    throttles executor threads. Median of 3."""
+    import threading
+
+    import numpy as np
+
+    def work():
+        a = np.arange(256 * 256, dtype=np.float64).reshape(256, 256) / 1e6
+        for _ in range(30):
+            a = a @ a % 1.7
+
+    samples = []
+    for _ in range(3):
+        ts = [threading.Thread(target=work) for _ in range(threads)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[1], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from rootstock_collective_state_sync_spark import get_spark
@@ -60,6 +89,7 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     calibration = _calibrate()
+    calibration_mt = _calibrate_mt()
     spark = get_spark("bench")
     qs = bench_queries()
     timings: dict[str, float] = {}
@@ -86,6 +116,7 @@ def main() -> None:
         spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
     mins = {n: s[0] for n, s in spread.items()}
     calibration_end = _calibrate()
+    calibration_mt_end = _calibrate_mt()
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -99,6 +130,8 @@ def main() -> None:
                 "spread": spread,
                 "calibration_sec": calibration,
                 "calibration_end_sec": calibration_end,
+                "calibration_mt_sec": calibration_mt,
+                "calibration_mt_end_sec": calibration_mt_end,
                 "runs_per_query": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
