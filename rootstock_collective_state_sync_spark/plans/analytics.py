@@ -2518,3 +2518,71 @@ FROM rk JOIN nd USING (event_type)
 WHERE rk.rn = (rk.np + 1) // 2
 ORDER BY rk.event_type
 """
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points of order totals (the cumulative-share curve
+    the Gini index integrates — X-A26's visual/audit companion):
+    decile buckets via the decomposed exact ntile, per-decile
+    row/value shares and CUMULATIVE shares in exact integer e6. The
+    cumulative sums run over the 10-row decile table (bounded window,
+    like the equi-depth base offsets)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        ntile_assign,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+    )
+    assigned = ntile_assign(orders, "vc", "o_orderkey", 10)
+    per = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_n"),
+        F.sum("sv").cast("long").alias("_s"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cn", F.sum("n").over(w))
+        .withColumn("cs", F.sum("sv").over(w))
+        .select(
+            "bucket",
+            "n",
+            F.expr("sv * 1000000 div _s").cast("long").alias("share_e6"),
+            F.expr("cn * 1000000 div _n").cast("long").alias(
+                "cum_pop_e6"
+            ),
+            F.expr("cs * 1000000 div _s").cast("long").alias(
+                "cum_value_e6"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q_LORENZ_ORACLE = """
+WITH r AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         ntile(10) OVER (ORDER BY round(o_totalprice * 100), o_orderkey)
+           AS bucket
+  FROM orders
+),
+per AS (
+  SELECT bucket, count(*)::BIGINT AS n, sum(v)::BIGINT AS sv
+  FROM r GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS tn, sum(sv)::BIGINT AS ts FROM per)
+SELECT bucket, n,
+       (sv * 1000000 // ts)::BIGINT AS share_e6,
+       (sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        * 1000000 // tn)::BIGINT AS cum_pop_e6,
+       (sum(sv) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        * 1000000 // ts)::BIGINT AS cum_value_e6
+FROM per, tot ORDER BY bucket
+"""

@@ -124,6 +124,14 @@ SPECS: dict[str, QuerySpec] = {
         AN.Q_KAPLAN_MEIER_ORACLE,
         ("analytics", "temporal"),
     ),
+    "heavy_hitters_exact": QuerySpec(
+        TR.q_heavy_hitters_exact,
+        TR.Q_HEAVY_HITTERS_EXACT_ORACLE,
+        ("agg", "sketch", "text"),
+    ),
+    "lorenz_curve": QuerySpec(
+        AN.q_lorenz_curve, AN.Q_LORENZ_ORACLE, ("analytics", "agg")
+    ),
     "theil_sen_slopes": QuerySpec(
         AN.q_theil_sen_slopes,
         AN.Q_THEIL_SEN_ORACLE,
@@ -854,6 +862,8 @@ _DRIVER_WINDOW = [
     "hll_distinct_tokens",
     "kcore_celled",
     "theil_sen_slopes",
+    "heavy_hitters_exact",
+    "lorenz_curve",
     # (b) semantically changed this round — re-earn their rows:
     # equi-depth inherits the distributed prefix sum; Q2 the part
     # pushdown; the funnel the fused tier-2/3 pair table; benford the
@@ -903,8 +913,6 @@ _DRIVER_WINDOW = [
     "nearest_centroid_confusion",
     "pq_topk",
     "profile_orders",
-    "quantile_align",
-    "repetition_signals",
     "retention_cohorts",
 ]
 

@@ -3379,3 +3379,46 @@ FROM (
 ) WHERE rk <= 20
 ORDER BY pmi_e9 DESC, token_a, token_b
 """
+
+
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-CHECKED twin of the Misra-Gries scan (completing the X-K6
+    program — every rows-only native sketch now has a hash-checked
+    audit): the EXACT set MG(m=64) guarantees it never misses — tokens
+    with true frequency strictly above N/(m+1) — with exact counts and
+    frequency ranks. One token-keyed map-side-combined count shuffle
+    (the cost MG avoids at 100 TB; this is the audit, MG stays the
+    production scan). Returns ``(t, n, freq_rank)`` ordered by rank."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        tokens as _tok,
+    )
+
+    m = 64
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tok(F.col("text"))).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("_tot"))
+    w = Window.orderBy(F.col("n").desc(), F.col("t").asc())
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * (m + 1) > F.col("_tot"))
+        .withColumn("freq_rank", F.row_number().over(w))
+        .select("t", "n", "freq_rank")
+        .orderBy("freq_rank")
+    )
+
+
+Q_HEAVY_HITTERS_EXACT_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS t
+  FROM documents
+),
+c AS (SELECT t, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS s FROM c)
+SELECT t, n,
+       row_number() OVER (ORDER BY n DESC, t ASC)::INT AS freq_rank
+FROM c, tot
+WHERE n * 65 > s
+ORDER BY freq_rank
+"""
