@@ -418,14 +418,17 @@ def _distributed_prefix_sum(
     for b in bnds or []:
         if b is not None and (not uniq or b > uniq[-1]):
             uniq.append(float(b))
+    # bucket = #boundaries strictly below v, as a plain sum of
+    # comparisons (whole-stage codegen). NOT a higher-order-function
+    # lambda: `size(filter(array(...), b -> b < v))` intermittently
+    # threw INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the optimizer
+    # rewrote the lambda under the downstream aggregate+window
+    # (caught by tests/test_properties.py's prefix-sum property).
     bkt = F.lit(0)
-    if uniq:
-        bkt = F.size(
-            F.filter(
-                F.array(*[F.lit(b) for b in uniq]),
-                lambda b: b < F.col(v_col).cast("double"),
-            )
-        )
+    for b in uniq:
+        bkt = bkt + F.when(
+            F.col(v_col).cast("double") > F.lit(b), 1
+        ).otherwise(0)
     bucketed = per_v.withColumn("_rb", bkt)
     w_local = (
         Window.partitionBy(*g, "_rb")

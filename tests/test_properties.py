@@ -594,3 +594,67 @@ def test_sample_k_per_group_stable_and_sized(spark, rows, extra):
     )
     got2 = sample_k_per_group(df2, "grp", "key", k=k).collect()
     assert keep(got2) == keep(got)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1", "g2"]),
+            st.integers(min_value=-1000, max_value=1000),  # value (dup-able)
+            st.integers(min_value=-10**9, max_value=10**9),  # count/weight
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_distributed_prefix_sum_equals_naive_window(spark, rows):
+    """The r12 scale primitive (equi-depth / ntile / Kaplan-Meier all
+    ride it) must equal the naive global window EXACTLY — for negative
+    weights (KM's e9 log terms), duplicate values (aggregated before
+    the call by contract), any group mix, and regardless of where the
+    approx-quantile boundaries land (the decomposition is
+    boundary-invariant by construction)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        _distributed_prefix_sum,
+    )
+
+    # per contract the input has one row per (group, value): aggregate
+    uniq = {}
+    for g, v, c in rows:
+        uniq[(g, v)] = uniq.get((g, v), 0) + c
+    data = [(g, v, c) for (g, v), c in sorted(uniq.items())]
+    df = spark.createDataFrame(data, "g string, v long, c long")
+
+    got = {
+        (r["g"], r["v"]): r["off"]
+        for r in _distributed_prefix_sum(
+            df, "v", "c", "off", group_cols=["g"]
+        ).collect()
+    }
+    want = {}
+    for g in {d[0] for d in data}:
+        acc = 0
+        for gg, v, c in data:
+            if gg == g:
+                want[(g, v)] = acc
+                acc += c
+    assert got == want
+
+    # ungrouped variant over the same rows (values may repeat across
+    # groups — re-aggregate to one row per value)
+    by_v = {}
+    for _, v, c in data:
+        by_v[v] = by_v.get(v, 0) + c
+    flat = [(v, c) for v, c in sorted(by_v.items())]
+    df2 = spark.createDataFrame(flat, "v long, c long")
+    got2 = {
+        r["v"]: r["off"]
+        for r in _distributed_prefix_sum(df2, "v", "c", "off").collect()
+    }
+    acc = 0
+    want2 = {}
+    for v, c in flat:
+        want2[v] = acc
+        acc += c
+    assert got2 == want2
