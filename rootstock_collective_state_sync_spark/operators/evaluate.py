@@ -30,6 +30,10 @@ def binary_auc(
     the probability a random positive outscores a random negative
     (ties count half). Degenerate inputs (no positives or no
     negatives) yield auc = 0.5 by convention."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        _distributed_prefix_sum,
+    )
+
     per_score = (
         df.groupBy(F.col(score_col).alias("s"))
         .agg(
@@ -37,10 +41,10 @@ def binary_auc(
             F.sum(1 - F.col(label_col).cast("long")).alias("neg"),
         )
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    scored = per_score.withColumn(
-        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
-    )
+    # scores are often near-unique, so the cumulative runs on the
+    # distributed prefix sum, not a global single-partition window
+    # (r12 — the same fix as the equi-depth offset stage)
+    scored = _distributed_prefix_sum(per_score, "s", "neg", "neg_below")
     agg = scored.agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
@@ -109,4 +113,129 @@ def cohens_kappa(
     return out.select(
         "n_docs", "n_agree", "po_e6", "pe_e6",
         kappa.cast("long").alias("kappa_e6"),
+    )
+
+
+def average_precision(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact tie-aware average precision (the PR-curve summary beside
+    :func:`binary_auc`'s ROC view — the metric that matters under
+    class imbalance, where ROC-AUC flatters): thresholds at distinct
+    scores descending, ``AP = Σ_g (pos_g / P) · precision_at(g)``
+    with the whole tie group admitted at its threshold (the
+    sklearn/step-wise convention). Each term is e9-snapped from exact
+    integer counts — the one double division per score group — and
+    the cumulative-from-the-top counts come from the DISTRIBUTED
+    prefix sum (``cum_desc = total − cum_asc_exclusive``), never a
+    global score-ordered window. One row: ``(n_pos, n_neg, ap_e9)``;
+    no positives yields ap_e9 = 0 by convention."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        _distributed_prefix_sum,
+    )
+
+    per = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+    )
+    t = _distributed_prefix_sum(per, "s", "pos", "pref_pos")
+    t = _distributed_prefix_sum(t, "s", "tot", "pref_tot")
+    totals = per.agg(
+        F.sum("pos").cast("long").alias("p_all"),
+        F.sum("tot").cast("long").alias("t_all"),
+    )
+    terms = t.crossJoin(F.broadcast(totals)).select(
+        "pos",
+        F.when(
+            (F.col("p_all") > 0) & (F.col("pos") > 0),
+            F.round(
+                F.col("pos").cast("double")
+                * (F.col("p_all") - F.col("pref_pos")).cast("double")
+                * 1e9
+                / (
+                    (F.col("t_all") - F.col("pref_tot")).cast("double")
+                    * F.col("p_all").cast("double")
+                ),
+                0,
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("term_e9"),
+        "p_all",
+        "t_all",
+    )
+    return terms.agg(
+        F.max("p_all").cast("long").alias("n_pos"),
+        (F.max("t_all") - F.max("p_all")).cast("long").alias("n_neg"),
+        F.sum("term_e9").cast("long").alias("ap_e9"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame, prob_col: str, label_col: str, bins: int = 10
+) -> DataFrame:
+    """Murphy (1973) decomposition of the binned Brier score:
+    ``BS = reliability − resolution + uncertainty`` over ``bins``
+    probability bins — reliability is the calibration penalty
+    (forecast vs empirical rate per bin), resolution the reward for
+    bins that DEVIATE from the base rate, uncertainty the base rate's
+    own variance. Probabilities snap to e6 integers BEFORE any sum
+    (float summation order never enters), each bin term is one
+    e9-snapped double product of exact integer rationals. One row:
+    ``(n, n_pos, rel_e9, res_e9, unc_e9, brier_e9)`` with
+    ``brier_e9 = rel − res + unc`` by construction.
+
+    Scale shape: one bins-bounded map-side-combined aggregate plus a
+    broadcast totals row."""
+    p6 = F.round(F.col(prob_col) * 1e6, 0).cast("long")
+    bin_ = F.least(
+        F.floor(F.col(prob_col) * bins).cast("int"), F.lit(bins - 1)
+    )
+    per = df.select(
+        bin_.alias("bin"), p6.alias("p6"),
+        F.col(label_col).cast("long").alias("y"),
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("p6").cast("long").alias("sp6"),
+        F.sum("y").cast("long").alias("yk"),
+    )
+    tot = per.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.sum("yk").cast("long").alias("n_pos"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    pbar = F.col("sp6").cast("double") / (F.col("nk") * 1e6)
+    ybar_k = F.col("yk").cast("double") / F.col("nk").cast("double")
+    ybar = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    rel_t = F.col("nk").cast("double") * (pbar - ybar_k) * (pbar - ybar_k)
+    res_t = F.col("nk").cast("double") * (ybar_k - ybar) * (ybar_k - ybar)
+    agg = j.select(
+        "n",
+        "n_pos",
+        F.round(rel_t / F.col("n").cast("double") * 1e9, 0)
+        .cast("long")
+        .alias("rel_t"),
+        F.round(res_t / F.col("n").cast("double") * 1e9, 0)
+        .cast("long")
+        .alias("res_t"),
+    ).groupBy("n", "n_pos").agg(
+        F.sum("rel_t").cast("long").alias("rel_e9"),
+        F.sum("res_t").cast("long").alias("res_e9"),
+    )
+    unc = F.round(
+        F.col("n_pos").cast("double")
+        * (F.col("n") - F.col("n_pos")).cast("double")
+        / (F.col("n").cast("double") * F.col("n").cast("double"))
+        * 1e9,
+        0,
+    ).cast("long")
+    return agg.select(
+        "n",
+        "n_pos",
+        "rel_e9",
+        "res_e9",
+        unc.alias("unc_e9"),
+        (F.col("rel_e9") - F.col("res_e9") + unc).cast("long").alias(
+            "brier_e9"
+        ),
     )

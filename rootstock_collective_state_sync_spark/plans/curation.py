@@ -2301,3 +2301,129 @@ SELECT per.grp AS source, n_docs, total_tokens,
 FROM per JOIN tl ON per.grp = tl.grp
 ORDER BY source
 """
+
+
+def q_quality_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-curve summary beside `quality_auc`'s ROC view: exact
+    tie-aware average precision of the heuristic quality score
+    against the Gopher keep decision — the imbalance-honest metric.
+    See :func:`..operators.evaluate.average_precision`."""
+    from rootstock_collective_state_sync_spark.operators import rules as RL
+    from rootstock_collective_state_sync_spark.operators.evaluate import (
+        average_precision,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = RL.gopher_quality(docs).select(
+        "doc_id", F.col("gopher_keep").cast("int").alias("keep")
+    )
+    q = docs.select(
+        "doc_id", X.quality_score_e7(F.col("text")).alias("q_e7")
+    )
+    return average_precision(q.join(flags, "doc_id"), "q_e7", "keep")
+
+
+def _quality_avg_precision_oracle() -> str:
+    from rootstock_collective_state_sync_spark.plans.quality import (
+        Q_GOPHER_QUALITY_ORACLE,
+    )
+
+    return f"""
+WITH g AS (
+  SELECT doc_id, gopher_keep AS keep FROM ({Q_GOPHER_QUALITY_ORACLE})
+),
+q2 AS (
+  SELECT doc_id, q_e7 FROM (WITH {_QUALITY_E7_CTE} SELECT * FROM q)
+),
+j AS (SELECT q2.q_e7 AS s, g.keep FROM q2 JOIN g USING (doc_id)),
+ps AS (
+  SELECT s, sum(keep)::BIGINT AS pos, count(*)::BIGINT AS tot
+  FROM j GROUP BY s
+),
+sc AS (
+  SELECT *,
+         coalesce(sum(pos) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pref_pos,
+         coalesce(sum(tot) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pref_tot
+  FROM ps
+),
+t AS (SELECT sum(pos)::BIGINT AS p_all, sum(tot)::BIGINT AS t_all FROM ps)
+SELECT t.p_all AS n_pos, (t.t_all - t.p_all)::BIGINT AS n_neg,
+       sum(CASE WHEN t.p_all > 0 AND pos > 0
+                THEN round(pos::DOUBLE * (t.p_all - pref_pos) * 1e9
+                           / ((t.t_all - pref_tot)::DOUBLE * t.p_all))
+                ELSE 0 END)::BIGINT AS ap_e9
+FROM sc, t GROUP BY t.p_all, t.t_all
+"""
+
+
+Q_QUALITY_AVG_PRECISION_ORACLE = _quality_avg_precision_oracle()
+
+
+def q_classifier_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the in-engine domain classifier's
+    binned Brier score (reliability − resolution + uncertainty) —
+    the scalar companion to the `classifier_calibration` reliability
+    diagram. See :func:`..operators.evaluate.brier_decomposition`."""
+    from rootstock_collective_state_sync_spark.operators.evaluate import (
+        brier_decomposition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.array_contains(X.tokens(F.col("text")), "spark").cast("int")
+    w, b = X.train_logistic_head(
+        docs,
+        label_col=label,
+        dim=_HASH_DIM,
+        sample_size=_CLF_SAMPLE,
+        iters=_CLF_ITERS,
+        lr=_CLF_LR,
+    )
+    scores = X.score_logistic_head(docs, w, b, dim=_HASH_DIM)
+    joined = docs.select("doc_id", label.alias("y")).join(scores, "doc_id")
+    return brier_decomposition(joined, "score", "y", bins=10)
+
+
+def _classifier_brier_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, label AS y, score FROM ({_domain_classifier_oracle()})
+),
+per AS (
+  SELECT least(floor(score * 10)::INTEGER, 9) AS bin,
+         count(*)::BIGINT AS nk,
+         sum(round(score * 1e6)::BIGINT)::BIGINT AS sp6,
+         sum(y)::BIGINT AS yk
+  FROM base GROUP BY 1
+),
+t AS (SELECT sum(nk)::BIGINT AS n, sum(yk)::BIGINT AS n_pos FROM per),
+terms AS (
+  SELECT t.n, t.n_pos,
+         round(nk::DOUBLE * (sp6::DOUBLE / (nk * 1e6) - yk::DOUBLE / nk)
+               * (sp6::DOUBLE / (nk * 1e6) - yk::DOUBLE / nk)
+               / t.n * 1e9)::BIGINT AS rel_t,
+         round(nk::DOUBLE
+               * (yk::DOUBLE / nk - t.n_pos::DOUBLE / t.n)
+               * (yk::DOUBLE / nk - t.n_pos::DOUBLE / t.n)
+               / t.n * 1e9)::BIGINT AS res_t
+  FROM per, t
+),
+agg AS (
+  SELECT n, n_pos, sum(rel_t)::BIGINT AS rel_e9,
+         sum(res_t)::BIGINT AS res_e9
+  FROM terms GROUP BY 1, 2
+)
+SELECT n, n_pos, rel_e9, res_e9,
+       round(n_pos::DOUBLE * (n - n_pos) / (n::DOUBLE * n)
+             * 1e9)::BIGINT AS unc_e9,
+       (rel_e9 - res_e9
+        + round(n_pos::DOUBLE * (n - n_pos) / (n::DOUBLE * n)
+                * 1e9)::BIGINT)::BIGINT AS brier_e9
+FROM agg
+"""
+
+
+Q_CLASSIFIER_BRIER_ORACLE = _classifier_brier_oracle()

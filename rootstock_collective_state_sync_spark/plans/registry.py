@@ -124,6 +124,16 @@ SPECS: dict[str, QuerySpec] = {
         AN.Q_KAPLAN_MEIER_ORACLE,
         ("analytics", "temporal"),
     ),
+    "quality_avg_precision": QuerySpec(
+        CU.q_quality_avg_precision,
+        CU.Q_QUALITY_AVG_PRECISION_ORACLE,
+        ("curation", "evaluate"),
+    ),
+    "classifier_brier": QuerySpec(
+        CU.q_classifier_brier,
+        CU.Q_CLASSIFIER_BRIER_ORACLE,
+        ("curation", "evaluate"),
+    ),
     "heavy_hitters_exact": QuerySpec(
         TR.q_heavy_hitters_exact,
         TR.Q_HEAVY_HITTERS_EXACT_ORACLE,
@@ -864,6 +874,8 @@ _DRIVER_WINDOW = [
     "theil_sen_slopes",
     "heavy_hitters_exact",
     "lorenz_curve",
+    "quality_avg_precision",
+    "classifier_brier",
     # (b) semantically changed this round — re-earn their rows:
     # equi-depth inherits the distributed prefix sum; Q2 the part
     # pushdown; the funnel the fused tier-2/3 pair table; benford the
@@ -911,9 +923,9 @@ _DRIVER_WINDOW = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "nearest_centroid_confusion",
-    "pq_topk",
-    "profile_orders",
-    "retention_cohorts",
+    # quality_auc re-earns: binary_auc's cumulative moved onto the
+    # distributed prefix sum this round (plan change, same oracle)
+    "quality_auc",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
