@@ -230,6 +230,80 @@ FROM fr ORDER BY doc_id, frame_no
 """
 
 
+def q_audio_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming census — the pre-transcription audio curation
+    step: per clip, the first/last VOICED frame on the X-M5 energy
+    grid, leading/trailing silent-frame trims, the kept span, and an
+    all-silent flag (such clips are dropped, not trimmed). Composed
+    ENTIRELY from `audio_frame_energy`'s frame table by DataFrame
+    aggregation — decode runs once, no second Arrow pass; the oracle
+    replays the waveform rebuild plus the trim aggregation."""
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = M.audio_frame_energy(M.attach_wav_payload(docs), frame=16)
+    per = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.min(F.when(F.col("is_silence") == 0, F.col("frame_no"))).alias(
+            "_first"
+        ),
+        F.max(F.when(F.col("is_silence") == 0, F.col("frame_no"))).alias(
+            "_last"
+        ),
+        F.sum((F.col("is_silence") == 0).cast("long"))
+        .cast("long")
+        .alias("n_voiced"),
+    )
+    all_silent = F.col("_first").isNull()
+    return per.select(
+        "doc_id",
+        "n_frames",
+        "n_voiced",
+        F.coalesce(F.col("_first"), F.lit(-1)).cast("long").alias(
+            "first_voiced"
+        ),
+        F.coalesce(F.col("_last"), F.lit(-1)).cast("long").alias(
+            "last_voiced"
+        ),
+        F.when(all_silent, F.col("n_frames"))
+        .otherwise(F.col("_first"))
+        .cast("long")
+        .alias("lead_trim"),
+        F.when(all_silent, F.lit(0))
+        .otherwise(F.col("n_frames") - 1 - F.col("_last"))
+        .cast("long")
+        .alias("tail_trim"),
+        F.when(all_silent, F.lit(0))
+        .otherwise(F.col("_last") - F.col("_first") + 1)
+        .cast("long")
+        .alias("kept_frames"),
+        all_silent.cast("int").alias("all_silent"),
+    ).orderBy("doc_id")
+
+
+Q_AUDIO_TRIM_SILENCE_ORACLE = f"""
+WITH fr AS ({Q_AUDIO_FRAME_ENERGY_ORACLE.strip().rstrip()}),
+per AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_frames,
+         min(CASE WHEN is_silence = 0 THEN frame_no END) AS f,
+         max(CASE WHEN is_silence = 0 THEN frame_no END) AS l,
+         sum((is_silence = 0)::BIGINT)::BIGINT AS n_voiced
+  FROM fr GROUP BY 1
+)
+SELECT doc_id, n_frames, n_voiced,
+       coalesce(f, -1)::BIGINT AS first_voiced,
+       coalesce(l, -1)::BIGINT AS last_voiced,
+       (CASE WHEN f IS NULL THEN n_frames ELSE f END)::BIGINT AS lead_trim,
+       (CASE WHEN f IS NULL THEN 0 ELSE n_frames - 1 - l END)::BIGINT
+         AS tail_trim,
+       (CASE WHEN f IS NULL THEN 0 ELSE l - f + 1 END)::BIGINT
+         AS kept_frames,
+       (f IS NULL)::INTEGER AS all_silent
+FROM per ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # graph centrality: fixed-point PageRank over the kNN similarity graph
 # ---------------------------------------------------------------------------

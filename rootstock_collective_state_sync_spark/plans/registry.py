@@ -764,6 +764,11 @@ SPECS: dict[str, QuerySpec] = {
     "bloom_pruned_join": QuerySpec(
         Q.q_bloom_pruned_join, Q.Q_BLOOM_PRUNED_JOIN_ORACLE, ("join", "filter")
     ),
+    "audio_trim_silence": QuerySpec(
+        Q.q_audio_trim_silence,
+        Q.Q_AUDIO_TRIM_SILENCE_ORACLE,
+        ("multimodal",),
+    ),
     "audio_frame_energy": QuerySpec(
         Q.q_audio_frame_energy,
         Q.Q_AUDIO_FRAME_ENERGY_ORACLE,
@@ -876,6 +881,7 @@ _DRIVER_WINDOW = [
     "lorenz_curve",
     "quality_avg_precision",
     "classifier_brier",
+    "audio_trim_silence",
     # (b) semantically changed this round — re-earn their rows:
     # equi-depth inherits the distributed prefix sum; Q2 the part
     # pushdown; the funnel the fused tier-2/3 pair table; benford the
@@ -922,7 +928,6 @@ _DRIVER_WINDOW = [
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",
-    "nearest_centroid_confusion",
     # quality_auc re-earns: binary_auc's cumulative moved onto the
     # distributed prefix sum this round (plan change, same oracle)
     "quality_auc",
