@@ -119,24 +119,33 @@ def main() -> None:
     calibration_mt_end = _calibrate_mt()
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": mins,
-                "spread": spread,
-                "calibration_sec": calibration,
-                "calibration_end_sec": calibration_end,
-                "calibration_mt_sec": calibration_mt,
-                "calibration_mt_end_sec": calibration_mt_end,
-                "runs_per_query": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": mins,
+        "spread": spread,
+        "calibration_sec": calibration,
+        "calibration_end_sec": calibration_end,
+        "calibration_mt_sec": calibration_mt,
+        "calibration_mt_end_sec": calibration_mt_end,
+        "runs_per_query": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    # the driver's recorded artifact keeps only a truncated `tail` of
+    # stdout (r12: the medians map was cut mid-key, making rounds
+    # incomparable from artifacts alone) — persist the full JSON to a
+    # file as the lossless record (r12 verdict item 3)
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        str(Path(__file__).resolve().parent / "BENCH_latest.full.json"),
     )
+    try:
+        Path(out).write_text(json.dumps(result, indent=1) + "\n")
+    except OSError as e:
+        print(f"bench: could not write {out}: {e}", file=sys.stderr)
     spark.stop()
 
 

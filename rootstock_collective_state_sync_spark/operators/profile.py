@@ -392,18 +392,50 @@ def _distributed_prefix_sum(
     table grows to #groups x NUM_RANGE_BUCKETS rows — still
     cluster-sized, still broadcast.
 
-    Non-numeric ``v_col`` (no approx_percentile support) falls back
-    to the single per-group window — acceptable only when the caller
-    knows |distinct values| is vocabulary-sized.
+    Input contract: ``per_v`` must hold AT MOST ONE row per
+    (``group_cols``, ``v_col``) pair — callers pre-aggregate to the
+    per-value grain. With duplicate ``v_col`` rows in a group the
+    in-bucket ROWS-frame window ties-breaks nondeterministically and
+    the result is partition-order-dependent (r12 advisor note; the
+    contract was previously stated only in a test comment).
+
+    Non-numeric but orderable ``v_col`` (string, date, timestamp — no
+    ``approx_percentile`` support) takes the same two-level shape with
+    boundaries drawn from a bounded DETERMINISTIC sample: the 4096
+    rows smallest by ``md5(v)`` (uniform in hash space, stable across
+    partitionings) are collected and their empirical quantiles become
+    the bucket boundaries — monotone in the native ordering, so the
+    base+local identity holds unchanged. This replaces the r12
+    single-per-group-window fallback, which silently reintroduced the
+    global-sort pathology for near-unique string keys (r12 verdict
+    item 2).
     """
     g = list(group_cols or [])
     if not isinstance(per_v.schema[v_col].dataType, NumericType):
-        w_v = Window.partitionBy(*g).orderBy(v_col).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        return per_v.withColumn(
-            out_col,
-            F.coalesce(F.sum(c_col).over(w_v), F.lit(0)).cast("long"),
+        sample = [
+            r[0]
+            for r in per_v.select(v_col)
+            .orderBy(F.md5(F.col(v_col).cast("string")))
+            .limit(4096)
+            .collect()
+            if r[0] is not None
+        ]
+        vals = sorted(set(sample))
+        uniq = []
+        if len(vals) > 1:
+            step = len(vals) / NUM_RANGE_BUCKETS
+            idxs = sorted(
+                {int(i * step) for i in range(1, NUM_RANGE_BUCKETS)}
+            )
+            uniq = [vals[i] for i in idxs if 0 < i < len(vals)]
+            # strictly-increasing dedupe mirrors the numeric path
+            uniq = [
+                b
+                for k, b in enumerate(uniq)
+                if k == 0 or b > uniq[k - 1]
+            ]
+        return _prefix_sum_with_boundaries(
+            per_v, v_col, c_col, out_col, g, uniq, cast_double=False
         )
     bnds = (
         per_v.agg(
@@ -418,17 +450,35 @@ def _distributed_prefix_sum(
     for b in bnds or []:
         if b is not None and (not uniq or b > uniq[-1]):
             uniq.append(float(b))
+    return _prefix_sum_with_boundaries(
+        per_v, v_col, c_col, out_col, g, uniq, cast_double=True
+    )
+
+
+def _prefix_sum_with_boundaries(
+    per_v: DataFrame,
+    v_col: str,
+    c_col: str,
+    out_col: str,
+    g: list,
+    uniq: list,
+    cast_double: bool,
+) -> DataFrame:
+    """Shared tail of the two-level prefix sum: bucket by the monotone
+    ``uniq`` boundaries, in-bucket exclusive cumsum, broadcast base
+    offsets. ``cast_double`` matches the boundary domain (numeric
+    boundaries are doubles; string/date boundaries compare natively).
+    """
     # bucket = #boundaries strictly below v, as a plain sum of
     # comparisons (whole-stage codegen). NOT a higher-order-function
     # lambda: `size(filter(array(...), b -> b < v))` intermittently
     # threw INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the optimizer
     # rewrote the lambda under the downstream aggregate+window
     # (caught by tests/test_properties.py's prefix-sum property).
+    v_cmp = F.col(v_col).cast("double") if cast_double else F.col(v_col)
     bkt = F.lit(0)
     for b in uniq:
-        bkt = bkt + F.when(
-            F.col(v_col).cast("double") > F.lit(b), 1
-        ).otherwise(0)
+        bkt = bkt + F.when(v_cmp > F.lit(b), 1).otherwise(0)
     bucketed = per_v.withColumn("_rb", bkt)
     w_local = (
         Window.partitionBy(*g, "_rb")
@@ -815,13 +865,30 @@ def theil_decomposition(
       ``(S_g/S)·theil_g``.
 
     ``Σ between_term + Σ within_term = T_total`` up to the snapping.
-    Requires strictly positive values.
+
+    Input contract (r12 advisor): ``value_col`` must be strictly
+    positive AND integer-typed — callers snap monetary values to an
+    integer grain first (cents, as ``theil_by_priority`` does), so the
+    exact ``S_g``/``S`` sums carry no float error. A fractional column
+    raises rather than silently truncating through the long cast.
+    ``share_e6`` is computed in DECIMAL(38,0) so group sums above
+    ~9.2e12 (plausible at 100 TB with cent-scaled values) cannot
+    overflow long arithmetic.
 
     Scale shape: one group-keyed map-side-combined aggregate for the
     (S_g, n_g) table (broadcast back), per-row terms computed in the
     scan projection, one more group aggregate — the corpus is scanned
     once and only group keys shuffle.
     """
+    from pyspark.sql.types import FractionalType
+
+    if isinstance(df.schema[value_col].dataType, FractionalType):
+        raise ValueError(
+            f"theil_decomposition requires an integer-typed value "
+            f"column (snap to cents first); got "
+            f"{df.schema[value_col].dataType.simpleString()} for "
+            f"{value_col!r}"
+        )
     x = F.col(value_col).cast("double")
     per_g = df.groupBy(F.col(group_col).alias("g")).agg(
         F.sum(value_col).cast("long").alias("sg"),
@@ -854,7 +921,14 @@ def theil_decomposition(
         .select(
             F.col("g").alias(group_col),
             F.col("ng").alias("n_rows"),
-            F.expr("sg * 1000000 div s").cast("long").alias("share_e6"),
+            # decimal(38,0) keeps sg*1e6 exact past the long range
+            # (sg > ~9.2e12 cents overflows bigint); floor == div for
+            # the strictly-positive contract
+            F.floor(
+                F.col("sg").cast("decimal(38,0)") * 1000000 / F.col("s")
+            )
+            .cast("long")
+            .alias("share_e6"),
             "theil_g_e9",
             F.round(share * lg_btw * 1e9, 0).cast("long").alias(
                 "between_term_e9"

@@ -2415,7 +2415,7 @@ wn AS (
 )
 SELECT pg.g AS o_orderpriority,
        pg.ng AS n_rows,
-       (pg.sg * 1000000 // t.s)::BIGINT AS share_e6,
+       (pg.sg::HUGEINT * 1000000 // t.s)::BIGINT AS share_e6,
        wn.theil_g_e9,
        round((pg.sg::DOUBLE / t.s)
              * ln((pg.sg::DOUBLE * t.n) / (t.s::DOUBLE * pg.ng))

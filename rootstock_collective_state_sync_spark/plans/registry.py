@@ -122,7 +122,9 @@ SPECS: dict[str, QuerySpec] = {
     "kaplan_meier": QuerySpec(
         AN.q_kaplan_meier,
         AN.Q_KAPLAN_MEIER_ORACLE,
-        ("analytics", "temporal"),
+        # r13: bench-seated (r12 verdict item 9 — heaviest prefix-sum
+        # consumer, 18 exchanges, previously untracked wall-clock)
+        ("analytics", "temporal", "bench"),
     ),
     "quality_avg_precision": QuerySpec(
         CU.q_quality_avg_precision,
@@ -164,7 +166,11 @@ SPECS: dict[str, QuerySpec] = {
         ("agg", "sketch", "text"),
     ),
     "kcore_celled": QuerySpec(
-        Q.q_kcore_celled, Q.Q_KCORE_CELLED_ORACLE, ("graph", "similarity")
+        # r13: bench-seated (r12 verdict item 9 — 44 exchanges / 19
+        # SMJ, the heaviest registry plan, previously untracked)
+        Q.q_kcore_celled,
+        Q.Q_KCORE_CELLED_ORACLE,
+        ("graph", "similarity", "bench"),
     ),
     "exists_subquery": QuerySpec(TX.q_exists_subquery, TX.Q_EXISTS_ORACLE, ("join",)),
     "q4_priority_exists": QuerySpec(TX.q4_priority_exists, TX.Q4_ORACLE, ("join",)),

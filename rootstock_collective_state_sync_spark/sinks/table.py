@@ -347,45 +347,67 @@ class VersionedTable:
         self._commit(m, prev)
         return m.version
 
-    def vacuum(self, retain_last: int = 2) -> dict[str, int]:
+    def vacuum(
+        self, retain_last: int = 2, grace_seconds: float = 3600.0
+    ) -> dict[str, int]:
         """Snapshot expiration (Iceberg ``expireSnapshots`` / Delta
         ``VACUUM`` semantics): drop every version manifest older than
-        the newest ``retain_last`` and physically delete the data
-        files no retained manifest references. Without it a
-        continuously-overwritten store (every streaming twin commits
-        a full snapshot per batch) grows unboundedly even though only
-        the tip is ever read.
+        the newest ``retain_last`` AT OR BELOW the version ``_CURRENT``
+        points to, and physically delete the data files no retained
+        manifest references. Without it a continuously-overwritten
+        store (every streaming twin commits a full snapshot per batch)
+        grows unboundedly even though only the tip is ever read.
 
-        Safety properties: the CURRENT version is always retained
-        (it is the newest); files referenced by ANY retained manifest
-        are never touched (immutable-file sharing across versions —
-        ``restore`` snapshots alias older files); deletion happens
-        AFTER the retained set is computed, so a crash mid-vacuum
-        leaves only harmless orphans for the next vacuum. The trade
-        is the standard one: ``restore``/``read`` of an expired
-        version now fails loudly (manifest gone), and a reader pinned
-        on an expired version can fail mid-scan — expire on a cadence
-        longer than your longest reader.
+        Safety properties:
+
+        * the version ``_CURRENT`` points to is ALWAYS retained — the
+          retained window is anchored at ``current_version()``, not at
+          the newest manifest file, so a crashed commit that wrote
+          manifest v(n+1) but never swung the pointer cannot evict the
+          live version (the orphan v(n+1) is retained too, as are all
+          manifests above CURRENT: they may be a concurrent writer's
+          in-flight commit);
+        * files referenced by ANY retained manifest are never touched
+          (immutable-file sharing across versions — ``restore``
+          snapshots alias older files);
+        * files younger than ``grace_seconds`` (mtime) are never
+          deleted even when unreferenced — a concurrent writer stages
+          data files BEFORE its manifest commit, so without the grace
+          window a vacuum racing that writer would delete files its
+          about-to-commit manifest references (Delta VACUUM's retention
+          check, same reasoning);
+        * deletion happens AFTER the retained set is computed, so a
+          crash mid-vacuum leaves only harmless orphans for the next
+          vacuum.
+
+        The trade is the standard one: ``restore``/``read`` of an
+        expired version now fails loudly (manifest gone), and a reader
+        pinned on an expired version can fail mid-scan — expire on a
+        cadence longer than your longest reader.
 
         Returns ``{"versions_removed", "files_removed",
         "bytes_removed"}``.
         """
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
+        cur = self.current_version()
         manifests = sorted(self._versions_dir.glob("v*.json"))
-        keep = manifests[-retain_last:]
-        drop = manifests[: max(0, len(manifests) - retain_last)]
+        committed = [m for m in manifests if int(m.stem[1:]) <= cur]
+        in_flight = [m for m in manifests if int(m.stem[1:]) > cur]
+        keep = committed[-retain_last:] + in_flight
+        drop = committed[: max(0, len(committed) - retain_last)]
         live: set[str] = set()
         for mf in keep:
             m = Manifest.from_json(mf.read_text())
             for files in m.buckets.values():
                 live.update(files)
         files_removed = bytes_removed = 0
+        now = time.time()
         data_dir = self.path / "data"
         if data_dir.exists():
             for f in data_dir.rglob("*.parquet"):
                 rel = str(f.relative_to(self.path))
-                if rel not in live:
+                if rel not in live and now - f.stat().st_mtime >= grace_seconds:
                     bytes_removed += f.stat().st_size
                     f.unlink()
                     files_removed += 1

@@ -126,9 +126,13 @@ def basket_late_foreach_batch(
         if not created and batch_already_applied(store, batch_id):
             return
 
-        base = batch_df.select(
-            F.col("bk").cast("long").alias("bk"), F.col("item")
-        ).distinct()
+        base = (
+            batch_df.select(
+                F.col("bk").cast("long").alias("bk"), F.col("item")
+            )
+            .filter(F.col("bk").isNotNull())
+            .distinct()
+        )
         prev = store.read()
         prev_counts = prev.filter(F.col("kind") != "E").select(
             "kind", "a", "b", "bk", "cnt"
@@ -155,6 +159,12 @@ def basket_late_foreach_batch(
         write_batch_scores(late, late_path, batch_id)
 
         batch_max = base.agg(F.max("bk")).collect()[0][0]
+        if prev_max is None and batch_max is None:
+            # first batch held only NULL-bk rows (filtered above as
+            # contract-violating): no watermark can be derived —
+            # ignore the malformed batch instead of raising inside
+            # foreachBatch and killing the stream (r12 advisor)
+            return
         new_max = max(
             x for x in (prev_max, batch_max) if x is not None
         )

@@ -184,8 +184,14 @@ def test_vacuum_expires_old_versions_keeps_tip(spark, tmp_path):
     tip_before = sorted(tuple(r) for r in t.read().collect())
     n_files_before = len(list((tmp_path / "t" / "data").rglob("*.parquet")))
 
-    rep = t.vacuum(retain_last=2)
-    assert rep["versions_removed"] == 4  # v0..v3 of v0..v5
+    # default grace window refuses to touch freshly-written files
+    # (they could be a concurrent writer's pre-commit staging) —
+    # manifests still expire, bytes do not
+    rep_graced = t.vacuum(retain_last=2)
+    assert rep_graced["versions_removed"] == 4  # v0..v3 of v0..v5
+    assert rep_graced["files_removed"] == 0
+    rep = t.vacuum(retain_last=2, grace_seconds=0.0)
+    assert rep["versions_removed"] == 0  # manifests expired by the graced pass
     assert rep["files_removed"] > 0 and rep["bytes_removed"] > 0
     # tip unchanged bit-for-bit; history shrank to the retained pair
     assert sorted(tuple(r) for r in t.read().collect()) == tip_before
@@ -211,3 +217,89 @@ def test_vacuum_expires_old_versions_keeps_tip(spark, tmp_path):
         len(list((tmp_path / "t" / "data").rglob("*.parquet")))
         < n_files_before
     )
+
+
+def test_vacuum_anchors_on_current_and_spares_inflight(spark, tmp_path):
+    """X-E8 crash/concurrency safety (r12 advisor, medium): (a) a
+    crashed commit that wrote manifest v(n+1) but never swung _CURRENT
+    must NOT cause vacuum(retain_last=1) to evict the CURRENT
+    version — retention is anchored at current_version(), and the
+    orphan manifest above CURRENT survives too (it may be a concurrent
+    writer's in-flight commit); (b) unreferenced data files younger
+    than the grace window are never deleted (a concurrent writer
+    stages data before its manifest commit)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from rootstock_collective_state_sync_spark.sinks.table import (
+        Manifest,
+        VersionedTable,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.LongType(), False),
+        ]
+    )
+    t = VersionedTable(spark, tmp_path / "t").create(
+        schema, merge_keys=["k"], num_buckets=2
+    )
+    for i in range(3):
+        t.overwrite(
+            spark.createDataFrame([(j, i) for j in range(6)], schema),
+            meta={"i": i},
+        )
+    cur = t.current_version()  # v4
+    tip = sorted(tuple(r) for r in t.read().collect())
+
+    # simulate a crashed commit: stage NEW data files + manifest
+    # v(cur+1), but never swing _CURRENT (crash between steps)
+    staged = t._write_tx(
+        spark.createDataFrame([(j, 99) for j in range(6)], schema),
+        num_buckets=2,
+        keys=["k"],
+    )
+    orphan = Manifest(
+        version=cur + 1,
+        schema_json=_json.dumps(schema.jsonValue()),
+        merge_keys=["k"],
+        num_buckets=2,
+        buckets=staged,
+        meta={"crashed": True},
+    )
+    (tmp_path / "t" / "_versions" / f"v{cur + 1:010d}.json").write_text(
+        orphan.to_json()
+    )
+    assert t.current_version() == cur  # pointer untouched
+
+    rep = t.vacuum(retain_last=1, grace_seconds=0.0)
+    # CURRENT (v4) retained even though a newer manifest file exists;
+    # the orphan v5 is retained as possibly-in-flight; v1..v3 expired
+    assert t.current_version() == cur
+    assert sorted(tuple(r) for r in t.read().collect()) == tip
+    versions = sorted(
+        int(p.stem[1:])
+        for p in (tmp_path / "t" / "_versions").glob("v*.json")
+    )
+    assert versions == [cur, cur + 1]
+    # the orphan's staged data files survive (referenced by a retained
+    # manifest), so finishing the commit later would still be sound
+    for files in staged.values():
+        for rel in files:
+            assert (tmp_path / "t" / rel).exists()
+    assert rep["versions_removed"] == 3
+
+    # grace window: drop the orphan manifest so its fresh files become
+    # unreferenced — a graced vacuum must still leave them alone
+    (tmp_path / "t" / "_versions" / f"v{cur + 1:010d}.json").unlink()
+    rep2 = t.vacuum(retain_last=1)  # default 1h grace
+    assert rep2["files_removed"] == 0
+    for files in staged.values():
+        for rel in files:
+            assert (tmp_path / "t" / rel).exists()
+    # with the grace waived they are reclaimed
+    rep3 = t.vacuum(retain_last=1, grace_seconds=0.0)
+    assert rep3["files_removed"] > 0
+    assert sorted(tuple(r) for r in t.read().collect()) == tip

@@ -470,3 +470,30 @@ def test_equidepth_no_global_window_over_values(spark):
         # the corpus-sized windows stay keyed: tie-split by v, local
         # cumsum by (_rb, v) — both appear as partitioned specs
         assert re.search(r"windowspecdefinition\([^)]*v#\d+L?,", p), q
+
+
+def test_prefix_sum_string_keys_no_global_window(spark):
+    """r12 verdict item 2: a STRING-typed `_distributed_prefix_sum`
+    call must take the same two-level shape as the numeric path — the
+    only order-only windowspec in the plan is the one over `_rb` (the
+    64-row base-offset table); the corpus-sized local cumsum stays
+    partitioned by (_rb,) even though strings have no
+    approx_percentile. Before r13 this silently degraded to one global
+    ordered window."""
+    from pyspark.sql import functions as F
+
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        _distributed_prefix_sum,
+    )
+
+    df = (
+        spark.range(5000)
+        .select(F.md5(F.col("id").cast("string")).alias("v"))
+        .withColumn("c", F.lit(1))
+    )
+    out = _distributed_prefix_sum(df, "v", "c", "off")
+    p = plan(spark, out, "simple")
+    order_only = re.findall(r"windowspecdefinition\((\w+)#\d+L? ASC", p)
+    assert set(order_only) <= {"_rb"}, order_only
+    # the data-sized window is keyed by the range bucket
+    assert re.search(r"windowspecdefinition\(_rb#\d+", p)

@@ -658,3 +658,64 @@ def test_distributed_prefix_sum_equals_naive_window(spark, rows):
         want2[v] = acc
         acc += c
     assert got2 == want2
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1"]),
+            st.text(
+                alphabet="abcdef0123456789", min_size=1, max_size=12
+            ),  # string value — the r12 footgun domain
+            st.integers(min_value=-10**9, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_distributed_prefix_sum_string_keys(spark, rows):
+    """r13 (verdict item 2): string-typed v_col must take the SAME
+    two-level decomposition (boundaries from the deterministic
+    md5-selected sample) and equal the naive window exactly — the r12
+    silent single-partition fallback is gone."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        _distributed_prefix_sum,
+    )
+
+    uniq = {}
+    for g, v, c in rows:
+        uniq[(g, v)] = uniq.get((g, v), 0) + c
+    data = [(g, v, c) for (g, v), c in sorted(uniq.items())]
+    df = spark.createDataFrame(data, "g string, v string, c long")
+
+    got = {
+        (r["g"], r["v"]): r["off"]
+        for r in _distributed_prefix_sum(
+            df, "v", "c", "off", group_cols=["g"]
+        ).collect()
+    }
+    want = {}
+    for g in {d[0] for d in data}:
+        acc = 0
+        for gg, v, c in data:
+            if gg == g:
+                want[(g, v)] = acc
+                acc += c
+    assert got == want
+
+    by_v = {}
+    for _, v, c in data:
+        by_v[v] = by_v.get(v, 0) + c
+    flat = [(v, c) for v, c in sorted(by_v.items())]
+    df2 = spark.createDataFrame(flat, "v string, c long")
+    got2 = {
+        r["v"]: r["off"]
+        for r in _distributed_prefix_sum(df2, "v", "c", "off").collect()
+    }
+    acc = 0
+    want2 = {}
+    for v, c in flat:
+        want2[v] = acc
+        acc += c
+    assert got2 == want2
