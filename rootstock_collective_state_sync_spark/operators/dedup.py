@@ -552,10 +552,30 @@ def benchmark_contamination(
     Returns ``(doc_id, n_shared, n_shingles, share_pct)`` for train
     docs with at least ``min_shared`` shared shingles.
     """
-    t = shingle_index(train, text_col=text_col, id_col=id_col, n=n)
     b = shingle_index(benchmark, text_col=text_col, id_col=id_col, n=n).select(
         "s"
     ).distinct()
+    return contamination_against_index(
+        train, b, n=n, min_shared=min_shared, text_col=text_col, id_col=id_col
+    )
+
+
+def contamination_against_index(
+    train: DataFrame,
+    index: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`benchmark_contamination` against a PRE-BUILT distinct
+    eval shingle index (column ``s``) — the shape the incremental
+    ingest leg needs (``streaming/contamination.py``: the eval set is
+    FIXED, so its index is built once and persisted; each ingest batch
+    joins against it). Same broadcast-overlap plan, same columns.
+    """
+    t = shingle_index(train, text_col=text_col, id_col=id_col, n=n)
+    b = index.select("s")
     t = tracked_persist(t)  # scanned twice: sizes + overlap
     sizes = t.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     shared = (

@@ -621,6 +621,64 @@ def equidepth_histogram(
     )
 
 
+def equidepth_from_counts(
+    per_v: DataFrame, buckets: int = 8
+) -> DataFrame:
+    """Render the equi-depth histogram from a per-VALUE count table
+    ``(v, c)`` — the mergeable-summary form that makes the histogram
+    incrementally maintainable (``streaming/equidepth.py``): counts
+    over disjoint row sets add exactly, and the ``(bucket, n, lo,
+    hi)`` report is a pure function of the merged counts. The report
+    equals :func:`equidepth_histogram` over the raw rows bit-for-bit:
+    the id tie-split only decides WHICH equal-valued rows land in a
+    straddling bucket, never the bucket's value extent or size
+    (pinned by ``tests/test_streaming_equidepth.py``).
+
+    Mechanics: the distributed prefix sum gives each value its
+    exclusive global offset; the value's rows occupy ranks
+    ``off+1..off+c``, so it touches every ntile bucket between
+    ``bucket(off+1)`` and ``bucket(off+c)`` — an explode bounded by
+    ``buckets`` per value. Bucket sizes are the SQL-standard ntile
+    arithmetic (first ``n mod B`` buckets take the extra row), so
+    ``n`` needs no second scan.
+    """
+    B = int(buckets)
+    off = _distributed_prefix_sum(per_v, "v", "c", "off")
+    tot = per_v.agg(F.sum("c").cast("long").alias("_n"))
+
+    def bucket_of(r: str) -> str:
+        return (
+            f"CAST(CASE WHEN {r} <= (_n % {B}) * (_n div {B} + 1) "
+            f"THEN ({r} - 1) div (_n div {B} + 1) + 1 "
+            f"ELSE (_n % {B}) + "
+            f"({r} - (_n % {B}) * (_n div {B} + 1) - 1) div (_n div {B}) + 1 "
+            f"END AS INT)"
+        )
+
+    spans = (
+        off.crossJoin(F.broadcast(tot))
+        .withColumn("_b1", F.expr(bucket_of("(off + 1)")))
+        .withColumn("_b2", F.expr(bucket_of("(off + c)")))
+        .select("v", F.explode(F.sequence("_b1", "_b2")).alias("bucket"))
+    )
+    return (
+        spans.groupBy("bucket")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST(CASE WHEN bucket <= _n % {B} THEN _n div {B} + 1 "
+                f"ELSE _n div {B} END AS BIGINT)"
+            ).alias("n"),
+            "lo",
+            "hi",
+        )
+        .select("bucket", "n", "lo", "hi")
+        .orderBy("bucket")
+    )
+
+
 def k_anonymity_generalize_census(
     df: DataFrame,
     qi_cols: list[str],

@@ -259,6 +259,104 @@ def _audit_equidepth(df: DataFrame, p: dict[str, Any]) -> DataFrame:
     )
 
 
+def _audit_woe_iv(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """WOE/IV feature-binning screen (one report row per bin): does a
+    numeric column (length, quality score) PREDICT a boolean slice of
+    the corpus (``target_expr``, a SQL boolean — e.g. ``lang = 'en'``)?
+    High IV on a supposedly-neutral feature is a selection-bias smell
+    a curation run wants in its trail before training sees the data."""
+    from rootstock_collective_state_sync_spark.operators.profile import woe_iv
+
+    marked = df.withColumn(
+        "_target", F.expr(p["target_expr"]).cast("int")
+    )
+    return woe_iv(
+        marked,
+        p["value_col"],
+        p.get("id_col", "doc_id"),
+        "_target",
+        bins=int(p.get("bins", 10)),
+    )
+
+
+def _audit_cusum(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """One-sided CUSUM drift screen over INGEST ORDER (one report row
+    per flagged-or-top sequence bucket): bucket the corpus by
+    ``seq_col div bucket_size`` (ingest sequence), track the bucketed
+    mean of ``value_col`` with Page's running-min identity (same
+    window-expressible form as ``q_cusum_changepoints``,
+    `plans/analytics.py`), and report the top-3 CUSUM buckets with
+    their flag — "did document length/quality shift mid-corpus?" in
+    the audit trail."""
+    seq = p.get("seq_col", "doc_id")
+    size = int(p.get("bucket_size", 1000))
+    per = df.groupBy(
+        (F.col(seq).cast("long") / size).cast("long").alias("seq_bucket")
+    ).agg(
+        F.expr(f"sum({p['value_col']}) * 1000000 div count(1)")
+        .cast("long")
+        .alias("v_e6")
+    )
+    mean = per.agg(
+        F.expr("sum(v_e6) div count(1)").cast("long").alias("mean_e6")
+    )
+    w_cum = (
+        Window.orderBy("seq_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = per.crossJoin(F.broadcast(mean)).withColumn(
+        "x_e6",
+        (F.col("v_e6") - F.col("mean_e6")) - F.expr("abs(mean_e6) div 4"),
+    )
+    s = x.withColumn("s_e6", F.sum("x_e6").over(w_cum)).withColumn(
+        "cusum_e6",
+        F.col("s_e6")
+        - F.least(F.min("s_e6").over(w_cum), F.lit(0).cast("long")),
+    )
+    # the seq-bucket table is ingest-sequence-sized (rows/bucket_size),
+    # a control-plane frame — the ordered window is bounded by spec
+    return (
+        s.orderBy(F.col("cusum_e6").desc(), F.col("seq_bucket").asc())
+        .limit(3)
+        .select(
+            "seq_bucket",
+            "v_e6",
+            "cusum_e6",
+            (F.col("cusum_e6") > 2 * F.abs(F.col("mean_e6")))
+            .cast("int")
+            .alias("flagged"),
+        )
+    )
+
+
+def _audit_avg_precision(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Model-gate screen (ONE report row): exact tie-aware average
+    precision of ``score_col`` against the ``target_expr`` slice —
+    the PR-summary a curation run checks before trusting a
+    model-based quality filter (pair with a min ap_e9 in review)."""
+    from rootstock_collective_state_sync_spark.operators.evaluate import (
+        average_precision,
+    )
+
+    marked = df.withColumn("_y", F.expr(p["target_expr"]).cast("int"))
+    return average_precision(marked, p["score_col"], "_y")
+
+
+def _audit_brier(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Calibration gate (ONE report row): Murphy decomposition of the
+    binned Brier score for a probability column against the
+    ``target_expr`` slice — reliability/resolution/uncertainty in the
+    trail, so a drifting classifier fails review before it filters."""
+    from rootstock_collective_state_sync_spark.operators.evaluate import (
+        brier_decomposition,
+    )
+
+    marked = df.withColumn("_y", F.expr(p["target_expr"]).cast("int"))
+    return brier_decomposition(
+        marked, p["prob_col"], "_y", bins=int(p.get("bins", 10))
+    )
+
+
 #: AUDIT stages: pass-through for the data plan (compile_pipeline
 #: treats them as identity — the curated output is unchanged), but in
 #: ``run_pipeline(audit=True)`` their bounded report rows are embedded
@@ -269,6 +367,12 @@ AUDIT_STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
     "benford_audit": _audit_benford,
     "gini_audit": _audit_gini,
     "equidepth_audit": _audit_equidepth,
+    # r13 (r12 verdict item 5): the r12 analytics a curation run
+    # actually gates on, as trail-borne screens
+    "woe_iv_audit": _audit_woe_iv,
+    "cusum_audit": _audit_cusum,
+    "avg_precision_audit": _audit_avg_precision,
+    "brier_audit": _audit_brier,
 }
 
 #: hard cap on embedded report rows — an audit trail is a control-

@@ -223,3 +223,63 @@ def test_audit_stages_embed_reports_without_filtering(spark):
     ]
     out2, trail2 = run_pipeline(orders, spec2, audit=False)
     assert trail2 == [] and out2.count() == n_in
+
+
+def test_r12_analytics_audit_stages(spark):
+    """r12 verdict item 5: WOE/IV binning, CUSUM ingest-drift,
+    average-precision and Brier model gates ride a curation run as
+    AUDIT stages — identity for the data plan, bounded report rows in
+    the trail, composed WITH a live filter stage so positions and
+    kill-rates interleave correctly."""
+    docs = load_table(spark, SF_SMOKE, "documents").withColumn(
+        # a fake classifier probability derived deterministically from
+        # the text: long docs score high — so AP/Brier have signal
+        "p_long",
+        F.least(F.col("n_chars").cast("double") / 600.0, F.lit(1.0)),
+    )
+    spec = [
+        {"stage": "woe_iv_audit", "value_col": "n_chars",
+         "target_expr": "lang = 'en'", "bins": 5},
+        {"stage": "token_cap", "max_tokens": 5000},
+        {"stage": "cusum_audit", "value_col": "n_chars",
+         "bucket_size": 50},
+        {"stage": "avg_precision_audit", "score_col": "p_long",
+         "target_expr": "n_chars >= 300"},
+        {"stage": "brier_audit", "prob_col": "p_long",
+         "target_expr": "n_chars >= 300", "bins": 5},
+    ]
+    n_in = docs.count()
+    out, trail = run_pipeline(docs, spec, audit=True)
+    assert [t["stage"] for t in trail] == [
+        "input", "woe_iv_audit", "token_cap", "cusum_audit",
+        "avg_precision_audit", "brier_audit",
+    ]
+    # audit stages never filter; the one live filter stage may
+    n_after_cap = trail[2]["rows"]
+    assert out.count() == n_after_cap
+    assert trail[1]["rows"] == n_in and trail[1]["killed"] == 0
+
+    woe = trail[1]["report"]
+    assert 1 <= len(woe) <= 5
+    assert sum(r["n"] for r in woe) == n_in
+    # counts are exact partitions of the corpus
+    assert all(r["n_pos"] + r["n_neg"] == r["n"] for r in woe)
+
+    cusum = trail[3]["report"]
+    assert 1 <= len(cusum) <= 3
+    assert all(r["cusum_e6"] >= 0 for r in cusum)
+    assert all(r["flagged"] in (0, 1) for r in cusum)
+    # CUSUM ran on the POST-cap frame at its trail position
+    assert trail[3]["rows"] == n_after_cap
+
+    (ap,) = trail[4]["report"]
+    assert ap["n_pos"] > 0 and ap["n_neg"] > 0
+    # p_long is monotone in n_chars, so AP must beat the base rate
+    base_e9 = round(ap["n_pos"] / (ap["n_pos"] + ap["n_neg"]) * 1e9)
+    assert ap["ap_e9"] > base_e9
+
+    (brier,) = trail[5]["report"]
+    assert brier["brier_e9"] == (
+        brier["rel_e9"] - brier["res_e9"] + brier["unc_e9"]
+    )
+    assert 0 <= brier["brier_e9"] <= 1_000_000_000
