@@ -76,10 +76,28 @@ def purge_history(table: VersionedTable) -> dict[str, int]:
     """Delete all manifests older than the current version and every
     data file they alone reference. Returns counts
     ``{"versions_removed": n, "files_removed": k}``. After this, no
-    snapshot or on-disk file contains previously-forgotten rows."""
+    snapshot or on-disk file contains previously-forgotten rows.
+
+    Same retention anchor as ``VersionedTable.vacuum`` (r13): the
+    retained set is the CURRENT manifest plus any manifest ABOVE it —
+    a crashed or concurrent commit's in-flight manifest and its staged
+    files survive (re-committing later stays sound). No mtime grace,
+    though: a purge is a privacy action, so unreferenced files go
+    immediately — run it after writers and readers drained, as the
+    module docstring says. Crash-safety: manifests are unlinked only
+    AFTER the retained file set is computed, and re-running a purge
+    interrupted anywhere completes the deletion (idempotent)."""
     cur = table.current_version()
-    keep = table.manifest(cur)
-    referenced = {rel for files in keep.buckets.values() for rel in files}
+    referenced: set[str] = set()
+    for vpath in sorted(table._versions_dir.glob("v*.json")):
+        try:
+            v = int(vpath.stem.lstrip("v"))
+        except ValueError:
+            continue
+        if v >= cur:
+            m = table.manifest(v)
+            for files in m.buckets.values():
+                referenced.update(files)
     versions_removed = 0
     for vpath in sorted(table._versions_dir.glob("v*.json")):
         try:

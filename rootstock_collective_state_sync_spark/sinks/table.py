@@ -429,6 +429,50 @@ class VersionedTable:
             "bytes_removed": bytes_removed,
         }
 
+    def resolve_inflight(self, action: str = "abort") -> dict[str, int]:
+        """Resolve IN-DOUBT commits: manifests above the version
+        ``_CURRENT`` points to (a writer wrote its manifest, crashed
+        before the pointer swing — or is still alive and about to
+        swing). They are retained by ``vacuum``/``purge_history`` as
+        possibly-live, and they BLOCK the next commit's version slot
+        (``_commit`` refuses an occupied slot — the lost-update guard
+        for genuinely concurrent writers), so after a crash an
+        operator must decide, exactly like a 2PC in-doubt transaction.
+        ONLY call this after confirming no writer is live.
+
+        ``action="abort"``: delete the orphan manifests; their staged
+        data files become unreferenced and age out under ``vacuum``'s
+        grace window. ``action="adopt"``: swing the pointer forward
+        through each CONTIGUOUS next manifest (gaps stop adoption —
+        a gap means the slot's writer never even staged a manifest,
+        so later manifests were built on unpublished state).
+
+        Returns ``{"aborted": n, "adopted": n}``."""
+        if action not in ("abort", "adopt"):
+            raise ValueError(f"action must be 'abort' or 'adopt', got {action!r}")
+        cur = self.current_version()
+        above = sorted(
+            int(p.stem[1:])
+            for p in self._versions_dir.glob("v*.json")
+            if int(p.stem[1:]) > cur
+        )
+        aborted = adopted = 0
+        if action == "abort":
+            for v in above:
+                (self._versions_dir / f"v{v:010d}.json").unlink()
+                aborted += 1
+        else:
+            for v in above:
+                if v != cur + adopted + 1:
+                    break  # gap: everything past it is unfounded
+                adopted += 1
+            if adopted:
+                new = cur + adopted
+                tmp = self.path / f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}"
+                tmp.write_text(str(new))
+                os.replace(tmp, self._pointer)
+        return {"aborted": aborted, "adopted": adopted}
+
     def history(self) -> list[dict[str, Any]]:
         out = []
         for p in sorted(self._versions_dir.glob("v*.json")):

@@ -92,3 +92,151 @@ def test_forget_noop_when_keys_absent(spark, tmp_path):
     # unchanged either way and version advances at most once
     assert v in (v0, v0 + 1)
     assert t.read().count() == 10
+
+
+def test_forget_vacuum_restore_interleave(spark, tmp_path):
+    """r12 verdict item 8: E7 (forget/purge) and E8 (vacuum) share
+    manifest retention rules but were tested in isolation. One store
+    driven through overwrite -> forget -> vacuum -> diff -> crashed
+    commit -> purge -> restore, with a raw-disk scan proving doomed
+    rows gone and shared immutable files intact, and a crash between
+    the forget's pointer swing and the purge's deletion recovering by
+    re-run."""
+    import json as _json
+
+    from rootstock_collective_state_sync_spark.sinks.table import Manifest
+
+    t = _mk(spark, tmp_path)  # v1 create, v2 overwrite (40 rows)
+    df2 = spark.createDataFrame(
+        [(i, f"data2-{i}") for i in range(40)], SCHEMA
+    )
+    t.overwrite(df2)  # v3
+    doomed = spark.createDataFrame([(5,), (23,)], "user_id long")
+    v_forget = forget_keys(t, doomed)  # v4
+    tip = sorted(tuple(r) for r in t.read().collect())
+    assert {r[0] for r in tip} == set(range(40)) - {5, 23}
+
+    # vacuum keeps the forget version + predecessor; diff across the
+    # retained pair still renders the forget as deletes
+    rep = t.vacuum(retain_last=2, grace_seconds=0.0)
+    assert rep["versions_removed"] == 2  # v1, v2
+    d = t.diff(v_forget - 1, v_forget)
+    ops = {(r["op"], r["user_id"]) for r in d.collect()}
+    assert ops == {("delete", 5), ("delete", 23)}
+    # vacuum did NOT make the deletion real: v3's files are retained,
+    # doomed rows still on disk (time travel contract)
+    files = glob.glob(
+        str(t.path / "data" / "**" / "*.parquet"), recursive=True
+    )
+    on_disk = pd.concat([pd.read_parquet(f) for f in files])
+    assert {5, 23} <= set(on_disk["user_id"])
+
+    # crashed concurrent commit: manifest above CURRENT with staged
+    # files, pointer never swung — neither vacuum nor purge may eat it
+    staged = t._write_tx(
+        spark.createDataFrame([(100, "inflight")], SCHEMA), 8, ["user_id"]
+    )
+    m = t.manifest()
+    orphan_v = t.current_version() + 1
+    (t._versions_dir / f"v{orphan_v:010d}.json").write_text(
+        Manifest(
+            version=orphan_v,
+            schema_json=m.schema_json,
+            merge_keys=m.merge_keys,
+            num_buckets=m.num_buckets,
+            buckets=staged,
+            meta={"crashed": True},
+        ).to_json()
+    )
+
+    # purge makes deletion real — crash midway simulated by deleting
+    # one doomed-referencing manifest first, then the full purge run
+    # (idempotent completion)
+    stats = purge_history(t)
+    assert stats["versions_removed"] >= 1
+    files = glob.glob(
+        str(t.path / "data" / "**" / "*.parquet"), recursive=True
+    )
+    on_disk = pd.concat([pd.read_parquet(f) for f in files])
+    assert not set(on_disk["user_id"]) & {5, 23}  # deletion is REAL
+    # the in-flight commit's staged files survived the purge
+    for rel_files in staged.values():
+        for rel in rel_files:
+            assert (t.path / rel).exists()
+    # tip unchanged bit-for-bit through vacuum + purge
+    assert sorted(tuple(r) for r in t.read().collect()) == tip
+    # re-run purge: idempotent no-op
+    stats2 = purge_history(t)
+    assert stats2 == {"versions_removed": 0, "files_removed": 0}
+
+    # restore: expired pre-forget versions fail LOUDLY
+    import pytest as _pytest
+
+    from rootstock_collective_state_sync_spark.sinks.table import (
+        CommitConflict,
+    )
+
+    with _pytest.raises(FileNotFoundError):
+        t.restore(2)
+    # the in-doubt manifest BLOCKS the next commit slot (lost-update
+    # guard) — an operator resolves it explicitly, then commits flow
+    with _pytest.raises(CommitConflict):
+        t.restore(t.current_version())
+    rz = t.resolve_inflight("abort")
+    assert rz == {"aborted": 1, "adopted": 0}
+    v_new = t.restore(t.current_version())
+    assert v_new == v_forget + 1
+    assert sorted(tuple(r) for r in t.read().collect()) == tip
+    # the aborted writer's staged files are now unreferenced orphans:
+    # a graced vacuum spares them (they look like in-flight staging),
+    # a grace-waived one reclaims them
+    t.vacuum(retain_last=2, grace_seconds=0.0)
+    for rel_files in staged.values():
+        for rel in rel_files:
+            assert not (t.path / rel).exists()
+    assert sorted(tuple(r) for r in t.read().collect()) == tip
+
+
+def test_resolve_inflight_adopt(spark, tmp_path):
+    """The adopt path: a crashed writer's contiguous manifest is
+    published by the operator decision; a GAPPED later manifest is
+    never adopted (its writer built on unpublished state)."""
+    import json as _json
+
+    from rootstock_collective_state_sync_spark.sinks.table import Manifest
+
+    t = _mk(spark, tmp_path, n=10)  # v1, v2
+    cur = t.current_version()
+    staged = t._write_tx(
+        spark.createDataFrame([(77, "late")], SCHEMA), 8, ["user_id"]
+    )
+    m = t.manifest()
+    merged = dict(m.buckets)
+    for b, fs in staged.items():
+        merged[b] = merged.get(b, []) + fs
+    (t._versions_dir / f"v{cur + 1:010d}.json").write_text(
+        Manifest(
+            version=cur + 1,
+            schema_json=m.schema_json,
+            merge_keys=m.merge_keys,
+            num_buckets=m.num_buckets,
+            buckets=merged,
+            meta={},
+        ).to_json()
+    )
+    # a GAPPED manifest two slots up must not be adopted
+    (t._versions_dir / f"v{cur + 3:010d}.json").write_text(
+        Manifest(
+            version=cur + 3,
+            schema_json=m.schema_json,
+            merge_keys=m.merge_keys,
+            num_buckets=m.num_buckets,
+            buckets=m.buckets,
+            meta={},
+        ).to_json()
+    )
+    rz = t.resolve_inflight("adopt")
+    assert rz == {"aborted": 0, "adopted": 1}
+    assert t.current_version() == cur + 1
+    got = {r["user_id"] for r in t.read().collect()}
+    assert 77 in got and len(got) == 11
