@@ -903,6 +903,231 @@ def woe_iv(
     )
 
 
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_expr: str,
+) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U rank-sum test (Mann &
+    Whitney 1947): does the ``group_expr`` slice (SQL boolean — group
+    A) draw from a stochastically larger ``value_col`` distribution
+    than its complement? The nonparametric A/B screen — no normality
+    assumption, the right default for heavy-tailed pipeline metrics.
+
+    Everything before the one z-score division is exact integer
+    arithmetic on DOUBLED ranks: a tie group with exclusive prefix
+    count ``off`` and size ``c`` has average rank ``off + (c+1)/2``,
+    so ``2·rank = 2·off + c + 1`` is integral. ``r2_a = Σ a_v·(2
+    off_v + c_v + 1)``, ``u2_a = r2_a − n_a(n_a+1)`` (both doubled),
+    tie term ``T = Σ (c³ − c)``, and the normal-approximation z is
+    the single double computation, e6-snapped.
+
+    One row: ``(n_a, n_b, r2_a, u2_a, tie_t, z_e6)``. ``value_col``
+    must be integer-typed (snap to cents first — fixed-point policy).
+
+    Scale shape: per-value counts (one map-side-combined shuffle),
+    the distributed prefix sum for ``off`` (never a global ordered
+    window), two bounded aggregates. Sums are kept in long — at
+    >~1e9 rows per side promote ``r2_a`` to decimal(38,0) (the
+    doubled rank sum grows as n²).
+    """
+    per_v = (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.expr(group_expr).cast("long").alias("a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("a").cast("long").alias("ca"),
+        )
+    )
+    off = _distributed_prefix_sum(per_v, "v", "c", "off")
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        (F.sum("c") - F.sum("ca")).cast("long").alias("n_b"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_t"),
+    )
+    r = off.agg(
+        F.sum(
+            F.col("ca") * (F.lit(2) * F.col("off") + F.col("c") + F.lit(1))
+        )
+        .cast("long")
+        .alias("r2_a")
+    )
+    z = (
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1) - F.col("n_a") * F.col("n_b"))
+        / F.lit(2.0)
+    ) / F.sqrt(
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / 12.0
+        * (
+            (F.col("n") + 1).cast("double")
+            - F.col("tie_t").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        )
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "r2_a",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long")
+        .alias("u2_a"),
+        "tie_t",
+        F.round(z * 1e6, 0).cast("long").alias("z_e6"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_expr: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D statistic: the maximum
+    gap between the ``group_expr`` slice's empirical CDF and its
+    complement's, over the JOINT value set — the distribution-drift
+    screen that sees shape changes a mean/median comparison misses.
+
+    The gap is compared in exact integers: at value ``v`` with
+    inclusive cumulative counts ``cumA``/``cumB``, ``|cumA·n_b −
+    cumB·n_a|`` avoids any division until the one e9-snap of the
+    maximum. Reports the SMALLEST value attaining the max so the
+    result is deterministic under ties. One row: ``(n_a, n_b, d_e9,
+    at_v)``.
+
+    Scale shape: per-value counts, ONE distributed prefix sum for the
+    joint cumulative (A's rides along as a second measure), a
+    max-by aggregate. Products stay in long up to ~3e9 rows per side.
+    """
+    per_v = (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.expr(group_expr).cast("long").alias("a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("a").cast("long").alias("ca"),
+        )
+        .withColumn("cb", (F.col("c") - F.col("ca")).cast("long"))
+    )
+    offa = _distributed_prefix_sum(per_v, "v", "ca", "offa")
+    both = _distributed_prefix_sum(offa, "v", "cb", "offb")
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    gaps = both.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            (F.col("offa") + F.col("ca")) * F.col("n_b")
+            - (F.col("offb") + F.col("cb")) * F.col("n_a")
+        ).alias("gap"),
+    )
+    return (
+        gaps.orderBy(F.col("gap").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("gap").cast("double")
+                * 1e9
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                0,
+            )
+            .cast("long")
+            .alias("d_e9"),
+            F.col("v").cast("long").alias("at_v"),
+        )
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation (per group): Pearson
+    over average-tie ranks, with the ranks DOUBLED so every rank is
+    integral (``2·rank = 2·off + c + 1`` per tie group, as in
+    :func:`mann_whitney_u`). The monotone-association screen — is
+    quantity monotonically related to price? — robust to any
+    monotone transform of either column.
+
+    Each column's doubled rank depends only on its own value, so the
+    per-row product sum decomposes over the (x, y) PAIR-count table:
+    ``Σ_rows r2x·r2y = Σ_pairs n_xy·r2x(x)·r2y(y)`` — two independent
+    rank tables (each one prefix sum), one pair-count aggregate, two
+    broadcast-joins. Sums of rank products are kept in DECIMAL(38,0)
+    (they grow as n³ — past long at ~1.3 M rows per group) and the
+    one double division is e6-snapped. Returns ``(*group_cols,
+    n_rows, rho_e6)``.
+    """
+    g = list(group_cols or [])
+    base = df.select(
+        *g, F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    )
+    per_x = base.groupBy(*g, F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_y = base.groupBy(*g, F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rx = _distributed_prefix_sum(per_x, "v", "c", "off", group_cols=g).select(
+        *g,
+        F.col("v").alias("x"),
+        (F.lit(2) * F.col("off") + F.col("c") + 1).cast("long").alias("r2x"),
+    )
+    ry = _distributed_prefix_sum(per_y, "v", "c", "off", group_cols=g).select(
+        *g,
+        F.col("v").alias("y"),
+        (F.lit(2) * F.col("off") + F.col("c") + 1).cast("long").alias("r2y"),
+    )
+    pairs = base.groupBy(*g, "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    j = pairs.join(rx, [*g, "x"]).join(ry, [*g, "y"])
+    dec = "decimal(38,0)"
+    sums = j.groupBy(*g).agg(
+        F.sum("n_xy").cast("long").alias("n_rows"),
+        F.sum(F.col("n_xy").cast(dec) * F.col("r2x")).alias("sx"),
+        F.sum(F.col("n_xy").cast(dec) * F.col("r2y")).alias("sy"),
+        F.sum(
+            F.col("n_xy").cast(dec) * F.col("r2x") * F.col("r2x")
+        ).alias("sxx"),
+        F.sum(
+            F.col("n_xy").cast(dec) * F.col("r2y") * F.col("r2y")
+        ).alias("syy"),
+        F.sum(
+            F.col("n_xy").cast(dec) * F.col("r2x") * F.col("r2y")
+        ).alias("sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - F.pow(F.col("sx").cast("double"), 2))
+        * (n * F.col("syy").cast("double") - F.pow(F.col("sy").cast("double"), 2))
+    )
+    return sums.select(
+        *g,
+        "n_rows",
+        F.when(den > 0, F.round(num / den * 1e6, 0).cast("long")).alias(
+            "rho_e6"
+        ),
+    ).orderBy(*g)
+
+
 def theil_decomposition(
     df: DataFrame,
     group_col: str,

@@ -374,6 +374,54 @@ def vocab_topk(
     )
 
 
+def vocab_census(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group vocabulary-growth census (the Heaps'-law / lexical-
+    richness screen a corpus datasheet wants next to the Zipf fit):
+    token count, type (distinct-term) count, hapax legomena count
+    (types seen exactly once), type-token ratio and hapax share as
+    exact e6-floored integer ratios. A corpus whose hapax share
+    collapses is template-heavy; one whose TTR spikes is likely OCR
+    noise — both are pre-training screens.
+
+    Scale shape: one token explode reduced immediately to the
+    (group, term) frequency table (map-side combined), then ONE
+    group-sized aggregate; no windows, no joins.
+    """
+    tf = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        tf.groupBy("g")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("n") == 1).cast("long")).cast("long").alias("n_hapax"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("n_types * 1000000 div n_tokens")
+            .cast("long")
+            .alias("ttr_e6"),
+            F.expr("n_hapax * 1000000 div n_types")
+            .cast("long")
+            .alias("hapax_share_e6"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

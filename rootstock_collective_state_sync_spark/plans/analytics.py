@@ -2586,3 +2586,268 @@ SELECT bucket, n,
         * 1000000 // ts)::BIGINT AS cum_value_e6
 FROM per, tot ORDER BY bucket
 """
+
+
+def q_mann_whitney_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U: do urgent orders (priority 1-2) carry a
+    stochastically different total price than the rest? See
+    :func:`..operators.profile.mann_whitney_u` (doubled-rank exact
+    integers, distributed prefix sum for the joint ranking)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        mann_whitney_u,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+        "o_orderpriority",
+    )
+    return mann_whitney_u(
+        orders, "vc", "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    )
+
+
+Q_MANN_WHITNEY_ORACLE = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         (o_orderpriority IN ('1-URGENT', '2-HIGH'))::INT AS a
+  FROM orders
+),
+pv AS (
+  SELECT v, count(*)::BIGINT AS c, sum(a)::BIGINT AS ca FROM o GROUP BY 1
+),
+off AS (
+  SELECT v, c, ca,
+         coalesce(sum(c) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS o
+  FROM pv
+),
+tot AS (
+  SELECT sum(ca)::BIGINT AS na, (sum(c) - sum(ca))::BIGINT AS nb,
+         sum(c)::BIGINT AS n, sum(c*c*c - c)::BIGINT AS t
+  FROM pv
+),
+r AS (SELECT sum(ca * (2*o + c + 1))::BIGINT AS r2a FROM off)
+SELECT tot.na AS n_a, tot.nb AS n_b, r.r2a AS r2_a,
+       (r.r2a - tot.na * (tot.na + 1))::BIGINT AS u2_a,
+       tot.t AS tie_t,
+       round(((r.r2a - tot.na*(tot.na + 1) - tot.na*tot.nb) / 2.0)
+             / sqrt(tot.na::DOUBLE * tot.nb / 12.0
+                    * ((tot.n + 1) - tot.t::DOUBLE / (tot.n * (tot.n - 1.0))))
+             * 1e6)::BIGINT AS z_e6
+FROM r, tot
+"""
+
+
+def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between urgent and non-urgent orders'
+    total-price distributions. See
+    :func:`..operators.profile.ks_two_sample` (exact integer gap
+    comparison, one e9-snap of the max)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        ks_two_sample,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+        "o_orderpriority",
+    )
+    return ks_two_sample(
+        orders, "vc", "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    )
+
+
+Q_KS_ORACLE = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         (o_orderpriority IN ('1-URGENT', '2-HIGH'))::INT AS a
+  FROM orders
+),
+pv AS (
+  SELECT v, count(*)::BIGINT AS c, sum(a)::BIGINT AS ca,
+         (count(*) - sum(a))::BIGINT AS cb
+  FROM o GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cuma,
+         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cumb
+  FROM pv
+),
+tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM pv),
+gaps AS (
+  SELECT v, abs(cuma * tot.nb - cumb * tot.na)::BIGINT AS gap,
+         tot.na, tot.nb
+  FROM cum, tot
+)
+SELECT na AS n_a, nb AS n_b,
+       round(gap * 1e9 / (na::DOUBLE * nb))::BIGINT AS d_e9,
+       v AS at_v
+FROM gaps ORDER BY gap DESC, v ASC LIMIT 1
+"""
+
+
+def q_acf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of daily event volumes per type — the
+    seasonality/momentum screen beside `dow_seasonality`'s weekday
+    profile. The mean enters as an exact rational (terms are ``T·x_t
+    − S``, integers), so the one double division per (type, lag) is
+    the e6 snap. Missing days simply don't pair (calendar join on
+    ``t + k``).
+
+    Scale shape: events reduce to the DAYS-SPINE-sized (type, t, d)
+    table first; the lag join is an equi-join on (type, t+k) over
+    that spine (3 exploded lags) — raw events never self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    x = daily.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("t"),
+        "n",
+    )
+    tt = x.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("tc"),
+    )
+    c = x.join(F.broadcast(tt), "event_type").select(
+        "event_type",
+        "t",
+        (F.col("tc") * F.col("n") - F.col("s")).cast("long").alias("d"),
+    )
+    den = c.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("den")
+    )
+    a = c.withColumn("lag", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+    b = c.select(
+        "event_type", F.col("t").alias("t2"), F.col("d").alias("d2")
+    )
+    p = (
+        a.join(
+            b,
+            (a["event_type"] == b["event_type"])
+            & (b["t2"] == a["t"] + a["lag"]),
+        )
+        .drop(b["event_type"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("d") * F.col("d2")).cast("long").alias("num"),
+        )
+    )
+    return (
+        p.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") * 1e6 / F.col("den").cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("acf_e6"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+Q_ACF_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+x AS (
+  SELECT d.event_type, date_diff('day', b.d0, d.day)::BIGINT AS t, d.n
+  FROM daily d JOIN b USING (event_type)
+),
+tt AS (
+  SELECT event_type, sum(n)::BIGINT AS s, count(*)::BIGINT AS tc
+  FROM x GROUP BY 1
+),
+c AS (
+  SELECT x.event_type, x.t, (tt.tc * x.n - tt.s)::BIGINT AS d
+  FROM x JOIN tt USING (event_type)
+),
+den AS (SELECT event_type, sum(d*d)::BIGINT AS den FROM c GROUP BY 1),
+k AS (SELECT unnest([1, 2, 3]) AS lag),
+p AS (
+  SELECT a.event_type, k.lag, count(*)::BIGINT AS n_pairs,
+         sum(a.d * b2.d)::BIGINT AS num
+  FROM c a
+  CROSS JOIN k
+  JOIN c b2 ON b2.event_type = a.event_type AND b2.t = a.t + k.lag
+  GROUP BY 1, 2
+)
+SELECT p.event_type, p.lag::INT AS lag, p.n_pairs,
+       round(p.num * 1e6 / den.den)::BIGINT AS acf_e6
+FROM p JOIN den USING (event_type)
+ORDER BY event_type, lag
+"""
+
+
+def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    per return flag. See :func:`..operators.profile.spearman_rho`
+    (doubled average-tie ranks, decimal(38,0) product sums, the pair
+    decomposition that keeps row-level rank products off the plan)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        spearman_rho,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    return spearman_rho(li, "q", "pc", group_cols=["l_returnflag"])
+
+
+Q_SPEARMAN_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+px AS (SELECT g, x, count(*)::BIGINT AS c FROM li GROUP BY 1, 2),
+py AS (SELECT g, y, count(*)::BIGINT AS c FROM li GROUP BY 1, 2),
+rx AS (
+  SELECT g, x,
+         (2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1)::BIGINT AS r2x
+  FROM px
+),
+ry AS (
+  SELECT g, y,
+         (2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1)::BIGINT AS r2y
+  FROM py
+),
+pairs AS (SELECT g, x, y, count(*)::BIGINT AS n_xy FROM li GROUP BY 1, 2, 3),
+sums AS (
+  SELECT p.g, sum(p.n_xy)::BIGINT AS n_rows,
+         sum(p.n_xy::HUGEINT * rx.r2x) AS sx,
+         sum(p.n_xy::HUGEINT * ry.r2y) AS sy,
+         sum(p.n_xy::HUGEINT * rx.r2x * rx.r2x) AS sxx,
+         sum(p.n_xy::HUGEINT * ry.r2y * ry.r2y) AS syy,
+         sum(p.n_xy::HUGEINT * rx.r2x * ry.r2y) AS sxy
+  FROM pairs p
+  JOIN rx ON rx.g = p.g AND rx.x = p.x
+  JOIN ry ON ry.g = p.g AND ry.y = p.y
+  GROUP BY 1
+)
+SELECT g AS l_returnflag, n_rows,
+       CASE WHEN (n_rows::DOUBLE * sxx - sx::DOUBLE * sx) > 0
+             AND (n_rows::DOUBLE * syy - sy::DOUBLE * sy) > 0
+            THEN round((n_rows::DOUBLE * sxy - sx::DOUBLE * sy)
+                       / sqrt((n_rows::DOUBLE * sxx - sx::DOUBLE * sx)
+                              * (n_rows::DOUBLE * syy - sy::DOUBLE * sy))
+                       * 1e6)::BIGINT
+       END AS rho_e6
+FROM sums ORDER BY l_returnflag
+"""

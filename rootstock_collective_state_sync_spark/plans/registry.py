@@ -152,6 +152,22 @@ SPECS: dict[str, QuerySpec] = {
     "theil_by_priority": QuerySpec(
         AN.q_theil_by_priority, AN.Q_THEIL_ORACLE, ("analytics", "agg")
     ),
+    # r13 additions (X-A38..41, X-T29)
+    "mann_whitney_price": QuerySpec(
+        AN.q_mann_whitney_price, AN.Q_MANN_WHITNEY_ORACLE, ("analytics", "agg")
+    ),
+    "ks_price_drift": QuerySpec(
+        AN.q_ks_price_drift, AN.Q_KS_ORACLE, ("analytics", "agg")
+    ),
+    "acf_daily_volume": QuerySpec(
+        AN.q_acf_daily_volume, AN.Q_ACF_ORACLE, ("analytics", "temporal")
+    ),
+    "spearman_qty_price": QuerySpec(
+        AN.q_spearman_qty_price, AN.Q_SPEARMAN_ORACLE, ("analytics", "agg")
+    ),
+    "vocab_heaps": QuerySpec(
+        TR.q_vocab_heaps, TR.Q_VOCAB_HEAPS_ORACLE, ("text", "agg")
+    ),
     "token_pmi": QuerySpec(
         TR.q_token_pmi, TR.Q_TOKEN_PMI_ORACLE, ("text", "agg")
     ),

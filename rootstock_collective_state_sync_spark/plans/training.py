@@ -3422,3 +3422,30 @@ FROM c, tot
 WHERE n * 65 > s
 ORDER BY freq_rank
 """
+
+
+def q_vocab_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-growth census (Heaps'-law screen):
+    tokens, types, hapax legomena, exact e6 type-token and hapax
+    ratios. See :func:`..operators.text.vocab_census`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.vocab_census(docs)
+
+
+Q_VOCAB_HEAPS_ORACLE = """
+WITH tok AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+t AS (SELECT source, unnest(toks) AS term FROM tok),
+tf AS (SELECT source, term, count(*)::BIGINT AS n FROM t GROUP BY 1, 2)
+SELECT source,
+       sum(n)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_types,
+       sum((n = 1)::INT)::BIGINT AS n_hapax,
+       (count(*) * 1000000 // sum(n))::BIGINT AS ttr_e6,
+       (sum((n = 1)::INT) * 1000000 // count(*))::BIGINT AS hapax_share_e6
+FROM tf GROUP BY source ORDER BY source
+"""

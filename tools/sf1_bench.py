@@ -57,7 +57,7 @@ def _time_one(spark, name, sf_dir):
 
 def main() -> None:
     round_no = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-    from bench import _calibrate
+    from bench import _calibrate, _calibrate_mt
 
     from rootstock_collective_state_sync_spark.plans.registry import SPECS
     from rootstock_collective_state_sync_spark.session import get_spark
@@ -65,6 +65,7 @@ def main() -> None:
     sf1_dir = build(os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"))
     names = sorted(n for n, s in SPECS.items() if "bench" in s.tags)
     calibration = _calibrate()
+    calibration_mt = _calibrate_mt()
     spark = get_spark("sf1-bench")
     t01, t1, cal_q = {}, {}, {}
     for n in names:  # interleaved: both legs of a ratio share a regime
@@ -72,6 +73,7 @@ def main() -> None:
         t01[n] = _time_one(spark, n, "/root/testdata/sf0.1")
         t1[n] = _time_one(spark, n, sf1_dir)
     calibration_end = _calibrate()
+    calibration_mt_end = _calibrate_mt()
     spark.stop()
 
     ratios = {
@@ -85,6 +87,12 @@ def main() -> None:
         "ratio_sf1_over_sf0_1": ratios,
         "calibration_sec": calibration,
         "calibration_end_sec": calibration_end,
+        # the MULTI-CORE probe (r12 verdict item 4): an ambient
+        # co-tenant stealing cores inflates 32-way stages while the
+        # single-thread probe reads equal — round-over-round readers
+        # normalize by this when the MT regime differs >1.2x
+        "calibration_mt_sec": calibration_mt,
+        "calibration_mt_end_sec": calibration_mt_end,
         "calibration_per_query": cal_q,
         "runs_per_query": RUNS,
     }
