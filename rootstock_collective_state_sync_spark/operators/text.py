@@ -399,6 +399,15 @@ def vocab_census(
         .groupBy("g", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    return vocab_census_from_tf(tf, group_col)
+
+
+def vocab_census_from_tf(tf: DataFrame, group_col: str = "source") -> DataFrame:
+    """Render the vocabulary census from a ``(g, term, n)`` frequency
+    table — the mergeable-summary form (term counts over disjoint doc
+    sets add exactly) that makes the census incrementally
+    maintainable (``streaming/vocab.py``, same split as
+    ``equidepth_from_counts``)."""
     return (
         tf.groupBy("g")
         .agg(
@@ -419,6 +428,70 @@ def vocab_census(
             .alias("hapax_share_e6"),
         )
         .orderBy(group_col)
+    )
+
+
+def vocab_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source VOCABULARY overlap matrix (the lexical companion
+    to the doc-level `source_dup_matrix`): for every source pair
+    a < b, the shared type count, union size, Jaccard, and both
+    directed containments — "is src2 just src0's vocabulary plus
+    noise?" is a mixture-design question a corpus datasheet answers
+    before weights are chosen. Exact e6-floored integer ratios.
+
+    Scale shape: the corpus reduces to the distinct (source, term)
+    incidence once; the pair join is term-keyed with fan-out bounded
+    by #sources² per term (sources are a handful — this is a
+    mixture-audit, not an all-pairs-docs join); per-source vocabulary
+    sizes ride a broadcast.
+    """
+    inc = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    sizes = inc.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    a = inc.select(F.col("g").alias("sa"), "term")
+    b = inc.select(F.col("g").alias("sb"), "term")
+    common = (
+        a.join(b, "term")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("g").alias("sa"), F.col("nv").alias("na"))),
+            "sa",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("sb"), F.col("nv").alias("nb"))),
+            "sb",
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_common",
+            (F.col("na") + F.col("nb") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+            F.expr("n_common * 1000000 div (na + nb - n_common)")
+            .cast("long")
+            .alias("jaccard_e6"),
+            F.expr("n_common * 1000000 div na")
+            .cast("long")
+            .alias("contain_a_e6"),
+            F.expr("n_common * 1000000 div nb")
+            .cast("long")
+            .alias("contain_b_e6"),
+        )
+        .orderBy("source_a", "source_b")
     )
 
 

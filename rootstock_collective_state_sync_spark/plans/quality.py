@@ -1785,3 +1785,66 @@ FROM nodes, sums""")
 
 
 Q_GRAPH_ASSORTATIVITY_ORACLE = _graph_assortativity_oracle()
+
+
+def q_audio_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dynamics census (X-M9) — the loudness-screen companion
+    to X-M8's trim census: per clip, total exact integer energy, peak
+    amplitude, silent-frame share (e6-floored), and the crest factor
+    (peak / RMS, the compressed-vs-dynamic discriminator an audio
+    curation run thresholds: pure tones sit near sqrt(2), heavily
+    limited content near 1, speech well above). Composed ENTIRELY
+    from `audio_frame_energy`'s frame table by one aggregation —
+    decode runs once, no second Arrow pass; all inputs to the one
+    e6-snapped double (crest) are exact integers, so the oracle
+    replays it bit-for-bit."""
+    from rootstock_collective_state_sync_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = M.audio_frame_energy(M.attach_wav_payload(docs), frame=16)
+    per = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("total_energy"),
+        F.max("peak").cast("long").alias("peak"),
+        F.sum(F.col("is_silence").cast("long"))
+        .cast("long")
+        .alias("n_silent"),
+    )
+    rms = F.sqrt(
+        F.col("total_energy").cast("double")
+        / (F.col("n_frames").cast("double") * 16.0)
+    )
+    return per.select(
+        "doc_id",
+        "n_frames",
+        "total_energy",
+        "peak",
+        F.expr("n_silent * 1000000 div n_frames")
+        .cast("long")
+        .alias("silence_share_e6"),
+        F.when(
+            F.col("total_energy") > 0,
+            F.round(F.col("peak").cast("double") * 1e6 / rms, 0).cast("long"),
+        ).alias("crest_e6"),
+    ).orderBy("doc_id")
+
+
+Q_AUDIO_DYNAMICS_ORACLE = f"""
+WITH fr AS ({Q_AUDIO_FRAME_ENERGY_ORACLE.strip().rstrip()}),
+per AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_frames,
+         sum(energy)::BIGINT AS total_energy,
+         max(peak)::BIGINT AS peak,
+         sum(is_silence::BIGINT)::BIGINT AS n_silent
+  FROM fr GROUP BY 1
+)
+SELECT doc_id, n_frames, total_energy, peak,
+       (n_silent * 1000000 // n_frames)::BIGINT AS silence_share_e6,
+       CASE WHEN total_energy > 0
+            THEN round(peak * 1e6
+                       / sqrt(total_energy::DOUBLE / (n_frames * 16.0))
+                 )::BIGINT
+       END AS crest_e6
+FROM per ORDER BY doc_id
+"""

@@ -168,6 +168,9 @@ SPECS: dict[str, QuerySpec] = {
     "vocab_heaps": QuerySpec(
         TR.q_vocab_heaps, TR.Q_VOCAB_HEAPS_ORACLE, ("text", "agg")
     ),
+    "vocab_overlap": QuerySpec(
+        TR.q_vocab_overlap, TR.Q_VOCAB_OVERLAP_ORACLE, ("text", "join")
+    ),
     "token_pmi": QuerySpec(
         TR.q_token_pmi, TR.Q_TOKEN_PMI_ORACLE, ("text", "agg")
     ),
@@ -791,6 +794,11 @@ SPECS: dict[str, QuerySpec] = {
         Q.Q_AUDIO_TRIM_SILENCE_ORACLE,
         ("multimodal",),
     ),
+    "audio_dynamics": QuerySpec(
+        Q.q_audio_dynamics,
+        Q.Q_AUDIO_DYNAMICS_ORACLE,
+        ("multimodal",),
+    ),
     "audio_frame_energy": QuerySpec(
         Q.q_audio_frame_energy,
         Q.Q_AUDIO_FRAME_ENERGY_ORACLE,
@@ -886,73 +894,68 @@ SPECS: dict[str, QuerySpec] = {
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
-    # r12 rotation (tools/window_planner.py policy, base 647fb58):
-    # (a) the 9 queries born this round — driver-checked immediately,
+    # r13 rotation (tools/window_planner.py policy, base d00cf7f):
+    # (a) the 7 queries born this round — driver-checked immediately,
     # no evidence debt (planner class `never`)
-    "cusum_changepoints",
+    "mann_whitney_price",
+    "ks_price_drift",
+    "acf_daily_volume",
+    "spearman_qty_price",
+    "vocab_heaps",
+    "vocab_overlap",
+    "audio_dynamics",
+    # (b) semantically changed this round — re-earn their rows:
+    # theil's share_e6 moved to decimal; contamination_check now
+    # routes through contamination_against_index (the X-ST19 shared
+    # core); every ntile/prefix-sum consumer inherits the
+    # _prefix_sum_with_boundaries extraction + typed comparison column
+    "theil_by_priority",
+    "contamination_check",
+    "equidepth_price_histogram",
     "equidepth_by_priority",
     "woe_iv_bins",
     "kaplan_meier",
-    "theil_by_priority",
-    "token_pmi",
-    "matryoshka_recall",
-    "hll_distinct_tokens",
-    "kcore_celled",
-    "theil_sen_slopes",
-    "heavy_hitters_exact",
-    "lorenz_curve",
-    "quality_avg_precision",
-    "classifier_brier",
-    "audio_trim_silence",
-    # (b) semantically changed this round — re-earn their rows:
-    # equi-depth inherits the distributed prefix sum; Q2 the part
-    # pushdown; the funnel the fused tier-2/3 pair table; benford the
-    # mergeable-count refactor; k_anonymity_generalize the min_k/min_l
-    # coalesce; the dedup pair family went through (reverted)
-    # prefix-filter surgery this round
-    "equidepth_price_histogram",
-    "q2_min_cost_supplier",
-    "dedup_funnel",
-    "benford_audit",
-    "k_anonymity_generalize",
-    "dedup_ngram_jaccard",
-    "containment_pairs",
-    "dedup_minhash_lsh",
-    "dedup_threshold_sweep",
-    "minhash_accuracy",
-    "source_dup_matrix",
-    # (c) the oldest evidence cohort (last green r07) — 30 seats.
-    # Per r11 verdict item 6 the no-oracle natives (approx_distinct,
-    # approx_quantiles, heavy_hitter_tokens) are NOT seated: their
-    # value-checked twins are driver-green (r11) and the natives'
-    # accuracy contracts stay pytest-pinned — so the window carries
-    # zero structural `no_oracle` rows
-    "ann_lsh_topk",
-    "bloom_pruned_join",
-    "ccnet_buckets",
-    "chi_square_cells",
-    "cluster_exemplars",
-    "doc_chunks",
-    "domain_classifier_score",
-    "drop_dup_spans",
-    "event_transitions",
-    "funnel_conversion",
-    "gopher_quality",
-    "hourly_anomalies",
-    "image_ahash",
-    "image_dedup_clusters",
-    "image_near_dup_pairs",
-    "label_propagation",
-    "leakage_safe_split",
-    "line_dedup",
-    "llm_token_count",
-    "lm_bigram_score",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # quality_auc re-earns: binary_auc's cumulative moved onto the
-    # distributed prefix sum this round (plan change, same oracle)
     "quality_auc",
+    "quality_avg_precision",
+    "lorenz_curve",
+    # (c) the oldest evidence cohort (last green r07/r08) — 34 seats;
+    # the no-oracle natives stay unseated (value-checked twins green,
+    # accuracy contracts pytest-pinned), so zero structural
+    # `no_oracle` rows
+    "nearest_centroid_confusion",
+    "pq_topk",
+    "profile_orders",
+    "quantile_align",
+    "repetition_signals",
+    "retention_cohorts",
+    "rrf_fusion",
+    "salient_terms",
+    "scd2_intervals",
+    "similarity_pagerank",
+    "time_decayed_score",
+    "trend_slopes",
+    "winsorize_values",
+    "ann_ivf_cells",
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe_topk",
+    "attribution_touch",
+    "audio_frame_energy",
+    "bpe_fertility",
+    "bpe_merges",
+    "bpe_pack",
+    "broadcast_enrich_diff",
+    "budget_alloc",
+    "changelog_incremental",
+    "class_weights",
+    "classifier_calibration",
+    "contamination_spans",
+    "count_min_tokens",
+    "credit_card_audit",
+    "emb_int8_quant",
+    "emb_near_dup_lsh",
+    "emb_near_dup_pairs",
+    "embedding_dim_stats",
+    "embedding_effective_rank",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -3449,3 +3449,38 @@ SELECT source,
        (sum((n = 1)::INT) * 1000000 // count(*))::BIGINT AS hapax_share_e6
 FROM tf GROUP BY source ORDER BY source
 """
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap matrix (Jaccard + directed
+    containments per source pair). See
+    :func:`..operators.text.vocab_overlap_matrix`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.vocab_overlap_matrix(docs)
+
+
+Q_VOCAB_OVERLAP_ORACLE = """
+WITH tok AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+inc AS (SELECT DISTINCT source, unnest(toks) AS term FROM tok),
+sz AS (SELECT source, count(*)::BIGINT AS nv FROM inc GROUP BY 1),
+common AS (
+  SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS n_common
+  FROM inc a JOIN inc b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.sa AS source_a, c.sb AS source_b, c.n_common,
+       (za.nv + zb.nv - c.n_common)::BIGINT AS n_union,
+       (c.n_common * 1000000 // (za.nv + zb.nv - c.n_common))::BIGINT
+         AS jaccard_e6,
+       (c.n_common * 1000000 // za.nv)::BIGINT AS contain_a_e6,
+       (c.n_common * 1000000 // zb.nv)::BIGINT AS contain_b_e6
+FROM common c
+JOIN sz za ON za.source = c.sa
+JOIN sz zb ON zb.source = c.sb
+ORDER BY source_a, source_b
+"""

@@ -1,0 +1,86 @@
+"""Incremental vocabulary census: the streaming twin of
+:func:`..operators.text.vocab_census` (X-ST20).
+
+Same decomposition as the equi-depth leg (:mod:`.equidepth`): the
+census itself (types, hapax counts, ratios) is NOT mergeable — a term
+hapax in two batches is not hapax in their union — but its sufficient
+statistic is: the ``(source, term, n)`` frequency table adds exactly
+over disjoint document sets. The store holds that table
+(hash-bucketed by term so a batch merge touches only the buckets its
+terms hash into) and the census after any stream prefix renders via
+``vocab_census_from_tf``, bit-for-bit equal to the at-rest census
+over the same documents (``tests/test_streaming_vocab.py``).
+Order-invariant bag aggregate — no arrival contract.
+
+Replay safety: count merges double on replay, so the :mod:`.replay`
+batch_id guard gates each batch.
+
+Scale shape: per micro-batch one token explode reduced to the batch's
+own (source, term) counts, then a keyed merge proportional to the
+batch vocabulary; store state is corpus-vocabulary-sized (Heaps:
+~O(n^0.5) of token volume), the same cardinality the at-rest census
+materializes per run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from rootstock_collective_state_sync_spark.operators.text import (
+    tokens,
+    vocab_census_from_tf,
+)
+from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
+from rootstock_collective_state_sync_spark.streaming.replay import (
+    batch_already_applied,
+    write_batch_scores,
+)
+
+STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def vocab_foreach_batch(
+    store: VersionedTable,
+    scores_path: str,
+    text_col: str = "text",
+    group_col: str = "source",
+):
+    """Return the ``foreachBatch`` function merging each batch's
+    (source, term) counts into ``store`` and writing the post-merge
+    rendered census under ``scores_path``."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        created = store.create_if_not_exists(
+            STORE_SCHEMA, merge_keys=["g", "term"], num_buckets=8
+        )
+        if not created and batch_already_applied(store, batch_id):
+            return
+        batch_tf = (
+            batch_df.select(
+                F.col(group_col).alias("g"),
+                F.explode(tokens(F.col(text_col))).alias("term"),
+            )
+            .groupBy("g", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        merged = (
+            store.read()
+            .select("g", "term", "n")
+            .unionByName(batch_tf)
+            .groupBy("g", "term")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        write_batch_scores(
+            vocab_census_from_tf(merged, group_col), scores_path, batch_id
+        )
+        store.overwrite(merged, meta={"batch_id": int(batch_id)})
+
+    return step
