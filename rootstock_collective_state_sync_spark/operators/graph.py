@@ -289,12 +289,26 @@ def kcore_bounded(
     Scale shape: per round one map-side-combined degree count + two
     semi-joins on the edge keys — all shuffles share the src/dst
     hash keys; edges only ever SHRINK, so later rounds are cheaper;
-    nothing is collected. At 100 TB pair this with the celled edge
-    build (`knn_edges_celled`) like the triangle/assortativity
-    censuses."""
+    nothing is collected. Each round is cut by an eager
+    ``localCheckpoint`` (the `connected_components` pattern,
+    ``operators/dedup.py``): round r's plan references round r−1's
+    edges THREE times (degree + semi-join source + next round), so a
+    pure lazy unroll grows the LOGICAL plan ~3^rounds — at 6 rounds
+    Catalyst analysis alone took ~15 s at sf0.1 (r13 measured; the
+    executed work was 2 s). The checkpoint truncates the plan at O(1)
+    depth per round; values are identical and the DuckDB oracle still
+    replays the rounds CTE-for-CTE. (On a real cluster with executor
+    churn, swap in a reliable ``checkpoint()`` dir — same contract.)
+    At 100 TB pair this with the celled edge build
+    (`knn_edges_celled`) like the triangle/assortativity censuses."""
     all_nodes = edges.select(F.col("src").alias("id")).distinct()
     e = edges
-    for _ in range(rounds):
+    for r in range(rounds):
+        # cut every other round: one lazy segment spans 2 rounds
+        # (plan grows 9x per segment — still O(1)), halving the
+        # checkpoint materializations
+        if r % 2 == 0:
+            e = e.localCheckpoint(eager=True)
         deg = e.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("d")
         )
