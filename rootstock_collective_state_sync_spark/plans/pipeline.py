@@ -357,6 +357,31 @@ def _audit_brier(df: DataFrame, p: dict[str, Any]) -> DataFrame:
     )
 
 
+def _audit_ks(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Distribution-drift gate (ONE report row): exact two-sample KS
+    distance of ``value_col`` between the ``group_expr`` slice and
+    its complement — "does the flagged slice's length/quality
+    distribution differ in SHAPE?" (a mean comparison misses tail
+    moves)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        ks_two_sample,
+    )
+
+    return ks_two_sample(df, p["value_col"], p["group_expr"])
+
+
+def _audit_mwu(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Rank-shift gate (ONE report row): exact tie-corrected
+    Mann-Whitney U of ``value_col``, ``group_expr`` slice vs
+    complement — the nonparametric A/B screen for heavy-tailed
+    pipeline metrics."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        mann_whitney_u,
+    )
+
+    return mann_whitney_u(df, p["value_col"], p["group_expr"])
+
+
 #: AUDIT stages: pass-through for the data plan (compile_pipeline
 #: treats them as identity — the curated output is unchanged), but in
 #: ``run_pipeline(audit=True)`` their bounded report rows are embedded
@@ -373,6 +398,8 @@ AUDIT_STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
     "cusum_audit": _audit_cusum,
     "avg_precision_audit": _audit_avg_precision,
     "brier_audit": _audit_brier,
+    "ks_audit": _audit_ks,
+    "mwu_audit": _audit_mwu,
 }
 
 #: hard cap on embedded report rows — an audit trail is a control-

@@ -283,3 +283,29 @@ def test_r12_analytics_audit_stages(spark):
         brier["rel_e9"] - brier["res_e9"] + brier["unc_e9"]
     )
     assert 0 <= brier["brier_e9"] <= 1_000_000_000
+
+
+def test_ks_and_mwu_audit_stages(spark):
+    """The r13 rank-statistics screens as trail stages: one report
+    row each, identity for the data plan, exact integer internals."""
+    docs = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "n_chars_l", F.col("n_chars").cast("long")
+    )
+    spec = [
+        {"stage": "ks_audit", "value_col": "n_chars_l",
+         "group_expr": "lang = 'en'"},
+        {"stage": "mwu_audit", "value_col": "n_chars_l",
+         "group_expr": "lang = 'en'"},
+    ]
+    n_in = docs.count()
+    out, trail = run_pipeline(docs, spec, audit=True)
+    assert out.count() == n_in
+    (ks,) = trail[1]["report"]
+    assert ks["n_a"] + ks["n_b"] == n_in
+    assert 0 <= ks["d_e9"] <= 1_000_000_000
+    (mwu,) = trail[2]["report"]
+    assert mwu["n_a"] == ks["n_a"] and mwu["n_b"] == ks["n_b"]
+    # doubled rank sum bounds: n_a*(n_a+1) <= r2_a <= n_a*2n
+    n = n_in
+    assert mwu["n_a"] * (mwu["n_a"] + 1) <= mwu["r2_a"] <= mwu["n_a"] * 2 * n
+    assert 0 <= mwu["u2_a"] <= 2 * mwu["n_a"] * mwu["n_b"]
