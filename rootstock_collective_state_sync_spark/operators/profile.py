@@ -942,6 +942,15 @@ def mann_whitney_u(
             F.sum("a").cast("long").alias("ca"),
         )
     )
+    return mann_whitney_u_from_counts(per_v)
+
+
+def mann_whitney_u_from_counts(per_v: DataFrame) -> DataFrame:
+    """:func:`mann_whitney_u` from a per-VALUE count table ``(v, c,
+    ca)`` — the mergeable-summary form (counts over disjoint row sets
+    add exactly) that makes the test incrementally maintainable
+    (``streaming/ranktests.py``, same split as
+    ``equidepth_from_counts``)."""
     off = _distributed_prefix_sum(per_v, "v", "c", "off")
     tot = per_v.agg(
         F.sum("ca").cast("long").alias("n_a"),
@@ -1014,8 +1023,15 @@ def ks_two_sample(
             F.count(F.lit(1)).cast("long").alias("c"),
             F.sum("a").cast("long").alias("ca"),
         )
-        .withColumn("cb", (F.col("c") - F.col("ca")).cast("long"))
     )
+    return ks_two_sample_from_counts(per_v)
+
+
+def ks_two_sample_from_counts(per_v: DataFrame) -> DataFrame:
+    """:func:`ks_two_sample` from the same per-VALUE count table
+    ``(v, c, ca)`` as :func:`mann_whitney_u_from_counts` — one
+    mergeable store serves both rank tests incrementally."""
+    per_v = per_v.withColumn("cb", (F.col("c") - F.col("ca")).cast("long"))
     offa = _distributed_prefix_sum(per_v, "v", "ca", "offa")
     both = _distributed_prefix_sum(offa, "v", "cb", "offb")
     tot = per_v.agg(

@@ -1,0 +1,98 @@
+"""Incremental two-sample rank tests: the streaming twin of
+:func:`..operators.profile.mann_whitney_u` AND
+:func:`..operators.profile.ks_two_sample` (X-ST21).
+
+One store serves both: the tests' shared sufficient statistic is the
+per-VALUE count table ``(v, c, ca)`` (total rows and group-A rows at
+each value), which adds exactly over disjoint row sets — the same
+merge law as the equi-depth (:mod:`.equidepth`) and vocabulary
+(:mod:`.vocab`) legs. After any stream prefix both tests render from
+the merged counts (``mann_whitney_u_from_counts`` /
+``ks_two_sample_from_counts``) bit-for-bit equal to the at-rest
+operators over the same rows (``tests/test_streaming_ranktests.py``).
+The use case is the online experiment monitor: an A/B split's rank
+statistics re-rendered per micro-batch without re-scanning history.
+
+Replay safety: count merges double on replay, so the :mod:`.replay`
+batch_id guard gates each batch. Order-invariant otherwise (pure bag
+aggregate).
+
+Scale shape: per micro-batch one map-side-combined per-value count
+over the batch only; store state is |distinct values| rows,
+hash-bucketed so merge cost tracks batch size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from rootstock_collective_state_sync_spark.operators.profile import (
+    ks_two_sample_from_counts,
+    mann_whitney_u_from_counts,
+)
+from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
+from rootstock_collective_state_sync_spark.streaming.replay import (
+    batch_already_applied,
+    write_batch_scores,
+)
+
+STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("v", T.LongType(), False),
+        T.StructField("c", T.LongType(), False),
+        T.StructField("ca", T.LongType(), False),
+    ]
+)
+
+
+def ranktests_foreach_batch(
+    store: VersionedTable,
+    scores_path: str,
+    value_col: str,
+    group_expr: str,
+):
+    """Return the ``foreachBatch`` function merging each batch's
+    per-value (total, group-A) counts into ``store`` and writing the
+    post-merge MWU + KS reports under ``scores_path`` (subdirs
+    ``mwu``/``ks``). ``value_col`` must be integer-typed (fixed-point
+    policy); ``group_expr`` is the SQL boolean defining group A."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        created = store.create_if_not_exists(
+            STORE_SCHEMA, merge_keys=["v"], num_buckets=8
+        )
+        if not created and batch_already_applied(store, batch_id):
+            return
+        batch_counts = (
+            batch_df.select(
+                F.col(value_col).cast("long").alias("v"),
+                F.expr(group_expr).cast("long").alias("a"),
+            )
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("c"),
+                F.sum("a").cast("long").alias("ca"),
+            )
+        )
+        merged = (
+            store.read()
+            .select("v", "c", "ca")
+            .unionByName(batch_counts)
+            .groupBy("v")
+            .agg(
+                F.sum("c").cast("long").alias("c"),
+                F.sum("ca").cast("long").alias("ca"),
+            )
+        )
+        write_batch_scores(
+            mann_whitney_u_from_counts(merged), f"{scores_path}/mwu", batch_id
+        )
+        write_batch_scores(
+            ks_two_sample_from_counts(merged), f"{scores_path}/ks", batch_id
+        )
+        store.overwrite(merged, meta={"batch_id": int(batch_id)})
+
+    return step
