@@ -1066,6 +1066,88 @@ def ks_two_sample_from_counts(per_v: DataFrame) -> DataFrame:
     )
 
 
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Exact tie-corrected Kruskal-Wallis H (1952) — the K-group
+    generalization of :func:`mann_whitney_u`: do the ``group_col``
+    groups draw from the same ``value_col`` distribution? Same
+    doubled-rank machinery: joint per-value ranks from the
+    distributed prefix sum (``2·rank = 2·off + c + 1``, integral),
+    per-group doubled rank sums ``R2_g = Σ n_gv·r2_v`` decompose over
+    the (group, value) count table, and
+
+        ``H = 3·Σ_g R2_g²/n_g / (n(n+1)) − 3(n+1)``
+
+    (the doubled-rank form of the textbook statistic), tie-corrected
+    by ``1 − ΣT/(n³−n)`` with ``T = Σ(c³−c)`` over joint tie groups.
+    ``R2_g²`` grows as n⁴ — summed in DECIMAL(38,0); the two H
+    divisions are the only doubles, e6-snapped. One row:
+    ``(n, n_groups, tie_t, h_e6, h_tied_e6)``.
+
+    Scale shape: one (group, value) count shuffle, one joint prefix
+    sum, a broadcast join of the value-rank table, two bounded
+    aggregates. ``value_col`` must be integer-typed (fixed-point
+    policy).
+    """
+    gv = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(value_col).alias("v")
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("ngv"))
+    )
+    per_v = gv.groupBy("v").agg(F.sum("ngv").cast("long").alias("c"))
+    r2 = _distributed_prefix_sum(per_v, "v", "c", "off").select(
+        "v",
+        (F.lit(2) * F.col("off") + F.col("c") + 1).cast("long").alias("r2"),
+    )
+    per_g = (
+        gv.join(r2, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("ngv").cast("long").alias("ng"),
+            F.sum(F.col("ngv").cast("decimal(38,0)") * F.col("r2")).alias(
+                "r2g"
+            ),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_t"),
+    )
+    sums = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(
+            F.col("r2g").cast("double")
+            * F.col("r2g").cast("double")
+            / F.col("ng").cast("double")
+        ).alias("s"),
+    )
+    h = (
+        F.lit(3.0)
+        * F.col("s")
+        / (F.col("n").cast("double") * (F.col("n") + 1).cast("double"))
+        - 3.0 * (F.col("n") + 1).cast("double")
+    )
+    corr = F.lit(1.0) - F.col("tie_t").cast("double") / (
+        F.pow(F.col("n").cast("double"), 3) - F.col("n").cast("double")
+    )
+    return sums.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "n_groups",
+        "tie_t",
+        F.round(h * 1e6, 0).cast("long").alias("h_e6"),
+        F.when(corr > 0, F.round(h / corr * 1e6, 0).cast("long")).alias(
+            "h_tied_e6"
+        ),
+    )
+
+
 def spearman_rho(
     df: DataFrame,
     x_col: str,

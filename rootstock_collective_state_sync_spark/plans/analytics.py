@@ -2851,3 +2851,61 @@ SELECT g AS l_returnflag, n_rows,
        END AS rho_e6
 FROM sums ORDER BY l_returnflag
 """
+
+
+def q_kruskal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order priorities' total-price
+    distributions. See :func:`..operators.profile.kruskal_wallis`
+    (doubled joint ranks on the distributed prefix sum,
+    decimal(38,0) rank-sum squares)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        kruskal_wallis,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+    )
+    return kruskal_wallis(orders, "vc", "o_orderpriority")
+
+
+Q_KRUSKAL_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+gv AS (SELECT g, v, count(*)::BIGINT AS ngv FROM o GROUP BY 1, 2),
+pv AS (SELECT v, sum(ngv)::BIGINT AS c FROM gv GROUP BY 1),
+r2 AS (
+  SELECT v,
+         (2 * coalesce(sum(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1)::BIGINT AS r2
+  FROM pv
+),
+pg AS (
+  SELECT gv.g, sum(gv.ngv)::BIGINT AS ng,
+         sum(gv.ngv::HUGEINT * r2.r2) AS r2g
+  FROM gv JOIN r2 USING (v) GROUP BY 1
+),
+tot AS (
+  SELECT sum(c)::BIGINT AS n, sum(c*c*c - c)::BIGINT AS tie_t FROM pv
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_groups,
+         sum(r2g::DOUBLE * r2g::DOUBLE / ng) AS s
+  FROM pg
+)
+SELECT tot.n, s.n_groups, tot.tie_t,
+       round((3.0 * s.s / (tot.n::DOUBLE * (tot.n + 1))
+              - 3.0 * (tot.n + 1)) * 1e6)::BIGINT AS h_e6,
+       CASE WHEN (1.0 - tot.tie_t::DOUBLE
+                  / (tot.n::DOUBLE ^ 3 - tot.n)) > 0
+            THEN round((3.0 * s.s / (tot.n::DOUBLE * (tot.n + 1))
+                        - 3.0 * (tot.n + 1))
+                       / (1.0 - tot.tie_t::DOUBLE
+                          / (tot.n::DOUBLE ^ 3 - tot.n)) * 1e6)::BIGINT
+       END AS h_tied_e6
+FROM s, tot
+"""

@@ -171,6 +171,9 @@ SPECS: dict[str, QuerySpec] = {
     "vocab_overlap": QuerySpec(
         TR.q_vocab_overlap, TR.Q_VOCAB_OVERLAP_ORACLE, ("text", "join")
     ),
+    "kruskal_priority": QuerySpec(
+        AN.q_kruskal_priority, AN.Q_KRUSKAL_ORACLE, ("analytics", "agg")
+    ),
     "token_pmi": QuerySpec(
         TR.q_token_pmi, TR.Q_TOKEN_PMI_ORACLE, ("text", "agg")
     ),
@@ -904,6 +907,7 @@ _DRIVER_WINDOW = [
     "vocab_heaps",
     "vocab_overlap",
     "audio_dynamics",
+    "kruskal_priority",
     # (b) semantically changed this round — re-earn their rows:
     # theil's share_e6 moved to decimal; contamination_check now
     # routes through contamination_against_index (the X-ST19 shared
@@ -955,7 +959,6 @@ _DRIVER_WINDOW = [
     "emb_near_dup_lsh",
     "emb_near_dup_pairs",
     "embedding_dim_stats",
-    "embedding_effective_rank",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
