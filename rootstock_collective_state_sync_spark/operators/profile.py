@@ -967,18 +967,33 @@ def mann_whitney_u_from_counts(per_v: DataFrame) -> DataFrame:
         .cast("long")
         .alias("r2_a")
     )
-    z = (
-        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1) - F.col("n_a") * F.col("n_b"))
-        / F.lit(2.0)
-    ) / F.sqrt(
+    # degenerate splits (one group empty, n<=1, or every value tied)
+    # have no defined z — report NULL instead of dividing by zero
+    # (found by tests/test_properties.py's from-counts property)
+    var = (
         F.col("n_a").cast("double")
         * F.col("n_b").cast("double")
         / 12.0
         * (
             (F.col("n") + 1).cast("double")
             - F.col("tie_t").cast("double")
-            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+            / F.nullif(
+                F.col("n").cast("double") * (F.col("n") - 1).cast("double"),
+                F.lit(0.0),
+            )
         )
+    )
+    z = F.when(
+        var > 0,
+        (
+            (
+                F.col("r2_a")
+                - F.col("n_a") * (F.col("n_a") + 1)
+                - F.col("n_a") * F.col("n_b")
+            )
+            / F.lit(2.0)
+        )
+        / F.sqrt(var),
     )
     return r.crossJoin(F.broadcast(tot)).select(
         "n_a",
@@ -1053,14 +1068,20 @@ def ks_two_sample_from_counts(per_v: DataFrame) -> DataFrame:
         .select(
             "n_a",
             "n_b",
-            F.round(
-                F.col("gap").cast("double")
-                * 1e9
-                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
-                0,
-            )
-            .cast("long")
-            .alias("d_e9"),
+            # one empty group has no defined ECDF gap — NULL, not a
+            # divide-by-zero (found by the from-counts property test)
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round(
+                    F.col("gap").cast("double")
+                    * 1e9
+                    / (
+                        F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double")
+                    ),
+                    0,
+                ).cast("long"),
+            ).alias("d_e9"),
             F.col("v").cast("long").alias("at_v"),
         )
     )

@@ -719,3 +719,111 @@ def test_distributed_prefix_sum_string_keys(spark, rows):
         want2[v] = acc
         acc += c
     assert got2 == want2
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.dictionaries(
+        st.integers(min_value=-500, max_value=500),  # value
+        st.integers(min_value=1, max_value=9),  # multiplicity
+        min_size=1,
+        max_size=40,
+    ),
+    buckets=st.sampled_from([2, 4, 8, 13]),
+)
+def test_equidepth_from_counts_equals_raw_rows(spark, counts, buckets):
+    """X-ST18's renderer contract as a property: for ANY per-value
+    count table, equidepth_from_counts == equidepth_histogram over
+    rows expanded from those counts (ids synthesized — the tie-split
+    must never move a bucket's size or value extent)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        equidepth_from_counts,
+        equidepth_histogram,
+    )
+
+    rows, rid = [], 0
+    for v, c in sorted(counts.items()):
+        for _ in range(c):
+            rows.append((rid, v))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, v long")
+    want = sorted(
+        tuple(r)
+        for r in equidepth_histogram(df, "v", "id", buckets=buckets).collect()
+    )
+    per_v = spark.createDataFrame(
+        sorted(counts.items()), "v long, c long"
+    )
+    got = sorted(
+        tuple(r) for r in equidepth_from_counts(per_v, buckets).collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-300, max_value=300),  # value
+            st.booleans(),  # group A membership
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_rank_tests_from_counts_equal_raw(spark, rows):
+    """X-ST21's renderer contract as a property: MWU and KS from the
+    merged (v, c, ca) table equal the raw-row operators for any mix,
+    including all-one-group edges (z/d undefined -> NULL-safe)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        ks_two_sample,
+        ks_two_sample_from_counts,
+        mann_whitney_u,
+        mann_whitney_u_from_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(v, 1 if a else 0) for v, a in rows], "v long, a int"
+    )
+    per_v = (
+        df.groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("a").cast("long").alias("ca"),
+        )
+    )
+    for raw_fn, fc_fn in (
+        (mann_whitney_u, mann_whitney_u_from_counts),
+        (ks_two_sample, ks_two_sample_from_counts),
+    ):
+        want = sorted(tuple(r) for r in raw_fn(df, "v", "a = 1").collect())
+        got = sorted(tuple(r) for r in fc_fn(per_v).collect())
+        assert got == want, raw_fn.__name__
+
+
+def test_prefix_sum_date_keys(spark):
+    """The r13 generic non-numeric path also covers DATE keys — the
+    md5-sampled boundaries compare in native date ordering."""
+    import datetime as dt
+
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        _distributed_prefix_sum,
+    )
+
+    base = dt.date(2024, 1, 1)
+    data = [
+        (base + dt.timedelta(days=i % 37), (i % 7) + 1) for i in range(200)
+    ]
+    agg = {}
+    for d, c in data:
+        agg[d] = agg.get(d, 0) + c
+    df = spark.createDataFrame(sorted(agg.items()), "v date, c long")
+    got = {
+        r["v"]: r["off"]
+        for r in _distributed_prefix_sum(df, "v", "c", "off").collect()
+    }
+    acc, want = 0, {}
+    for d, c in sorted(agg.items()):
+        want[d] = acc
+        acc += c
+    assert got == want
