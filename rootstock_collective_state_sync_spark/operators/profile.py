@@ -924,18 +924,25 @@ def mann_whitney_u(
 
     One row: ``(n_a, n_b, r2_a, u2_a, tie_t, z_e6)``. ``value_col``
     must be integer-typed (snap to cents first — fixed-point policy).
+    NULL ``value_col`` rows are dropped (a NULL is not a rank), the
+    SAME policy as the streaming twin (``streaming/ranktests.py``) so
+    the documented bit-for-bit stream/at-rest equivalence holds on
+    nullable inputs too.
 
     Scale shape: per-value counts (one map-side-combined shuffle),
     the distributed prefix sum for ``off`` (never a global ordered
-    window), two bounded aggregates. Sums are kept in long — at
-    >~1e9 rows per side promote ``r2_a`` to decimal(38,0) (the
-    doubled rank sum grows as n²).
+    window), two bounded aggregates. The n²-scale doubled-rank sum
+    and the n³-scale tie term accumulate in DECIMAL(38,0) (the
+    Spearman/Kruskal policy) so ``z_e6`` stays exact-in-double at any
+    row count; only the final display casts of ``r2_a``/``u2_a``/
+    ``tie_t`` are long (NULL, not wraparound, past ~9.2e18).
     """
     per_v = (
         df.select(
             F.col(value_col).alias("v"),
             F.expr(group_expr).cast("long").alias("a"),
         )
+        .filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(
             F.count(F.lit(1)).cast("long").alias("c"),
@@ -951,21 +958,23 @@ def mann_whitney_u_from_counts(per_v: DataFrame) -> DataFrame:
     add exactly) that makes the test incrementally maintainable
     (``streaming/ranktests.py``, same split as
     ``equidepth_from_counts``)."""
+    dec = "decimal(38,0)"
     off = _distributed_prefix_sum(per_v, "v", "c", "off")
     tot = per_v.agg(
         F.sum("ca").cast("long").alias("n_a"),
         (F.sum("c") - F.sum("ca")).cast("long").alias("n_b"),
         F.sum("c").cast("long").alias("n"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
-        .cast("long")
-        .alias("tie_t"),
+        # c³ overflows long per-ROW at c > ~2.1e6 duplicates of one
+        # value — promote before the first multiply, not just the sum
+        F.sum(
+            F.col("c").cast(dec) * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_t_d"),
     )
     r = off.agg(
         F.sum(
-            F.col("ca") * (F.lit(2) * F.col("off") + F.col("c") + F.lit(1))
-        )
-        .cast("long")
-        .alias("r2_a")
+            F.col("ca").cast(dec)
+            * (F.lit(2) * F.col("off") + F.col("c") + F.lit(1))
+        ).alias("r2_a_d")
     )
     # degenerate splits (one group empty, n<=1, or every value tied)
     # have no defined z — report NULL instead of dividing by zero
@@ -976,33 +985,42 @@ def mann_whitney_u_from_counts(per_v: DataFrame) -> DataFrame:
         / 12.0
         * (
             (F.col("n") + 1).cast("double")
-            - F.col("tie_t").cast("double")
+            - F.col("tie_t_d").cast("double")
             / F.nullif(
                 F.col("n").cast("double") * (F.col("n") - 1).cast("double"),
                 F.lit(0.0),
             )
         )
     )
+    # z is computed from the DECIMAL sums (pre-cast), so it stays
+    # exact-in-double even where the long display casts below
+    # would overflow
     z = F.when(
         var > 0,
         (
             (
-                F.col("r2_a")
-                - F.col("n_a") * (F.col("n_a") + 1)
-                - F.col("n_a") * F.col("n_b")
-            )
+                F.col("r2_a_d")
+                - F.col("n_a").cast(dec) * (F.col("n_a") + 1)
+                - F.col("n_a").cast(dec) * F.col("n_b")
+            ).cast("double")
             / F.lit(2.0)
         )
         / F.sqrt(var),
     )
+    # try_cast: past ~9.2e18 the DISPLAY columns go NULL (never
+    # wraparound, never a crash) while z_e6 — computed above from the
+    # decimals — stays exact-in-double
     return r.crossJoin(F.broadcast(tot)).select(
         "n_a",
         "n_b",
-        "r2_a",
-        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
-        .cast("long")
+        F.col("r2_a_d").try_cast("long").alias("r2_a"),
+        (
+            F.col("r2_a_d")
+            - F.col("n_a").cast("decimal(38,0)") * (F.col("n_a") + 1)
+        )
+        .try_cast("long")
         .alias("u2_a"),
-        "tie_t",
+        F.col("tie_t_d").try_cast("long").alias("tie_t"),
         F.round(z * 1e6, 0).cast("long").alias("z_e6"),
     )
 
@@ -1022,17 +1040,23 @@ def ks_two_sample(
     cumB·n_a|`` avoids any division until the one e9-snap of the
     maximum. Reports the SMALLEST value attaining the max so the
     result is deterministic under ties. One row: ``(n_a, n_b, d_e9,
-    at_v)``.
+    at_v)``. NULL ``value_col`` rows are dropped (no place on the
+    ECDF) — the same policy as the streaming twin
+    (``streaming/ranktests.py``) so stream/at-rest stay bit-equal on
+    nullable inputs.
 
     Scale shape: per-value counts, ONE distributed prefix sum for the
     joint cumulative (A's rides along as a second measure), a
-    max-by aggregate. Products stay in long up to ~3e9 rows per side.
+    max-by aggregate. The cumA·n_b cross products accumulate in
+    DECIMAL(38,0) (they grow as n² — past long at ~3e9 rows per
+    side), matching the Spearman/Kruskal promotion policy.
     """
     per_v = (
         df.select(
             F.col(value_col).alias("v"),
             F.expr(group_expr).cast("long").alias("a"),
         )
+        .filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(
             F.count(F.lit(1)).cast("long").alias("c"),
@@ -1053,13 +1077,17 @@ def ks_two_sample_from_counts(per_v: DataFrame) -> DataFrame:
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
     )
+    # cumA·n_b grows as n² — promote to decimal BEFORE the multiply
+    # (the Spearman/Kruskal policy); decimal ordering keeps the
+    # max-by exact
+    dec = "decimal(38,0)"
     gaps = both.crossJoin(F.broadcast(tot)).select(
         "v",
         "n_a",
         "n_b",
         F.abs(
-            (F.col("offa") + F.col("ca")) * F.col("n_b")
-            - (F.col("offb") + F.col("cb")) * F.col("n_a")
+            (F.col("offa") + F.col("ca")).cast(dec) * F.col("n_b")
+            - (F.col("offb") + F.col("cb")).cast(dec) * F.col("n_a")
         ).alias("gap"),
     )
     return (
@@ -1104,9 +1132,13 @@ def kruskal_wallis(
 
     (the doubled-rank form of the textbook statistic), tie-corrected
     by ``1 − ΣT/(n³−n)`` with ``T = Σ(c³−c)`` over joint tie groups.
-    ``R2_g²`` grows as n⁴ — summed in DECIMAL(38,0); the two H
-    divisions are the only doubles, e6-snapped. One row:
-    ``(n, n_groups, tie_t, h_e6, h_tied_e6)``.
+    ``R2_g`` (n²-scale) and ``T`` (n³-scale) accumulate in
+    DECIMAL(38,0); the ``Σ R2_g²/n_g`` reduction is DOUBLE (each
+    term is n⁴-scale and carries a non-integral per-group division —
+    the e6 snap absorbs the ~1-ulp rounding), as are the two H
+    divisions. One row: ``(n, n_groups, tie_t, h_e6, h_tied_e6)``.
+    NULL ``value_col`` rows are dropped (a NULL is not a rank — the
+    shared rank-test null policy).
 
     Scale shape: one (group, value) count shuffle, one joint prefix
     sum, a broadcast join of the value-rank table, two bounded
@@ -1117,6 +1149,7 @@ def kruskal_wallis(
         df.select(
             F.col(group_col).alias("g"), F.col(value_col).alias("v")
         )
+        .filter(F.col("v").isNotNull())
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("ngv"))
     )
@@ -1137,9 +1170,12 @@ def kruskal_wallis(
     )
     tot = per_v.agg(
         F.sum("c").cast("long").alias("n"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
-        .cast("long")
-        .alias("tie_t"),
+        # c³ overflows long per-ROW at c > ~2.1e6 duplicates — promote
+        # before the first multiply (shared rank-test policy)
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("tie_t_d"),
     )
     sums = per_g.agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
@@ -1155,13 +1191,14 @@ def kruskal_wallis(
         / (F.col("n").cast("double") * (F.col("n") + 1).cast("double"))
         - 3.0 * (F.col("n") + 1).cast("double")
     )
-    corr = F.lit(1.0) - F.col("tie_t").cast("double") / (
+    corr = F.lit(1.0) - F.col("tie_t_d").cast("double") / (
         F.pow(F.col("n").cast("double"), 3) - F.col("n").cast("double")
     )
     return sums.crossJoin(F.broadcast(tot)).select(
         "n",
         "n_groups",
-        "tie_t",
+        # display column goes NULL past long range, never wraps/crashes
+        F.col("tie_t_d").try_cast("long").alias("tie_t"),
         F.round(h * 1e6, 0).cast("long").alias("h_e6"),
         F.when(corr > 0, F.round(h / corr * 1e6, 0).cast("long")).alias(
             "h_tied_e6"

@@ -2717,8 +2717,12 @@ def q_acf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         (F.col("tc") * F.col("n") - F.col("s")).cast("long").alias("d"),
     )
+    # d = tc·n − s grows as (#days × daily volume), so d² wraps long
+    # silently under non-ANSI at larger SFs — accumulate the products
+    # in DECIMAL(38,0) (the spearman_rho policy); the e6 snap below
+    # divides the decimals in double
     den = c.groupBy("event_type").agg(
-        F.sum(F.col("d") * F.col("d")).cast("long").alias("den")
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("den")
     )
     a = c.withColumn("lag", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
     b = c.select(
@@ -2734,7 +2738,9 @@ def q_acf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum(F.col("d") * F.col("d2")).cast("long").alias("num"),
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("d2")).alias(
+                "num"
+            ),
         )
     )
     return (

@@ -290,8 +290,10 @@ def _audit_cusum(df: DataFrame, p: dict[str, Any]) -> DataFrame:
     the audit trail."""
     seq = p.get("seq_col", "doc_id")
     size = int(p.get("bucket_size", 1000))
+    # exact integer `div` (the documented semantics), not
+    # double-divide-then-cast: doubles lose exactness past 2^53
     per = df.groupBy(
-        (F.col(seq).cast("long") / size).cast("long").alias("seq_bucket")
+        F.expr(f"cast({seq} as bigint) div {size}").alias("seq_bucket")
     ).agg(
         F.expr(f"sum({p['value_col']}) * 1000000 div count(1)")
         .cast("long")

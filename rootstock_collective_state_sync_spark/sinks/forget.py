@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 
 from rootstock_collective_state_sync_spark.sinks.table import (
     VersionedTable,
+    _manifest_version as _parse_version,
     bucket_expr,
 )
 
@@ -72,22 +73,65 @@ def forget_keys(
     )
 
 
-def purge_history(table: VersionedTable) -> dict[str, int]:
+def purge_history(
+    table: VersionedTable, inflight: str = "refuse"
+) -> dict[str, int]:
     """Delete all manifests older than the current version and every
     data file they alone reference. Returns counts
     ``{"versions_removed": n, "files_removed": k}``. After this, no
     snapshot or on-disk file contains previously-forgotten rows.
 
     Same retention anchor as ``VersionedTable.vacuum`` (r13): the
-    retained set is the CURRENT manifest plus any manifest ABOVE it —
-    a crashed or concurrent commit's in-flight manifest and its staged
-    files survive (re-committing later stays sound). No mtime grace,
-    though: a purge is a privacy action, so unreferenced files go
-    immediately — run it after writers and readers drained, as the
-    module docstring says. Crash-safety: manifests are unlinked only
-    AFTER the retained file set is computed, and re-running a purge
-    interrupted anywhere completes the deletion (idempotent)."""
+    retained set is the CURRENT manifest plus any manifest ABOVE it.
+    But unlike vacuum, a purge is a PRIVACY action — an in-flight
+    manifest (a crashed commit that staged files and wrote its
+    manifest but never swung the pointer) may reference pre-forget
+    data containing the doomed keys, and retaining it would silently
+    violate the "no on-disk file contains previously-forgotten rows"
+    contract. So in-doubt commits must be RESOLVED first, and this
+    function enforces it (r13 verdict item 2):
+
+    * ``inflight="refuse"`` (default) — raise ``RuntimeError`` when
+      manifests above ``_CURRENT`` exist; the operator resolves them
+      explicitly (``table.resolve_inflight``) after confirming no
+      writer is live.
+    * ``inflight="abort"`` — resolve by aborting the orphan
+      manifests; their staged files become unreferenced and are
+      deleted by THIS purge (no grace window — the privacy-safe
+      resolution).
+    * ``inflight="adopt"`` — swing the pointer through contiguous
+      in-flight manifests first, then purge below the NEW current.
+      CAUTION: an adopted commit staged before the forget may
+      resurrect doomed rows at the new tip — re-run ``forget_keys``
+      after adopting, then purge again.
+
+    No mtime grace: unreferenced files go immediately — run after
+    writers and readers drained, as the module docstring says.
+    Crash-safety: manifests are unlinked only AFTER the retained file
+    set is computed, and re-running a purge interrupted anywhere
+    completes the deletion (idempotent)."""
+    if inflight not in ("refuse", "abort", "adopt"):
+        raise ValueError(
+            f"inflight must be 'refuse', 'abort' or 'adopt', got {inflight!r}"
+        )
     cur = table.current_version()
+    above = sorted(
+        v
+        for v in (
+            _parse_version(p) for p in table._versions_dir.glob("v*.json")
+        )
+        if v is not None and v > cur
+    )
+    if above:
+        if inflight == "refuse":
+            raise RuntimeError(
+                f"purge_history: in-flight manifest(s) {above} above "
+                f"current v{cur} — a crashed commit's staged files may "
+                "contain doomed rows; resolve first "
+                "(resolve_inflight or inflight='abort'|'adopt')"
+            )
+        table.resolve_inflight(inflight)
+        cur = table.current_version()
     referenced: set[str] = set()
     for vpath in sorted(table._versions_dir.glob("v*.json")):
         try:

@@ -90,6 +90,16 @@ class Manifest:
         return T.StructType.fromJson(json.loads(self.schema_json))
 
 
+def _manifest_version(p: Path) -> int | None:
+    """Version number of a ``v*.json`` manifest path, or None for
+    unparsable/foreign names (never crash a maintenance scan on a
+    stray file)."""
+    try:
+        return int(p.stem[1:])
+    except ValueError:
+        return None
+
+
 def bucket_expr(keys: list[str], num_buckets: int):
     """Stable key -> bucket assignment (hash of concatenated keys)."""
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast("int")
@@ -129,7 +139,12 @@ class VersionedTable:
             raise CommitConflict(
                 f"expected v{expected_prev}, found v{self.current_version()}"
             )
-        mf.write_text(m.to_json())
+        # manifests are read by concurrent vacuum/purge (they scan
+        # above _CURRENT for in-flight commits) — publish atomically
+        # so a racing reader never sees a torn JSON
+        mtmp = self._versions_dir / f".{mf.name}.tmp.{uuid.uuid4().hex[:8]}"
+        mtmp.write_text(m.to_json())
+        os.replace(mtmp, mf)
         tmp = self.path / f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}"
         tmp.write_text(str(m.version))
         os.replace(tmp, self._pointer)  # atomic publish
@@ -162,7 +177,9 @@ class VersionedTable:
             meta=meta or {},
         )
         mf = self._versions_dir / "v0000000001.json"
-        mf.write_text(m.to_json())
+        mtmp = self._versions_dir / f".{mf.name}.tmp.{uuid.uuid4().hex[:8]}"
+        mtmp.write_text(m.to_json())
+        os.replace(mtmp, mf)
         tmp = self.path / "_CURRENT.tmp"
         tmp.write_text("1")
         os.replace(tmp, self._pointer)
@@ -391,9 +408,15 @@ class VersionedTable:
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         cur = self.current_version()
-        manifests = sorted(self._versions_dir.glob("v*.json"))
-        committed = [m for m in manifests if int(m.stem[1:]) <= cur]
-        in_flight = [m for m in manifests if int(m.stem[1:]) > cur]
+        # skip unparsable/foreign v*.json names (purge_history's
+        # guard) — a stray file must not crash or be unlinked
+        manifests = [
+            m
+            for m in sorted(self._versions_dir.glob("v*.json"))
+            if _manifest_version(m) is not None
+        ]
+        committed = [m for m in manifests if _manifest_version(m) <= cur]
+        in_flight = [m for m in manifests if _manifest_version(m) > cur]
         keep = committed[-retain_last:] + in_flight
         drop = committed[: max(0, len(committed) - retain_last)]
         live: set[str] = set()
@@ -452,9 +475,12 @@ class VersionedTable:
             raise ValueError(f"action must be 'abort' or 'adopt', got {action!r}")
         cur = self.current_version()
         above = sorted(
-            int(p.stem[1:])
-            for p in self._versions_dir.glob("v*.json")
-            if int(p.stem[1:]) > cur
+            v
+            for v in (
+                _manifest_version(p)
+                for p in self._versions_dir.glob("v*.json")
+            )
+            if v is not None and v > cur
         )
         aborted = adopted = 0
         if action == "abort":

@@ -83,6 +83,58 @@ def test_purge_history_makes_deletion_real(spark, tmp_path):
     assert t.read().count() == 38
 
 
+def test_purge_history_adopt_resolves_then_purges(spark, tmp_path):
+    """inflight='adopt' swings the pointer through the contiguous
+    in-flight manifest FIRST, then purges below the NEW current —
+    and the docstring's caution is real: an adopted pre-forget commit
+    resurrects doomed rows, so the forget must be re-run after."""
+    from rootstock_collective_state_sync_spark.sinks.table import Manifest
+
+    t = _mk(spark, tmp_path)  # v1 create, v2 overwrite
+    doomed = spark.createDataFrame([(3,)], "user_id long")
+    forget_keys(t, doomed)  # v3
+    # in-flight commit staged BEFORE the forget (contains user 3)
+    staged = t._write_tx(
+        spark.createDataFrame([(3, "pre-forget")], SCHEMA), 8, ["user_id"]
+    )
+    m = t.manifest()
+    orphan_v = t.current_version() + 1
+    merged = dict(m.buckets)
+    for b, fs in staged.items():
+        merged[b] = list(merged.get(b, [])) + fs
+    (t._versions_dir / f"v{orphan_v:010d}.json").write_text(
+        Manifest(
+            version=orphan_v,
+            schema_json=m.schema_json,
+            merge_keys=m.merge_keys,
+            num_buckets=m.num_buckets,
+            buckets=merged,
+            meta={"crashed": True},
+        ).to_json()
+    )
+    stats = purge_history(t, inflight="adopt")
+    assert t.current_version() == orphan_v  # pointer adopted forward
+    assert stats["versions_removed"] >= 1  # everything below adopted tip
+    assert len(list(t._versions_dir.glob("v*.json"))) == 1
+    # the adopted tip resurrected the doomed row — re-run the forget
+    assert 3 in {r["user_id"] for r in t.read().collect()}
+    forget_keys(t, doomed)
+    purge_history(t)
+    files = glob.glob(
+        str(t.path / "data" / "**" / "*.parquet"), recursive=True
+    )
+    seen = pd.concat([pd.read_parquet(f) for f in files])
+    assert 3 not in set(seen["user_id"])
+
+
+def test_purge_history_rejects_unknown_inflight_policy(spark, tmp_path):
+    import pytest as _pytest
+
+    t = _mk(spark, tmp_path, n=5)
+    with _pytest.raises(ValueError, match="inflight"):
+        purge_history(t, inflight="ignore")
+
+
 def test_forget_noop_when_keys_absent(spark, tmp_path):
     t = _mk(spark, tmp_path, n=10)
     v0 = t.current_version()
@@ -132,9 +184,15 @@ def test_forget_vacuum_restore_interleave(spark, tmp_path):
     assert {5, 23} <= set(on_disk["user_id"])
 
     # crashed concurrent commit: manifest above CURRENT with staged
-    # files, pointer never swung — neither vacuum nor purge may eat it
+    # files CONTAINING A DOOMED ROW (the writer staged pre-forget
+    # data), pointer never swung — the privacy hazard purge_history
+    # must not ignore (r13 verdict item 2)
     staged = t._write_tx(
-        spark.createDataFrame([(100, "inflight")], SCHEMA), 8, ["user_id"]
+        spark.createDataFrame(
+            [(5, "doomed-resurrect"), (100, "inflight")], SCHEMA
+        ),
+        8,
+        ["user_id"],
     )
     m = t.manifest()
     orphan_v = t.current_version() + 1
@@ -149,51 +207,52 @@ def test_forget_vacuum_restore_interleave(spark, tmp_path):
         ).to_json()
     )
 
-    # purge makes deletion real — crash midway simulated by deleting
-    # one doomed-referencing manifest first, then the full purge run
-    # (idempotent completion)
-    stats = purge_history(t)
-    assert stats["versions_removed"] >= 1
-    files = glob.glob(
-        str(t.path / "data" / "**" / "*.parquet"), recursive=True
-    )
-    on_disk = pd.concat([pd.read_parquet(f) for f in files])
-    assert not set(on_disk["user_id"]) & {5, 23}  # deletion is REAL
-    # the in-flight commit's staged files survived the purge
-    for rel_files in staged.values():
-        for rel in rel_files:
-            assert (t.path / rel).exists()
-    # tip unchanged bit-for-bit through vacuum + purge
-    assert sorted(tuple(r) for r in t.read().collect()) == tip
-    # re-run purge: idempotent no-op
-    stats2 = purge_history(t)
-    assert stats2 == {"versions_removed": 0, "files_removed": 0}
-
-    # restore: expired pre-forget versions fail LOUDLY
     import pytest as _pytest
 
     from rootstock_collective_state_sync_spark.sinks.table import (
         CommitConflict,
     )
 
-    with _pytest.raises(FileNotFoundError):
-        t.restore(2)
     # the in-doubt manifest BLOCKS the next commit slot (lost-update
-    # guard) — an operator resolves it explicitly, then commits flow
+    # guard for genuinely concurrent writers)
     with _pytest.raises(CommitConflict):
         t.restore(t.current_version())
-    rz = t.resolve_inflight("abort")
-    assert rz == {"aborted": 1, "adopted": 0}
-    v_new = t.restore(t.current_version())
-    assert v_new == v_forget + 1
-    assert sorted(tuple(r) for r in t.read().collect()) == tip
-    # the aborted writer's staged files are now unreferenced orphans:
-    # a graced vacuum spares them (they look like in-flight staging),
-    # a grace-waived one reclaims them
-    t.vacuum(retain_last=2, grace_seconds=0.0)
+    # ...and purge REFUSES by default: the in-flight commit's staged
+    # files may hold doomed bytes (here they do)
+    with _pytest.raises(RuntimeError, match="in-flight"):
+        purge_history(t)
+    # doomed bytes are in fact still on disk at this point
+    files = glob.glob(
+        str(t.path / "data" / "**" / "*.parquet"), recursive=True
+    )
+    on_disk = pd.concat([pd.read_parquet(f) for f in files])
+    assert {5, 23} <= set(on_disk["user_id"])
+
+    # privacy-safe resolution: abort the in-doubt commit and purge
+    # its staged files in the SAME call (no grace window)
+    stats = purge_history(t, inflight="abort")
+    assert stats["versions_removed"] >= 1
+    files = glob.glob(
+        str(t.path / "data" / "**" / "*.parquet"), recursive=True
+    )
+    on_disk = pd.concat([pd.read_parquet(f) for f in files])
+    # deletion is REAL — including the crashed commit's staged bytes
+    assert not set(on_disk["user_id"]) & {5, 23}
     for rel_files in staged.values():
         for rel in rel_files:
             assert not (t.path / rel).exists()
+    # tip unchanged bit-for-bit through vacuum + purge
+    assert sorted(tuple(r) for r in t.read().collect()) == tip
+    # re-run purge: idempotent no-op (and nothing in-flight remains)
+    stats2 = purge_history(t)
+    assert stats2 == {"versions_removed": 0, "files_removed": 0}
+
+    # restore: expired pre-forget versions fail LOUDLY
+    with _pytest.raises(FileNotFoundError):
+        t.restore(2)
+    # the purge resolved the in-doubt slot — commits flow again
+    v_new = t.restore(t.current_version())
+    assert v_new == v_forget + 1
     assert sorted(tuple(r) for r in t.read().collect()) == tip
 
 

@@ -801,6 +801,118 @@ def test_rank_tests_from_counts_equal_raw(spark, rows):
         assert got == want, raw_fn.__name__
 
 
+def test_rank_tests_drop_null_values(spark):
+    """r13 advisor (medium): the at-rest MWU/KS/Kruskal must share
+    the streaming twin's NULL policy — NULL value rows are dropped,
+    not ranked — so stream/at-rest equivalence holds on nullable
+    inputs."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        kruskal_wallis,
+        ks_two_sample,
+        mann_whitney_u,
+    )
+
+    with_nulls = spark.createDataFrame(
+        [(1, 1, "g1"), (2, 0, "g2"), (None, 1, "g1"), (3, 1, "g2"),
+         (None, 0, "g2"), (2, 1, "g1")],
+        "v long, a int, g string",
+    )
+    clean = with_nulls.filter("v IS NOT NULL")
+    for fn, args in (
+        (mann_whitney_u, ("v", "a = 1")),
+        (ks_two_sample, ("v", "a = 1")),
+        (kruskal_wallis, ("v", "g")),
+    ):
+        got = sorted(tuple(r) for r in fn(with_nulls, *args).collect())
+        want = sorted(tuple(r) for r in fn(clean, *args).collect())
+        assert got == want, fn.__name__
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=2**31 - 3, max_value=2**31 + 3),  # c
+            st.integers(min_value=0, max_value=2**31 - 3),  # ca <= c
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_rank_tests_decimal_sums_at_adversarial_magnitudes(spark, counts):
+    """r13 verdict item 3: with per-value counts near 2^31 the n²/n³
+    scale sums (r2_a, tie_t, cumA·n_b) are far past long — the
+    DECIMAL(38,0) accumulation must keep z_e6/d_e9 exact-in-double
+    (verified against arbitrary-precision Python), and the long
+    display columns must go NULL (try_cast), never wrap or crash."""
+    import math
+
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        ks_two_sample_from_counts,
+        mann_whitney_u_from_counts,
+    )
+
+    rows = [(v * 10, c, min(ca, c)) for v, (c, ca) in enumerate(counts)]
+    per_v = spark.createDataFrame(rows, "v long, c long, ca long")
+
+    # ---- exact reference in unbounded ints, doubles only where the
+    # operators themselves go double -----------------------------------
+    n_a = sum(ca for _, _, ca in rows)
+    n_b = sum(c - ca for _, c, ca in rows)
+    n = n_a + n_b
+    tie_t = sum(c**3 - c for _, c, _ in rows)
+    off, r2_a = 0, 0
+    cums = []
+    for v, c, ca in rows:  # rows are already v-ascending
+        r2_a += ca * (2 * off + c + 1)
+        off += c
+        cums.append((v, c, ca))
+    var = (
+        float(n_a) * float(n_b) / 12.0
+        * (float(n + 1) - float(tie_t) / (float(n) * float(n - 1)))
+    )
+    z = (
+        (float(r2_a - n_a * (n_a + 1) - n_a * n_b) / 2.0) / math.sqrt(var)
+        if var > 0
+        else None
+    )
+
+    got = mann_whitney_u_from_counts(per_v).collect()[0]
+    assert got["n_a"] == n_a and got["n_b"] == n_b
+    long_max = 2**63 - 1
+    for name, exact in (
+        ("r2_a", r2_a),
+        ("u2_a", r2_a - n_a * (n_a + 1)),
+        ("tie_t", tie_t),
+    ):
+        if -long_max - 1 <= exact <= long_max:
+            assert got[name] == exact, name
+        else:
+            assert got[name] is None, f"{name} must be NULL, not wrapped"
+    if z is None:
+        assert got["z_e6"] is None
+    else:
+        assert abs(got["z_e6"] - round(z * 1e6)) <= 1
+
+    # ---- KS: exact integer gap max, d from doubles --------------------
+    cuma = cumb = 0
+    best = None
+    for v, c, ca in cums:
+        cuma += ca
+        cumb += c - ca
+        gap = abs(cuma * n_b - cumb * n_a)
+        if best is None or gap > best[0]:
+            best = (gap, v)
+    gotk = ks_two_sample_from_counts(per_v).collect()[0]
+    assert gotk["n_a"] == n_a and gotk["n_b"] == n_b
+    if n_a > 0 and n_b > 0:
+        assert gotk["at_v"] == best[1]
+        d = float(best[0]) * 1e9 / (float(n_a) * float(n_b))
+        assert abs(gotk["d_e9"] - round(d)) <= 1
+    else:
+        assert gotk["d_e9"] is None
+
+
 def test_prefix_sum_date_keys(spark):
     """The r13 generic non-numeric path also covers DATE keys — the
     md5-sampled boundaries compare in native date ordering."""
