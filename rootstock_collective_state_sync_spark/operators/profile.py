@@ -1378,3 +1378,236 @@ def theil_decomposition(
         )
         .orderBy(group_col)
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Exact tie-corrected Kendall tau-b per group (X-A43; Kendall
+    1945 tau-b) — Spearman's companion ordinal-association screen,
+    reading CONCORDANCE of pairs rather than rank covariance:
+
+        tau_b = (nc - nd) / sqrt((n0 - n1) (n0 - n2))
+
+    with ``n0 = n(n-1)/2``, ``n1 = Σ_x c_x(c_x-1)/2`` (x-tie pairs),
+    ``n2`` likewise for y, ``nc``/``nd`` the concordant/discordant
+    pair counts. Everything except the final sqrt is exact integer:
+    the concordance sums decompose over the (x, y) CELL-count table —
+    ``nc = Σ_{x1<x2, y1<y2} c1·c2`` — so no row-level pair is ever
+    formed; sums accumulate in DECIMAL(38,0) (they grow as n², the
+    shared rank-test overflow policy) and the long display columns
+    ``try_cast`` (NULL past long range, never wraparound). The one
+    double sqrt + e6 round at the end is the `spearman_rho` /
+    `kaplan_meier` determinism class (IEEE-correctly-rounded on both
+    engines). NULL x or y rows are dropped — the shared rank-test
+    NULL policy (streaming twins filter the same way).
+
+    Input contract / scale shape: the cell self-join is bounded by
+    |distinct (x,y) cells|² PER GROUP — the Theil-Sen calendar-bound
+    pattern — so callers feed BOUNDED-cardinality ordinal columns
+    (quantities, discount ticks, quality deciles; quantile-bucket a
+    near-unique measure first, which leaves tau of the bucketed
+    variable exact). The corpus itself is scanned once into the cell
+    table (one map-side-combined shuffle); the cell join broadcasts
+    the smaller side; output is one row per group.
+    """
+    g = list(group_cols or [])
+    base = df.select(
+        *g, F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    cells = base.groupBy(*g, "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    dec = "decimal(38,0)"
+    # doubled tie-pair sums: t1 = Σ c_x(c_x-1) = 2·n1 (kept doubled so
+    # every intermediate stays integral; halves cancel in the ratio)
+    t1 = (
+        cells.groupBy(*g, "x")
+        .agg(F.sum("c").cast("long").alias("cx"))
+        .groupBy(*g)
+        .agg(
+            F.sum(F.col("cx").cast(dec) * (F.col("cx") - 1)).alias("t1")
+        )
+    )
+    t2 = (
+        cells.groupBy(*g, "y")
+        .agg(F.sum("c").cast("long").alias("cy"))
+        .groupBy(*g)
+        .agg(
+            F.sum(F.col("cy").cast(dec) * (F.col("cy") - 1)).alias("t2")
+        )
+    )
+    tot = cells.groupBy(*g).agg(F.sum("c").cast("long").alias("n_rows"))
+    a = cells.select(
+        *g,
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.col("c").alias("c1"),
+    )
+    b = cells.select(
+        *g,
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.col("c").alias("c2"),
+    )
+    joined = (
+        a.join(F.broadcast(b), g) if g else a.crossJoin(F.broadcast(b))
+    ).filter(F.col("x1") < F.col("x2"))
+    prod = F.col("c1").cast(dec) * F.col("c2")
+    zero = F.lit(0).cast(dec)
+    pairsum = joined.groupBy(*g).agg(
+        F.sum(F.when(F.col("y1") < F.col("y2"), prod).otherwise(zero)).alias(
+            "nc"
+        ),
+        F.sum(F.when(F.col("y1") > F.col("y2"), prod).otherwise(zero)).alias(
+            "nd"
+        ),
+    )
+    out = (
+        tot.join(t1, g) if g else tot.crossJoin(t1)
+    )
+    out = out.join(t2, g) if g else out.crossJoin(t2)
+    out = out.join(pairsum, g, "left") if g else out.crossJoin(pairsum)
+    nc = F.coalesce(F.col("nc"), zero)
+    nd = F.coalesce(F.col("nd"), zero)
+    n = F.col("n_rows").cast(dec)
+    d1 = (n * (n - 1) - F.col("t1")).cast("double")
+    d2 = (n * (n - 1) - F.col("t2")).cast("double")
+    return out.select(
+        *g,
+        "n_rows",
+        nc.try_cast("long").alias("n_concordant"),
+        nd.try_cast("long").alias("n_discordant"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            F.round(
+                (nc - nd).cast("double") * 2e6 / F.sqrt(d1 * d2), 0
+            ).cast("long"),
+        ).alias("tau_b_e6"),
+    ).orderBy(*g)
+
+
+def gini_from_counts(
+    per_v: DataFrame,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Render the exact Gini index from a per-VALUE count table
+    ``(v, c)`` (per group when ``group_cols`` given) — the
+    mergeable-summary form that makes X-A26 incrementally
+    maintainable (``streaming/gini.py``, X-ST22): counts over
+    disjoint row sets add exactly, and the index is a pure function
+    of the merged counts. Bit-equal to :func:`gini_index` over the
+    raw rows: the rank formulation is tie-invariant, and a value's
+    rows occupy ranks ``off+1..off+c``, so ``Σ rn·v`` contributes
+    ``v·(c·off + c(c+1)/2)`` per value — kept DOUBLED
+    (``2Σrn·v = Σ v·(2·c·off + c(c+1))``) so every intermediate is
+    integral, in DECIMAL(38,0) like the raw operator. The prefix
+    offsets come from the shared distributed two-level prefix sum —
+    no global ordered window."""
+    g = list(group_cols or [])
+    off = _distributed_prefix_sum(per_v, "v", "c", "off", group_cols=g)
+    dec = "decimal(38,0)"
+    term = F.col("v").cast(dec) * (
+        F.lit(2).cast(dec) * F.col("c").cast(dec) * F.col("off").cast(dec)
+        + F.col("c").cast(dec) * (F.col("c").cast(dec) + 1)
+    )
+    agg = off.groupBy(*g).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast(dec) * F.col("v")).alias("s"),
+        F.sum(term).alias("ws2"),
+    )
+    return agg.select(
+        *g,
+        "n",
+        F.col("s").cast("long").alias("total"),
+        F.expr(
+            "CAST((ws2 - (n + 1) * s) * 1000000 div (n * s) AS BIGINT)"
+        ).alias("gini_e6"),
+    ).orderBy(*g) if g else agg.select(
+        "n",
+        F.col("s").cast("long").alias("total"),
+        F.expr(
+            "CAST((ws2 - (n + 1) * s) * 1000000 div (n * s) AS BIGINT)"
+        ).alias("gini_e6"),
+    )
+
+
+def lorenz_from_counts(per_v: DataFrame, buckets: int = 10) -> DataFrame:
+    """Render the Lorenz-curve decile table from the same per-VALUE
+    count store (X-ST22's second report — one store, two reports,
+    like the X-ST21 rank-test pair). Bit-equal to the raw-row
+    renderer (`plans/analytics.py::q_lorenz_curve`'s ntile path): the
+    id tie-split only decides WHICH equal-valued rows straddle a
+    decile boundary, never how many or their value sum, so per-decile
+    ``n`` and ``Σv`` are pure functions of the counts. A value with
+    exclusive offset ``off`` and count ``c`` spans ntile buckets
+    ``bucket(off+1)..bucket(off+c)`` (an explode bounded by
+    ``buckets``) and contributes its rank-range overlap with each —
+    exact integer arithmetic end-to-end; the cumulative shares run
+    over the ``buckets``-row table (bounded window, like the
+    equi-depth base offsets)."""
+    B = int(buckets)
+    off = _distributed_prefix_sum(per_v, "v", "c", "off")
+    tot = per_v.agg(
+        F.sum("c").cast("long").alias("_n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("v")).alias("_s"),
+    )
+
+    def bucket_of(r: str) -> str:
+        return (
+            f"CAST(CASE WHEN {r} <= (_n % {B}) * (_n div {B} + 1) "
+            f"THEN ({r} - 1) div (_n div {B} + 1) + 1 "
+            f"ELSE (_n % {B}) + "
+            f"({r} - (_n % {B}) * (_n div {B} + 1) - 1) div (_n div {B}) + 1 "
+            f"END AS INT)"
+        )
+
+    # ntile bucket b's global rank range: lo = (b-1)·q + min(b-1, r) + 1,
+    # hi = b·q + min(b, r), with q = n div B, r = n mod B
+    lo_b = f"((bucket - 1) * (_n div {B}) + least(bucket - 1, _n % {B}) + 1)"
+    hi_b = f"(bucket * (_n div {B}) + least(bucket, _n % {B}))"
+    spans = (
+        off.crossJoin(F.broadcast(tot))
+        .withColumn("_b1", F.expr(bucket_of("(off + 1)")))
+        .withColumn("_b2", F.expr(bucket_of("(off + c)")))
+        .select(
+            "v",
+            "c",
+            "off",
+            "_n",
+            F.explode(F.sequence("_b1", "_b2")).alias("bucket"),
+        )
+        .withColumn(
+            "rows_in_b",
+            F.expr(
+                f"least(off + c, {hi_b}) - greatest(off + 1, {lo_b}) + 1"
+            ).cast("long"),
+        )
+    )
+    per_b = spans.groupBy("bucket").agg(
+        F.sum("rows_in_b").cast("long").alias("n"),
+        F.sum(F.col("rows_in_b").cast("decimal(38,0)") * F.col("v")).alias(
+            "sv"
+        ),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_b.crossJoin(F.broadcast(tot))
+        .withColumn("cn", F.sum("n").over(w))
+        .withColumn("cs", F.sum("sv").over(w))
+        .select(
+            "bucket",
+            "n",
+            F.expr("CAST(sv * 1000000 div _s AS BIGINT)").alias("share_e6"),
+            F.expr("CAST(cn * 1000000 div _n AS BIGINT)").alias("cum_pop_e6"),
+            F.expr("CAST(cs * 1000000 div _s AS BIGINT)").alias(
+                "cum_value_e6"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -456,6 +456,16 @@ def vocab_overlap_matrix(
         )
         .distinct()
     )
+    return vocab_overlap_from_incidence(inc)
+
+
+def vocab_overlap_from_incidence(inc: DataFrame) -> DataFrame:
+    """Render the overlap matrix from a ``(g, term)`` incidence table
+    — the X-ST20 store's view (``n > 0`` rows of the (source, term,
+    n) frequency store ARE the incidence, so the streamed store
+    renders this report too: one store, two reports, r13 verdict
+    item 6; pinned at every prefix by
+    ``tests/test_streaming_vocab.py``)."""
     sizes = inc.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("nv"))
     a = inc.select(F.col("g").alias("sa"), "term")
     b = inc.select(F.col("g").alias("sb"), "term")

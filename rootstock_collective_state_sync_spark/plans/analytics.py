@@ -2915,3 +2915,65 @@ SELECT tot.n, s.n_groups, tot.tie_t,
        END AS h_tied_e6
 FROM s, tot
 """
+
+
+def q_kendall_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between quantity and discount tick per return
+    flag — X-A41's concordance companion (X-A43): are bigger line
+    items systematically more (or less) discounted? Both columns are
+    BOUNDED ordinals (50 quantities × 11 discount ticks → ≤550 cells
+    per group), the input contract that keeps the cell self-join
+    control-plane-sized. See :func:`..operators.profile.kendall_tau`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        kendall_tau,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+    )
+    return kendall_tau(li, "q", "disc", group_cols=["l_returnflag"])
+
+
+Q_KENDALL_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+cells AS (SELECT g, x, y, count(*)::BIGINT AS c FROM li GROUP BY 1, 2, 3),
+t1 AS (
+  SELECT g, sum(cx::HUGEINT * (cx - 1)) AS t1 FROM (
+    SELECT g, x, sum(c)::BIGINT AS cx FROM cells GROUP BY 1, 2
+  ) GROUP BY 1
+),
+t2 AS (
+  SELECT g, sum(cy::HUGEINT * (cy - 1)) AS t2 FROM (
+    SELECT g, y, sum(c)::BIGINT AS cy FROM cells GROUP BY 1, 2
+  ) GROUP BY 1
+),
+tot AS (SELECT g, sum(c)::BIGINT AS n_rows FROM cells GROUP BY 1),
+pairsum AS (
+  SELECT a.g,
+         sum(CASE WHEN a.y < b.y THEN a.c::HUGEINT * b.c ELSE 0 END) AS nc,
+         sum(CASE WHEN a.y > b.y THEN a.c::HUGEINT * b.c ELSE 0 END) AS nd
+  FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+  GROUP BY 1
+)
+SELECT tot.g AS l_returnflag, tot.n_rows,
+       coalesce(p.nc, 0)::BIGINT AS n_concordant,
+       coalesce(p.nd, 0)::BIGINT AS n_discordant,
+       CASE WHEN (tot.n_rows::HUGEINT * (tot.n_rows - 1) - t1.t1) > 0
+             AND (tot.n_rows::HUGEINT * (tot.n_rows - 1) - t2.t2) > 0
+            THEN round((coalesce(p.nc, 0) - coalesce(p.nd, 0))::DOUBLE * 2e6
+                       / sqrt((tot.n_rows::HUGEINT * (tot.n_rows - 1)
+                               - t1.t1)::DOUBLE
+                              * (tot.n_rows::HUGEINT * (tot.n_rows - 1)
+                                 - t2.t2)::DOUBLE))::BIGINT
+       END AS tau_b_e6
+FROM tot
+JOIN t1 USING (g) JOIN t2 USING (g)
+LEFT JOIN pairsum p USING (g)
+ORDER BY l_returnflag
+"""

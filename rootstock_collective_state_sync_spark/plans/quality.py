@@ -1668,6 +1668,13 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = G.knn_edges_celled(emb, k=_PR_K, num_cells="auto", nprobe=_CELL_NPROBE)
+    return _assortativity_over(e)
+
+
+def _assortativity_over(e: DataFrame) -> DataFrame:
+    """The degree-mixing census over an explicit symmetric edge set —
+    shared by the rebuild query above and the edge-store twin
+    (`q_assortativity_from_edges`)."""
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -1848,3 +1855,102 @@ SELECT doc_id, n_frames, total_energy, peak,
        END AS crest_e6
 FROM per ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# X-G9: build-once graph censuses over the materialized edge store
+# ---------------------------------------------------------------------------
+#
+# The five *_from_edges twins below are VALUE-IDENTICAL to their
+# rebuild-per-query originals (`kcore_celled`, `knn_triangles_celled`,
+# `similarity_pagerank_celled`, `label_propagation_celled`,
+# `graph_assortativity`) — the stored edge set equals a fresh
+# `knn_edges_celled` build row-for-row by determinism of the whole
+# chain — so each twin reuses the original composed k-means DuckDB
+# oracle UNCHANGED. What changes is the COST SHAPE: the ~4.7 s edge
+# build (sf0.1) runs once per corpus and every census amortizes it,
+# which is how a 100 TB similarity graph is actually operated.
+
+
+def q_kcore_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`kcore_celled` over the materialized `graph_edges` store
+    (X-G9): the bounded 6-round Seidman peel reads the committed edge
+    snapshot instead of rebuilding the celled kNN graph — the
+    dominant cost of the original seat. Oracle: the unchanged
+    composed quantizer+peel replay (`Q_KCORE_CELLED_ORACLE`)."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+    from rootstock_collective_state_sync_spark.plans.graph_store import graph_edges
+
+    e = graph_edges(spark, sf_dir, k=_PR_K, nprobe=_CELL_NPROBE)
+    return (
+        G.kcore_bounded(e, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+        .select(F.col("id").alias("vec_id"), "in_core", "core_degree")
+        .orderBy("vec_id")
+    )
+
+
+Q_KCORE_FROM_EDGES_ORACLE = Q_KCORE_CELLED_ORACLE
+
+
+def q_pagerank_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`similarity_pagerank_celled` over the materialized edge store
+    (X-G9) — identical fixed-point iterations, stored edges."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+    from rootstock_collective_state_sync_spark.plans.graph_store import graph_edges
+
+    e = graph_edges(spark, sf_dir, k=_PR_K, nprobe=_CELL_NPROBE)
+    return (
+        G.pagerank_fixed(e, iters=_PR_ITERS, damping_pct=_PR_DAMPING)
+        .select(F.col("id").alias("vec_id"), "pr")
+        .orderBy("vec_id")
+    )
+
+
+Q_PAGERANK_FROM_EDGES_ORACLE = Q_SIMILARITY_PAGERANK_CELLED_ORACLE
+
+
+def q_triangles_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`knn_triangles_celled` over the materialized edge store
+    (X-G9) — identical oriented wedge closure, stored edges."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+    from rootstock_collective_state_sync_spark.plans.graph_store import graph_edges
+
+    e = graph_edges(spark, sf_dir, k=_PR_K, nprobe=_CELL_NPROBE)
+    return (
+        G.triangle_counts(e)
+        .select(F.col("id").alias("vec_id"), "degree", "n_triangles", "cc_e6")
+        .orderBy("vec_id")
+    )
+
+
+Q_TRIANGLES_FROM_EDGES_ORACLE = Q_KNN_TRIANGLES_CELLED_ORACLE
+
+
+def q_label_prop_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`label_propagation_celled` over the materialized edge store
+    (X-G9) — identical majority rounds; the store injects through the
+    operator's existing `_edges` seam."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+    from rootstock_collective_state_sync_spark.plans.graph_store import graph_edges
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = graph_edges(spark, sf_dir, k=3, nprobe=_CELL_NPROBE)
+    return G.label_propagation(
+        emb, k=3, iters=3, seed_mod=5, _edges=e
+    ).orderBy("id")
+
+
+Q_LABEL_PROP_FROM_EDGES_ORACLE = Q_LABEL_PROPAGATION_CELLED_ORACLE
+
+
+def q_assortativity_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`graph_assortativity` over the materialized edge store (X-G9)
+    — identical exact-rational degree-mixing statistic, stored
+    edges."""
+    from rootstock_collective_state_sync_spark.plans.graph_store import graph_edges
+
+    e = graph_edges(spark, sf_dir, k=_PR_K, nprobe=_CELL_NPROBE)
+    return _assortativity_over(e)
+
+
+Q_ASSORTATIVITY_FROM_EDGES_ORACLE = Q_GRAPH_ASSORTATIVITY_ORACLE

@@ -162,6 +162,9 @@ SPECS: dict[str, QuerySpec] = {
     "acf_daily_volume": QuerySpec(
         AN.q_acf_daily_volume, AN.Q_ACF_ORACLE, ("analytics", "temporal")
     ),
+    "kendall_qty_discount": QuerySpec(
+        AN.q_kendall_qty_discount, AN.Q_KENDALL_ORACLE, ("analytics", "agg")
+    ),
     "spearman_qty_price": QuerySpec(
         AN.q_spearman_qty_price, AN.Q_SPEARMAN_ORACLE, ("analytics", "agg")
     ),
@@ -602,6 +605,35 @@ SPECS: dict[str, QuerySpec] = {
         Q.q_graph_assortativity,
         Q.Q_GRAPH_ASSORTATIVITY_ORACLE,
         ("graph", "similarity", "agg", "bench"),
+    ),
+    # X-G9 (r14): build-once twins over the materialized graph_edges
+    # VersionedTable — value-identical to the rebuild originals (the
+    # oracles ARE the originals' composed replays); the bench seats on
+    # kcore/assortativity show the ~4.7 s sf0.1 edge build amortized
+    "kcore_from_edges": QuerySpec(
+        Q.q_kcore_from_edges,
+        Q.Q_KCORE_FROM_EDGES_ORACLE,
+        ("graph", "similarity", "store", "bench"),
+    ),
+    "pagerank_from_edges": QuerySpec(
+        Q.q_pagerank_from_edges,
+        Q.Q_PAGERANK_FROM_EDGES_ORACLE,
+        ("graph", "similarity", "store"),
+    ),
+    "triangles_from_edges": QuerySpec(
+        Q.q_triangles_from_edges,
+        Q.Q_TRIANGLES_FROM_EDGES_ORACLE,
+        ("graph", "similarity", "store"),
+    ),
+    "label_prop_from_edges": QuerySpec(
+        Q.q_label_prop_from_edges,
+        Q.Q_LABEL_PROP_FROM_EDGES_ORACLE,
+        ("graph", "similarity", "store"),
+    ),
+    "assortativity_from_edges": QuerySpec(
+        Q.q_assortativity_from_edges,
+        Q.Q_ASSORTATIVITY_FROM_EDGES_ORACLE,
+        ("graph", "similarity", "store", "bench"),
     ),
     "lang_id_agreement": QuerySpec(
         Q.q_lang_id_agreement,

@@ -50,10 +50,16 @@ def vocab_foreach_batch(
     scores_path: str,
     text_col: str = "text",
     group_col: str = "source",
+    overlap_scores_path: "str | None" = None,
 ):
     """Return the ``foreachBatch`` function merging each batch's
     (source, term) counts into ``store`` and writing the post-merge
-    rendered census under ``scores_path``."""
+    rendered census under ``scores_path``. With
+    ``overlap_scores_path`` set, ALSO renders the X-T30 cross-source
+    overlap matrix from the same merged store (its ``n > 0`` rows ARE
+    the (g, term) incidence — one store, two reports, r13 verdict
+    item 6) bit-equal to the at-rest `vocab_overlap_matrix` at every
+    prefix."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -78,9 +84,21 @@ def vocab_foreach_batch(
             .groupBy("g", "term")
             .agg(F.sum("n").cast("long").alias("n"))
         )
+        if overlap_scores_path is not None:
+            merged = merged.localCheckpoint(eager=True)  # two renders, one scan
         write_batch_scores(
             vocab_census_from_tf(merged, group_col), scores_path, batch_id
         )
+        if overlap_scores_path is not None:
+            from rootstock_collective_state_sync_spark.operators.text import (
+                vocab_overlap_from_incidence,
+            )
+
+            write_batch_scores(
+                vocab_overlap_from_incidence(merged.select("g", "term")),
+                overlap_scores_path,
+                batch_id,
+            )
         store.overwrite(merged, meta={"batch_id": int(batch_id)})
 
     return step

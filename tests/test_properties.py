@@ -939,3 +939,86 @@ def test_prefix_sum_date_keys(spark):
         want[d] = acc
         acc += c
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),  # x (heavy ties)
+            st.integers(min_value=-4, max_value=4),  # y
+            st.booleans(),  # group
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_kendall_tau_matches_pure_python(spark, rows):
+    """X-A43: tau-b's exact integer parts (nc, nd) equal the O(n²)
+    brute-force pair walk for any tie mix, and tau_b_e6 tracks the
+    exact-rational-over-sqrt reference within 1 ulp-of-e6; degenerate
+    groups (all x tied or all y tied) go NULL, never divide by zero."""
+    import math
+
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        kendall_tau,
+    )
+
+    df = spark.createDataFrame(
+        [(x, y, "a" if g else "b") for x, y, g in rows],
+        "x long, y long, g string",
+    )
+    got = {
+        r["g"]: r for r in kendall_tau(df, "x", "y", group_cols=["g"]).collect()
+    }
+    by_g: dict[str, list] = {}
+    for x, y, g in rows:
+        by_g.setdefault("a" if g else "b", []).append((x, y))
+    for g, pts in by_g.items():
+        n = len(pts)
+        nc = nd = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = pts[i][0] - pts[j][0]
+                dy = pts[i][1] - pts[j][1]
+                if dx and dy:
+                    if (dx > 0) == (dy > 0):
+                        nc += 1
+                    else:
+                        nd += 1
+        t1 = 0
+        for v in {p[0] for p in pts}:
+            c = sum(1 for p in pts if p[0] == v)
+            t1 += c * (c - 1)
+        t2 = 0
+        for v in {p[1] for p in pts}:
+            c = sum(1 for p in pts if p[1] == v)
+            t2 += c * (c - 1)
+        r = got[g]
+        assert r["n_rows"] == n
+        assert r["n_concordant"] == nc, g
+        assert r["n_discordant"] == nd, g
+        d1, d2 = n * (n - 1) - t1, n * (n - 1) - t2
+        if d1 > 0 and d2 > 0:
+            tau = 2.0 * (nc - nd) / math.sqrt(float(d1) * float(d2))
+            assert abs(r["tau_b_e6"] - round(tau * 1e6)) <= 1, g
+        else:
+            assert r["tau_b_e6"] is None, g
+
+
+def test_kendall_tau_drops_null_values(spark):
+    """X-A43 shares the rank-test NULL policy: rows with NULL x or y
+    are dropped, not treated as an extreme rank."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        kendall_tau,
+    )
+
+    with_nulls = spark.createDataFrame(
+        [(1, 10, "g"), (2, None, "g"), (None, 5, "g"), (3, 7, "g"),
+         (2, 8, "g")],
+        "x long, y long, g string",
+    )
+    clean = with_nulls.filter("x IS NOT NULL AND y IS NOT NULL")
+    got = kendall_tau(with_nulls, "x", "y", group_cols=["g"]).collect()
+    want = kendall_tau(clean, "x", "y", group_cols=["g"]).collect()
+    assert got == want

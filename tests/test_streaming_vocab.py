@@ -85,3 +85,46 @@ def test_batch_split_invariance(spark, tmp_path):
         )
         assert got == want
     docs.unpersist()
+
+
+def test_streamed_overlap_matrix_equals_at_rest_at_every_prefix(
+    spark, tmp_path
+):
+    """r13 verdict item 6: the SAME (source, term, n) store renders
+    the X-T30 overlap matrix (its rows are the incidence) — streamed
+    == at-rest `vocab_overlap_matrix` at every prefix, and the
+    jaccard/containment ratios really move between prefixes (else the
+    pin proves only the trivial first batch)."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        vocab_overlap_matrix,
+    )
+
+    docs = _docs(spark).cache()
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0)
+    store = VersionedTable(spark, tmp_path / "store")
+    step = vocab_foreach_batch(
+        store,
+        str(tmp_path / "scores"),
+        overlap_scores_path=str(tmp_path / "overlap"),
+    )
+    step(b1, 0)
+    got1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "overlap/batch=0"))
+        .drop("batch")
+        .collect()
+    )
+    want1 = sorted(tuple(r) for r in vocab_overlap_matrix(b1).collect())
+    assert got1 == want1
+    step(b2, 1)
+    got2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "overlap/batch=1"))
+        .drop("batch")
+        .collect()
+    )
+    want2 = sorted(tuple(r) for r in vocab_overlap_matrix(docs).collect())
+    assert got2 == want2
+    assert got1 != got2  # the matrix moved between prefixes
+    docs.unpersist()
