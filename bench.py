@@ -119,6 +119,18 @@ def main() -> None:
     calibration_mt_end = _calibrate_mt()
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # r13 verdict item 9: self-labeling regime identification. The MT
+    # normalization is only meaningful when the 8-thread probe is
+    # stable around the run (SCALING.md r13: it swung 2.5x WITHIN one
+    # round); the 1.2x band is the documented identification rule,
+    # now emitted as data so round-over-round comparisons
+    # (tools/bench_compare.py) can pick raw vs MT-normalized columns
+    # mechanically instead of by prose.
+    mt_probe_swing = round(
+        max(calibration_mt, calibration_mt_end)
+        / min(calibration_mt, calibration_mt_end),
+        4,
+    )
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -130,6 +142,8 @@ def main() -> None:
         "calibration_end_sec": calibration_end,
         "calibration_mt_sec": calibration_mt,
         "calibration_mt_end_sec": calibration_mt_end,
+        "mt_probe_swing": mt_probe_swing,
+        "regime_identified": mt_probe_swing < 1.2,
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

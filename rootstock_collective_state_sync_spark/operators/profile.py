@@ -1226,17 +1226,37 @@ def spearman_rho(
     broadcast-joins. Sums of rank products are kept in DECIMAL(38,0)
     (they grow as n³ — past long at ~1.3 M rows per group) and the
     one double division is e6-snapped. Returns ``(*group_cols,
-    n_rows, rho_e6)``.
+    n_rows, rho_e6)``. NULL x or y rows are dropped (the shared
+    rank-test NULL policy; r14 — no behavior change on non-null
+    inputs, and the streaming pair store filters identically).
     """
     g = list(group_cols or [])
     base = df.select(
         *g, F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    pairs = base.groupBy(*g, "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
     )
-    per_x = base.groupBy(*g, F.col("x").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    return spearman_rho_from_pairs(pairs, group_cols=g)
+
+
+def spearman_rho_from_pairs(
+    pairs: DataFrame,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Render Spearman from a ``(x, y, n_xy)`` PAIR-count table — the
+    mergeable-summary form (pair counts over disjoint row sets add
+    exactly) that makes rank correlation incrementally maintainable
+    (``streaming/rankcorr.py``, X-ST23): both marginal rank tables
+    derive from the pair table by summation, so the store IS the
+    sufficient statistic for Spearman AND Kendall — one store, two
+    reports, the X-ST21/22 pattern."""
+    g = list(group_cols or [])
+    per_x = pairs.groupBy(*g, F.col("x").alias("v")).agg(
+        F.sum("n_xy").cast("long").alias("c")
     )
-    per_y = base.groupBy(*g, F.col("y").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    per_y = pairs.groupBy(*g, F.col("y").alias("v")).agg(
+        F.sum("n_xy").cast("long").alias("c")
     )
     rx = _distributed_prefix_sum(per_x, "v", "c", "off", group_cols=g).select(
         *g,
@@ -1247,9 +1267,6 @@ def spearman_rho(
         *g,
         F.col("v").alias("y"),
         (F.lit(2) * F.col("off") + F.col("c") + 1).cast("long").alias("r2y"),
-    )
-    pairs = base.groupBy(*g, "x", "y").agg(
-        F.count(F.lit(1)).cast("long").alias("n_xy")
     )
     j = pairs.join(rx, [*g, "x"]).join(ry, [*g, "y"])
     dec = "decimal(38,0)"
@@ -1275,13 +1292,14 @@ def spearman_rho(
         (n * F.col("sxx").cast("double") - F.pow(F.col("sx").cast("double"), 2))
         * (n * F.col("syy").cast("double") - F.pow(F.col("sy").cast("double"), 2))
     )
-    return sums.select(
+    out = sums.select(
         *g,
         "n_rows",
         F.when(den > 0, F.round(num / den * 1e6, 0).cast("long")).alias(
             "rho_e6"
         ),
-    ).orderBy(*g)
+    )
+    return out.orderBy(*g) if g else out
 
 
 def theil_decomposition(
@@ -1418,9 +1436,22 @@ def kendall_tau(
     base = df.select(
         *g, F.col(x_col).alias("x"), F.col(y_col).alias("y")
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-    cells = base.groupBy(*g, "x", "y").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    pairs = base.groupBy(*g, "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
     )
+    return kendall_tau_from_pairs(pairs, group_cols=g)
+
+
+def kendall_tau_from_pairs(
+    pairs: DataFrame,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Render tau-b from the same ``(x, y, n_xy)`` PAIR-count table
+    :func:`spearman_rho_from_pairs` consumes — the X-ST23 store's
+    second report (concordance and rank covariance share one exactly-
+    additive sufficient statistic)."""
+    g = list(group_cols or [])
+    cells = pairs.select(*g, "x", "y", F.col("n_xy").alias("c"))
     dec = "decimal(38,0)"
     # doubled tie-pair sums: t1 = Σ c_x(c_x-1) = 2·n1 (kept doubled so
     # every intermediate stays integral; halves cancel in the ratio)
@@ -1476,7 +1507,7 @@ def kendall_tau(
     n = F.col("n_rows").cast(dec)
     d1 = (n * (n - 1) - F.col("t1")).cast("double")
     d2 = (n * (n - 1) - F.col("t2")).cast("double")
-    return out.select(
+    out = out.select(
         *g,
         "n_rows",
         nc.try_cast("long").alias("n_concordant"),
@@ -1487,7 +1518,8 @@ def kendall_tau(
                 (nc - nd).cast("double") * 2e6 / F.sqrt(d1 * d2), 0
             ).cast("long"),
         ).alias("tau_b_e6"),
-    ).orderBy(*g)
+    )
+    return out.orderBy(*g) if g else out
 
 
 def gini_from_counts(
@@ -1610,4 +1642,90 @@ def lorenz_from_counts(per_v: DataFrame, buckets: int = 10) -> DataFrame:
             ),
         )
         .orderBy("bucket")
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_expr: str,
+) -> DataFrame:
+    """Exact two-sample 1-D Wasserstein-1 (earth mover's) distance
+    (X-A44): ``W1 = ∫ |F_A − F_B|`` over the value domain — the
+    drift MAGNITUDE companion to KS's max gap (X-A39): KS sees the
+    worst point, W1 integrates total transport, so a wide small gap
+    and a narrow tall one are distinguished. Same inputs, same
+    ``(v, c, ca)`` sufficient statistic, same NULL policy.
+
+    EXACT INTEGER end-to-end — no sqrt, no log: over sorted distinct
+    values, ``W1·n_a·n_b = Σ_i |cumA_i·n_b − cumB_i·n_a|·(v_{i+1} −
+    v_i)``; summation by parts turns the next-value difference into
+    per-row terms (``D_m = 0`` since full cumulatives agree):
+
+        ``W1·n_a·n_b = Σ_v (D_excl(v) − D_incl(v)) · v``
+
+    where ``D_excl``/``D_incl`` are the scaled ECDF gaps just before
+    and at ``v`` — BOTH already on the KS cumulative row (the
+    exclusive prefix and prefix+count), so no ``lead()`` window and
+    no value self-join exists anywhere in the plan. The sum
+    accumulates in DECIMAL(38,0) (n²·value-range growth); one final
+    floor division to e6 of the value unit.
+
+    Scale shape: identical to :func:`ks_two_sample` — per-value
+    counts, one distributed prefix sum (A rides along), one scalar
+    aggregate. Returns ``(n_a, n_b, w1_e6)``; ``w1_e6`` is in
+    e6-scaled VALUE units (cents in → e6-cents out), NULL when either
+    group is empty."""
+    per_v = (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.expr(group_expr).cast("long").alias("a"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("a").cast("long").alias("ca"),
+        )
+    )
+    return wasserstein_from_counts(per_v)
+
+
+def wasserstein_from_counts(per_v: DataFrame) -> DataFrame:
+    """:func:`wasserstein_1d` from the same per-VALUE count table
+    ``(v, c, ca)`` as the MWU/KS renderers — the X-ST21 store's THIRD
+    report (one store, three reports)."""
+    per_v = per_v.withColumn("cb", (F.col("c") - F.col("ca")).cast("long"))
+    offa = _distributed_prefix_sum(per_v, "v", "ca", "offa")
+    both = _distributed_prefix_sum(offa, "v", "cb", "offb")
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    dec = "decimal(38,0)"
+    d_excl = F.abs(
+        F.col("offa").cast(dec) * F.col("n_b")
+        - F.col("offb").cast(dec) * F.col("n_a")
+    )
+    d_incl = F.abs(
+        (F.col("offa") + F.col("ca")).cast(dec) * F.col("n_b")
+        - (F.col("offb") + F.col("cb")).cast(dec) * F.col("n_a")
+    )
+    sums = (
+        both.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            ((d_excl - d_incl) * F.col("v").cast(dec)).alias("term"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.sum("term").alias("num"))
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr("CAST(num * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"),
+        ).alias("w1_e6"),
     )

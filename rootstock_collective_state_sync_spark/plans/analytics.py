@@ -2687,6 +2687,64 @@ FROM gaps ORDER BY gap DESC, v ASC LIMIT 1
 """
 
 
+def q_w1_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein distance between urgent and non-urgent
+    orders' total-price distributions — KS's (X-A39) transport-
+    magnitude companion (X-A44), same input slice, same ``(v, c, ca)``
+    sufficient statistic, EXACT INTEGER end-to-end via the
+    summation-by-parts form (no lead window, no value self-join).
+    See :func:`..operators.profile.wasserstein_1d`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        wasserstein_1d,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+        "o_orderpriority",
+    )
+    return wasserstein_1d(
+        orders, "vc", "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    )
+
+
+Q_W1_ORACLE = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         (o_orderpriority IN ('1-URGENT', '2-HIGH'))::INT AS a
+  FROM orders
+),
+pv AS (
+  SELECT v, count(*)::BIGINT AS c, sum(a)::BIGINT AS ca,
+         (count(*) - sum(a))::BIGINT AS cb
+  FROM o GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         coalesce(sum(ca) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS offa,
+         coalesce(sum(cb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS offb,
+         ca, cb
+  FROM pv
+),
+tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM pv),
+terms AS (
+  SELECT (abs(offa::HUGEINT * tot.nb - offb::HUGEINT * tot.na)
+          - abs((offa + ca)::HUGEINT * tot.nb
+                - (offb + cb)::HUGEINT * tot.na)) * v AS term,
+         tot.na, tot.nb
+  FROM cum, tot
+)
+SELECT na AS n_a, nb AS n_b,
+       CASE WHEN na > 0 AND nb > 0
+            THEN (sum(term) * 1000000 // (na::HUGEINT * nb))::BIGINT
+       END AS w1_e6
+FROM terms GROUP BY na, nb
+"""
+
+
 def q_acf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1..3 autocorrelation of daily event volumes per type — the
     seasonality/momentum screen beside `dow_seasonality`'s weekday

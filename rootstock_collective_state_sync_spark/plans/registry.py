@@ -159,6 +159,9 @@ SPECS: dict[str, QuerySpec] = {
     "ks_price_drift": QuerySpec(
         AN.q_ks_price_drift, AN.Q_KS_ORACLE, ("analytics", "agg")
     ),
+    "w1_price_drift": QuerySpec(
+        AN.q_w1_price_drift, AN.Q_W1_ORACLE, ("analytics", "agg")
+    ),
     "acf_daily_volume": QuerySpec(
         AN.q_acf_daily_volume, AN.Q_ACF_ORACLE, ("analytics", "temporal")
     ),
@@ -929,68 +932,66 @@ SPECS: dict[str, QuerySpec] = {
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
-    # r13 rotation (tools/window_planner.py policy, base d00cf7f):
-    # (a) the 7 queries born this round — driver-checked immediately,
-    # no evidence debt (planner class `never`)
+    # r14 rotation (tools/window_planner.py policy, base 675ba0a):
+    # (a) the 7 queries born this round — driver-checked immediately
+    "kendall_qty_discount",
+    "w1_price_drift",
+    "kcore_from_edges",
+    "pagerank_from_edges",
+    "triangles_from_edges",
+    "label_prop_from_edges",
+    "assortativity_from_edges",
+    # (b) the ENTIRE oldest-evidence cohort (last driver hash r08; r13
+    # verdict item 8 asked for >=15 of these — all 24 seated, clearing
+    # the debt in one window)
+    "embedding_effective_rank",
+    "embedding_gram",
+    "hard_negatives",
+    "hashed_doc_vectors",
+    "histogram_totalprice",
+    "ivf_nprobe_sweep",
+    "ivfpq_topk",
+    "kcenter_coreset",
+    "keyset_page",
+    "label_centroids",
+    "length_quality_grid",
+    "mad_normalize",
+    "ngram_novelty",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "session_cooccurrence",
+    "session_paths",
+    "skew_report",
+    "source_interleave",
+    "source_kl_drift",
+    "source_lang_mi",
+    "video_scene_changes",
+    "vocab_edit_pairs",
+    "zipf_fit",
+    # (c) semantically changed this round — re-earn their rows: the
+    # rank-test family (DECIMAL promotion + shared NULL policy +
+    # from_pairs/from_counts refactors), the refactored graph censuses
+    # (shared _assortativity_over; edge-store seam), the text overlap
+    # refactor, and the prefix-sum consumers profile.py reshaped around
     "mann_whitney_price",
     "ks_price_drift",
-    "acf_daily_volume",
-    "spearman_qty_price",
-    "vocab_heaps",
-    "vocab_overlap",
-    "audio_dynamics",
     "kruskal_priority",
-    # (b) semantically changed this round — re-earn their rows:
-    # theil's share_e6 moved to decimal; contamination_check now
-    # routes through contamination_against_index (the X-ST19 shared
-    # core); every ntile/prefix-sum consumer inherits the
-    # _prefix_sum_with_boundaries extraction + typed comparison column
-    "theil_by_priority",
-    "contamination_check",
+    "spearman_qty_price",
+    "acf_daily_volume",
+    "cusum_changepoints",
+    "graph_assortativity",
+    "kcore_celled",
+    "vocab_overlap",
+    "vocab_heaps",
+    "gini_order_totals",
+    "lorenz_curve",
     "equidepth_price_histogram",
     "equidepth_by_priority",
-    "woe_iv_bins",
     "kaplan_meier",
-    "quality_auc",
-    "quality_avg_precision",
-    "lorenz_curve",
-    # (c) the oldest evidence cohort (last green r07/r08) — 34 seats;
-    # the no-oracle natives stay unseated (value-checked twins green,
-    # accuracy contracts pytest-pinned), so zero structural
-    # `no_oracle` rows
-    "nearest_centroid_confusion",
-    "pq_topk",
-    "profile_orders",
-    "quantile_align",
-    "repetition_signals",
-    "retention_cohorts",
-    "rrf_fusion",
-    "salient_terms",
-    "scd2_intervals",
-    "similarity_pagerank",
-    "time_decayed_score",
-    "trend_slopes",
-    "winsorize_values",
-    "ann_ivf_cells",
-    "ann_ivf_topk",
-    "ann_lsh_multiprobe_topk",
-    "attribution_touch",
-    "audio_frame_energy",
-    "bpe_fertility",
-    "bpe_merges",
-    "bpe_pack",
-    "broadcast_enrich_diff",
-    "budget_alloc",
-    "changelog_incremental",
-    "class_weights",
-    "classifier_calibration",
-    "contamination_spans",
-    "count_min_tokens",
-    "credit_card_audit",
-    "emb_int8_quant",
-    "emb_near_dup_lsh",
-    "emb_near_dup_pairs",
-    "embedding_dim_stats",
+    "theil_by_priority",
+    "woe_iv_bins",
+    "knn_triangles_celled",
+    "similarity_pagerank_celled",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

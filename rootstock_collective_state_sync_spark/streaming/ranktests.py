@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from rootstock_collective_state_sync_spark.operators.profile import (
+    wasserstein_from_counts,
     ks_two_sample_from_counts,
     mann_whitney_u_from_counts,
 )
@@ -53,8 +54,9 @@ def ranktests_foreach_batch(
 ):
     """Return the ``foreachBatch`` function merging each batch's
     per-value (total, group-A) counts into ``store`` and writing the
-    post-merge MWU + KS reports under ``scores_path`` (subdirs
-    ``mwu``/``ks``). ``value_col`` must be integer-typed (fixed-point
+    post-merge MWU + KS + Wasserstein-1 reports under ``scores_path``
+    (subdirs ``mwu``/``ks``/``w1`` — one store, THREE reports as of
+    r14: X-A44's exact W1 renders from the same (v, c, ca) counts). ``value_col`` must be integer-typed (fixed-point
     policy); ``group_expr`` is the SQL boolean defining group A."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -87,11 +89,15 @@ def ranktests_foreach_batch(
                 F.sum("ca").cast("long").alias("ca"),
             )
         )
+        merged = merged.localCheckpoint(eager=True)  # 3 renders, 1 scan
         write_batch_scores(
             mann_whitney_u_from_counts(merged), f"{scores_path}/mwu", batch_id
         )
         write_batch_scores(
             ks_two_sample_from_counts(merged), f"{scores_path}/ks", batch_id
+        )
+        write_batch_scores(
+            wasserstein_from_counts(merged), f"{scores_path}/w1", batch_id
         )
         store.overwrite(merged, meta={"batch_id": int(batch_id)})
 

@@ -1022,3 +1022,45 @@ def test_kendall_tau_drops_null_values(spark):
     got = kendall_tau(with_nulls, "x", "y", group_cols=["g"]).collect()
     want = kendall_tau(clean, "x", "y", group_cols=["g"]).collect()
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-200, max_value=200),  # value
+            st.booleans(),  # group A membership
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_wasserstein_matches_exact_fraction_reference(spark, rows):
+    """X-A44: the summation-by-parts W1 equals the textbook
+    Σ|F_A−F_B|·gap computed in exact rationals — floor-e6, no float
+    anywhere — and goes NULL when either group is empty."""
+    from fractions import Fraction
+
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        wasserstein_1d,
+    )
+
+    df = spark.createDataFrame(
+        [(v, 1 if a else 0) for v, a in rows], "v long, a int"
+    )
+    got = wasserstein_1d(df, "v", "a = 1").collect()[0]
+    n_a = sum(1 for _, a in rows if a)
+    n_b = len(rows) - n_a
+    assert got["n_a"] == n_a and got["n_b"] == n_b
+    if n_a == 0 or n_b == 0:
+        assert got["w1_e6"] is None
+        return
+    vals = sorted({v for v, _ in rows})
+    w1 = Fraction(0)
+    cuma = cumb = 0
+    for i, v in enumerate(vals[:-1]):
+        cuma += sum(1 for x, a in rows if x == v and a)
+        cumb += sum(1 for x, a in rows if x == v and not a)
+        gap = abs(Fraction(cuma, n_a) - Fraction(cumb, n_b))
+        w1 += gap * (vals[i + 1] - v)
+    assert got["w1_e6"] == (w1 * 10**6).numerator // (w1 * 10**6).denominator

@@ -1,7 +1,8 @@
 """Incremental rank tests e2e (X-ST21): one (v, c, ca) count store
-renders BOTH Mann-Whitney U and the two-sample KS distance at every
-stream prefix, bit-for-bit equal to the at-rest operators over the
-same rows; split-invariant; replay no-op."""
+renders Mann-Whitney U, the two-sample KS distance, AND (r14, X-A44)
+the exact Wasserstein-1 transport distance at every stream prefix,
+bit-for-bit equal to the at-rest operators over the same rows;
+split-invariant; replay no-op."""
 
 from __future__ import annotations
 
@@ -10,6 +11,7 @@ from pyspark.sql import functions as F
 from rootstock_collective_state_sync_spark.operators.profile import (
     ks_two_sample,
     mann_whitney_u,
+    wasserstein_1d,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
 from rootstock_collective_state_sync_spark.streaming.ranktests import (
@@ -33,7 +35,8 @@ def _orders(spark):
 def _at_rest(df):
     mwu = sorted(tuple(r) for r in mann_whitney_u(df, "vc", GROUP).collect())
     ks = sorted(tuple(r) for r in ks_two_sample(df, "vc", GROUP).collect())
-    return mwu, ks
+    w1 = sorted(tuple(r) for r in wasserstein_1d(df, "vc", GROUP).collect())
+    return mwu, ks, w1
 
 
 def _read(spark, path, batch_id):
@@ -54,13 +57,15 @@ def test_stream_equals_at_rest_at_every_prefix(spark, tmp_path):
         store, str(tmp_path / "scores"), "vc", GROUP
     )
     step(b1, 0)
-    mwu1, ks1 = _at_rest(b1)
+    mwu1, ks1, w11 = _at_rest(b1)
     assert _read(spark, str(tmp_path / "scores/mwu"), 0) == mwu1
     assert _read(spark, str(tmp_path / "scores/ks"), 0) == ks1
+    assert _read(spark, str(tmp_path / "scores/w1"), 0) == w11
     step(b2, 1)
-    mwu2, ks2 = _at_rest(orders)
+    mwu2, ks2, w12 = _at_rest(orders)
     assert _read(spark, str(tmp_path / "scores/mwu"), 1) == mwu2
     assert _read(spark, str(tmp_path / "scores/ks"), 1) == ks2
+    assert _read(spark, str(tmp_path / "scores/w1"), 1) == w12
     # the prefix really moved the statistics (else the e2e is vacuous)
     assert mwu1 != mwu2
     # replay no-op
@@ -72,7 +77,7 @@ def test_stream_equals_at_rest_at_every_prefix(spark, tmp_path):
 
 def test_batch_split_invariance(spark, tmp_path):
     orders = _orders(spark).cache()
-    want_mwu, want_ks = _at_rest(orders)
+    want_mwu, want_ks, want_w1 = _at_rest(orders)
     for si, k in enumerate((2, 4)):
         store = VersionedTable(spark, tmp_path / f"store{si}")
         step = ranktests_foreach_batch(
@@ -82,4 +87,5 @@ def test_batch_split_invariance(spark, tmp_path):
             step(orders.filter(F.col("o_orderkey") % k == i), i)
         assert _read(spark, str(tmp_path / f"s{si}/mwu"), k - 1) == want_mwu
         assert _read(spark, str(tmp_path / f"s{si}/ks"), k - 1) == want_ks
+        assert _read(spark, str(tmp_path / f"s{si}/w1"), k - 1) == want_w1
     orders.unpersist()
