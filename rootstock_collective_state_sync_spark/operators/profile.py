@@ -1729,3 +1729,367 @@ def wasserstein_from_counts(per_v: DataFrame) -> DataFrame:
             F.expr("CAST(num * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"),
         ).alias("w1_e6"),
     )
+
+
+def group_moments(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group moment table ``(g, n, s, q)`` — count, sum, sum of
+    squares, the EXACTLY-ADDITIVE sufficient statistic for the whole
+    mean/variance test family (one-way ANOVA, Welch t, effect sizes):
+    moments over disjoint row sets add exactly, so the same table the
+    at-rest operators reduce to is also the incremental store
+    (``streaming/moments.py``, X-ST24 — the X-ST21/22/23 split).
+    ``s``/``q`` accumulate in DECIMAL(38,0) (q grows value²·n — past
+    long at cents-scale corpora); ``value_col`` must be integer-typed
+    (snap to cents first — fixed-point policy; fractional input
+    raises like `theil_decomposition`). NULL values are dropped (the
+    shared NULL policy)."""
+    from pyspark.sql.types import FractionalType
+
+    if isinstance(df.schema[value_col].dataType, FractionalType):
+        raise ValueError(
+            f"group_moments requires an integer-typed value column "
+            f"(snap to cents first); got "
+            f"{df.schema[value_col].dataType.simpleString()} for "
+            f"{value_col!r}"
+        )
+    dec = "decimal(38,0)"
+    return (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("v").cast(dec)).alias("s"),
+            F.sum(F.col("v").cast(dec) * F.col("v")).alias("q"),
+        )
+    )
+
+
+def anova_from_moments(m: DataFrame) -> DataFrame:
+    """One-way ANOVA F + eta² from the ``(g, n, s, q)`` moment table
+    (X-A45): ``SSB = Σ s_g²/n_g − S²/N``, ``SSW = Q − Σ s_g²/n_g``,
+    ``F = (SSB/(k−1)) / (SSW/(N−k))``. All moment sums are exact
+    decimals; the per-group ``s_g²/n_g`` reduction is DOUBLE (the
+    `kruskal_wallis` precedent — each term carries a non-integral
+    division; the e6 snap absorbs the ~1-ulp float rounding). One
+    row: ``(n, k, f_e6, eta2_e6)`` — NULL when degenerate (k < 2,
+    N ≤ k, or zero within/total variance)."""
+    per_g = m.select(
+        "n",
+        "s",
+        "q",
+        (
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("s2n"),
+    )
+    agg = per_g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s").alias("_s"),
+        F.sum("q").alias("_q"),
+        F.sum("s2n").alias("_s2n"),
+    )
+    grand = (
+        F.col("_s").cast("double")
+        * F.col("_s").cast("double")
+        / F.col("n").cast("double")
+    )
+    ssb = F.col("_s2n") - grand
+    sst = F.col("_q").cast("double") - grand
+    ssw = sst - ssb
+    f = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("n") - F.col("k")).cast("double")
+    )
+    return agg.select(
+        "n",
+        "k",
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+            F.round(f * 1e6, 0).cast("long"),
+        ).alias("f_e6"),
+        F.when(sst > 0, F.round(ssb / sst * 1e6, 0).cast("long")).alias(
+            "eta2_e6"
+        ),
+    )
+
+
+def anova_oneway(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """:func:`anova_from_moments` over the raw rows — do the
+    ``group_col`` groups share a mean? The parametric companion to
+    `kruskal_wallis` (same question, variance-based instead of
+    rank-based, so the two disagreeing flags heavy tails)."""
+    return anova_from_moments(group_moments(df, value_col, group_col))
+
+
+def welch_from_moments(
+    m: DataFrame, a_groups: "list[str]"
+) -> DataFrame:
+    """Welch's unequal-variance t between the union of ``a_groups``
+    and the remaining groups, from the same moment table (the
+    X-ST24 store's second report): ``t = (m_A − m_B)/√(v_A/n_A +
+    v_B/n_B)`` with the Welch–Satterthwaite df. Two-row reduction —
+    every double expression has a FIXED operand order, so the result
+    is bit-determined (no multi-group float summation). One row:
+    ``(n_a, n_b, t_e6, df_e6)`` — NULL when either side has < 2 rows
+    or both variances are 0."""
+    tagged = m.select(F.col("g").isin([*a_groups]).alias("_a"), "n", "s", "q")
+    zero = F.lit(0).cast("decimal(38,0)")
+    j = tagged.agg(
+        F.coalesce(F.sum(F.when(F.col("_a"), F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("_a"), F.col("s"))), zero).alias("s_a"),
+        F.coalesce(F.sum(F.when(F.col("_a"), F.col("q"))), zero).alias("q_a"),
+        F.coalesce(F.sum(F.when(~F.col("_a"), F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_b"),
+        F.coalesce(F.sum(F.when(~F.col("_a"), F.col("s"))), zero).alias("s_b"),
+        F.coalesce(F.sum(F.when(~F.col("_a"), F.col("q"))), zero).alias("q_b"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    def var(q, s, n):
+        return (
+            F.col(q).cast("double")
+            - F.col(s).cast("double") * F.col(s).cast("double")
+            / F.col(n).cast("double")
+        ) / (F.col(n) - 1).cast("double")
+
+    va_n = var("q_a", "s_a", "n_a") / F.col("n_a").cast("double")
+    vb_n = var("q_b", "s_b", "n_b") / F.col("n_b").cast("double")
+    se2 = va_n + vb_n
+    t = (mean("s_a", "n_a") - mean("s_b", "n_b")) / F.sqrt(se2)
+    df_w = (se2 * se2) / (
+        va_n * va_n / (F.col("n_a") - 1).cast("double")
+        + vb_n * vb_n / (F.col("n_b") - 1).cast("double")
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.when(ok, F.round(t * 1e6, 0).cast("long")).alias("t_e6"),
+        F.when(ok, F.round(df_w * 1e6, 0).cast("long")).alias("df_e6"),
+    )
+
+
+def welch_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    a_groups: "list[str]",
+) -> DataFrame:
+    """:func:`welch_from_moments` over the raw rows — the parametric
+    two-sample companion to `mann_whitney_u` on the same slice."""
+    return welch_from_moments(
+        group_moments(df, value_col, group_col), a_groups
+    )
+
+
+def energy_distance(
+    df: DataFrame,
+    value_col: str,
+    group_expr: str,
+) -> DataFrame:
+    """Exact two-sample energy distance (X-A47; Székely & Rizzo 2004):
+    ``E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|`` — the rotation/shape-
+    sensitive drift statistic beside KS (max gap, X-A39) and W1
+    (transport mass, X-A44); E ≥ 0 with equality iff the
+    distributions coincide. Same input slice, same ``(v, c, ca)``
+    sufficient statistic — the X-ST21 store's FOURTH report.
+
+    EXACT INTEGERS throughout: for sorted distinct values, every
+    pairwise-|difference| sum decomposes over prefix sums —
+    ``Σ_{pairs} |v_i−v_j|·w_i·u_j = Σ_i w_i·(v_i·CU_<(i) − SU_<(i)) +
+    (symmetric term)`` with ``CU_<``/``SU_<`` the strictly-below
+    cumulative count and value-sum of the other measure — so no pair
+    is ever formed and no float is summed; the three expectation
+    divisions floor-snap to e9 separately (the `kaplan_meier`
+    per-term discipline) and combine as integers. Returns ``(n_a,
+    n_b, e_e9)`` in e9-scaled value units; NULL when either group is
+    empty.
+
+    Scale shape: per-value counts, one distributed prefix-sum tower
+    per cumulative measure (4: counts and value-sums per side — same
+    machinery, same shuffle keys), one scalar aggregate. The
+    value-sum cumulatives live in the helper's long output — at
+    corpora where Σ|v| approaches 2⁶³ pre-scale the values first
+    (the fixed-point policy's documented ceiling)."""
+    per_v = (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.expr(group_expr).cast("long").alias("a"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("a").cast("long").alias("ca"),
+        )
+    )
+    return energy_from_counts(per_v)
+
+
+def energy_from_counts(per_v: DataFrame) -> DataFrame:
+    """:func:`energy_distance` from the shared ``(v, c, ca)``
+    per-value count table (the MWU/KS/W1 store)."""
+    per_v = (
+        per_v.withColumn("cb", (F.col("c") - F.col("ca")).cast("long"))
+        .withColumn("sa", (F.col("ca") * F.col("v")).cast("long"))
+        .withColumn("sb", (F.col("cb") * F.col("v")).cast("long"))
+    )
+    t = _distributed_prefix_sum(per_v, "v", "ca", "cum_ca")
+    t = _distributed_prefix_sum(t, "v", "cb", "cum_cb")
+    t = _distributed_prefix_sum(t, "v", "sa", "cum_sa")
+    t = _distributed_prefix_sum(t, "v", "sb", "cum_sb")
+    dec = "decimal(38,0)"
+    v_d = F.col("v").cast(dec)
+
+    def below(w, cu, su):
+        # Σ w(v)·(v·CU_<(v) − SU_<(v)) — this value's rows against
+        # every OTHER-measure row strictly below it
+        return F.col(w).cast(dec) * (
+            v_d * F.col(cu) - F.col(su).cast(dec)
+        )
+
+    sums = t.agg(
+        F.sum(F.col("ca")).cast("long").alias("n_a"),
+        F.sum(F.col("cb")).cast("long").alias("n_b"),
+        F.sum(below("ca", "cum_ca", "cum_sa")).alias("m_aa"),
+        F.sum(below("cb", "cum_cb", "cum_sb")).alias("m_bb"),
+        F.sum(
+            below("ca", "cum_cb", "cum_sb") + below("cb", "cum_ca", "cum_sa")
+        ).alias("m_ab"),
+    )
+    # integral `div` (floor for these nonnegative numerators), never
+    # decimal `/`: Spark's decimal division HALF-UP-rounds at the
+    # result scale, which the DuckDB `//` replay could not match
+    e = (
+        "2 * (m_ab * 1000000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b))"
+        " - 2 * (m_aa * 1000000000 div (CAST(n_a AS DECIMAL(38,0)) * n_a))"
+        " - 2 * (m_bb * 1000000000 div (CAST(n_b AS DECIMAL(38,0)) * n_b))"
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr(e).try_cast("long"),
+        ).alias("e_e9"),
+    )
+
+
+def population_stability(
+    df: DataFrame,
+    value_col: str,
+    group_expr: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index per reference-decile bucket (X-A48)
+    — the ML-ops drift standard beside KS/W1/energy, and the FIFTH
+    report of the shared ``(v, c, ca)`` store: bucket edges are the
+    REFERENCE side's (``group_expr`` = true) equi-depth value
+    boundaries, both sides are counted per value-interval, and each
+    bucket contributes ``(p_i − q_i)·ln(p_i/q_i)``. The expression
+    inside and outside the one ``ln`` is an exact integer rational,
+    e9-snapped per bucket (the `kaplan_meier` discipline); with B
+    buckets the report is B rows plus exact counts, so the
+    PSI > 0.1 / 0.25 review thresholds are auditable per bucket.
+    Buckets where either side is empty report a NULL term (the
+    standard epsilon fudge hides exactly the signal — a bucket the
+    comparison population vacated — so it is surfaced, not smoothed).
+
+    Returns ``(bucket, lo, hi, n_a, n_b, term_e9)`` — ``lo``/``hi``
+    the bucket's OBSERVED value extent over both sides (comparison
+    values beyond the reference extremes clamp into the edge buckets,
+    standard PSI practice, so the edge buckets' extents can exceed
+    the reference deciles').
+
+    Scale shape: per-value counts (one shuffle), the reference
+    equi-depth via the distributed prefix sum, a ≤ ``buckets``-row
+    driver-collected edge list broadcast back as comparisons — the
+    same control-plane pattern as the prefix-sum boundaries."""
+    per_v = (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.expr(group_expr).cast("long").alias("a"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("a").cast("long").alias("ca"),
+        )
+    )
+    return psi_from_counts(per_v, buckets)
+
+
+def psi_from_counts(per_v: DataFrame, buckets: int = 10) -> DataFrame:
+    """:func:`population_stability` from the shared ``(v, c, ca)``
+    per-value count table (the MWU/KS/W1/energy store)."""
+    B = int(buckets)
+    ref = per_v.filter(F.col("ca") > 0).select(
+        "v", F.col("ca").alias("c")
+    )
+    edges_rows = (
+        equidepth_from_counts(ref, B).select("bucket", "hi").collect()
+    )
+    hi_by_bucket = {int(r["bucket"]): r["hi"] for r in edges_rows}
+    # interior edges only: values above the reference max clamp into
+    # the last OCCUPIED reference bucket
+    n_found = len(hi_by_bucket)
+    edges = [hi_by_bucket[b] for b in sorted(hi_by_bucket)][: max(0, n_found - 1)]
+    bkt = F.lit(1)
+    for e in edges:
+        bkt = bkt + (F.col("v") > F.lit(e)).cast("int")
+    per_b = (
+        per_v.withColumn("cb", (F.col("c") - F.col("ca")).cast("long"))
+        .withColumn("bucket", bkt.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("ca").cast("long").alias("n_a"),
+            F.sum("cb").cast("long").alias("n_b"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("ta"),
+        F.sum((F.col("c") - F.col("ca"))).cast("long").alias("tb"),
+    )
+    dec = "decimal(38,0)"
+    diff = (
+        F.col("n_a").cast(dec) * F.col("tb")
+        - F.col("n_b").cast(dec) * F.col("ta")
+    ).cast("double") / (
+        F.col("ta").cast("double") * F.col("tb").cast("double")
+    )
+    ratio = (
+        F.col("n_a").cast("double") * F.col("tb").cast("double")
+    ) / (F.col("n_b").cast("double") * F.col("ta").cast("double"))
+    return (
+        per_b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "lo",
+            "hi",
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("n_a") > 0)
+                & (F.col("n_b") > 0)
+                & (F.col("ta") > 0)
+                & (F.col("tb") > 0),
+                F.round(diff * F.log(ratio) * 1e9, 0).cast("long"),
+            ).alias("term_e9"),
+        )
+        .orderBy("bucket")
+    )

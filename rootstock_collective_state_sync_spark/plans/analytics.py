@@ -3035,3 +3035,324 @@ JOIN t1 USING (g) JOIN t2 USING (g)
 LEFT JOIN pairsum p USING (g)
 ORDER BY l_returnflag
 """
+
+
+def q_anova_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of total price (cents) across the five order
+    priorities — the parametric companion to `kruskal_priority` (same
+    question, variance- vs rank-based; disagreement between the two
+    flags heavy tails). See :func:`..operators.profile.anova_oneway`
+    (exact decimal moments, the one double reduction e6-snapped)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        anova_oneway,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+    )
+    return anova_oneway(orders, "vc", "o_orderpriority")
+
+
+Q_ANOVA_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+m AS (
+  SELECT g, count(*)::BIGINT AS n, sum(v)::HUGEINT AS s,
+         sum(v::HUGEINT * v) AS q
+  FROM o GROUP BY 1
+),
+agg AS (
+  SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
+         sum(s) AS ss, sum(q) AS qq,
+         sum(s::DOUBLE * s::DOUBLE / n::DOUBLE) AS s2n
+  FROM m
+)
+SELECT n, k,
+       CASE WHEN k > 1 AND n > k
+             AND (qq::DOUBLE - s2n) > 0
+            THEN round(((s2n - ss::DOUBLE * ss::DOUBLE / n::DOUBLE)
+                        / (k - 1)::DOUBLE)
+                       / ((qq::DOUBLE - s2n) / (n - k)::DOUBLE)
+                       * 1e6)::BIGINT
+       END AS f_e6,
+       CASE WHEN (qq::DOUBLE - ss::DOUBLE * ss::DOUBLE / n::DOUBLE) > 0
+            THEN round((s2n - ss::DOUBLE * ss::DOUBLE / n::DOUBLE)
+                       / (qq::DOUBLE - ss::DOUBLE * ss::DOUBLE / n::DOUBLE)
+                       * 1e6)::BIGINT
+       END AS eta2_e6
+FROM agg
+"""
+
+
+def q_welch_price_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between urgent (priority 1-2) and
+    other orders' total prices — the parametric twin of
+    `mann_whitney_price` on the same slice. See
+    :func:`..operators.profile.welch_t` (exact decimal moments; every
+    double expression has fixed operand order, so the statistic is
+    bit-determined)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        welch_t,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+    )
+    return welch_t(
+        orders, "vc", "o_orderpriority", ["1-URGENT", "2-HIGH"]
+    )
+
+
+Q_WELCH_ORACLE = """
+WITH o AS (
+  SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS a,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+sides AS (
+  SELECT coalesce(sum(CASE WHEN a THEN 1 END), 0)::BIGINT AS n_a,
+         coalesce(sum(CASE WHEN a THEN v::HUGEINT END), 0) AS s_a,
+         coalesce(sum(CASE WHEN a THEN v::HUGEINT * v END), 0) AS q_a,
+         coalesce(sum(CASE WHEN NOT a THEN 1 END), 0)::BIGINT AS n_b,
+         coalesce(sum(CASE WHEN NOT a THEN v::HUGEINT END), 0) AS s_b,
+         coalesce(sum(CASE WHEN NOT a THEN v::HUGEINT * v END), 0) AS q_b
+  FROM o
+),
+d AS (
+  SELECT n_a, n_b,
+         ((q_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE / n_a::DOUBLE)
+          / (n_a - 1)::DOUBLE) / n_a::DOUBLE AS va_n,
+         ((q_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE / n_b::DOUBLE)
+          / (n_b - 1)::DOUBLE) / n_b::DOUBLE AS vb_n,
+         s_a::DOUBLE / n_a::DOUBLE AS m_a,
+         s_b::DOUBLE / n_b::DOUBLE AS m_b
+  FROM sides
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 1 AND n_b > 1 AND (va_n + vb_n) > 0
+            THEN round((m_a - m_b) / sqrt(va_n + vb_n) * 1e6)::BIGINT
+       END AS t_e6,
+       CASE WHEN n_a > 1 AND n_b > 1 AND (va_n + vb_n) > 0
+            THEN round((va_n + vb_n) * (va_n + vb_n)
+                       / (va_n * va_n / (n_a - 1)::DOUBLE
+                          + vb_n * vb_n / (n_b - 1)::DOUBLE)
+                       * 1e6)::BIGINT
+       END AS df_e6
+FROM d
+"""
+
+
+def q_cramers_v_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event-type × day-of-week
+    contingency (X-A46) — `chi_square_cells`'s (X-A8) single-number
+    companion: how STRONG is the association the per-cell audit
+    flags? Exact integer end-to-end until one final sqrt: each cell's
+    chi² contribution is the exact rational ``(o·n − rn·cn)² /
+    (rn·cn·n)``, floor-snapped to e9 PER CELL (the `kaplan_meier`
+    per-term snap — integer sums are order-free, so no float
+    summation exists), then ``V = √(χ² / (n·(min(r,c)−1)))`` with the
+    e6 snap. One row: ``(n, n_rows_dim, n_cols_dim, chi2_e9,
+    v_e6)``.
+
+    Scale shape: the event stream reduces to the (types × 7) cell
+    table first; marginals broadcast; the reduction is cell-table-
+    sized."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    row_m = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("rn")
+    )
+    col_m = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("cn"))
+    total = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("rdim"),
+        F.countDistinct("dow").cast("long").alias("cdim"),
+    )
+    term_e9 = F.expr(
+        "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * cn)"
+        " * (CAST(o AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * cn)"
+        " * 1000000000 div (CAST(rn AS DECIMAL(38,0)) * cn * n) AS DECIMAL(38,0))"
+    )
+    summed = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(total))
+        .select(term_e9.alias("t"), "n", "rdim", "cdim")
+        .groupBy("n", "rdim", "cdim")
+        .agg(F.sum("t").alias("chi2_e9"))
+    )
+    minrc = F.least(F.col("rdim"), F.col("cdim")) - 1
+    return summed.select(
+        "n",
+        F.col("rdim").alias("n_rows_dim"),
+        F.col("cdim").alias("n_cols_dim"),
+        F.col("chi2_e9").try_cast("long").alias("chi2_e9"),
+        F.when(
+            (minrc > 0) & (F.col("n") > 0),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_e9").cast("double")
+                    / 1e9
+                    / (F.col("n").cast("double") * minrc.cast("double"))
+                )
+                * 1e6,
+                0,
+            ).cast("long"),
+        ).alias("v_e6"),
+    )
+
+
+Q_CRAMERS_V_ORACLE = """
+WITH cells AS (
+  SELECT event_type, (dayofweek(ts))::INTEGER AS dow, count(*)::BIGINT AS o
+  FROM events GROUP BY 1, 2
+),
+rm AS (SELECT event_type, sum(o)::BIGINT AS rn FROM cells GROUP BY 1),
+cm AS (SELECT dow, sum(o)::BIGINT AS cn FROM cells GROUP BY 1),
+tot AS (
+  SELECT sum(o)::BIGINT AS n,
+         count(DISTINCT event_type)::BIGINT AS rdim,
+         count(DISTINCT dow)::BIGINT AS cdim
+  FROM cells
+),
+terms AS (
+  SELECT ((o::HUGEINT * tot.n - rn::HUGEINT * cn)
+          * (o::HUGEINT * tot.n - rn::HUGEINT * cn)
+          * 1000000000) // (rn::HUGEINT * cn * tot.n) AS t,
+         tot.n, tot.rdim, tot.cdim
+  FROM cells JOIN rm USING (event_type) JOIN cm USING (dow), tot
+)
+SELECT n, rdim AS n_rows_dim, cdim AS n_cols_dim,
+       sum(t)::BIGINT AS chi2_e9,
+       CASE WHEN least(rdim, cdim) > 1 AND n > 0
+            THEN round(sqrt((sum(t)::DOUBLE / 1e9)
+                            / (n::DOUBLE * (least(rdim, cdim) - 1)))
+                       * 1e6)::BIGINT
+       END AS v_e6
+FROM terms GROUP BY n, rdim, cdim
+"""
+
+
+def q_energy_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact energy distance between urgent and non-urgent orders'
+    total-price distributions — the third drift statistic on the same
+    slice (KS = worst point, W1 = transport mass, energy =
+    shape-sensitive quadratic), all three rendered from one (v, c,
+    ca) sufficient statistic. See
+    :func:`..operators.profile.energy_distance`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        energy_distance,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+        "o_orderpriority",
+    )
+    return energy_distance(
+        orders, "vc", "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    )
+
+
+Q_ENERGY_ORACLE = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         (o_orderpriority IN ('1-URGENT', '2-HIGH'))::INT AS a
+  FROM orders
+),
+pv AS (
+  SELECT v, count(*)::BIGINT AS c, sum(a)::BIGINT AS ca,
+         (count(*) - sum(a))::BIGINT AS cb
+  FROM o GROUP BY 1
+),
+cum AS (
+  SELECT v, ca, cb,
+         coalesce(sum(ca) OVER w, 0)::BIGINT AS cum_ca,
+         coalesce(sum(cb) OVER w, 0)::BIGINT AS cum_cb,
+         coalesce(sum(ca * v) OVER w, 0)::BIGINT AS cum_sa,
+         coalesce(sum(cb * v) OVER w, 0)::BIGINT AS cum_sb
+  FROM pv
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sums AS (
+  SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+         sum(ca::HUGEINT * (v::HUGEINT * cum_ca - cum_sa)) AS m_aa,
+         sum(cb::HUGEINT * (v::HUGEINT * cum_cb - cum_sb)) AS m_bb,
+         sum(ca::HUGEINT * (v::HUGEINT * cum_cb - cum_sb)
+             + cb::HUGEINT * (v::HUGEINT * cum_ca - cum_sa)) AS m_ab
+  FROM cum
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN (2 * ((m_ab * 1000000000) // (n_a::HUGEINT * n_b))
+                  - 2 * ((m_aa * 1000000000) // (n_a::HUGEINT * n_a))
+                  - 2 * ((m_bb * 1000000000) // (n_b::HUGEINT * n_b)))::BIGINT
+       END AS e_e9
+FROM sums
+"""
+
+
+def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of total price, urgent orders as
+    the reference population vs the rest — the fourth drift statistic
+    on the same slice (KS = worst point, W1 = transport mass,
+    energy = quadratic shape, PSI = the binned ML-ops standard with
+    per-bucket attribution). See
+    :func:`..operators.profile.population_stability`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        population_stability,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+        "o_orderpriority",
+    )
+    return population_stability(
+        orders, "vc", "o_orderpriority IN ('1-URGENT', '2-HIGH')", buckets=10
+    )
+
+
+Q_PSI_ORACLE = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         (o_orderpriority IN ('1-URGENT', '2-HIGH'))::INT AS a
+  FROM orders
+),
+refb AS (
+  SELECT v, ntile(10) OVER (ORDER BY v) AS bucket
+  FROM o WHERE a = 1
+),
+hib AS (SELECT bucket, max(v) AS hi FROM refb GROUP BY 1),
+edges AS (
+  SELECT hi FROM hib WHERE bucket < (SELECT max(bucket) FROM hib)
+),
+assigned AS (
+  SELECT o.v, o.a,
+         1 + (SELECT count(*) FROM edges e WHERE o.v > e.hi) AS bucket
+  FROM o
+),
+per_b AS (
+  SELECT bucket, min(v) AS lo, max(v) AS hi,
+         sum(a)::BIGINT AS n_a, (count(*) - sum(a))::BIGINT AS n_b
+  FROM assigned GROUP BY 1
+),
+tot AS (
+  SELECT sum(a)::BIGINT AS ta, (count(*) - sum(a))::BIGINT AS tb FROM o
+)
+SELECT bucket, lo, hi, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND ta > 0 AND tb > 0
+            THEN round(((n_a::HUGEINT * tb - n_b::HUGEINT * ta)::DOUBLE
+                        / (ta::DOUBLE * tb::DOUBLE))
+                       * ln((n_a::DOUBLE * tb::DOUBLE)
+                            / (n_b::DOUBLE * ta::DOUBLE))
+                       * 1e9)::BIGINT
+       END AS term_e9
+FROM per_b, tot ORDER BY bucket
+"""

@@ -372,6 +372,31 @@ def _audit_ks(df: DataFrame, p: dict[str, Any]) -> DataFrame:
     return ks_two_sample(df, p["value_col"], p["group_expr"])
 
 
+def _audit_w1(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Drift-MAGNITUDE gate (ONE report row): exact Wasserstein-1 of
+    ``value_col``, ``group_expr`` slice vs complement — how much
+    mass moved, the quantitative partner to the KS gate's worst-point
+    answer (pair both in review: KS for shape alarms, W1 for a
+    budgetable drift number)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        wasserstein_1d,
+    )
+
+    return wasserstein_1d(df, p["value_col"], p["group_expr"])
+
+
+def _audit_anova(df: DataFrame, p: dict[str, Any]) -> DataFrame:
+    """Mean-shift gate across a categorical column (ONE report row):
+    one-way ANOVA F + eta² of ``value_col`` across ``group_col`` —
+    "do the sources/languages differ in mean length/quality?" with
+    the variance share (eta²) as the practical-significance number."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        anova_oneway,
+    )
+
+    return anova_oneway(df, p["value_col"], p["group_col"])
+
+
 def _audit_mwu(df: DataFrame, p: dict[str, Any]) -> DataFrame:
     """Rank-shift gate (ONE report row): exact tie-corrected
     Mann-Whitney U of ``value_col``, ``group_expr`` slice vs
@@ -402,6 +427,9 @@ AUDIT_STAGES: dict[str, Callable[[DataFrame, dict[str, Any]], DataFrame]] = {
     "brier_audit": _audit_brier,
     "ks_audit": _audit_ks,
     "mwu_audit": _audit_mwu,
+    # r14: the drift-magnitude and mean-shift companions
+    "w1_audit": _audit_w1,
+    "anova_audit": _audit_anova,
 }
 
 #: hard cap on embedded report rows — an audit trail is a control-

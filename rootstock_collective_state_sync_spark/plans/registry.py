@@ -162,6 +162,21 @@ SPECS: dict[str, QuerySpec] = {
     "w1_price_drift": QuerySpec(
         AN.q_w1_price_drift, AN.Q_W1_ORACLE, ("analytics", "agg")
     ),
+    "anova_price_priority": QuerySpec(
+        AN.q_anova_price_priority, AN.Q_ANOVA_ORACLE, ("analytics", "agg")
+    ),
+    "welch_price_urgent": QuerySpec(
+        AN.q_welch_price_urgent, AN.Q_WELCH_ORACLE, ("analytics", "agg")
+    ),
+    "cramers_v_event_dow": QuerySpec(
+        AN.q_cramers_v_event_dow, AN.Q_CRAMERS_V_ORACLE, ("analytics", "agg")
+    ),
+    "energy_price_drift": QuerySpec(
+        AN.q_energy_price_drift, AN.Q_ENERGY_ORACLE, ("analytics", "agg")
+    ),
+    "psi_price_drift": QuerySpec(
+        AN.q_psi_price_drift, AN.Q_PSI_ORACLE, ("analytics", "agg")
+    ),
     "acf_daily_volume": QuerySpec(
         AN.q_acf_daily_volume, AN.Q_ACF_ORACLE, ("analytics", "temporal")
     ),

@@ -100,6 +100,51 @@ def _manifest_version(p: Path) -> int | None:
         return None
 
 
+_STATS_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _pred_expr(col: str, op: str, val) -> F.Column:
+    if op not in _STATS_OPS:
+        raise ValueError(f"unsupported predicate op {op!r}; use {_STATS_OPS}")
+    c, v = F.col(col), F.lit(val)
+    return {
+        "=": c == v,
+        "<": c < v,
+        "<=": c <= v,
+        ">": c > v,
+        ">=": c >= v,
+    }[op]
+
+
+def _stats_prune(fstats: "dict | None", where) -> bool:
+    """True when the file's recorded stats PROVE no row satisfies the
+    predicate conjunction. Missing stats/column/min/max -> keep."""
+    if not fstats:
+        return False
+    for col, op, val in where:
+        mm = fstats.get(col)
+        if not isinstance(mm, (list, tuple)) or len(mm) < 2:
+            continue
+        mn, mx = mm[0], mm[1]
+        if mn is None or mx is None:
+            continue
+        if (
+            (op == "=" and (val < mn or val > mx))
+            or (op == "<" and mn >= val)
+            or (op == "<=" and mn > val)
+            or (op == ">" and mx <= val)
+            or (op == ">=" and mx < val)
+        ):
+            return True  # one unsatisfiable conjunct kills the file
+    return False
+
+
+_STATS_SAFE_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType, T.BooleanType,
+)
+
+
 def bucket_expr(keys: list[str], num_buckets: int):
     """Stable key -> bucket assignment (hash of concatenated keys)."""
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast("int")
@@ -193,19 +238,45 @@ class VersionedTable:
 
     # ---- read --------------------------------------------------------------
 
-    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
-        """Read a snapshot (optionally bucket-pruned) as a DataFrame."""
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        where: "list[tuple[str, str, Any]] | None" = None,
+    ) -> DataFrame:
+        """Read a snapshot (optionally bucket-pruned) as a DataFrame.
+
+        ``where`` is a conjunction of simple predicates
+        ``(col, op, literal)`` with op in ``= < <= > >=``: files whose
+        recorded min/max statistics (X-E9; written by :meth:`append` /
+        :meth:`overwrite` on tables with ``stats_cols``, or backfilled
+        by :meth:`analyze`) prove zero matching rows are SKIPPED
+        before any scan — Delta-style data skipping, which on
+        append-mostly time-correlated tables (block numbers,
+        timestamps) turns a "recent window" read into a tail-files
+        read. Files without stats are conservatively kept; the
+        residual filter is always applied, so the result equals a
+        full-scan filter exactly (NULLs never satisfy these
+        predicates, so null counts cannot affect skip safety)."""
         m = self.manifest(version)
         wanted = (
             list(m.buckets)
             if buckets is None
             else [str(b) for b in buckets if str(b) in m.buckets]
         )
-        files = [str(self.path / f) for b in wanted for f in m.buckets[b]]
+        rels = [f for b in wanted for f in m.buckets[b]]
+        if where:
+            stats = m.meta.get("file_stats", {})
+            rels = [r for r in rels if not _stats_prune(stats.get(r), where)]
+        files = [str(self.path / f) for f in rels]
         if not files:
-            return self.spark.createDataFrame([], m.schema)
-        # mergeSchema off + explicit schema: pure columnar scan, no footer inference
-        return self.spark.read.schema(m.schema).parquet(*files)
+            df = self.spark.createDataFrame([], m.schema)
+        else:
+            # mergeSchema off + explicit schema: pure columnar scan, no footer inference
+            df = self.spark.read.schema(m.schema).parquet(*files)
+        for col, op, val in where or []:
+            df = df.filter(_pred_expr(col, op, val))
+        return df
 
     def diff(self, old_version: int, new_version: int | None = None) -> DataFrame:
         """Row-level change feed between two committed versions:
@@ -305,20 +376,148 @@ class VersionedTable:
     def overwrite(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
         """Full-snapshot replace (atomic). The engine's blue/green swap:
         readers on the old version are unaffected until the pointer
-        swings (reference ``schema.ts:10-49`` semantics)."""
+        swings (reference ``schema.ts:10-49`` semantics). On tables
+        with ``stats_cols`` configured (create meta), per-file min/max
+        stats are recomputed for the new snapshot (X-E9)."""
         prev = self.manifest()
         df = df.select(*prev.schema.names)
         new_buckets = self._write_tx(df, prev.num_buckets, prev.merge_keys)
+        new_meta = {**prev.meta, **(meta or {})}
+        new_meta.pop("file_stats", None)  # old snapshot's files are gone
+        scols = new_meta.get("stats_cols")
+        if scols:
+            new_meta["file_stats"] = self._compute_file_stats(
+                new_buckets, scols, prev.schema
+            )
         m = Manifest(
             version=prev.version + 1,
             schema_json=prev.schema_json,
             merge_keys=prev.merge_keys,
             num_buckets=prev.num_buckets,
             buckets=new_buckets,
-            meta={**prev.meta, **(meta or {})},
+            meta=new_meta,
         )
         self._commit(m, prev.version)
         return m.version
+
+    def append(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
+        """APPEND-ONLY commit (X-E9): write the batch's files and add
+        them to the current buckets WITHOUT reading or rewriting any
+        existing data — the true fast path for insert-only entities
+        (the engine's append-only sync strategy, event logs, block
+        streams), where the keyed MERGE's read-modify-write is pure
+        overhead. Rows still hash into the same bucket layout, so
+        co-bucketed joins and the diff reader are unaffected; the
+        caller owns key uniqueness (appending an existing key creates
+        a duplicate — use the merge sink when upserts are possible).
+
+        On tables with ``stats_cols`` configured, each new file's
+        per-column min/max/null-count is recorded in the manifest —
+        because appended files are naturally time-correlated, this is
+        what makes ``read(where=...)`` skip cold files (the
+        Delta-style skipping story: stats + append = tail reads)."""
+        prev = self.manifest()
+        df = df.select(*prev.schema.names)
+        new_buckets = self._write_tx(df, prev.num_buckets, prev.merge_keys)
+        buckets = {b: list(fs) for b, fs in prev.buckets.items()}
+        for b, fs in new_buckets.items():
+            buckets.setdefault(b, []).extend(fs)
+        new_meta = {**prev.meta, **(meta or {})}
+        scols = new_meta.get("stats_cols")
+        if scols:
+            new_stats = self._compute_file_stats(
+                new_buckets, scols, prev.schema
+            )
+            new_meta["file_stats"] = {
+                **prev.meta.get("file_stats", {}),
+                **new_stats,
+            }
+        m = Manifest(
+            version=prev.version + 1,
+            schema_json=prev.schema_json,
+            merge_keys=prev.merge_keys,
+            num_buckets=prev.num_buckets,
+            buckets=buckets,
+            meta=new_meta,
+        )
+        self._commit(m, prev.version)
+        return m.version
+
+    def analyze(self, cols: list[str] | None = None) -> int:
+        """Backfill per-file statistics for the CURRENT snapshot (the
+        ANALYZE TABLE equivalent): computes min/max/null-count for
+        ``cols`` (default: the table's configured ``stats_cols``) on
+        every current data file and commits a metadata-only version —
+        data files untouched. Makes ``read(where=...)`` skipping
+        available on tables populated before stats were configured
+        (or through the merge sink, which does not collect them)."""
+        prev = self.manifest()
+        scols = list(cols or prev.meta.get("stats_cols") or [])
+        if not scols:
+            raise ValueError("no stats columns given or configured")
+        stats = self._compute_file_stats(prev.buckets, scols, prev.schema)
+        m = Manifest(
+            version=prev.version + 1,
+            schema_json=prev.schema_json,
+            merge_keys=prev.merge_keys,
+            num_buckets=prev.num_buckets,
+            buckets=prev.buckets,
+            meta={**prev.meta, "stats_cols": scols, "file_stats": stats},
+        )
+        self._commit(m, prev.version)
+        return m.version
+
+    def _compute_file_stats(
+        self,
+        buckets: dict[str, list[str]],
+        cols: list[str],
+        schema: T.StructType,
+    ) -> dict[str, dict[str, Any]]:
+        """One aggregate job over the given files: per file, row count
+        + (min, max, nulls) per stats column. Only JSON-safe column
+        types participate (numeric/string/bool); others raise — a
+        stats column must round-trip the manifest exactly."""
+        for c in cols:
+            if c not in schema.names:
+                raise ValueError(f"stats column {c!r} not in schema")
+            if not isinstance(schema[c].dataType, _STATS_SAFE_TYPES):
+                raise ValueError(
+                    f"stats column {c!r} has non-JSON-safe type "
+                    f"{schema[c].dataType.simpleString()}"
+                )
+        rels = [f for fs in buckets.values() for f in fs]
+        if not rels:
+            return {}
+        files = [str(self.path / f) for f in rels]
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"_mn_{c}"),
+                F.max(c).alias(f"_mx_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_nu_{c}"),
+            ]
+        rows = (
+            self.spark.read.schema(schema)
+            .parquet(*files)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(*aggs)
+            .collect()
+        )
+        # input_file_name is a URI; map back to manifest-relative paths
+        by_suffix = {str(Path(r)).replace("\\", "/"): r for r in rels}
+        out: dict[str, dict[str, Any]] = {}
+        for r in rows:
+            uri = r["_f"]
+            rel = next(
+                (v for k, v in by_suffix.items() if uri.endswith(k)), None
+            )
+            if rel is None:
+                continue
+            st: dict[str, Any] = {"rows": int(r["_rows"])}
+            for c in cols:
+                st[c] = [r[f"_mn_{c}"], r[f"_mx_{c}"], int(r[f"_nu_{c}"])]
+            out[rel] = st
+        return out
 
     def commit_buckets(
         self,

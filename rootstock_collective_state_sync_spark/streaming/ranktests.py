@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from rootstock_collective_state_sync_spark.operators.profile import (
+    energy_from_counts,
+    psi_from_counts,
     wasserstein_from_counts,
     ks_two_sample_from_counts,
     mann_whitney_u_from_counts,
@@ -54,9 +56,11 @@ def ranktests_foreach_batch(
 ):
     """Return the ``foreachBatch`` function merging each batch's
     per-value (total, group-A) counts into ``store`` and writing the
-    post-merge MWU + KS + Wasserstein-1 reports under ``scores_path``
-    (subdirs ``mwu``/``ks``/``w1`` — one store, THREE reports as of
-    r14: X-A44's exact W1 renders from the same (v, c, ca) counts). ``value_col`` must be integer-typed (fixed-point
+    post-merge MWU + KS + Wasserstein-1 + energy + PSI reports under
+    ``scores_path`` (subdirs ``mwu``/``ks``/``w1``/``energy``/``psi``
+    — one store, FIVE reports as of r14: X-A44's W1, X-A47's energy
+    distance, and X-A48's PSI all render from the same (v, c, ca)
+    counts). ``value_col`` must be integer-typed (fixed-point
     policy); ``group_expr`` is the SQL boolean defining group A."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -98,6 +102,12 @@ def ranktests_foreach_batch(
         )
         write_batch_scores(
             wasserstein_from_counts(merged), f"{scores_path}/w1", batch_id
+        )
+        write_batch_scores(
+            energy_from_counts(merged), f"{scores_path}/energy", batch_id
+        )
+        write_batch_scores(
+            psi_from_counts(merged), f"{scores_path}/psi", batch_id
         )
         store.overwrite(merged, meta={"batch_id": int(batch_id)})
 

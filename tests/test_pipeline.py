@@ -296,6 +296,10 @@ def test_ks_and_mwu_audit_stages(spark):
          "group_expr": "lang = 'en'"},
         {"stage": "mwu_audit", "value_col": "n_chars_l",
          "group_expr": "lang = 'en'"},
+        {"stage": "w1_audit", "value_col": "n_chars_l",
+         "group_expr": "lang = 'en'"},
+        {"stage": "anova_audit", "value_col": "n_chars_l",
+         "group_col": "source"},
     ]
     n_in = docs.count()
     out, trail = run_pipeline(docs, spec, audit=True)
@@ -309,3 +313,12 @@ def test_ks_and_mwu_audit_stages(spark):
     n = n_in
     assert mwu["n_a"] * (mwu["n_a"] + 1) <= mwu["r2_a"] <= mwu["n_a"] * 2 * n
     assert 0 <= mwu["u2_a"] <= 2 * mwu["n_a"] * mwu["n_b"]
+    # r14 companions: W1 magnitude >= 0 on the same slice; ANOVA
+    # variance share in [0, 1]
+    (w1,) = trail[3]["report"]
+    assert w1["n_a"] == ks["n_a"] and w1["n_b"] == ks["n_b"]
+    assert w1["w1_e6"] >= 0
+    (an,) = trail[4]["report"]
+    assert an["n"] == n_in and an["k"] > 1
+    assert 0 <= an["eta2_e6"] <= 1_000_000
+    assert an["f_e6"] is None or an["f_e6"] >= 0

@@ -1064,3 +1064,51 @@ def test_wasserstein_matches_exact_fraction_reference(spark, rows):
         gap = abs(Fraction(cuma, n_a) - Fraction(cumb, n_b))
         w1 += gap * (vals[i + 1] - v)
     assert got["w1_e6"] == (w1 * 10**6).numerator // (w1 * 10**6).denominator
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-150, max_value=150),  # value
+            st.booleans(),  # group A membership
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_energy_distance_matches_brute_force(spark, rows):
+    """X-A47: the prefix-sum decomposition equals the O(n²) brute
+    pairwise sums exactly (same three e9 floor snaps, exact integer
+    pre-snap sums), NULL when a group is empty."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        energy_distance,
+    )
+
+    df = spark.createDataFrame(
+        [(v, 1 if a else 0) for v, a in rows], "v long, a int"
+    )
+    got = energy_distance(df, "v", "a = 1").collect()[0]
+    a_vals = sorted(v for v, a in rows if a)
+    b_vals = sorted(v for v, a in rows if not a)
+    assert got["n_a"] == len(a_vals) and got["n_b"] == len(b_vals)
+    if not a_vals or not b_vals:
+        assert got["e_e9"] is None
+        return
+
+    def pair_sum(xs, ys):
+        return sum(abs(x - y) for x in xs for y in ys)
+
+    def snap(num, den):  # the operator's e9 floor division
+        return (num * 10**9) // den
+
+    m_ab = pair_sum(a_vals, b_vals)  # each cross pair once
+    m_aa = pair_sum(a_vals, a_vals) // 2  # unordered within-pairs
+    m_bb = pair_sum(b_vals, b_vals) // 2
+    na, nb = len(a_vals), len(b_vals)
+    want = (
+        2 * snap(m_ab, na * nb)
+        - 2 * snap(m_aa, na * na)
+        - 2 * snap(m_bb, nb * nb)
+    )
+    assert got["e_e9"] == want

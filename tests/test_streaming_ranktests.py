@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rootstock_collective_state_sync_spark.operators.profile import (
+    energy_distance,
+    population_stability,
     ks_two_sample,
     mann_whitney_u,
     wasserstein_1d,
@@ -36,7 +38,11 @@ def _at_rest(df):
     mwu = sorted(tuple(r) for r in mann_whitney_u(df, "vc", GROUP).collect())
     ks = sorted(tuple(r) for r in ks_two_sample(df, "vc", GROUP).collect())
     w1 = sorted(tuple(r) for r in wasserstein_1d(df, "vc", GROUP).collect())
-    return mwu, ks, w1
+    en = sorted(tuple(r) for r in energy_distance(df, "vc", GROUP).collect())
+    ps = sorted(
+        tuple(r) for r in population_stability(df, "vc", GROUP).collect()
+    )
+    return mwu, ks, w1, en, ps
 
 
 def _read(spark, path, batch_id):
@@ -57,15 +63,19 @@ def test_stream_equals_at_rest_at_every_prefix(spark, tmp_path):
         store, str(tmp_path / "scores"), "vc", GROUP
     )
     step(b1, 0)
-    mwu1, ks1, w11 = _at_rest(b1)
+    mwu1, ks1, w11, en1, ps1 = _at_rest(b1)
     assert _read(spark, str(tmp_path / "scores/mwu"), 0) == mwu1
     assert _read(spark, str(tmp_path / "scores/ks"), 0) == ks1
     assert _read(spark, str(tmp_path / "scores/w1"), 0) == w11
+    assert _read(spark, str(tmp_path / "scores/energy"), 0) == en1
+    assert _read(spark, str(tmp_path / "scores/psi"), 0) == ps1
     step(b2, 1)
-    mwu2, ks2, w12 = _at_rest(orders)
+    mwu2, ks2, w12, en2, ps2 = _at_rest(orders)
     assert _read(spark, str(tmp_path / "scores/mwu"), 1) == mwu2
     assert _read(spark, str(tmp_path / "scores/ks"), 1) == ks2
     assert _read(spark, str(tmp_path / "scores/w1"), 1) == w12
+    assert _read(spark, str(tmp_path / "scores/energy"), 1) == en2
+    assert _read(spark, str(tmp_path / "scores/psi"), 1) == ps2
     # the prefix really moved the statistics (else the e2e is vacuous)
     assert mwu1 != mwu2
     # replay no-op
@@ -77,7 +87,7 @@ def test_stream_equals_at_rest_at_every_prefix(spark, tmp_path):
 
 def test_batch_split_invariance(spark, tmp_path):
     orders = _orders(spark).cache()
-    want_mwu, want_ks, want_w1 = _at_rest(orders)
+    want_mwu, want_ks, want_w1, want_en, want_ps = _at_rest(orders)
     for si, k in enumerate((2, 4)):
         store = VersionedTable(spark, tmp_path / f"store{si}")
         step = ranktests_foreach_batch(
@@ -88,4 +98,6 @@ def test_batch_split_invariance(spark, tmp_path):
         assert _read(spark, str(tmp_path / f"s{si}/mwu"), k - 1) == want_mwu
         assert _read(spark, str(tmp_path / f"s{si}/ks"), k - 1) == want_ks
         assert _read(spark, str(tmp_path / f"s{si}/w1"), k - 1) == want_w1
+        assert _read(spark, str(tmp_path / f"s{si}/energy"), k - 1) == want_en
+        assert _read(spark, str(tmp_path / f"s{si}/psi"), k - 1) == want_ps
     orders.unpersist()
