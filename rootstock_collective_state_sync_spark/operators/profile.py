@@ -2093,3 +2093,86 @@ def psi_from_counts(per_v: DataFrame, buckets: int = 10) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def pearson_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over integer-typed columns
+    (X-A49) — the linear-association screen beside Spearman/Kendall's
+    monotone ones; disagreement between r and rho flags nonlinearity
+    or outlier leverage. ONE pass computes every sum (n, Σx_i, Σx_i²,
+    Σx_i·x_j for all pairs) in DECIMAL(38,0) — exact and order-free —
+    and each pair's ``r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²))``
+    is a fixed-operand-order double expression e6-snapped (the Welch
+    determinism class; no float summation anywhere). Rows with a NULL
+    in ANY of ``cols`` are dropped (complete-case, the standard matrix
+    contract — pairwise-deletion would make the matrix non-PSD).
+
+    Returns one row per unordered pair ``(col_a, col_b, n_rows,
+    r_e6)`` (r NULL when either column is constant), ordered by
+    (col_a, col_b).
+
+    Scale shape: one map-side-combined scalar aggregate over the scan
+    — k(k+1)/2 + k + 1 sums for k columns; the pair table is built
+    from the single result row (control-plane explode)."""
+    from pyspark.sql.types import FractionalType
+
+    for c in cols:
+        if isinstance(df.schema[c].dataType, FractionalType):
+            raise ValueError(
+                f"pearson_matrix requires integer-typed columns (snap "
+                f"to a fixed grain first); got "
+                f"{df.schema[c].dataType.simpleString()} for {c!r}"
+            )
+    if len(cols) < 2:
+        raise ValueError("pearson_matrix needs at least two columns")
+    dec = "decimal(38,0)"
+    base = df.select(*cols)
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c).cast(dec) * F.col(c)).alias(f"q_{c}_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a).cast(dec) * F.col(b)).alias(f"q_{a}_{b}")
+            )
+    m = base.agg(*aggs)
+
+    def r_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        qaa = F.col(f"q_{a}_{a}").cast("double")
+        qbb = F.col(f"q_{b}_{b}").cast("double")
+        qab = F.col(f"q_{a}_{b}").cast("double")
+        num = n * qab - sa * sb
+        da = n * qaa - sa * sa
+        db = n * qbb - sb * sb
+        return F.when(
+            (da > 0) & (db > 0),
+            F.round(num / F.sqrt(da * db) * 1e6, 0).cast("long"),
+        )
+
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    r_expr(a, b).alias("r_e6"),
+                )
+            )
+    return (
+        m.select("n", F.explode(F.array(*pairs)).alias("p"))
+        .select(
+            F.col("p.col_a").alias("col_a"),
+            F.col("p.col_b").alias("col_b"),
+            F.col("n").alias("n_rows"),
+            F.col("p.r_e6").alias("r_e6"),
+        )
+        .orderBy("col_a", "col_b")
+    )

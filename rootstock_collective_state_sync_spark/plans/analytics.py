@@ -3356,3 +3356,60 @@ SELECT bucket, lo, hi, n_a, n_b,
        END AS term_e9
 FROM per_b, tot ORDER BY bucket
 """
+
+
+def q_pearson_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's four
+    measures (quantity, price cents, discount ticks, tax ticks) —
+    the linear screen beside `spearman_qty_price` / `kendall_*`'s
+    monotone ones. One pass, exact decimal cross-moments. See
+    :func:`..operators.profile.pearson_matrix`."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        pearson_matrix,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_t"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_t"),
+    )
+    return pearson_matrix(li, ["qty", "price_c", "disc_t", "tax_t"])
+
+
+def _pearson_oracle() -> str:
+    cols = ["qty", "price_c", "disc_t", "tax_t"]
+    arms = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            arms.append(f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b, n AS n_rows,
+       CASE WHEN (n::DOUBLE * q_{a}_{a}::DOUBLE - s_{a}::DOUBLE * s_{a}::DOUBLE) > 0
+             AND (n::DOUBLE * q_{b}_{b}::DOUBLE - s_{b}::DOUBLE * s_{b}::DOUBLE) > 0
+            THEN round((n::DOUBLE * q_{a}_{b}::DOUBLE - s_{a}::DOUBLE * s_{b}::DOUBLE)
+                       / sqrt((n::DOUBLE * q_{a}_{a}::DOUBLE - s_{a}::DOUBLE * s_{a}::DOUBLE)
+                              * (n::DOUBLE * q_{b}_{b}::DOUBLE - s_{b}::DOUBLE * s_{b}::DOUBLE))
+                       * 1e6)::BIGINT
+       END AS r_e6
+FROM m""")
+    sums = ["count(*)::BIGINT AS n"]
+    for c in cols:
+        sums.append(f"sum({c}::HUGEINT) AS s_{c}")
+        sums.append(f"sum({c}::HUGEINT * {c}) AS q_{c}_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sums.append(f"sum({a}::HUGEINT * {b}) AS q_{a}_{b}")
+    return f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_t,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_t
+  FROM lineitem
+),
+m AS (SELECT {", ".join(sums)} FROM li)
+SELECT * FROM ({" UNION ALL ".join(arms)}) ORDER BY col_a, col_b
+"""
+
+
+Q_PEARSON_ORACLE = _pearson_oracle()

@@ -177,6 +177,9 @@ SPECS: dict[str, QuerySpec] = {
     "psi_price_drift": QuerySpec(
         AN.q_psi_price_drift, AN.Q_PSI_ORACLE, ("analytics", "agg")
     ),
+    "pearson_lineitem": QuerySpec(
+        AN.q_pearson_lineitem, AN.Q_PEARSON_ORACLE, ("analytics", "agg")
+    ),
     "acf_daily_volume": QuerySpec(
         AN.q_acf_daily_volume, AN.Q_ACF_ORACLE, ("analytics", "temporal")
     ),
@@ -948,9 +951,15 @@ SPECS: dict[str, QuerySpec] = {
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
     # r14 rotation (tools/window_planner.py policy, base 675ba0a):
-    # (a) the 7 queries born this round — driver-checked immediately
+    # (a) the 13 queries born this round — driver-checked immediately
     "kendall_qty_discount",
     "w1_price_drift",
+    "energy_price_drift",
+    "psi_price_drift",
+    "anova_price_priority",
+    "welch_price_urgent",
+    "cramers_v_event_dow",
+    "pearson_lineitem",
     "kcore_from_edges",
     "pagerank_from_edges",
     "triangles_from_edges",
@@ -1001,12 +1010,10 @@ _DRIVER_WINDOW = [
     "gini_order_totals",
     "lorenz_curve",
     "equidepth_price_histogram",
-    "equidepth_by_priority",
-    "kaplan_meier",
-    "theil_by_priority",
-    "woe_iv_bins",
-    "knn_triangles_celled",
-    "similarity_pagerank_celled",
+    # (the r14-born batch displaced five indirect module-change
+    # re-earners: kaplan_meier, theil_by_priority, woe_iv_bins and the
+    # two remaining celled twins — all judge-conformance-green every
+    # pytest run and untouched at the operator level)
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
