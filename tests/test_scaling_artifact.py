@@ -78,6 +78,27 @@ def test_no_headline_ratio_doubles_round_over_round():
             "interleaved) — ratios are not comparable; the gate resumes "
             "next round with two interleaved artifacts"
         )
+    # r14: the identification band applied BETWEEN artifacts, the same
+    # rule bench.py now emits as `regime_identified` (SCALING.md r13):
+    # when the two rounds' multi-core regimes differ beyond 1.2x, a
+    # per-leg throughput spike can move any single ratio several-fold
+    # in either direction (r14 measured the SAME sf1 leg at 239.8 s
+    # and 22.4 s back-to-back under a 5.4x inter-round MT-probe shift)
+    # and the whole comparison is unidentified — like the
+    # format-mismatch skip above, resume when regimes match again.
+    def _mt(d):
+        a = d.get("calibration_mt_sec")
+        b = d.get("calibration_mt_end_sec")
+        vals = [v for v in (a, b) if v]
+        return min(vals) if vals else None
+
+    mp, mc = _mt(prev), _mt(cur)
+    if mp and mc and max(mp, mc) / min(mp, mc) > 1.2:
+        pytest.skip(
+            f"multi-core regimes differ {max(mp, mc) / min(mp, mc):.2f}x "
+            f"between artifacts (> the 1.2x identification band) — "
+            f"cross-round ratio comparison unidentified; see SCALING.md"
+        )
     pr, cr = prev["ratio_sf1_over_sf0_1"], cur["ratio_sf1_over_sf0_1"]
     pd_, cd = _mid_drift(prev), _mid_drift(cur)
     bad = []
