@@ -1115,6 +1115,91 @@ def ks_two_sample_from_counts(per_v: DataFrame) -> DataFrame:
     )
 
 
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_expr: str,
+) -> DataFrame:
+    """Exact Cliff's delta effect size (Cliff 1993) between the
+    ``group_expr`` slice (group A) and its complement — the ordinal
+    dominance companion to :func:`mann_whitney_u`: the test says
+    WHETHER the distributions differ, delta says by HOW MUCH
+    (``δ = P(a > b) − P(a < b)``, identical to the rank-biserial
+    correlation of the U test), robust to any monotone transform.
+    Also reports the common-language effect size
+    ``CLES = P(a > b) + P(a = b)/2`` (Vargha-Delaney A).
+
+    Exact integers end-to-end: the dominance counts decompose over
+    the per-value count table — ``n_gt = Σ_v ca_v·offb_v`` (B-mass
+    strictly below each A value, via the distributed prefix sum) and
+    symmetrically for ``n_lt``/``n_tie`` — so no row-level pair ever
+    forms; the two final divisions are fixed-operand-order doubles,
+    e6-snapped. One row: ``(n_a, n_b, n_gt, n_lt, n_tie, delta_e6,
+    cles_e6)`` — NULL statistics when either side is empty.
+    ``value_col`` must be integer-typed (fixed-point policy); NULL
+    values are dropped (the shared rank-test policy, matching the
+    streaming twin so stream/at-rest stay bit-equal).
+
+    Scale shape: identical to `mann_whitney_u` — per-value counts,
+    one distributed prefix sum, bounded aggregates; the n²-scale
+    dominance products accumulate in DECIMAL(38,0).
+    """
+    per_v = (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.expr(group_expr).cast("long").alias("a"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("a").cast("long").alias("ca"),
+        )
+    )
+    return cliffs_delta_from_counts(per_v)
+
+
+def cliffs_delta_from_counts(per_v: DataFrame) -> DataFrame:
+    """:func:`cliffs_delta` from the same per-VALUE count table
+    ``(v, c, ca)`` as :func:`mann_whitney_u_from_counts` — the sixth
+    report of the shared mergeable rank-test store
+    (``streaming/ranktests.py``)."""
+    dec = "decimal(38,0)"
+    per_v = per_v.withColumn("cb", (F.col("c") - F.col("ca")).cast("long"))
+    offb = _distributed_prefix_sum(per_v, "v", "cb", "offb")
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    s = offb.agg(
+        F.sum(F.col("ca").cast(dec) * F.col("offb")).alias("n_gt_d"),
+        F.sum(F.col("ca").cast(dec) * F.col("cb")).alias("n_tie_d"),
+    ).crossJoin(F.broadcast(tot))
+    # n_lt needs no per-row n_b: every (a, b) pair is >, < or tied,
+    # so n_lt = n_a·n_b − n_gt − n_tie exactly
+    s = s.withColumn(
+        "n_lt_d",
+        F.col("n_a").cast(dec) * F.col("n_b")
+        - F.col("n_gt_d")
+        - F.col("n_tie_d"),
+    )
+    nanb = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    delta = (F.col("n_gt_d") - F.col("n_lt_d")).cast("double") / nanb
+    cles = (
+        F.lit(2) * F.col("n_gt_d") + F.col("n_tie_d")
+    ).cast("double") / (F.lit(2.0) * nanb)
+    return s.select(
+        "n_a",
+        "n_b",
+        F.col("n_gt_d").try_cast("long").alias("n_gt"),
+        F.col("n_lt_d").try_cast("long").alias("n_lt"),
+        F.col("n_tie_d").try_cast("long").alias("n_tie"),
+        F.when(ok, F.round(delta * 1e6, 0).cast("long")).alias("delta_e6"),
+        F.when(ok, F.round(cles * 1e6, 0).cast("long")).alias("cles_e6"),
+    )
+
+
 def kruskal_wallis(
     df: DataFrame,
     value_col: str,
@@ -1773,12 +1858,22 @@ def anova_from_moments(m: DataFrame) -> DataFrame:
     """One-way ANOVA F + eta² from the ``(g, n, s, q)`` moment table
     (X-A45): ``SSB = Σ s_g²/n_g − S²/N``, ``SSW = Q − Σ s_g²/n_g``,
     ``F = (SSB/(k−1)) / (SSW/(N−k))``. All moment sums are exact
-    decimals; the per-group ``s_g²/n_g`` reduction is DOUBLE (the
-    `kruskal_wallis` precedent — each term carries a non-integral
-    division; the e6 snap absorbs the ~1-ulp float rounding). One
-    row: ``(n, k, f_e6, eta2_e6)`` — NULL when degenerate (k < 2,
-    N ≤ k, or zero within/total variance)."""
+    decimals; the per-group ``s_g²/n_g`` terms carry a non-integral
+    division, so they are doubles — but their reduction is a
+    FIXED-ORDER left fold (``F.aggregate`` over the g-sorted
+    collected term array), NOT a partition-order-dependent
+    ``F.sum``: the previous float sum could flip ``f_e6``/``eta2_e6``
+    by 1 between runs or vs the DuckDB oracle near an e6 rounding
+    boundary (r14 advisor item). The oracle mirrors the identical
+    IEEE addition order with ``sum(... ORDER BY g)``, so the
+    statistic is bit-determined on both engines. The g-sorted
+    collect is bounded by the group cardinality k — the same
+    control-plane contract as `kruskal_wallis` (an ANOVA across
+    unbounded k is degenerate). One row: ``(n, k, f_e6, eta2_e6)`` —
+    NULL when degenerate (k < 2, N ≤ k, or zero within/total
+    variance)."""
     per_g = m.select(
+        "g",
         "n",
         "s",
         "q",
@@ -1792,7 +1887,13 @@ def anova_from_moments(m: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("s").alias("_s"),
         F.sum("q").alias("_q"),
-        F.sum("s2n").alias("_s2n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("g"), F.col("s2n")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s2n"],
+        ).alias("_s2n"),
     )
     grand = (
         F.col("_s").cast("double")
@@ -1890,6 +1991,78 @@ def welch_t(
     """:func:`welch_from_moments` over the raw rows — the parametric
     two-sample companion to `mann_whitney_u` on the same slice."""
     return welch_from_moments(
+        group_moments(df, value_col, group_col), a_groups
+    )
+
+
+def effect_size_from_moments(
+    m: DataFrame, a_groups: "list[str]"
+) -> DataFrame:
+    """Cohen's d and Hedges' g between the union of ``a_groups`` and
+    the remaining groups, from the same ``(g, n, s, q)`` moment table
+    (X-A53; the X-ST24 store's THIRD report): `welch_t` says whether
+    the means differ, this says by how many pooled standard
+    deviations — the magnitude number a significance test cannot
+    give, and (unlike the z/t statistics) one that does NOT grow with
+    n. ``d = (m_A − m_B)/s_p`` with the pooled variance
+    ``s_p² = (SSW_A + SSW_B)/(n_A+n_B−2)``; Hedges' g applies the
+    small-sample correction ``J = 1 − 3/(4(n_A+n_B) − 9)``.
+
+    Same determinism class as `welch_from_moments`: the moment sums
+    are exact decimals and every double expression has a FIXED
+    operand order, so the result is bit-determined. One row:
+    ``(n_a, n_b, d_e6, g_e6)`` — NULL when either side has < 2 rows
+    or the pooled variance is 0."""
+    tagged = m.select(F.col("g").isin([*a_groups]).alias("_a"), "n", "s", "q")
+    zero = F.lit(0).cast("decimal(38,0)")
+    j = tagged.agg(
+        F.coalesce(F.sum(F.when(F.col("_a"), F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("_a"), F.col("s"))), zero).alias("s_a"),
+        F.coalesce(F.sum(F.when(F.col("_a"), F.col("q"))), zero).alias("q_a"),
+        F.coalesce(F.sum(F.when(~F.col("_a"), F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_b"),
+        F.coalesce(F.sum(F.when(~F.col("_a"), F.col("s"))), zero).alias("s_b"),
+        F.coalesce(F.sum(F.when(~F.col("_a"), F.col("q"))), zero).alias("q_b"),
+    )
+
+    def ssw(q, s, n):
+        return F.col(q).cast("double") - F.col(s).cast("double") * F.col(
+            s
+        ).cast("double") / F.col(n).cast("double")
+
+    sp2 = (ssw("q_a", "s_a", "n_a") + ssw("q_b", "s_b", "n_b")) / (
+        F.col("n_a") + F.col("n_b") - 2
+    ).cast("double")
+    d = (
+        F.col("s_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    ) / F.sqrt(sp2)
+    corr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (F.col("n_a") + F.col("n_b")).cast("double")
+        - F.lit(9.0)
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (sp2 > 0)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.when(ok, F.round(d * 1e6, 0).cast("long")).alias("d_e6"),
+        F.when(ok, F.round(d * corr * 1e6, 0).cast("long")).alias("g_e6"),
+    )
+
+
+def effect_size(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    a_groups: "list[str]",
+) -> DataFrame:
+    """:func:`effect_size_from_moments` over the raw rows — the
+    standardized-magnitude companion to `welch_t`/`cliffs_delta` on
+    the same slice."""
+    return effect_size_from_moments(
         group_moments(df, value_col, group_col), a_groups
     )
 

@@ -2639,6 +2639,67 @@ FROM r, tot
 """
 
 
+def q_cliffs_delta_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta + Vargha-Delaney CLES between urgent (priority
+    1-2) and other orders' total prices — `mann_whitney_price` says
+    WHETHER the distributions differ, this says by HOW MUCH (and it
+    is exactly the U test's rank-biserial correlation). See
+    :func:`..operators.profile.cliffs_delta` (dominance counts over
+    the per-value count table, no row-level pairs, DECIMAL(38,0)
+    sums, two fixed-operand-order e6 snaps)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        cliffs_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+        "o_orderpriority",
+    )
+    return cliffs_delta(
+        orders, "vc", "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    )
+
+
+Q_CLIFFS_DELTA_ORACLE = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         (o_orderpriority IN ('1-URGENT', '2-HIGH'))::INT AS a
+  FROM orders
+),
+pv AS (
+  SELECT v, count(*)::BIGINT AS c, sum(a)::BIGINT AS ca,
+         (count(*) - sum(a))::BIGINT AS cb
+  FROM o GROUP BY 1
+),
+off AS (
+  SELECT v, ca, cb,
+         coalesce(sum(cb) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)::BIGINT AS offb
+  FROM pv
+),
+tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM pv),
+s AS (
+  SELECT sum(ca::HUGEINT * offb) AS n_gt,
+         sum(ca::HUGEINT * cb) AS n_tie
+  FROM off
+)
+SELECT tot.na AS n_a, tot.nb AS n_b,
+       s.n_gt::BIGINT AS n_gt,
+       (tot.na::HUGEINT * tot.nb - s.n_gt - s.n_tie)::BIGINT AS n_lt,
+       s.n_tie::BIGINT AS n_tie,
+       CASE WHEN tot.na > 0 AND tot.nb > 0 THEN
+         round((s.n_gt - (tot.na::HUGEINT * tot.nb - s.n_gt - s.n_tie))::DOUBLE
+               / (tot.na::DOUBLE * tot.nb::DOUBLE) * 1e6)::BIGINT
+       END AS delta_e6,
+       CASE WHEN tot.na > 0 AND tot.nb > 0 THEN
+         round((2 * s.n_gt + s.n_tie)::DOUBLE
+               / (2.0 * (tot.na::DOUBLE * tot.nb::DOUBLE)) * 1e6)::BIGINT
+       END AS cles_e6
+FROM s, tot
+"""
+
+
 def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS distance between urgent and non-urgent orders'
     total-price distributions. See
@@ -3066,9 +3127,14 @@ m AS (
   FROM o GROUP BY 1
 ),
 agg AS (
+  -- the one double reduction is ORDERED BY g, mirroring the Spark
+  -- operator's fixed-order left fold over the g-sorted term array:
+  -- identical IEEE additions in identical order on both engines
+  -- (r14 advisor item — an unordered float sum could flip the e6
+  -- snap by 1 between runs)
   SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
          sum(s) AS ss, sum(q) AS qq,
-         sum(s::DOUBLE * s::DOUBLE / n::DOUBLE) AS s2n
+         sum(s::DOUBLE * s::DOUBLE / n::DOUBLE ORDER BY g) AS s2n
   FROM m
 )
 SELECT n, k,
@@ -3143,6 +3209,63 @@ SELECT n_a, n_b,
                           + vb_n * vb_n / (n_b - 1)::DOUBLE)
                        * 1e6)::BIGINT
        END AS df_e6
+FROM d
+"""
+
+
+def q_effect_size_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d + Hedges' g between urgent (priority 1-2) and other
+    orders' total prices — the standardized-magnitude companion to
+    `welch_price_urgent` on the same slice (the t says whether, d
+    says by how many pooled SDs, and unlike t it does not grow with
+    n). See :func:`..operators.profile.effect_size_from_moments`
+    (exact decimal moments, fixed-operand-order doubles)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        effect_size,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+    )
+    return effect_size(
+        orders, "vc", "o_orderpriority", ["1-URGENT", "2-HIGH"]
+    )
+
+
+Q_EFFECT_SIZE_ORACLE = """
+WITH o AS (
+  SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS a,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+sides AS (
+  SELECT coalesce(sum(CASE WHEN a THEN 1 END), 0)::BIGINT AS n_a,
+         coalesce(sum(CASE WHEN a THEN v::HUGEINT END), 0) AS s_a,
+         coalesce(sum(CASE WHEN a THEN v::HUGEINT * v END), 0) AS q_a,
+         coalesce(sum(CASE WHEN NOT a THEN 1 END), 0)::BIGINT AS n_b,
+         coalesce(sum(CASE WHEN NOT a THEN v::HUGEINT END), 0) AS s_b,
+         coalesce(sum(CASE WHEN NOT a THEN v::HUGEINT * v END), 0) AS q_b
+  FROM o
+),
+d AS (
+  SELECT n_a, n_b,
+         ((q_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE / n_a::DOUBLE)
+          + (q_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE / n_b::DOUBLE))
+         / (n_a + n_b - 2)::DOUBLE AS sp2,
+         s_a::DOUBLE / n_a::DOUBLE AS m_a,
+         s_b::DOUBLE / n_b::DOUBLE AS m_b
+  FROM sides
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0
+            THEN round((m_a - m_b) / sqrt(sp2) * 1e6)::BIGINT
+       END AS d_e6,
+       CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0
+            THEN round((m_a - m_b) / sqrt(sp2)
+                       * (1.0 - 3.0 / (4.0 * (n_a + n_b)::DOUBLE - 9.0))
+                       * 1e6)::BIGINT
+       END AS g_e6
 FROM d
 """
 

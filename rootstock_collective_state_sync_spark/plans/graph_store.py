@@ -35,9 +35,12 @@ from __future__ import annotations
 
 import getpass
 import hashlib
+import logging
 import os
 import tempfile
 from pathlib import Path
+
+_LOG = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
@@ -96,6 +99,12 @@ def graph_edges(
     if t is not None:
         return t.read()
 
+    # Storage probe — SCOPED try: storage (shared tmp dir permissions,
+    # concurrent create/commit races, quota) must never fail the QUERY,
+    # but a failure in the edge BUILD itself is a genuine bug and must
+    # propagate, not silently re-run the dominant-cost build a second
+    # time (r14 advisor item).
+    path = None
     try:
         path = store_root() / digest
         t = VersionedTable(spark, path)
@@ -118,17 +127,35 @@ def graph_edges(
                     "sf_dir": str(sf_dir),
                 },
             )
-        emb = load_table(spark, sf_dir, "embeddings")
-        edges = knn_edges_celled(emb, k=k, num_cells="auto", nprobe=nprobe)
+    except Exception:
+        _LOG.warning(
+            "graph_edges store unavailable at %s; building fresh "
+            "edges without caching",
+            path if path is not None else f"<unresolved root>/{digest}",
+            exc_info=True,
+        )
+        t = None
+
+    # Build OUTSIDE any except-swallowing scope: exceptions here are
+    # operator bugs, never a cache-miss condition.
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_edges_celled(emb, k=k, num_cells="auto", nprobe=nprobe)
+    if t is None:
+        return edges
+    try:
         t.overwrite(edges, meta={"rows_source": "embeddings"})
         _TABLES[digest] = t
         return t.read()
     except Exception:
-        # storage (shared tmp dir permissions, concurrent create/commit
-        # races, quota) must never fail the QUERY: amortization is an
-        # optimization, the fresh build is always available
-        emb = load_table(spark, sf_dir, "embeddings")
-        return knn_edges_celled(emb, k=k, num_cells="auto", nprobe=nprobe)
+        # commit failed after a successful build: hand back the
+        # already-constructed plan — NO rebuild, no silent swallow
+        _LOG.warning(
+            "graph_edges commit failed at %s; returning the fresh "
+            "build uncached",
+            path,
+            exc_info=True,
+        )
+        return edges
 
 
 def reset_cache() -> None:

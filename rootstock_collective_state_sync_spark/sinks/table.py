@@ -503,14 +503,26 @@ class VersionedTable:
             .agg(*aggs)
             .collect()
         )
-        # input_file_name is a URI; map back to manifest-relative paths
-        by_suffix = {str(Path(r)).replace("\\", "/"): r for r in rels}
+        # input_file_name is a URI; map back to manifest-relative
+        # paths ANCHORED at the table root (a bare uri.endswith(rel)
+        # suffix test could attribute stats to the wrong file when one
+        # rel path is a suffix of another file's URI — r14 advisor
+        # item; tx-uuid dirs make that unreachable today, make the
+        # invariant explicit instead of implicit)
+        from urllib.parse import unquote, urlparse
+
+        def _uri_path(u: str) -> str:
+            parsed = urlparse(u)
+            return unquote(parsed.path) if parsed.scheme else u
+
+        by_path = {
+            str((self.path / rel).resolve()).replace("\\", "/"): rel
+            for rel in rels
+        }
         out: dict[str, dict[str, Any]] = {}
         for r in rows:
-            uri = r["_f"]
-            rel = next(
-                (v for k, v in by_suffix.items() if uri.endswith(k)), None
-            )
+            p = str(Path(_uri_path(r["_f"])).resolve()).replace("\\", "/")
+            rel = by_path.get(p)
             if rel is None:
                 continue
             st: dict[str, Any] = {"rows": int(r["_rows"])}

@@ -35,6 +35,7 @@ from rootstock_collective_state_sync_spark.operators.profile import (
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
 from rootstock_collective_state_sync_spark.streaming.replay import (
     batch_already_applied,
+    require_integer_cols,
     write_batch_scores,
 )
 
@@ -62,6 +63,7 @@ def moments_foreach_batch(
     integer-typed (fixed-point policy)."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
+        require_integer_cols(batch_df, [value_col], "moments_foreach_batch")
         if batch_df.isEmpty():
             return
         created = store.create_if_not_exists(

@@ -38,6 +38,7 @@ from rootstock_collective_state_sync_spark.operators.profile import (
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
 from rootstock_collective_state_sync_spark.streaming.replay import (
     batch_already_applied,
+    require_integer_cols,
     write_batch_scores,
 )
 
@@ -64,6 +65,7 @@ def rankcorr_foreach_batch(
     ordinals (the Kendall cell-join input contract)."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
+        require_integer_cols(batch_df, [x_col, y_col], "rankcorr_foreach_batch")
         if batch_df.isEmpty():
             return
         created = store.create_if_not_exists(

@@ -36,6 +36,7 @@ from rootstock_collective_state_sync_spark.operators.profile import (
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
 from rootstock_collective_state_sync_spark.streaming.replay import (
     batch_already_applied,
+    require_integer_cols,
     write_batch_scores,
 )
 
@@ -64,6 +65,7 @@ def ranktests_foreach_batch(
     policy); ``group_expr`` is the SQL boolean defining group A."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
+        require_integer_cols(batch_df, [value_col], "ranktests_foreach_batch")
         if batch_df.isEmpty():
             return
         created = store.create_if_not_exists(

@@ -49,3 +49,27 @@ def write_batch_scores(
     scores.write.mode("overwrite").parquet(
         f"{scores_path}/batch={int(batch_id)}"
     )
+
+
+def require_integer_cols(batch_df: DataFrame, cols: "list[str]", op: str) -> None:
+    """Fail fast when a streamed value column is fractional-typed.
+
+    The incremental twins (moments/gini/rankcorr/ranktests/equidepth)
+    share the package fixed-point policy with their at-rest operators:
+    value columns must be integer-typed (snap monetary values to cents
+    upstream). The at-rest side raises ``ValueError`` on
+    ``FractionalType`` (``operators/profile.py::group_moments`` et
+    al.); before this guard the streaming side silently did
+    ``cast('long')`` — truncating a double-typed stream and quietly
+    diverging from the documented bit-equal-twin contract. Mirror the
+    raise here, on the batch schema, inside every ``foreachBatch``
+    factory."""
+    from pyspark.sql.types import FractionalType
+
+    for c in cols:
+        if isinstance(batch_df.schema[c].dataType, FractionalType):
+            raise ValueError(
+                f"{op} requires integer-typed column {c!r} (snap to "
+                f"cents first — fixed-point policy); got "
+                f"{batch_df.schema[c].dataType.simpleString()}"
+            )

@@ -137,3 +137,49 @@ def test_crash_between_create_and_commit_recovers(spark, tmp_path):
     e = graph_store.graph_edges(spark, SF_SMOKE, k=3, nprobe=4)
     assert e.count() > 0
     assert VersionedTable(spark, path).current_version() == 2
+
+
+def test_build_errors_propagate_not_swallowed(spark, monkeypatch, tmp_path):
+    """r14 advisor item: a failure in the edge BUILD itself must
+    raise — the old whole-function try/except silently re-ran the
+    full build (doubling the dominant cost) and hid genuine bugs."""
+    import pytest
+
+    from rootstock_collective_state_sync_spark.plans import graph_store
+
+    graph_store.reset_cache()
+    monkeypatch.setenv("SPARK_GRAFT_WORKDIR", str(tmp_path))
+
+    def broken_loader(*a, **k):
+        raise RuntimeError("operator bug, not a cache miss")
+
+    monkeypatch.setattr(
+        "rootstock_collective_state_sync_spark.plans.tables.load_table", broken_loader
+    )
+    with pytest.raises(RuntimeError, match="operator bug"):
+        graph_store.graph_edges(spark, SF_SMOKE, k=3, nprobe=4)
+
+
+def test_commit_failure_returns_fresh_build(spark, monkeypatch, tmp_path):
+    """A commit failure AFTER a successful build hands back the
+    already-built edges (scoped storage try — no rebuild, no raise)."""
+    from rootstock_collective_state_sync_spark.operators import graph as G
+    from rootstock_collective_state_sync_spark.plans import graph_store
+    from rootstock_collective_state_sync_spark.plans.tables import load_table
+    from rootstock_collective_state_sync_spark.sinks import table as table_mod
+
+    graph_store.reset_cache()
+    monkeypatch.setenv("SPARK_GRAFT_WORKDIR", str(tmp_path))
+
+    def no_commit(self, *a, **k):
+        raise OSError("quota exceeded at commit time")
+
+    monkeypatch.setattr(table_mod.VersionedTable, "overwrite", no_commit)
+    e = graph_store.graph_edges(spark, SF_SMOKE, k=3, nprobe=4)
+    fresh = G.knn_edges_celled(
+        load_table(spark, SF_SMOKE, "embeddings"),
+        k=3, num_cells="auto", nprobe=4,
+    )
+    assert sorted(map(tuple, e.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )

@@ -84,6 +84,9 @@ def test_anova_welch_match_python_reference(spark, rows):
     k = len(by_g)
     s = sum(v for v, _ in rows)
     q = sum(v * v for v, _ in rows)
+    # the reference's one double reduction folds in sorted-g order —
+    # the SAME fixed order the operator and oracle use (r14 advisor
+    # fix: the reduction must not be partition-order-dependent)
     s2n = sum(
         float(sum(vs)) ** 2 / len(vs) for _, vs in sorted(by_g.items())
     )
@@ -162,3 +165,69 @@ def test_batch_split_invariance(spark, tmp_path):
         assert _read(spark, str(tmp_path / f"s{si}/anova"), k - 1) == want_an
         assert _read(spark, str(tmp_path / f"s{si}/welch"), k - 1) == want_we
     orders.unpersist()
+
+def test_anova_partition_order_invariance(spark):
+    """The r14 advisor's flake class: the per-group s²/n reduction
+    must not depend on partition count / merge order. With the
+    fixed-order left fold over the g-sorted term array the statistic
+    is bit-identical across repartitionings (a plain double F.sum was
+    not guaranteed to be)."""
+    orders = _orders(spark)
+    want = None
+    for parts in (1, 7, 32):
+        got = tuple(
+            anova_oneway(
+                orders.repartition(parts), "vc", "o_orderpriority"
+            ).collect()[0]
+        )
+        if want is None:
+            want = got
+        assert got == want, parts
+
+
+def test_streaming_twins_reject_fractional_values(spark, tmp_path):
+    """r14 advisor item: the incremental twins must FAIL FAST on a
+    double-typed stream column (the at-rest operators raise on
+    FractionalType; the streaming side silently cast('long')-truncated
+    — diverging from the bit-equal-twin contract instead of erroring)."""
+    import pytest
+
+    from rootstock_collective_state_sync_spark.streaming.equidepth import (
+        equidepth_foreach_batch,
+    )
+    from rootstock_collective_state_sync_spark.streaming.gini import (
+        gini_lorenz_foreach_batch,
+    )
+    from rootstock_collective_state_sync_spark.streaming.rankcorr import (
+        rankcorr_foreach_batch,
+    )
+    from rootstock_collective_state_sync_spark.streaming.ranktests import (
+        ranktests_foreach_batch,
+    )
+
+    frac = spark.createDataFrame(
+        [(1.5, "g0", 2.5)], "v double, g string, y double"
+    )
+    cases = [
+        moments_foreach_batch(
+            VersionedTable(spark, tmp_path / "m"),
+            str(tmp_path / "ms"), "v", "g", ["g0"],
+        ),
+        gini_lorenz_foreach_batch(
+            VersionedTable(spark, tmp_path / "g"), str(tmp_path / "gs"), "v"
+        ),
+        rankcorr_foreach_batch(
+            VersionedTable(spark, tmp_path / "r"),
+            str(tmp_path / "rs"), "v", "y",
+        ),
+        ranktests_foreach_batch(
+            VersionedTable(spark, tmp_path / "t"),
+            str(tmp_path / "ts"), "v", "g = 'g0'",
+        ),
+        equidepth_foreach_batch(
+            VersionedTable(spark, tmp_path / "e"), str(tmp_path / "es"), "v"
+        ),
+    ]
+    for step in cases:
+        with pytest.raises(ValueError, match="integer-typed"):
+            step(frac, 0)

@@ -135,3 +135,20 @@ def test_stats_reject_unsafe_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         t2.analyze(["ts"])
+
+
+def test_stats_survive_url_encoded_table_paths(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; the r14
+    advisor fix replaced the bare uri.endswith(rel) suffix test with
+    a root-anchored decoded-path lookup. A table root containing a
+    space is the regression probe: the old suffix test never matched
+    'with%20space' against 'with space', silently dropping every
+    file's stats entry (and with it all data skipping)."""
+    t = VersionedTable(spark, tmp_path / "with space" / "t")
+    t.create(SCHEMA, merge_keys=["id"], num_buckets=4,
+             meta={"stats_cols": ["bn"]})
+    t.append(_batch(spark, 0, 100))
+    stats = t.manifest().meta["file_stats"]
+    live = {f for fs in t.manifest().buckets.values() for f in fs}
+    assert set(stats) == live and live
+    assert len(t.read(where=[("bn", "=", 999)]).inputFiles()) == 0
