@@ -239,3 +239,74 @@ def brier_decomposition(
             "brier_e9"
         ),
     )
+
+
+def adjusted_rand_index(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Exact Adjusted Rand Index (Hubert & Arabie 1985) between two
+    partitions of the same rows (X-S22): chance-corrected pair-level
+    agreement between labelings ``a_col`` and ``b_col`` — THE
+    clustering-vs-truth agreement number (1 = identical partitions,
+    ~0 = chance), used to grade an unsupervised assignment (IVF
+    cells, LSH buckets, dedup clusters) against labels without any
+    name alignment between the two sides.
+
+    Exact integers until one final division: working with DOUBLED
+    pair counts ``x·(x−1)`` removes every ``C(x,2)/2``, and clearing
+    the expected-index denominator gives
+
+        ``ARI = (2·T2·S2 − 2·A2·B2) / (T2·(A2+B2) − 2·A2·B2)``
+
+    with ``S2 = Σ_ij n_ij(n_ij−1)`` over the contingency table,
+    ``A2``/``B2`` its row/column marginal versions and ``T2 =
+    N(N−1)`` — all exactly-additive integer sums in DECIMAL(38,0)
+    (products reach N⁴-scale), one fixed-operand-order double
+    division, e6-snapped. NULL when the denominator is 0 (both
+    partitions trivial — agreement is undefined, not 1). Rows where
+    either label is NULL are dropped (complete-case, the
+    `pearson_matrix` contract).
+
+    Scale shape: one (a, b)-keyed map-side-combined count shuffle to
+    the contingency table — #cells × #labels rows, control-plane
+    sized — then bounded marginal aggregates; the corpus is scanned
+    once."""
+    dec = "decimal(38,0)"
+    x = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    ct = x.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ra = ct.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    rb = ct.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+    s = ct.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast(dec) * (F.col("c") - 1)).alias("s2"),
+    )
+    a = ra.agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum(F.col("ca").cast(dec) * (F.col("ca") - 1)).alias("a2"),
+    )
+    b = rb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum(F.col("cb").cast(dec) * (F.col("cb") - 1)).alias("b2"),
+    )
+    j = s.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b))
+    t2 = F.col("n").cast(dec) * (F.col("n") - 1)
+    num = (
+        F.lit(2).cast(dec) * t2 * F.col("s2")
+        - F.lit(2).cast(dec) * F.col("a2") * F.col("b2")
+    )
+    den = t2 * (F.col("a2") + F.col("b2")) - F.lit(2).cast(dec) * F.col(
+        "a2"
+    ) * F.col("b2")
+    return j.select(
+        "n",
+        "n_a",
+        "n_b",
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double") * 1e6, 0).cast(
+                "long"
+            ),
+        ).alias("ari_e6"),
+    )

@@ -1291,6 +1291,136 @@ def kruskal_wallis(
     )
 
 
+def anderson_darling_k(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Exact tie-adjusted k-sample Anderson-Darling test (Scholz &
+    Stephens 1987, the midrank/ties form): do the ``group_col``
+    samples share one distribution? The TAIL-SENSITIVE companion to
+    `kruskal_wallis` (location) and `ks_two_sample` (max gap): the
+    A² weight ``1/(B(N−B))`` blows up at the distribution edges, so
+    tail divergence that KS's single max misses moves this statistic.
+
+    DOUBLED-count arithmetic keeps every cumulative integral under
+    midrank ties: with per-(group, value) counts ``f_ij``, per-value
+    totals ``l_j``, ``M2_ij = 2·cum_i(<j) + f_ij`` and ``B2_j =
+    2·cumtot(<j) + l_j`` (twice the midrank cumulatives), the
+    Scholz-Stephens term becomes the exact integer ratio
+
+        ``l_j · (N·M2_ij − n_i·B2_j)² / ((2N·B2_j − B2_j² − N·l_j)
+        · n_i · N)``
+
+    — numerator and denominator both integral, so each (i, j) term
+    is ONE fixed-operand-order double expression, e9-snapped, and the
+    reduction is an exact long sum (order-free; the kaplan_meier /
+    cramers_v per-term discipline). The n²-scale products accumulate
+    in DECIMAL(38,0). One row: ``(n, k, n_vals, a2_e6)`` — NULL
+    ``a2_e6`` when degenerate (k < 2 or fewer than 2 distinct
+    values). ``value_col`` must be integer-typed (fixed-point
+    policy); NULLs are dropped (the shared rank-test policy).
+
+    Scale shape: per-(group, value) counts, a k×L DENSE grid (every
+    group contributes a term at every distinct value — zero-count
+    cells still carry ``N·M2``), TWO distributed prefix-sum towers
+    (per-group and joint — never a global single-partition window),
+    one scalar aggregate. Grid size is k·L rows — linear in the
+    distinct-value count with bounded k (the Kruskal contract).
+    """
+    from pyspark.sql.types import FractionalType
+
+    dec = "decimal(38,0)"
+    if isinstance(df.schema[value_col].dataType, FractionalType):
+        raise ValueError(
+            f"anderson_darling_k requires an integer-typed value "
+            f"column (snap to cents first); got "
+            f"{df.schema[value_col].dataType.simpleString()} for "
+            f"{value_col!r}"
+        )
+    x = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    pv = x.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    vals = pv.groupBy("v").agg(F.sum("f").cast("long").alias("l"))
+    grps = pv.groupBy("g").agg(F.sum("f").cast("long").alias("ni"))
+    # dense k×L grid: zero-count (g, v) cells still carry a term
+    dense = (
+        vals.select("v")
+        .crossJoin(F.broadcast(grps))
+        .join(pv, ["g", "v"], "left")
+        .select("g", "v", "ni", F.coalesce("f", F.lit(0)).alias("f"))
+    )
+    off = _distributed_prefix_sum(dense, "v", "f", "off", group_cols=["g"])
+    offl = _distributed_prefix_sum(vals, "v", "l", "offl")
+    tot = vals.agg(
+        F.sum("l").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_vals"),
+    )
+    kk = grps.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    terms = (
+        off.join(offl.select("v", "l", "offl"), "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.lit(2) * F.col("off") + F.col("f")).alias("m2"),
+            (F.lit(2) * F.col("offl") + F.col("l")).alias("b2"),
+            "l",
+            "ni",
+            "n",
+        )
+        .select(
+            (
+                F.col("n").cast(dec) * F.col("m2")
+                - F.col("ni").cast(dec) * F.col("b2")
+            ).alias("num"),
+            (
+                F.lit(2).cast(dec) * F.col("n") * F.col("b2")
+                - F.col("b2").cast(dec) * F.col("b2")
+                - F.col("n").cast(dec) * F.col("l")
+            ).alias("den"),
+            "l",
+            "ni",
+            "n",
+        )
+    )
+    num_d = F.col("num").cast("double")
+    s = terms.select(
+        F.when(
+            F.col("den") > 0,
+            F.round(
+                F.col("l").cast("double")
+                * (num_d * num_d)
+                / (
+                    F.col("den").cast("double")
+                    * (
+                        F.col("ni").cast("double")
+                        * F.col("n").cast("double")
+                    )
+                )
+                * 1e9,
+                0,
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("t_e9")
+    ).agg(F.sum("t_e9").cast("long").alias("s_e9"))
+    out = s.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(kk))
+    a2 = (
+        (F.col("n") - 1).cast("double")
+        / F.col("n").cast("double")
+        * (F.col("s_e9").cast("double") / 1e9)
+    )
+    return out.select(
+        "n",
+        "k",
+        "n_vals",
+        F.when(
+            (F.col("k") > 1) & (F.col("n_vals") > 1),
+            F.round(a2 * 1e6, 0).cast("long"),
+        ).alias("a2_e6"),
+    )
+
+
 def spearman_rho(
     df: DataFrame,
     x_col: str,

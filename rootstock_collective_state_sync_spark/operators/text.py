@@ -907,6 +907,90 @@ def source_kl_divergence(
     )
 
 
+
+def source_js_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence ``JSD(P_source ‖
+    P_corpus)`` over the corpus's top-``vocab_size`` tokens — the
+    SYMMETRIC, always-finite companion to
+    :func:`source_kl_divergence`: KL explodes where the source is
+    missing corpus mass (and is asymmetric), JSD is bounded by ln 2
+    and metrizable (its square root is a metric), so sources are
+    COMPARABLE on one scale — the mixture dashboard number, where KL
+    is the alarm.
+
+    Same replayed definition as the KL screen: vocabulary = top
+    ``vocab_size`` corpus tokens by (count desc, token asc), add-one
+    smoothing on both sides, and each term's ``(p·ln(p/m) +
+    q·ln(q/m))/2`` with ``m = (p+q)/2`` is rounded to integer 1e-9
+    units BEFORE the per-source sum (fixed-point float policy: the
+    reduction is exact integer arithmetic, bit-identical across
+    engines and partition orders).
+
+    Scale shape: identical to the KL screen — one token-count
+    shuffle, a bounded top-V broadcast, and the |sources|·V dense
+    grid (control-plane-sized, never the corpus).
+
+    Returns ``(source, n_tokens, jsd_e9, jsd)`` — jsd in nats, 6 dp.
+    """
+    tok = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    corpus = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_all"))
+    vocab = (
+        corpus.orderBy(F.col("c_all").desc(), F.col("term").asc())
+        .limit(vocab_size)
+    )
+    v_tok = tok.join(F.broadcast(vocab.select("term")), "term")
+    src_counts = v_tok.groupBy("src", "term").agg(
+        F.count(F.lit(1)).alias("c_src")
+    )
+    # same all-token source list as the KL screen: a zero-overlap
+    # source must surface (with the near-ln2 JSD that implies)
+    src_totals = (
+        tok.select("src")
+        .distinct()
+        .join(
+            src_counts.groupBy("src").agg(F.sum("c_src").alias("n_src")),
+            "src",
+            "left",
+        )
+        .withColumn("n_src", F.coalesce("n_src", F.lit(0)))
+    )
+    corpus_total = vocab.agg(F.sum("c_all")).first()[0]
+    n_vocab = vocab.count()
+    grid = (
+        src_totals.crossJoin(F.broadcast(vocab))
+        .join(src_counts, ["src", "term"], "left")
+        .withColumn("c_src", F.coalesce("c_src", F.lit(0)))
+    )
+    p = (F.col("c_src") + 1).cast("double") / (
+        F.col("n_src") + F.lit(n_vocab)
+    ).cast("double")
+    q = (F.col("c_all") + 1).cast("double") / F.lit(
+        float(int(corpus_total) + n_vocab)
+    )
+    m = (p + q) / F.lit(2.0)
+    term_e9 = F.round(
+        (p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0) * 1e9, 0
+    ).cast("long")
+    return (
+        grid.select("src", "n_src", term_e9.alias("t9"))
+        .groupBy("src", "n_src")
+        .agg(F.sum("t9").cast("long").alias("jsd_e9"))
+        .select(
+            F.col("src").alias("source"),
+            F.col("n_src").cast("bigint").alias("n_tokens"),
+            "jsd_e9",
+            F.round(F.col("jsd_e9").cast("double") / 1e9, 6).alias("jsd"),
+        )
+    )
+
 def vocab_edit_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -2806,6 +2806,153 @@ FROM terms GROUP BY na, nb
 """
 
 
+def q_pettitt_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test (1979) over daily event volumes per
+    type — the rank-based single-changepoint locator beside
+    `cusum_changepoints`' mean-shift monitor: nonparametric (any
+    monotone transform of the volumes gives the same answer), so a
+    heavy-tailed day cannot fake a change the way it can in a CUSUM
+    of raw deviations.
+
+    EXACT INTEGERS end-to-end via the antisymmetry identity: ``U_t =
+    Σ_{i≤t, j>t} sign(x_i − x_j)`` collapses to the cumulative sum of
+    per-day GLOBAL sign-sums ``S_i = #{x_j < x_i} − #{x_j > x_i}``
+    (the within-prefix pair terms cancel pairwise), and the ``S_i``
+    decompose over per-value counts — so no day-pair ever forms. The
+    changepoint is the smallest t maximizing |U_t| (deterministic
+    under ties); the classic significance approximation ``p ≈ min(1,
+    2·exp(−6K²/(T³+T²)))`` is the one double expression, e9-snapped.
+
+    Scale shape: events reduce to the DAYS-SPINE-sized (type, day, n)
+    table first; every window is over that bounded spine (the
+    cusum/acf calendar contract) — raw events never enter a window.
+    Returns ``(event_type, n_days, t_star, k_stat, p_e9)``."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    x = daily.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("t"),
+        F.col("n").alias("v"),
+    )
+    pv = x.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_v = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    less = pv.withColumn(
+        "less", F.coalesce(F.sum("c").over(w_v), F.lit(0)).cast("long")
+    )
+    tot = pv.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_days")
+    )
+    sgn = less.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "v",
+        "n_days",
+        (F.lit(2) * F.col("less") + F.col("c") - F.col("n_days"))
+        .cast("long")
+        .alias("s"),
+    )
+    w_t = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        x.join(sgn, ["event_type", "v"])
+        .select("event_type", "t", "s", "n_days")
+        .withColumn("u", F.sum("s").over(w_t).cast("long"))
+    )
+    tmax = u.groupBy("event_type").agg(F.max("t").alias("tmax"))
+    cand = u.join(F.broadcast(tmax), "event_type").filter(
+        F.col("t") < F.col("tmax")
+    )
+    best = cand.groupBy("event_type", "n_days").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("u")).alias("k"), (-F.col("t")).alias("negt")
+            )
+        ).alias("b")
+    )
+    kd = F.col("b.k").cast("double")
+    ndd = F.col("n_days").cast("double")
+    p = F.lit(2.0) * F.exp(
+        F.lit(-6.0)
+        * kd
+        * kd
+        / (
+            ndd * F.col("n_days") * F.col("n_days")
+            + ndd * F.col("n_days")
+        )
+    )
+    return (
+        best.select(
+            "event_type",
+            "n_days",
+            (-F.col("b.negt")).cast("long").alias("t_star"),
+            F.col("b.k").cast("long").alias("k_stat"),
+            F.round(F.least(F.lit(1.0), p) * 1e9, 0)
+            .cast("long")
+            .alias("p_e9"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_PETTITT_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT g, min(day) AS d0 FROM daily GROUP BY 1),
+x AS (
+  SELECT d.g, datediff('day', b.d0, d.day)::BIGINT AS t, d.n AS v
+  FROM daily d JOIN base b USING (g)
+),
+pv AS (SELECT g, v, count(*)::BIGINT AS c FROM x GROUP BY 1, 2),
+off AS (
+  SELECT g, v, c,
+         coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS less
+  FROM pv
+),
+tot AS (SELECT g, sum(c)::BIGINT AS nd FROM pv GROUP BY 1),
+sgn AS (
+  SELECT o.g, o.v, (2*o.less + o.c - t.nd)::BIGINT AS s
+  FROM off o JOIN tot t USING (g)
+),
+u AS (
+  SELECT x.g, x.t,
+         sum(s.s) OVER (PARTITION BY x.g ORDER BY x.t
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS u
+  FROM x JOIN sgn s ON x.g = s.g AND x.v = s.v
+),
+mx AS (SELECT g, max(t) AS tmax FROM u GROUP BY 1),
+best AS (
+  SELECT g, k, t FROM (
+    SELECT u.g, abs(u.u)::BIGINT AS k, u.t,
+           row_number() OVER (PARTITION BY u.g
+                              ORDER BY abs(u.u) DESC, u.t ASC) AS rn
+    FROM u JOIN mx ON u.g = mx.g AND u.t < mx.tmax
+  ) WHERE rn = 1
+)
+SELECT b.g AS event_type, tot.nd AS n_days, b.t AS t_star, b.k AS k_stat,
+       round(least(1.0, 2.0 * exp(-6.0 * b.k::DOUBLE * b.k::DOUBLE
+             / (tot.nd::DOUBLE * tot.nd * tot.nd
+                + tot.nd::DOUBLE * tot.nd))) * 1e9)::BIGINT AS p_e9
+FROM best b JOIN tot ON b.g = tot.g
+ORDER BY event_type
+"""
+
+
 def q_acf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1..3 autocorrelation of daily event volumes per type — the
     seasonality/momentum screen beside `dow_seasonality`'s weekday
@@ -2975,6 +3122,83 @@ SELECT g AS l_returnflag, n_rows,
                        * 1e6)::BIGINT
        END AS rho_e6
 FROM sums ORDER BY l_returnflag
+"""
+
+
+def q_anderson_darling_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-sample Anderson-Darling A² across the five order priorities'
+    total-price distributions — the tail-weighted companion to
+    `kruskal_priority` (location) and `ks_price_drift` (max gap) on
+    the same slice. See
+    :func:`..operators.profile.anderson_darling_k` (doubled-count
+    integral cumulatives over a dense k×L grid, per-(group, value)
+    terms e9-snapped, exact long reduction)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        anderson_darling_k,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+    )
+    return anderson_darling_k(orders, "vc", "o_orderpriority")
+
+
+Q_ANDERSON_DARLING_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+pv AS (SELECT g, v, count(*)::BIGINT AS f FROM o GROUP BY 1, 2),
+vals AS (SELECT v, sum(f)::BIGINT AS l FROM pv GROUP BY 1),
+grps AS (SELECT g, sum(f)::BIGINT AS ni FROM pv GROUP BY 1),
+dense AS (
+  SELECT gr.g, va.v, gr.ni, coalesce(pv.f, 0)::BIGINT AS f
+  FROM vals va CROSS JOIN grps gr
+  LEFT JOIN pv ON pv.g = gr.g AND pv.v = va.v
+),
+cums AS (
+  SELECT g, v, ni, f,
+         coalesce(sum(f) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS off
+  FROM dense
+),
+vcum AS (
+  SELECT v, l,
+         coalesce(sum(l) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS offl
+  FROM vals
+),
+tot AS (SELECT sum(l)::BIGINT AS n, count(*)::BIGINT AS n_vals FROM vals),
+kk AS (SELECT count(*)::BIGINT AS k FROM grps),
+terms AS (
+  SELECT (tot.n::HUGEINT * (2*c.off + c.f)
+          - c.ni::HUGEINT * (2*w.offl + w.l)) AS num,
+         (2::HUGEINT * tot.n * (2*w.offl + w.l)
+          - (2*w.offl + w.l)::HUGEINT * (2*w.offl + w.l)
+          - tot.n::HUGEINT * w.l) AS den,
+         w.l, c.ni, tot.n
+  FROM cums c JOIN vcum w USING (v), tot
+),
+s AS (
+  SELECT sum(CASE WHEN den > 0 THEN
+           round(l::DOUBLE * (num::DOUBLE * num::DOUBLE)
+                 / (den::DOUBLE * (ni::DOUBLE * n::DOUBLE))
+                 * 1e9)::BIGINT
+         ELSE 0 END)::BIGINT AS s_e9
+  FROM terms
+)
+SELECT tot.n, kk.k, tot.n_vals,
+       CASE WHEN kk.k > 1 AND tot.n_vals > 1 THEN
+         round((tot.n - 1)::DOUBLE / tot.n::DOUBLE
+               * (s.s_e9::DOUBLE / 1e9) * 1e6)::BIGINT
+       END AS a2_e6
+FROM s, tot, kk
 """
 
 

@@ -198,6 +198,29 @@ SPECS: dict[str, QuerySpec] = {
     "kruskal_priority": QuerySpec(
         AN.q_kruskal_priority, AN.Q_KRUSKAL_ORACLE, ("analytics", "agg")
     ),
+    # r15 additions (X-A50..53, X-S22, X-T31)
+    "cliffs_delta_price": QuerySpec(
+        AN.q_cliffs_delta_price, AN.Q_CLIFFS_DELTA_ORACLE, ("analytics", "agg")
+    ),
+    "effect_size_urgent": QuerySpec(
+        AN.q_effect_size_urgent, AN.Q_EFFECT_SIZE_ORACLE, ("analytics", "agg")
+    ),
+    "anderson_darling_priority": QuerySpec(
+        AN.q_anderson_darling_priority,
+        AN.Q_ANDERSON_DARLING_ORACLE,
+        ("analytics", "agg"),
+    ),
+    "pettitt_daily_volume": QuerySpec(
+        AN.q_pettitt_daily_volume,
+        AN.Q_PETTITT_ORACLE,
+        ("analytics", "temporal"),
+    ),
+    "source_js_divergence": QuerySpec(
+        TR.q_source_js_divergence, TR.Q_SOURCE_JS_ORACLE, ("text", "analytics")
+    ),
+    "ivf_label_ari": QuerySpec(
+        TR.q_ivf_label_ari, TR.Q_IVF_LABEL_ARI_ORACLE, ("similarity",)
+    ),
     "token_pmi": QuerySpec(
         TR.q_token_pmi, TR.Q_TOKEN_PMI_ORACLE, ("text", "agg")
     ),
@@ -950,71 +973,70 @@ SPECS: dict[str, QuerySpec] = {
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
-    # r14 rotation (tools/window_planner.py policy, base 675ba0a):
-    # (a) the 13 queries born this round — driver-checked immediately
-    "kendall_qty_discount",
-    "w1_price_drift",
-    "energy_price_drift",
-    "psi_price_drift",
+    # r15 rotation (tools/window_planner.py policy, base 2bcf40c):
+    # (a) the 6 queries born this round — driver-checked immediately
+    "cliffs_delta_price",
+    "effect_size_urgent",
+    "anderson_darling_priority",
+    "pettitt_daily_volume",
+    "source_js_divergence",
+    "ivf_label_ari",
+    # (b) semantically changed this round — re-earns its row: the
+    # ANOVA reduction moved from an unordered double F.sum to the
+    # fixed-order fold and its oracle gained ORDER BY g (r14 advisor
+    # item 3); welch/mwu/ks share the module but are value-untouched
     "anova_price_priority",
-    "welch_price_urgent",
-    "cramers_v_event_dow",
-    "pearson_lineitem",
-    "kcore_from_edges",
-    "pagerank_from_edges",
-    "triangles_from_edges",
-    "label_prop_from_edges",
-    "assortativity_from_edges",
-    # (b) the ENTIRE oldest-evidence cohort (last driver hash r08; r13
-    # verdict item 8 asked for >=15 of these — all 24 seated, clearing
-    # the debt in one window)
-    "embedding_effective_rank",
-    "embedding_gram",
-    "hard_negatives",
-    "hashed_doc_vectors",
-    "histogram_totalprice",
-    "ivf_nprobe_sweep",
-    "ivfpq_topk",
-    "kcenter_coreset",
-    "keyset_page",
-    "label_centroids",
-    "length_quality_grid",
-    "mad_normalize",
-    "ngram_novelty",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "session_cooccurrence",
-    "session_paths",
-    "skew_report",
-    "source_interleave",
-    "source_kl_drift",
-    "source_lang_mi",
-    "video_scene_changes",
-    "vocab_edit_pairs",
-    "zipf_fit",
-    # (c) semantically changed this round — re-earn their rows: the
-    # rank-test family (DECIMAL promotion + shared NULL policy +
-    # from_pairs/from_counts refactors), the refactored graph censuses
-    # (shared _assortativity_over; edge-store seam), the text overlap
-    # refactor, and the prefix-sum consumers profile.py reshaped around
-    "mann_whitney_price",
-    "ks_price_drift",
-    "kruskal_priority",
-    "spearman_qty_price",
-    "acf_daily_volume",
-    "cusum_changepoints",
-    "graph_assortativity",
-    "kcore_celled",
-    "vocab_overlap",
-    "vocab_heaps",
-    "gini_order_totals",
-    "lorenz_curve",
-    "equidepth_price_histogram",
-    # (the r14-born batch displaced five indirect module-change
-    # re-earners: kaplan_meier, theil_by_priority, woe_iv_bins and the
-    # two remaining celled twins — all judge-conformance-green every
-    # pytest run and untouched at the operator level)
+    # (c) the ENTIRE oldest-evidence cohort (last driver hash r09 —
+    # 41 queries; clears the r09 debt in one window like r14 cleared
+    # r08's)
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "asof_join",
+    "bigint_arith",
+    "bm25_topk",
+    "budget_select",
+    "camel_case",
+    "cdc_chunks",
+    "cdc_dup_stats",
+    "clean_corpus",
+    "corpus_datasheet",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_simhash",
+    "doremi_weights",
+    "dsir_log_ratio",
+    "dsir_select",
+    "dup_ngram_fraction",
+    "filter_range_scan",
+    "fk_deref_join",
+    "heavy_hitter_tokens",
+    "hex_roundtrip",
+    "lm_unigram_score",
+    "pack_sequences",
+    "pack_split_sequences",
+    "pii_redaction",
+    "pq_codes",
+    "q9_product_profit",
+    "quality_percentiles",
+    "stratified_sample",
+    "temperature_mix",
+    "text_entropy",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "unimax_alloc",
+    "vocab_topk",
+    "watermark_max_block",
+    "window_session",
+    # (d) 2 r10-evidence anchors starting the next-oldest cohort
+    "assoc_rules",
+    "kmv_distinct_tokens",
+    # (the 13 r14-born queries rotate out multi-round-green; all 256
+    # oracled queries stay locally gated every pytest run)
 ]
+
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50

@@ -526,6 +526,53 @@ cells AS MATERIALIZED (
 Q_ANN_IVF_CELLS_ORACLE = _ivf_cells_oracle()
 
 
+def q_ivf_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the IVF coarse-quantizer cells and
+    the embeddings' labels — does the unsupervised geometry recover
+    the labeled structure? The single-number agreement grade beside
+    `ivf_silhouette` (internal cohesion) and
+    `nearest_centroid_confusion` (supervised view). The oracle
+    replays the shared unrolled-k-means quantizer and the exact
+    doubled-pair-count ARI. See
+    :func:`..operators.evaluate.adjusted_rand_index`."""
+    from rootstock_collective_state_sync_spark.operators.evaluate import (
+        adjusted_rand_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = S.ivf_cell_assignments(emb, num_cells=16).select(
+        "vec_id", "cell"
+    )
+    labeled = cells.join(emb.select("vec_id", "label"), "vec_id")
+    return adjusted_rand_index(labeled, "cell", "label")
+
+
+Q_IVF_LABEL_ARI_ORACLE = _ivf_cells_oracle(tail=""",
+ct AS (
+  SELECT c.cell AS a, e.label AS b, count(*)::BIGINT AS c
+  FROM cells c JOIN embeddings e USING (vec_id)
+  WHERE e.label IS NOT NULL
+  GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(c)::BIGINT AS ca FROM ct GROUP BY 1),
+rb AS (SELECT b, sum(c)::BIGINT AS cb FROM ct GROUP BY 1),
+agg AS (
+  SELECT (SELECT sum(c)::BIGINT FROM ct) AS n,
+         (SELECT count(*)::BIGINT FROM ra) AS n_a,
+         (SELECT count(*)::BIGINT FROM rb) AS n_b,
+         (SELECT sum(c::HUGEINT * (c - 1)) FROM ct) AS s2,
+         (SELECT sum(ca::HUGEINT * (ca - 1)) FROM ra) AS a2,
+         (SELECT sum(cb::HUGEINT * (cb - 1)) FROM rb) AS b2
+)
+SELECT n, n_a, n_b,
+       CASE WHEN (n::HUGEINT * (n - 1) * (a2 + b2) - 2 * a2 * b2) <> 0
+            THEN round((2 * n::HUGEINT * (n - 1) * s2 - 2 * a2 * b2)::DOUBLE
+                       / (n::HUGEINT * (n - 1) * (a2 + b2)
+                          - 2 * a2 * b2)::DOUBLE * 1e6)::BIGINT
+       END AS ari_e6
+FROM agg""")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via sign-LSH bucketing (the scale path),
     value-checked END-TO-END: every stage is deterministic (md5
@@ -1248,6 +1295,67 @@ terms AS (
 SELECT src AS source, n_src AS n_tokens,
        sum(t9)::BIGINT AS kl_e9,
        round(sum(t9)::DOUBLE / 1e9, 6) AS kl
+FROM terms GROUP BY src, n_src ORDER BY source
+"""
+
+
+def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source JSD(P_source ‖ P_corpus) over the top-64 corpus
+    tokens — the bounded/symmetric dashboard companion to
+    `source_kl_drift` on the same vocabulary. The oracle replays
+    vocabulary selection, add-one smoothing, the per-term e9
+    rounding, and the integer sum."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        source_js_divergence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_js_divergence(docs, vocab_size=64).orderBy("source")
+
+
+Q_SOURCE_JS_ORACLE = """
+WITH tk AS (
+  SELECT source AS src,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+  FROM documents
+),
+corpus AS (SELECT term, count(*)::BIGINT AS c_all FROM tk GROUP BY term),
+vocab AS (
+  SELECT term, c_all FROM corpus ORDER BY c_all DESC, term ASC LIMIT 64
+),
+vtot AS (SELECT sum(c_all)::BIGINT AS n_all, count(*)::BIGINT AS v FROM vocab),
+sc AS (
+  SELECT t.src, t.term, count(*)::BIGINT AS c_src
+  FROM tk t JOIN vocab USING (term) GROUP BY t.src, t.term
+),
+st AS (
+  SELECT a.src, coalesce(h.n_src, 0)::BIGINT AS n_src
+  FROM (SELECT DISTINCT src FROM tk) a
+  LEFT JOIN (SELECT src, sum(c_src)::BIGINT AS n_src FROM sc GROUP BY src) h
+    ON a.src = h.src
+),
+grid AS (
+  SELECT st.src, st.n_src, v.term, v.c_all, coalesce(sc.c_src, 0) AS c_src
+  FROM st CROSS JOIN vocab v
+  LEFT JOIN sc ON sc.src = st.src AND sc.term = v.term
+),
+pq AS (
+  SELECT src, n_src,
+         (c_src + 1)::DOUBLE / (n_src + vtot.v) AS p,
+         (c_all + 1)::DOUBLE / (vtot.n_all + vtot.v) AS q
+  FROM grid CROSS JOIN vtot
+),
+terms AS (
+  SELECT src, n_src,
+         round((p * ln(p / ((p + q) / 2.0))
+                + q * ln(q / ((p + q) / 2.0))) / 2.0
+               * 1e9, 0)::BIGINT AS t9
+  FROM pq
+)
+SELECT src AS source, n_src AS n_tokens,
+       sum(t9)::BIGINT AS jsd_e9,
+       round(sum(t9)::DOUBLE / 1e9, 6) AS jsd
 FROM terms GROUP BY src, n_src ORDER BY source
 """
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from rootstock_collective_state_sync_spark.operators.profile import (
     anova_from_moments,
+    effect_size_from_moments,
     welch_from_moments,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
@@ -58,8 +59,10 @@ def moments_foreach_batch(
 ):
     """Return the ``foreachBatch`` function merging each batch's
     per-group moments into ``store`` and writing the post-merge ANOVA
-    row under ``<scores_path>/anova`` and the Welch row (``a_groups``
-    vs rest) under ``<scores_path>/welch``. ``value_col`` must be
+    row under ``<scores_path>/anova``, the Welch row (``a_groups``
+    vs rest) under ``<scores_path>/welch``, and the Cohen's d /
+    Hedges' g row under ``<scores_path>/cohend`` (one store, THREE
+    reports as of r15). ``value_col`` must be
     integer-typed (fixed-point policy)."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -96,13 +99,18 @@ def moments_foreach_batch(
                 F.sum("q").cast(dec).alias("q"),
             )
         )
-        merged = merged.localCheckpoint(eager=True)  # two renders, one scan
+        merged = merged.localCheckpoint(eager=True)  # three renders, one scan
         write_batch_scores(
             anova_from_moments(merged), f"{scores_path}/anova", batch_id
         )
         write_batch_scores(
             welch_from_moments(merged, a_groups),
             f"{scores_path}/welch",
+            batch_id,
+        )
+        write_batch_scores(
+            effect_size_from_moments(merged, a_groups),
+            f"{scores_path}/cohend",
             batch_id,
         )
         store.overwrite(merged, meta={"batch_id": int(batch_id)})

@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 
 from rootstock_collective_state_sync_spark.operators.profile import (
     anova_oneway,
+    effect_size,
     welch_t,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
@@ -41,7 +42,11 @@ def _at_rest(df):
         tuple(r)
         for r in welch_t(df, "vc", "o_orderpriority", A_GROUPS).collect()
     )
-    return an, we
+    cd = sorted(
+        tuple(r)
+        for r in effect_size(df, "vc", "o_orderpriority", A_GROUPS).collect()
+    )
+    return an, we, cd
 
 
 def _read(spark, path, batch_id):
@@ -137,13 +142,15 @@ def test_stream_equals_at_rest_at_every_prefix(spark, tmp_path):
         store, str(tmp_path / "scores"), "vc", "o_orderpriority", A_GROUPS
     )
     step(b1, 0)
-    an1, we1 = _at_rest(b1)
+    an1, we1, cd1 = _at_rest(b1)
     assert _read(spark, str(tmp_path / "scores/anova"), 0) == an1
     assert _read(spark, str(tmp_path / "scores/welch"), 0) == we1
+    assert _read(spark, str(tmp_path / "scores/cohend"), 0) == cd1
     step(b2, 1)
-    an2, we2 = _at_rest(orders)
+    an2, we2, cd2 = _at_rest(orders)
     assert _read(spark, str(tmp_path / "scores/anova"), 1) == an2
     assert _read(spark, str(tmp_path / "scores/welch"), 1) == we2
+    assert _read(spark, str(tmp_path / "scores/cohend"), 1) == cd2
     assert an1 != an2  # the prefix moved the statistic
     # replay no-op
     v = store.current_version()
@@ -154,7 +161,7 @@ def test_stream_equals_at_rest_at_every_prefix(spark, tmp_path):
 
 def test_batch_split_invariance(spark, tmp_path):
     orders = _orders(spark).cache()
-    want_an, want_we = _at_rest(orders)
+    want_an, want_we, want_cd = _at_rest(orders)
     for si, k in enumerate((2, 4)):
         store = VersionedTable(spark, tmp_path / f"store{si}")
         step = moments_foreach_batch(
@@ -164,6 +171,7 @@ def test_batch_split_invariance(spark, tmp_path):
             step(orders.filter(F.col("o_orderkey") % k == i), i)
         assert _read(spark, str(tmp_path / f"s{si}/anova"), k - 1) == want_an
         assert _read(spark, str(tmp_path / f"s{si}/welch"), k - 1) == want_we
+        assert _read(spark, str(tmp_path / f"s{si}/cohend"), k - 1) == want_cd
     orders.unpersist()
 
 def test_anova_partition_order_invariance(spark):
