@@ -1679,6 +1679,15 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """:func:`q_cusum_changepoints` from the per-(type, day) count
+    table — the mergeable-summary form (daily counts over disjoint
+    row sets add exactly), so the CUSUM census is incrementally
+    maintainable from the X-ST25 daily-volume store
+    (``streaming/dailyvol.py``)."""
     means = daily.groupBy("event_type").agg(
         F.expr("sum(n) * 1000000 div count(1)").cast("long").alias("mean_e6")
     )
@@ -2831,6 +2840,13 @@ def q_pettitt_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return pettitt_from_daily(daily)
+
+
+def pettitt_from_daily(daily: DataFrame) -> DataFrame:
+    """:func:`q_pettitt_daily_volume` from the per-(type, day) count
+    table — the mergeable-summary form shared with
+    :func:`cusum_from_daily` (one X-ST25 store, multiple censuses)."""
     base = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
     x = daily.join(F.broadcast(base), "event_type").select(
         "event_type",

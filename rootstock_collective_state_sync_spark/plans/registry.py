@@ -208,7 +208,10 @@ SPECS: dict[str, QuerySpec] = {
     "anderson_darling_priority": QuerySpec(
         AN.q_anderson_darling_priority,
         AN.Q_ANDERSON_DARLING_ORACLE,
-        ("analytics", "agg"),
+        # bench-seated at birth: the newest heavy prefix-sum consumer
+        # (two towers + the dense k×L grid) gets per-round wall-clock
+        # tracking from day one (the r13 kcore lesson)
+        ("analytics", "agg", "bench"),
     ),
     "pettitt_daily_volume": QuerySpec(
         AN.q_pettitt_daily_volume,

@@ -1,0 +1,92 @@
+"""Incremental daily-volume censuses (X-ST25): ONE (event_type, day,
+n) count store renders BOTH the Pettitt changepoint test (X-A52) and
+the CUSUM changepoint census (X-A30) at every stream prefix — the
+X-ST21/22/23/24 "one store, N reports" split applied to the
+calendar-spine family.
+
+Neither census is mergeable (a changepoint found in two halves is not
+the changepoint of the union; the CUSUM mean/threshold move with
+every batch), but their shared sufficient statistic is: per-(type,
+day) event counts over disjoint row sets add exactly, so the store
+merge is a plain integer sum and each batch re-renders the
+at-rest operators (:func:`..plans.analytics.pettitt_from_daily` /
+:func:`..plans.analytics.cusum_from_daily`) over the merged spine —
+bit-equal to at-rest over the same rows
+(``tests/test_streaming_dailyvol.py``). Order-invariant bag
+aggregate — no arrival contract; a replayed batch is a no-op via the
+:mod:`.replay` batch_id guard.
+
+Scale shape: per micro-batch one map-side-combined (type, day) count
+aggregate + a keyed merge proportional to the batch's distinct days;
+store state is the DAYS-SPINE size (#types × #days) — calendar-
+bounded forever, the same contract the at-rest plans document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from rootstock_collective_state_sync_spark.plans.analytics import (
+    cusum_from_daily,
+    pettitt_from_daily,
+)
+from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
+from rootstock_collective_state_sync_spark.streaming.replay import (
+    batch_already_applied,
+    write_batch_scores,
+)
+
+STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("day", T.TimestampNTZType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def dailyvol_foreach_batch(
+    store: VersionedTable,
+    scores_path: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Return the ``foreachBatch`` function merging each batch's
+    per-(type, day) counts into ``store`` and writing the post-merge
+    Pettitt report under ``<scores_path>/pettitt`` and the CUSUM
+    top-3 census under ``<scores_path>/cusum``."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        created = store.create_if_not_exists(
+            STORE_SCHEMA, merge_keys=["event_type", "day"], num_buckets=8
+        )
+        if not created and batch_already_applied(store, batch_id):
+            return
+        batch_counts = (
+            batch_df.select(
+                F.col(type_col).alias("event_type"),
+                F.date_trunc("day", F.col(ts_col)).alias("day"),
+            )
+            .filter(F.col("day").isNotNull())
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        merged = (
+            store.read()
+            .select("event_type", "day", "n")
+            .unionByName(batch_counts)
+            .groupBy("event_type", "day")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        merged = merged.localCheckpoint(eager=True)  # 2 renders, 1 scan
+        write_batch_scores(
+            pettitt_from_daily(merged), f"{scores_path}/pettitt", batch_id
+        )
+        write_batch_scores(
+            cusum_from_daily(merged), f"{scores_path}/cusum", batch_id
+        )
+        store.overwrite(merged, meta={"batch_id": int(batch_id)})
+
+    return step
