@@ -222,6 +222,68 @@ FROM base ORDER BY o_orderkey
 """
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the same (customer, day)
+    plane as `zorder_key` — the locality-tighter layout alternative
+    (adjacent indexes are always grid neighbors, so file ranges cover
+    compact rectangles). The oracle walks the SAME derived automaton
+    LUT bit-by-bit through 16 chained CTE steps, so the driver
+    hash-checks the whole state machine."""
+    from rootstock_collective_state_sync_spark.operators import layout as L
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust_lo = (F.col("o_custkey") % 65536).alias("cust_lo")
+    day_num = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).alias("day_num")
+    base = orders.select("o_orderkey", cust_lo, day_num)
+    return base.select(
+        "o_orderkey",
+        "cust_lo",
+        F.col("day_num").cast("long").alias("day_num"),
+        L.hilbert_key(F.col("cust_lo"), F.col("day_num")).alias("hkey"),
+    ).orderBy("o_orderkey")
+
+
+def _hilbert_oracle(bits: int = 16) -> str:
+    """Generate the chained-CTE DuckDB walk of the SAME automaton LUT
+    the Spark operator uses (one CTE per bit, state/d threaded
+    through — the `_ivf_cells_oracle` generated-oracle pattern)."""
+    from rootstock_collective_state_sync_spark.operators.layout import (
+        HILBERT_LUT,
+    )
+
+    lut = "[" + ", ".join(str(v) for v in HILBERT_LUT) + "]"
+    parts = [f"""
+WITH base AS (
+  SELECT o_orderkey,
+         (o_custkey % 65536)::BIGINT AS cust_lo,
+         date_diff('day', DATE '1992-01-01',
+                   o_orderdate::DATE)::BIGINT AS day_num
+  FROM orders
+),
+h{bits} AS (SELECT *, 0::BIGINT AS st, 0::BIGINT AS d FROM base)"""]
+    for i in range(bits - 1, -1, -1):
+        parts.append(f""",
+h{i} AS (
+  SELECT o_orderkey, cust_lo, day_num,
+         ({lut}[(st * 4 + ((cust_lo >> {i}) & 1) * 2
+                 + ((day_num >> {i}) & 1) + 1)::INT] & 7)::BIGINT AS st,
+         (d * 4 + ({lut}[(st * 4 + ((cust_lo >> {i}) & 1) * 2
+                 + ((day_num >> {i}) & 1) + 1)::INT] >> 3))::BIGINT AS d
+  FROM h{i + 1}
+)""")
+    parts.append("""
+SELECT o_orderkey, cust_lo, day_num, d AS hkey
+FROM h0 ORDER BY o_orderkey
+""")
+    return "".join(parts)
+
+
+Q_HILBERT_KEY_ORACLE = _hilbert_oracle()
+
+
+
 # ---------------------------------------------------------------------------
 # multimodal: real image resize (PPM), full-value oracled
 # ---------------------------------------------------------------------------

@@ -224,6 +224,9 @@ SPECS: dict[str, QuerySpec] = {
     "ivf_label_ari": QuerySpec(
         TR.q_ivf_label_ari, TR.Q_IVF_LABEL_ARI_ORACLE, ("similarity",)
     ),
+    "hilbert_key": QuerySpec(
+        CU.q_hilbert_key, CU.Q_HILBERT_KEY_ORACLE, ("layout", "scalar")
+    ),
     "token_pmi": QuerySpec(
         TR.q_token_pmi, TR.Q_TOKEN_PMI_ORACLE, ("text", "agg")
     ),
@@ -977,7 +980,8 @@ SPECS: dict[str, QuerySpec] = {
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
     # r15 rotation (tools/window_planner.py policy, base 2bcf40c):
-    # (a) the 6 queries born this round — driver-checked immediately
+    # (a) the 7 queries born this round — driver-checked immediately
+    #     (hilbert_key seated in slot 49)
     "cliffs_delta_price",
     "effect_size_urgent",
     "anderson_darling_priority",
@@ -1033,9 +1037,9 @@ _DRIVER_WINDOW = [
     "vocab_topk",
     "watermark_max_block",
     "window_session",
-    # (d) 2 r10-evidence anchors starting the next-oldest cohort
+    "hilbert_key",
+    # (d) 1 r10-evidence anchor starting the next-oldest cohort
     "assoc_rules",
-    "kmv_distinct_tokens",
     # (the 13 r14-born queries rotate out multi-round-green; all 256
     # oracled queries stay locally gated every pytest run)
 ]

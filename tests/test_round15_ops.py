@@ -284,3 +284,113 @@ def test_source_js_divergence_bounds_and_symmetry(spark):
         assert 0 <= r["jsd_e9"] <= ln2_e9 + 1
     assert out["s1"]["jsd_e9"] == out["s2"]["jsd_e9"]
     assert out["s3"]["jsd_e9"] > out["s1"]["jsd_e9"]
+
+
+def test_hilbert_lut_matches_textbook_xy2d(spark):
+    """The derived automaton LUT == the classic rotate/flip loop
+    (independent implementations), exhaustively at 4 bits and on the
+    Hilbert adjacency property (consecutive indexes are always grid
+    neighbors — the locality claim zorder cannot make)."""
+    from rootstock_collective_state_sync_spark.operators.layout import (
+        HILBERT_LUT,
+    )
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def lut_d(bits, x, y):
+        st = d = 0
+        for i in range(bits - 1, -1, -1):
+            val = HILBERT_LUT[st * 4 + ((x >> i) & 1) * 2 + ((y >> i) & 1)]
+            d = d * 4 + (val >> 3)
+            st = val & 7
+        return d
+
+    assert all(
+        xy2d(16, x, y) == lut_d(4, x, y)
+        for x in range(16)
+        for y in range(16)
+    )
+    pts = {xy2d(16, x, y): (x, y) for x in range(16) for y in range(16)}
+    assert all(
+        abs(pts[i][0] - pts[i + 1][0]) + abs(pts[i][1] - pts[i + 1][1]) == 1
+        for i in range(255)
+    )
+
+
+def test_hilbert_key_expression_matches_lut_walk(spark):
+    from rootstock_collective_state_sync_spark.operators import layout as L
+
+    rows = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 2, 7, 300)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["h"]
+        for r in df.select(
+            "a", "b", L.hilbert_key(F.col("a"), F.col("b")).alias("h")
+        ).collect()
+    }
+
+    def lut_d(bits, x, y):
+        from rootstock_collective_state_sync_spark.operators.layout import (
+            HILBERT_LUT,
+        )
+
+        st = d = 0
+        for i in range(bits - 1, -1, -1):
+            val = HILBERT_LUT[st * 4 + ((x >> i) & 1) * 2 + ((y >> i) & 1)]
+            d = d * 4 + (val >> 3)
+            st = val & 7
+        return d
+
+    assert got == {(x, y): lut_d(16, x, y) for x, y in rows}
+
+
+def test_hilbert_clustering_bounds_both_dimensions(spark, tmp_path):
+    """The layout claim, asserted on the artifact itself: after a
+    Hilbert-clustered write, each file's (min, max) bounding box —
+    what parquet footer stats expose to any pruning reader — overlaps
+    a one-eighth slice of EITHER dimension for well under half the
+    files. (A single-column sort gives this on one dimension and
+    nothing on the other; Hilbert gives it on both.) Results also
+    equal a full scan — layout never changes semantics."""
+    from rootstock_collective_state_sync_spark.operators import layout as L
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "hc")
+    L.write_hilbert_clustered(df, path, "x", "y", num_files=16, bits=6)
+    back = spark.read.parquet(path)
+    boxes = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("x").alias("mnx"),
+            F.max("x").alias("mxx"),
+            F.min("y").alias("mny"),
+            F.max("y").alias("mxy"),
+        )
+        .collect()
+    )
+    total = len(boxes)
+    assert total >= 8
+    x_hits = sum(1 for b in boxes if b["mnx"] < 8)
+    y_hits = sum(1 for b in boxes if b["mny"] < 8)
+    assert 0 < x_hits < total / 2, (x_hits, total)
+    assert 0 < y_hits < total / 2, (y_hits, total)
+    for cond in ("x < 8", "y < 8"):
+        got = sorted(tuple(r) for r in back.filter(cond).collect())
+        want = sorted(tuple(r) for r in df.filter(cond).collect())
+        assert got == want, cond
