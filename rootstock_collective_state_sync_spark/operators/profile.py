@@ -2398,6 +2398,112 @@ def psi_from_counts(per_v: DataFrame, buckets: int = 10) -> DataFrame:
     )
 
 
+def hellinger_distance(
+    df: DataFrame,
+    value_col: str,
+    group_expr: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Exact Hellinger distance between the ``group_expr`` slice and
+    its complement over the reference side's equi-depth decile
+    buckets (X-A54) — the BOUNDED drift number beside PSI's
+    per-bucket attribution: ``H = √(1 − Σ√(p_i·q_i))`` is a metric in
+    [0, 1] (1 = disjoint supports), finite where PSI's log explodes
+    on empty buckets, so drift magnitudes are comparable across
+    features on one scale. Same bucket construction as
+    `population_stability` (reference-side deciles, tie-split
+    invariant), same ``(v, c, ca)`` sufficient statistic — the
+    X-ST21 store's SEVENTH report.
+
+    Each bucket's ``√(p_i·q_i)`` (the Bhattacharyya coefficient term)
+    is one fixed-operand-order double, e9-snapped before the exact
+    long sum (the per-term discipline); the final ``√(1 − BC)`` is
+    one more fixed expression e6-snapped. One row: ``(n_a, n_b,
+    n_buckets, bc_e9, h_e6)`` — NULL statistics when either side is
+    empty. ``value_col`` must be integer-typed; NULLs drop (the
+    shared rank-test policy)."""
+    per_v = (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.expr(group_expr).cast("long").alias("a"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("a").cast("long").alias("ca"),
+        )
+    )
+    return hellinger_from_counts(per_v, buckets)
+
+
+def hellinger_from_counts(per_v: DataFrame, buckets: int = 10) -> DataFrame:
+    """:func:`hellinger_distance` from the shared ``(v, c, ca)``
+    per-value count table (the MWU/KS/W1/energy/PSI/Cliff store)."""
+    B = int(buckets)
+    ref = per_v.filter(F.col("ca") > 0).select("v", F.col("ca").alias("c"))
+    edges_rows = (
+        equidepth_from_counts(ref, B).select("bucket", "hi").collect()
+    )
+    hi_by_bucket = {int(r["bucket"]): r["hi"] for r in edges_rows}
+    n_found = len(hi_by_bucket)
+    edges = [hi_by_bucket[b] for b in sorted(hi_by_bucket)][
+        : max(0, n_found - 1)
+    ]
+    bkt = F.lit(1)
+    for e in edges:
+        bkt = bkt + (F.col("v") > F.lit(e)).cast("int")
+    per_b = (
+        per_v.withColumn("cb", (F.col("c") - F.col("ca")).cast("long"))
+        .withColumn("bucket", bkt.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("ca").cast("long").alias("n_a"),
+            F.sum("cb").cast("long").alias("n_b"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("ta"),
+        F.sum((F.col("c") - F.col("ca"))).cast("long").alias("tb"),
+    )
+    t_e9 = F.round(
+        F.sqrt(
+            (F.col("n_a").cast("double") / F.col("ta").cast("double"))
+            * (F.col("n_b").cast("double") / F.col("tb").cast("double"))
+        )
+        * 1e9,
+        0,
+    ).cast("long")
+    agg = (
+        per_b.crossJoin(F.broadcast(tot))
+        .select(
+            "ta",
+            "tb",
+            F.when((F.col("ta") > 0) & (F.col("tb") > 0), t_e9)
+            .otherwise(F.lit(None))
+            .alias("t9"),
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("t9").cast("long").alias("bc_e9"),
+        )
+    )
+    ok = (F.col("ta") > 0) & (F.col("tb") > 0)
+    h = F.sqrt(
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("bc_e9").cast("double") / 1e9
+        )
+    )
+    return agg.select(
+        F.col("ta").alias("n_a"),
+        F.col("tb").alias("n_b"),
+        "n_buckets",
+        F.when(ok, F.col("bc_e9")).alias("bc_e9"),
+        F.when(ok, F.round(h * 1e6, 0).cast("long")).alias("h_e6"),
+    )
+
+
 def pearson_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlation matrix over integer-typed columns
     (X-A49) — the linear-association screen beside Spearman/Kendall's

@@ -3721,6 +3721,71 @@ FROM per_b, tot ORDER BY bucket
 """
 
 
+def q_hellinger_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between urgent and non-urgent orders' total
+    prices over the urgent side's decile buckets — the bounded [0,1]
+    drift metric beside `psi_price_drift`'s per-bucket attribution on
+    the same slice. See
+    :func:`..operators.profile.hellinger_distance` (per-bucket
+    Bhattacharyya terms e9-snapped, exact long sum, one final √)."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        hellinger_distance,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"),
+        "o_orderpriority",
+    )
+    return hellinger_distance(
+        orders, "vc", "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    )
+
+
+Q_HELLINGER_ORACLE = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         (o_orderpriority IN ('1-URGENT', '2-HIGH'))::INT AS a
+  FROM orders
+),
+refb AS (
+  SELECT v, ntile(10) OVER (ORDER BY v) AS bucket
+  FROM o WHERE a = 1
+),
+hib AS (SELECT bucket, max(v) AS hi FROM refb GROUP BY 1),
+edges AS (
+  SELECT hi FROM hib WHERE bucket < (SELECT max(bucket) FROM hib)
+),
+assigned AS (
+  SELECT o.v, o.a,
+         1 + (SELECT count(*) FROM edges e WHERE o.v > e.hi) AS bucket
+  FROM o
+),
+per_b AS (
+  SELECT bucket, sum(a)::BIGINT AS n_a,
+         (count(*) - sum(a))::BIGINT AS n_b
+  FROM assigned GROUP BY 1
+),
+tot AS (
+  SELECT sum(a)::BIGINT AS ta, (count(*) - sum(a))::BIGINT AS tb FROM o
+),
+terms AS (
+  SELECT CASE WHEN ta > 0 AND tb > 0 THEN
+           round(sqrt((n_a::DOUBLE / ta::DOUBLE)
+                      * (n_b::DOUBLE / tb::DOUBLE)) * 1e9)::BIGINT
+         END AS t9,
+         ta, tb
+  FROM per_b, tot
+)
+SELECT ta AS n_a, tb AS n_b, count(*)::BIGINT AS n_buckets,
+       CASE WHEN ta > 0 AND tb > 0 THEN sum(t9)::BIGINT END AS bc_e9,
+       CASE WHEN ta > 0 AND tb > 0 THEN
+         round(sqrt(greatest(0.0, 1.0 - sum(t9)::DOUBLE / 1e9))
+               * 1e6)::BIGINT
+       END AS h_e6
+FROM terms GROUP BY ta, tb
+"""
+
+
 def q_pearson_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over lineitem's four
     measures (quantity, price cents, discount ticks, tax ticks) —

@@ -227,6 +227,11 @@ SPECS: dict[str, QuerySpec] = {
     "hilbert_key": QuerySpec(
         CU.q_hilbert_key, CU.Q_HILBERT_KEY_ORACLE, ("layout", "scalar")
     ),
+    "hellinger_price_drift": QuerySpec(
+        AN.q_hellinger_price_drift,
+        AN.Q_HELLINGER_ORACLE,
+        ("analytics", "agg"),
+    ),
     "token_pmi": QuerySpec(
         TR.q_token_pmi, TR.Q_TOKEN_PMI_ORACLE, ("text", "agg")
     ),
@@ -980,8 +985,8 @@ SPECS: dict[str, QuerySpec] = {
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
     # r15 rotation (tools/window_planner.py policy, base 2bcf40c):
-    # (a) the 7 queries born this round — driver-checked immediately
-    #     (hilbert_key seated in slot 49)
+    # (a) the 8 queries born this round — driver-checked immediately
+    #     (hilbert_key / hellinger_price_drift seated in slots 49-50)
     "cliffs_delta_price",
     "effect_size_urgent",
     "anderson_darling_priority",
@@ -1038,8 +1043,7 @@ _DRIVER_WINDOW = [
     "watermark_max_block",
     "window_session",
     "hilbert_key",
-    # (d) 1 r10-evidence anchor starting the next-oldest cohort
-    "assoc_rules",
+    "hellinger_price_drift",
     # (the 13 r14-born queries rotate out multi-round-green; all 256
     # oracled queries stay locally gated every pytest run)
 ]

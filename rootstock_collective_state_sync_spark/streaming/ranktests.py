@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from rootstock_collective_state_sync_spark.operators.profile import (
     cliffs_delta_from_counts,
+    hellinger_from_counts,
     energy_from_counts,
     psi_from_counts,
     wasserstein_from_counts,
@@ -59,10 +60,11 @@ def ranktests_foreach_batch(
     """Return the ``foreachBatch`` function merging each batch's
     per-value (total, group-A) counts into ``store`` and writing the
     post-merge MWU + KS + Wasserstein-1 + energy + PSI + Cliff's
-    delta reports under ``scores_path`` (subdirs ``mwu``/``ks``/
-    ``w1``/``energy``/``psi``/``cliffs`` — one store, SIX reports
-    as of r15: X-A50's effect size renders from the same
-    (v, c, ca) counts). ``value_col`` must be integer-typed (fixed-point
+    delta + Hellinger reports under ``scores_path`` (subdirs
+    ``mwu``/``ks``/``w1``/``energy``/``psi``/``cliffs``/``hellinger``
+    — one store, SEVEN reports as of r15: X-A50's effect size and
+    X-A54's bounded drift metric render from the same (v, c, ca)
+    counts). ``value_col`` must be integer-typed (fixed-point
     policy); ``group_expr`` is the SQL boolean defining group A."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -115,6 +117,11 @@ def ranktests_foreach_batch(
         write_batch_scores(
             cliffs_delta_from_counts(merged),
             f"{scores_path}/cliffs",
+            batch_id,
+        )
+        write_batch_scores(
+            hellinger_from_counts(merged),
+            f"{scores_path}/hellinger",
             batch_id,
         )
         store.overwrite(merged, meta={"batch_id": int(batch_id)})

@@ -394,3 +394,42 @@ def test_hilbert_clustering_bounds_both_dimensions(spark, tmp_path):
         got = sorted(tuple(r) for r in back.filter(cond).collect())
         want = sorted(tuple(r) for r in df.filter(cond).collect())
         assert got == want, cond
+
+
+def test_hellinger_zero_on_identical_and_bounded(spark):
+    """H = 0 exactly when both sides share one distribution (every
+    bucket's p == q makes BC = 1), and 0 <= H <= 1 always — the
+    boundedness PSI's log lacks on empty buckets."""
+    from rootstock_collective_state_sync_spark.operators.profile import (
+        hellinger_distance,
+    )
+
+    same = spark.createDataFrame(
+        [(v, a) for v in range(1, 101) for a in (True, False)],
+        "v long, a boolean",
+    )
+    got = hellinger_distance(same, "v", "a").collect()[0]
+    assert got["h_e6"] == 0 and got["bc_e9"] == 1_000_000_000
+    # disjoint supports, B above the reference max: the decile
+    # binning CLAMPS overflow into the LAST reference bucket (the
+    # documented PSI edge rule), so exactly one bucket is shared —
+    # p = 1/10 of A meets q = 1 of B there: BC = sqrt(0.1)
+    disj = spark.createDataFrame(
+        [(v, True) for v in range(100)]
+        + [(v + 1000, False) for v in range(100)],
+        "v long, a boolean",
+    )
+    got = hellinger_distance(disj, "v", "a").collect()[0]
+    want_bc = round(math.sqrt(0.1 * 1.0) * 1e9)
+    assert got["bc_e9"] == want_bc
+    assert got["h_e6"] == round(math.sqrt(1.0 - want_bc / 1e9) * 1e6)
+    # fully interleaved disjointness inside the reference range DOES
+    # drive H to 1: B occupies only values the reference never hits
+    # within the same buckets? — no: any B value lands in SOME
+    # reference bucket, so bucket-level H < 1 by construction unless
+    # a bucket has zero A mass, impossible for reference deciles.
+    # The binned H is a lower bound of the continuous H — expected.
+    # one side empty -> undefined, NULL (not 1)
+    one = spark.createDataFrame([(v, True) for v in range(50)], "v long, a boolean")
+    got = hellinger_distance(one, "v", "a").collect()[0]
+    assert got["h_e6"] is None and got["bc_e9"] is None

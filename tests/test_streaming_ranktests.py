@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from rootstock_collective_state_sync_spark.operators.profile import (
     cliffs_delta,
+    hellinger_distance,
     energy_distance,
     population_stability,
     ks_two_sample,
@@ -44,7 +45,10 @@ def _at_rest(df):
         tuple(r) for r in population_stability(df, "vc", GROUP).collect()
     )
     cd = sorted(tuple(r) for r in cliffs_delta(df, "vc", GROUP).collect())
-    return mwu, ks, w1, en, ps, cd
+    he = sorted(
+        tuple(r) for r in hellinger_distance(df, "vc", GROUP).collect()
+    )
+    return mwu, ks, w1, en, ps, cd, he
 
 
 def _read(spark, path, batch_id):
@@ -65,21 +69,23 @@ def test_stream_equals_at_rest_at_every_prefix(spark, tmp_path):
         store, str(tmp_path / "scores"), "vc", GROUP
     )
     step(b1, 0)
-    mwu1, ks1, w11, en1, ps1, cd1 = _at_rest(b1)
+    mwu1, ks1, w11, en1, ps1, cd1, he1 = _at_rest(b1)
     assert _read(spark, str(tmp_path / "scores/mwu"), 0) == mwu1
     assert _read(spark, str(tmp_path / "scores/ks"), 0) == ks1
     assert _read(spark, str(tmp_path / "scores/w1"), 0) == w11
     assert _read(spark, str(tmp_path / "scores/energy"), 0) == en1
     assert _read(spark, str(tmp_path / "scores/psi"), 0) == ps1
     assert _read(spark, str(tmp_path / "scores/cliffs"), 0) == cd1
+    assert _read(spark, str(tmp_path / "scores/hellinger"), 0) == he1
     step(b2, 1)
-    mwu2, ks2, w12, en2, ps2, cd2 = _at_rest(orders)
+    mwu2, ks2, w12, en2, ps2, cd2, he2 = _at_rest(orders)
     assert _read(spark, str(tmp_path / "scores/mwu"), 1) == mwu2
     assert _read(spark, str(tmp_path / "scores/ks"), 1) == ks2
     assert _read(spark, str(tmp_path / "scores/w1"), 1) == w12
     assert _read(spark, str(tmp_path / "scores/energy"), 1) == en2
     assert _read(spark, str(tmp_path / "scores/psi"), 1) == ps2
     assert _read(spark, str(tmp_path / "scores/cliffs"), 1) == cd2
+    assert _read(spark, str(tmp_path / "scores/hellinger"), 1) == he2
     # the prefix really moved the statistics (else the e2e is vacuous)
     assert mwu1 != mwu2
     # replay no-op
@@ -91,7 +97,8 @@ def test_stream_equals_at_rest_at_every_prefix(spark, tmp_path):
 
 def test_batch_split_invariance(spark, tmp_path):
     orders = _orders(spark).cache()
-    want_mwu, want_ks, want_w1, want_en, want_ps, want_cd = _at_rest(orders)
+    (want_mwu, want_ks, want_w1, want_en, want_ps, want_cd,
+     want_he) = _at_rest(orders)
     for si, k in enumerate((2, 4)):
         store = VersionedTable(spark, tmp_path / f"store{si}")
         step = ranktests_foreach_batch(
@@ -105,4 +112,8 @@ def test_batch_split_invariance(spark, tmp_path):
         assert _read(spark, str(tmp_path / f"s{si}/energy"), k - 1) == want_en
         assert _read(spark, str(tmp_path / f"s{si}/psi"), k - 1) == want_ps
         assert _read(spark, str(tmp_path / f"s{si}/cliffs"), k - 1) == want_cd
+        assert (
+            _read(spark, str(tmp_path / f"s{si}/hellinger"), k - 1)
+            == want_he
+        )
     orders.unpersist()
