@@ -155,10 +155,11 @@ def hilbert_key(c1: Column, c2: Column, bits: int = 16) -> Column:
     input contract as ``zorder_key`` (reduce dynamic range first).
 
     Pure JVM-side expression: one ``element_at`` on the broadcast
-    literal automaton LUT per bit, each step referencing the previous
-    state column expression ONCE — expression size linear in
-    ``bits`` (the k-core plan-growth rule applied at expression
-    level; a naive rotate/flip unroll grows ~4^bits)."""
+    literal automaton LUT per bit. Each step's ``val`` subtree embeds
+    the prior state chain, so the UNRESOLVED expression tree is
+    quadratic in ``bits`` (Catalyst CSE collapses the shared
+    subtrees); harmless at bits<=31 and far below the ~4^bits a naive
+    rotate/flip unroll would cost."""
     if not 1 <= bits <= 31:
         raise ValueError("bits must be in [1, 31]")
     a = c1.cast("bigint")

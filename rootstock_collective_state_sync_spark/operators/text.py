@@ -880,7 +880,9 @@ def source_kl_divergence(
         )
         .withColumn("n_src", F.coalesce("n_src", F.lit(0)))
     )
-    corpus_total = vocab.agg(F.sum("c_all")).first()[0]
+    # empty corpus -> SUM is NULL; coalesce to 0 so the (empty)
+    # grid renders an empty report instead of int(None) raising
+    corpus_total = vocab.agg(F.sum("c_all")).first()[0] or 0
     n_vocab = vocab.count()
     grid = (
         src_totals.crossJoin(F.broadcast(vocab))
@@ -962,7 +964,9 @@ def source_js_divergence(
         )
         .withColumn("n_src", F.coalesce("n_src", F.lit(0)))
     )
-    corpus_total = vocab.agg(F.sum("c_all")).first()[0]
+    # empty corpus -> SUM is NULL; coalesce to 0 so the (empty)
+    # grid renders an empty report instead of int(None) raising
+    corpus_total = vocab.agg(F.sum("c_all")).first()[0] or 0
     n_vocab = vocab.count()
     grid = (
         src_totals.crossJoin(F.broadcast(vocab))

@@ -264,12 +264,16 @@ WITH base AS (
 ),
 h{bits} AS (SELECT *, 0::BIGINT AS st, 0::BIGINT AS d FROM base)"""]
     for i in range(bits - 1, -1, -1):
+        # qualify st/d as h{i+1}.st / h{i+1}.d: the select list also
+        # aliases new columns named st/d, and leaving the references
+        # bare made correctness depend on DuckDB resolving the name to
+        # the source column rather than the lateral alias (r15 advisor)
         parts.append(f""",
 h{i} AS (
   SELECT o_orderkey, cust_lo, day_num,
-         ({lut}[(st * 4 + ((cust_lo >> {i}) & 1) * 2
+         ({lut}[(h{i + 1}.st * 4 + ((cust_lo >> {i}) & 1) * 2
                  + ((day_num >> {i}) & 1) + 1)::INT] & 7)::BIGINT AS st,
-         (d * 4 + ({lut}[(st * 4 + ((cust_lo >> {i}) & 1) * 2
+         (h{i + 1}.d * 4 + ({lut}[(h{i + 1}.st * 4 + ((cust_lo >> {i}) & 1) * 2
                  + ((day_num >> {i}) & 1) + 1)::INT] >> 3))::BIGINT AS d
   FROM h{i + 1}
 )""")

@@ -67,7 +67,13 @@ def dailyvol_foreach_batch(
         batch_counts = (
             batch_df.select(
                 F.col(type_col).alias("event_type"),
-                F.date_trunc("day", F.col(ts_col)).alias("day"),
+                # STORE_SCHEMA declares TimestampNTZ; a TIMESTAMP_LTZ
+                # stream column (Spark's parquet default) would fail
+                # the unionByName/overwrite type check on the first
+                # batch, so normalize like ohlc._with_t_and_bar_end
+                F.date_trunc(
+                    "day", F.col(ts_col).cast("timestamp_ntz")
+                ).alias("day"),
             )
             .filter(F.col("day").isNotNull())
             .groupBy("event_type", "day")

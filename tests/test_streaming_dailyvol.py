@@ -83,3 +83,17 @@ def test_batch_split_invariance(spark, tmp_path):
         )
         assert _read(spark, str(tmp_path / f"s{si}/cusum"), k - 1) == want_cu
     ev.unpersist()
+
+
+def test_ltz_typed_stream_column(spark, tmp_path):
+    """A TIMESTAMP_LTZ ts column (Spark's parquet default) must merge
+    into the TimestampNTZ store without a union/overwrite type error
+    (r15 advisor: the cast precedent from ohlc applies here too)."""
+    ev = _events(spark).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    store = VersionedTable(spark, tmp_path / "store")
+    step = dailyvol_foreach_batch(store, str(tmp_path / "scores"))
+    step(ev, 0)
+    want_pe, want_cu = _at_rest(ev.withColumn("ts", F.col("ts").cast("timestamp_ntz")))
+    assert _read(spark, str(tmp_path / "scores/pettitt"), 0) == want_pe
+    assert _read(spark, str(tmp_path / "scores/cusum"), 0) == want_cu
