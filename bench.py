@@ -15,6 +15,14 @@ comparisons should prefer ``queries_min[q] / calibration_sec`` ratios;
 mid-run host drift that a single start-of-run probe cannot see.
 Results materialize via count() on the driver (no collect of wide
 rows).
+
+Two-layer output (r15 verdict items 1+8): stdout is ONE compact JSON
+line sized to survive the driver's 2000-char tail — its ``queries``
+map carries the per-query MINIMA (``queries_stat: "min"``) plus the
+``contaminated_seats`` labels; the lossless record (medians, spread,
+calibration probes) goes to ``BENCH_latest.full.json``. A seat whose
+within-run max/min spread exceeds 3x is labeled contaminated and
+excluded from cross-round ratio math by ``tools/bench_compare.py``.
 """
 
 from __future__ import annotations
@@ -115,6 +123,21 @@ def main() -> None:
         timings[name] = round(samples[len(samples) // 2], 4)
         spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
     mins = {n: s[0] for n, s in spread.items()}
+    # r15 verdict item 1: per-seat contamination labels. The r15 run
+    # was "regime-identified" (probe swing 1.10) yet carried a 61x
+    # in-run burst (assoc_rules [2.69, 165.5] s) and left 4 light
+    # seats 1.7-2.8x above their r14 bands on unchanged code — the
+    # run-level probe cannot see a burst confined to one seat's timed
+    # window. Any seat whose within-run max/min spread exceeds 3x is
+    # labeled here and EXCLUDED from cross-round ratio math
+    # (tools/bench_compare.py drops labeled seats from the shared
+    # set); its min is still reported, because the floor of a bursty
+    # window is usually sound, but it no longer gates comparisons.
+    contaminated = {
+        n: round(s[1] / s[0], 2)
+        for n, s in spread.items()
+        if s[0] > 0 and s[1] / s[0] > 3.0
+    }
     calibration_end = _calibrate()
     calibration_mt_end = _calibrate_mt()
     total = round(sum(timings.values()), 4)
@@ -138,6 +161,7 @@ def main() -> None:
         "queries": timings,
         "queries_min": mins,
         "spread": spread,
+        "contaminated_seats": contaminated,
         "calibration_sec": calibration,
         "calibration_end_sec": calibration_end,
         "calibration_mt_sec": calibration_mt,
@@ -147,11 +171,35 @@ def main() -> None:
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
-    # the driver's recorded artifact keeps only a truncated `tail` of
-    # stdout (r12: the medians map was cut mid-key, making rounds
-    # incomparable from artifacts alone) — persist the full JSON to a
-    # file as the lossless record (r12 verdict item 3)
+    # r15 verdict item 8: the driver's per-round artifact keeps only
+    # the LAST 2000 characters of stdout; the full result line is
+    # ~3.1 kB, so BENCH_r13..r15 all recorded `"parsed": null`. The
+    # stdout line is therefore a COMPACT self-contained record —
+    # the per-query map printed once, as the MINIMA (the stall-robust
+    # statistic every cross-round comparison already uses), under
+    # both contract names; medians + spread live in the lossless
+    # full-file artifact written below.
+    stdout_line = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": mins,
+        "queries_min": mins,
+        "queries_stat": "min",
+        "value_stat": "median_total",
+        "contaminated_seats": contaminated,
+        "mt_probe_swing": mt_probe_swing,
+        "regime_identified": result["regime_identified"],
+        "sf": result["sf"],
+        "full_artifact": "BENCH_latest.full.json",
+    }
+    line = json.dumps(stdout_line, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's 2000-char tail
+        stdout_line.pop("queries_min")
+        line = json.dumps(stdout_line, separators=(",", ":"))
+    print(line)
+    # persist the full JSON to a file as the lossless record (r12
+    # verdict item 3)
     out = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         str(Path(__file__).resolve().parent / "BENCH_latest.full.json"),

@@ -247,10 +247,16 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "kcore_celled": QuerySpec(
         # r13: bench-seated (r12 verdict item 9 — 44 exchanges / 19
-        # SMJ, the heaviest registry plan, previously untracked)
+        # SMJ, the heaviest registry plan, previously untracked).
+        # r16 (r15 verdict item 3): bench seat moved to
+        # kcore_from_edges — the stored-edge path is the documented
+        # production default (the per-query edge rebuild here costs
+        # 8-12 s at sf0.1 vs 1.35 s off the X-G9 store);
+        # graph_assortativity stays benched as the one
+        # rebuild-the-edges oracle-baseline canary.
         Q.q_kcore_celled,
         Q.Q_KCORE_CELLED_ORACLE,
-        ("graph", "similarity", "bench"),
+        ("graph", "similarity"),
     ),
     "exists_subquery": QuerySpec(TX.q_exists_subquery, TX.Q_EXISTS_ORACLE, ("join",)),
     "q4_priority_exists": QuerySpec(TX.q4_priority_exists, TX.Q4_ORACLE, ("join",)),
@@ -657,6 +663,10 @@ SPECS: dict[str, QuerySpec] = {
         ("graph", "similarity"),
     ),
     "graph_assortativity": QuerySpec(
+        # bench-kept as the ONE rebuild-the-edges canary (r15 verdict
+        # item 3): every other benched graph seat reads the X-G9 edge
+        # store, and this seat keeps the cold edge-build cost visible
+        # round over round.
         Q.q_graph_assortativity,
         Q.Q_GRAPH_ASSORTATIVITY_ORACLE,
         ("graph", "similarity", "agg", "bench"),

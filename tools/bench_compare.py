@@ -23,7 +23,16 @@ def compare(old_path: str, new_path: str) -> str:
     new = json.load(open(new_path))
     o_min = old.get("queries_min") or old["queries"]
     n_min = new.get("queries_min") or new["queries"]
-    shared = sorted(set(o_min) & set(n_min))
+    # r15 verdict item 1: seats labeled contaminated (within-run
+    # max/min spread > 3x) in EITHER artifact drop out of the ratio
+    # math — a burst confined to one seat's timed window is invisible
+    # to the run-level probe swing, so the per-seat label is the only
+    # mechanical way to keep a poisoned measurement out of the gate.
+    contaminated = sorted(
+        set(old.get("contaminated_seats") or {})
+        | set(new.get("contaminated_seats") or {})
+    )
+    shared = sorted((set(o_min) & set(n_min)) - set(contaminated))
 
     def regime(d: dict) -> "bool | None":
         # pre-r14 artifacts carry the probes but not the flag — derive
@@ -90,6 +99,16 @@ def compare(old_path: str, new_path: str) -> str:
         )
     lines.append("")
     lines.append(summary)
+    if contaminated:
+        lines.append("")
+        lines.append(
+            "excluded contaminated seats (within-run spread > 3x): "
+            + ", ".join(
+                f"`{q}` (old {((old.get('contaminated_seats') or {}).get(q)) or '-'}x"
+                f", new {((new.get('contaminated_seats') or {}).get(q)) or '-'}x)"
+                for q in contaminated
+            )
+        )
     only_new = sorted(set(n_min) - set(o_min))
     if only_new:
         lines.append("")
