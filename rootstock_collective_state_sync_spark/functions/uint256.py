@@ -72,6 +72,25 @@ def with_hex_shadow(df: DataFrame, cols: list[str]) -> DataFrame:
     return df
 
 
+def hex_chunk(col: Column, div: int, mod: int) -> Column:
+    """``(int(hex) // div) % mod`` as BIGINT — exact Python-int
+    arithmetic over the hex shadow, Arrow-batched. Chunking a shadow
+    into base-10^18 limbs (div = 10^0, 10^18, 10^36, ...) pins the
+    FULL value in hash-comparable BIGINT columns, which is how the
+    ``uint256_roundtrip`` registry query proves shadow losslessness
+    beyond both Decimal(38,0) and DuckDB's HUGEINT range."""
+    if div <= 0 or mod <= 0:
+        raise ValueError("div and mod must be positive")
+
+    @F.pandas_udf("long")
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda h: None if h is None else (int(h, 16) // div) % mod
+        )
+
+    return _udf(col)
+
+
 def hex_add(a: Column, b: Column) -> Column:
     """Full-width uint256 addition over hex shadows (exact Python-int
     arithmetic, Arrow-batched; wraps at 2^256 like the EVM)."""

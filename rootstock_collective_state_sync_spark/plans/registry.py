@@ -262,6 +262,13 @@ SPECS: dict[str, QuerySpec] = {
     "q4_priority_exists": QuerySpec(TX.q4_priority_exists, TX.Q4_ORACLE, ("join",)),
     "q8_market_share": QuerySpec(TX.q8_market_share, TX.Q8_ORACLE, ("join",)),
     "q9_product_profit": QuerySpec(TX.q9_product_profit, TX.Q9_ORACLE, ("join",)),
+    # C5/§7: uint256 shadow-column policy under the hash gate (r15
+    # verdict item 7) — cohorts straddling Decimal(38,0) AND HUGEINT
+    "uint256_roundtrip": QuerySpec(
+        R.q_uint256_roundtrip,
+        R.Q_UINT256_ROUNDTRIP_ORACLE,
+        ("scalar", "uint256"),
+    ),
     "q12_priority_by_status": QuerySpec(
         TX.q12_priority_by_status, TX.Q12_ORACLE, ("join",)
     ),
@@ -994,69 +1001,70 @@ SPECS: dict[str, QuerySpec] = {
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
-    # r15 rotation (tools/window_planner.py policy, base 2bcf40c):
-    # (a) the 8 queries born this round — driver-checked immediately
-    #     (hilbert_key / hellinger_price_drift seated in slots 49-50)
-    "cliffs_delta_price",
-    "effect_size_urgent",
-    "anderson_darling_priority",
-    "pettitt_daily_volume",
-    "source_js_divergence",
-    "ivf_label_ari",
-    # (b) semantically changed this round — re-earns its row: the
-    # ANOVA reduction moved from an unordered double F.sum to the
-    # fixed-order fold and its oracle gained ORDER BY g (r14 advisor
-    # item 3); welch/mwu/ks share the module but are value-untouched
-    "anova_price_priority",
-    # (c) the ENTIRE oldest-evidence cohort (last driver hash r09 —
-    # 41 queries; clears the r09 debt in one window like r14 cleared
-    # r08's)
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "asof_join",
-    "bigint_arith",
-    "bm25_topk",
-    "budget_select",
-    "camel_case",
-    "cdc_chunks",
-    "cdc_dup_stats",
-    "clean_corpus",
-    "corpus_datasheet",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_simhash",
-    "doremi_weights",
-    "dsir_log_ratio",
-    "dsir_select",
-    "dup_ngram_fraction",
-    "filter_range_scan",
-    "fk_deref_join",
-    "heavy_hitter_tokens",
-    "hex_roundtrip",
-    "lm_unigram_score",
-    "pack_sequences",
-    "pack_split_sequences",
-    "pii_redaction",
-    "pq_codes",
-    "q9_product_profit",
-    "quality_percentiles",
-    "stratified_sample",
-    "temperature_mix",
-    "text_entropy",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "tfidf_top_terms",
-    "unimax_alloc",
-    "vocab_topk",
-    "watermark_max_block",
-    "window_session",
+    # r16 rotation (tools/window_planner.py policy, base 0def54c):
+    # (a) born this round — driver-checked immediately
+    "uint256_roundtrip",
+    # (b) semantically changed this round — re-earn rows: hilbert_key
+    #     (oracle SQL now qualifies the prior CTE's st/d refs),
+    #     source_js_divergence / source_kl_drift (empty-corpus guard)
     "hilbert_key",
-    "hellinger_price_drift",
-    # (the 13 r14-born queries rotate out multi-round-green; all 256
-    # oracled queries stay locally gated every pytest run)
+    "source_js_divergence",
+    "source_kl_drift",
+    # (c) the ENTIRE r10-evidence cohort (44 queries — the oldest
+    #     driver evidence anywhere; r15 verdict item 9 asked for >=20,
+    #     this clears the debt in one window like r15 cleared r09's)
+    "filter_isin_enum",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "exists_subquery",
+    "first_event_per_key",
+    "group_count",
+    "q18_large_orders",
+    "q19_disc_revenue",
+    "q11_important_parts",
+    "q22_idle_customers",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "epoch_shuffle",
+    "importance_sample",
+    "zorder_key",
+    "export_manifest",
+    "window_tumbling",
+    "window_sliding",
+    "q20_supplier_part_share",
+    "q21_blamed_supplier",
+    "semantic_dedup",
+    "hard_negatives_celled",
+    "semantic_contamination",
+    "winnow_pairs",
+    "readability",
+    "k_anonymity",
+    "c4_quality",
+    "script_census",
+    "lang_id_agreement",
+    "weighted_median_price",
+    "twap_user_value",
+    "ohlc_hourly",
+    "kmv_distinct_tokens",
+    "knn_triangles",
+    "ohlc_daily_rollup",
+    "ivf_recall_report",
+    "k_anonymity_enforce",
+    "assoc_rules",
+    "pareto_front",
+    "ivf_silhouette",
+    "time_to_convert",
+    "sample_k_per_group",
+    "new_users_daily",
+    # (d) 2 oldest-r11 anchors (the next-oldest cohort starts
+    #     rotating next round)
+    "top1_latest",
+    "except_missing",
 ]
+
+# (r15 window rotated out multi-round-green; all oracled queries stay
+# locally gated every pytest run via tests/test_conformance.py)
 
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

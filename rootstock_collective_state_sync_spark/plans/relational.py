@@ -620,6 +620,107 @@ FROM nation ORDER BY nationkey
 """
 
 
+def q_uint256_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/§7 risk register: the uint256 shadow-column policy under the
+    driver's hash gate (r15 verdict item 7). Three deterministic
+    cohorts per order key k, all ingested FROM hex shadows the way
+    chain data arrives (reference stores NUMERIC(78,0),
+    ``db/schema.ts``; our canonical column is Decimal(38,0) with a
+    lossless ``__hex`` shadow — :mod:`..functions.uint256`):
+
+    - small  = 10^38-1 - k: inside Decimal(38,0); proves hex ->
+      decimal -> hex round-trips bit-exact and decimal arithmetic on
+      the canonical column matches the oracle;
+    - over   = 10^38 + k: first values past the canonical range;
+      policy says canonical is NULL and the shadow retains the value
+      — proven by re-deriving base-10^18 limbs from the shadow with
+      exact Python-int arithmetic, vs DuckDB HUGEINT (covers 2^127-1);
+    - huge   = 2^200 + k: past HUGEINT too; the oracle pins the limbs
+      via embedded pow-mod constants (string/modular domain), the
+      Spark side re-derives them from the 53-char shadow.
+
+    Full-width arithmetic (``hex_add``) runs on shadows via
+    Arrow-batched Python ints; nothing here is row-at-a-time."""
+    from rootstock_collective_state_sync_spark.functions.uint256 import (
+        from_hex_checked,
+        hex_add,
+        hex_chunk,
+        to_hex_shadow,
+    )
+
+    M = 10**38 - 1
+    o = load_table(spark, sf_dir, "orders")
+    dec_max = F.expr(f"CAST('{M}' AS DECIMAL(38,0))")
+    okey = F.col("o_orderkey").cast("decimal(38,0)")
+    base = o.select(
+        F.col("o_orderkey").alias("okey"),
+        to_hex_shadow(dec_max - okey).alias("h_small"),
+        # 2k+1 so the over cohort strictly exceeds 10^38-1 even at
+        # o_orderkey = 0 (present in the test data)
+        to_hex_shadow((okey * 2 + 1).cast("decimal(38,0)")).alias("h_2k"),
+        to_hex_shadow(okey).alias("h_k"),
+    )
+    huge_base = "0x1" + "0" * 50  # 16^50 = 2^200
+    base = base.select(
+        "okey",
+        "h_small",
+        hex_add(F.col("h_small"), F.col("h_2k")).alias("h_over"),
+        hex_add(F.lit(huge_base), F.col("h_k")).alias("h_huge"),
+    )
+    canon = from_hex_checked(F.col("h_small"))
+    E18 = 10**18
+    return base.select(
+        "okey",
+        canon.cast("string").alias("v_small_str"),
+        (canon % F.lit(10**9)).cast("bigint").alias("small_mod9"),
+        (
+            (to_hex_shadow(canon) == F.col("h_small")) & canon.isNotNull()
+        ).cast("int").alias("roundtrip_ok"),
+        from_hex_checked(F.col("h_over")).isNull().cast("int").alias("over_is_null"),
+        hex_chunk(F.col("h_over"), 1, E18).alias("over_lo18"),
+        hex_chunk(F.col("h_over"), E18, E18).alias("over_mid18"),
+        hex_chunk(F.col("h_over"), E18 * E18, E18).alias("over_hi"),
+        from_hex_checked(F.col("h_huge")).isNull().cast("int").alias("huge_is_null"),
+        hex_chunk(F.col("h_huge"), 1, E18).alias("huge_lo18"),
+        hex_chunk(F.col("h_huge"), E18, E18).alias("huge_mid18"),
+        F.length("h_huge").alias("huge_hexlen"),
+    ).orderBy("okey")
+
+
+def _uint256_oracle() -> str:
+    """Generated like the Hilbert oracle: the only constants the SQL
+    embeds are public pow-mod limbs of 2^200 (DuckDB HUGEINT stops at
+    2^127-1, so the huge cohort is checked in the modular domain)."""
+    M = 10**38 - 1
+    E18 = 10**18
+    c0 = pow(2, 200, E18)  # 2^200 % 10^18
+    c1 = (2**200 // E18) % E18
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS okey,
+         ('{M}'::HUGEINT - o_orderkey) AS v_small,
+         ('{M}'::HUGEINT + o_orderkey + 1) AS v_over
+  FROM orders
+)
+SELECT okey,
+       CAST(v_small AS VARCHAR) AS v_small_str,
+       CAST(v_small % 1000000000 AS BIGINT) AS small_mod9,
+       1 AS roundtrip_ok,
+       1 AS over_is_null,
+       CAST(v_over % {E18} AS BIGINT) AS over_lo18,
+       CAST((v_over // {E18}) % {E18} AS BIGINT) AS over_mid18,
+       CAST(v_over // ('{E18}'::HUGEINT * '{E18}'::HUGEINT) AS BIGINT) AS over_hi,
+       1 AS huge_is_null,
+       CAST(({c0}::HUGEINT + okey) % {E18} AS BIGINT) AS huge_lo18,
+       CAST(({c1} + ({c0}::HUGEINT + okey) // {E18}) % {E18} AS BIGINT) AS huge_mid18,
+       53 AS huge_hexlen
+FROM base ORDER BY okey
+"""
+
+
+Q_UINT256_ROUNDTRIP_ORACLE = _uint256_oracle()
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight multi-predicate scan + single global agg —
     the pure filter-pushdown benchmark (all three predicates reach the

@@ -70,10 +70,30 @@ def run_guards() -> int:
     )
 
 
+def note_counts() -> int:
+    """Print the registry-derived counts the SURVEY round note must
+    state (r15 verdict item 10: the r15 note hand-counted 257 where
+    the registry held 258 — counts in prose are now COPIED from this
+    output, never re-counted by a human)."""
+    sys.path.insert(0, str(ROOT))
+    from rootstock_collective_state_sync_spark.plans.registry import SPECS
+
+    n = len(SPECS)
+    oracled = sum(1 for s in SPECS.values() if s.oracle)
+    print(f"registry queries: {n}")
+    print(f"value-oracled: {oracled}")
+    print(f"rows-only: {n - oracled}")
+    print(f'paste: "FULL registry ({oracled} oracled queries)"')
+    print(f'paste: "Registry totals: **{n} queries, {oracled} value-oracled.**"')
+    return 0
+
+
 def main() -> int:
     if "--install-hook" in sys.argv:
         install_hook()
         return 0
+    if "--note-counts" in sys.argv:
+        return note_counts()
     if "--check-only" not in sys.argv:
         sf = os.environ.get("ROUND_END_SF_DIR", "/root/testdata/sf0.001")
         print(f"regenerating PLANS_ALL.md at {sf} ...")
