@@ -106,14 +106,23 @@ def validate_export(
     path: str,
     key_col: str = "doc_id",
     text_col: str = "text",
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Recompute the manifest from the WRITTEN data and diff it
     against the stored manifest. Returns the mismatching shard rows
     (empty = intact): missing shards, lost/duplicated rows, and any
-    content change flip the checksum."""
+    content change flip the checksum.
+
+    ``num_shards`` defaults to ``max(shard)+1`` from the stored
+    manifest (NOT its row count: empty shards write no manifest row,
+    and a wrong modulus re-assigns every key — found by the composed
+    r16 e2e with 3 docs in 4 shards). An export whose TOP shard is
+    empty still needs the explicit parameter."""
     stored = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
     data = spark.read.parquet(f"{path}/{DATA_DIR}")
-    num_shards = stored.count()
+    if num_shards is None:
+        top = stored.agg(F.max("shard")).first()[0]
+        num_shards = max(int(top) + 1 if top is not None else 0, stored.count())
     actual = shard_manifest(
         data.drop("shard"), num_shards, key_col, text_col
     )

@@ -12,9 +12,11 @@ merge is a plain integer sum and each batch re-renders the
 at-rest operators (:func:`..plans.analytics.pettitt_from_daily` /
 :func:`..plans.analytics.cusum_from_daily`) over the merged spine —
 bit-equal to at-rest over the same rows
-(``tests/test_streaming_dailyvol.py``). Order-invariant bag
-aggregate — no arrival contract; a replayed batch is a no-op via the
-:mod:`.replay` batch_id guard.
+(``tests/test_streaming_dailyvol.py``).
+
+Lifecycle (replay guard, merge law, checkpoint before the two
+renders, scores-then-store ordering) lives in :mod:`.store_base` —
+this module only declares the statistic and the renderers.
 
 Scale shape: per micro-batch one map-side-combined (type, day) count
 aggregate + a keyed merge proportional to the batch's distinct days;
@@ -24,16 +26,15 @@ bounded forever, the same contract the at-rest plans document.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import functions as F, types as T
 
 from rootstock_collective_state_sync_spark.plans.analytics import (
     cusum_from_daily,
     pettitt_from_daily,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
-from rootstock_collective_state_sync_spark.streaming.replay import (
-    batch_already_applied,
-    write_batch_scores,
+from rootstock_collective_state_sync_spark.streaming.store_base import (
+    sufficient_stat_step,
 )
 
 STORE_SCHEMA = T.StructType(
@@ -56,15 +57,8 @@ def dailyvol_foreach_batch(
     Pettitt report under ``<scores_path>/pettitt`` and the CUSUM
     top-3 census under ``<scores_path>/cusum``."""
 
-    def step(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        created = store.create_if_not_exists(
-            STORE_SCHEMA, merge_keys=["event_type", "day"], num_buckets=8
-        )
-        if not created and batch_already_applied(store, batch_id):
-            return
-        batch_counts = (
+    def extract(batch_df):
+        return (
             batch_df.select(
                 F.col(type_col).alias("event_type"),
                 # STORE_SCHEMA declares TimestampNTZ; a TIMESTAMP_LTZ
@@ -79,20 +73,15 @@ def dailyvol_foreach_batch(
             .groupBy("event_type", "day")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
         )
-        merged = (
-            store.read()
-            .select("event_type", "day", "n")
-            .unionByName(batch_counts)
-            .groupBy("event_type", "day")
-            .agg(F.sum("n").cast("long").alias("n"))
-        )
-        merged = merged.localCheckpoint(eager=True)  # 2 renders, 1 scan
-        write_batch_scores(
-            pettitt_from_daily(merged), f"{scores_path}/pettitt", batch_id
-        )
-        write_batch_scores(
-            cusum_from_daily(merged), f"{scores_path}/cusum", batch_id
-        )
-        store.overwrite(merged, meta={"batch_id": int(batch_id)})
 
-    return step
+    return sufficient_stat_step(
+        store,
+        STORE_SCHEMA,
+        ["event_type", "day"],
+        extract,
+        [
+            (pettitt_from_daily, f"{scores_path}/pettitt"),
+            (cusum_from_daily, f"{scores_path}/cusum"),
+        ],
+        op_name="dailyvol_foreach_batch",
+    )

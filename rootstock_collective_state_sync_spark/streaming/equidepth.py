@@ -15,9 +15,9 @@ to the at-rest histogram over the same rows
 (``tests/test_streaming_equidepth.py``). Order-invariant (a pure bag
 aggregate) — no arrival contract needed, unlike the TWAP/basket legs.
 
-Replay safety: merging is not idempotent (counts would double), so
-the :mod:`.replay` batch_id guard gates each batch; per-batch rendered
-reports land under batch-keyed score paths.
+Lifecycle (input guard, replay guard, merge law, scores-then-store
+ordering) lives in :mod:`.store_base` — this module only declares the
+sufficient statistic and the renderer.
 
 Scale shape: per micro-batch one map-side-combined per-value count;
 store state is |distinct values| rows — the same cardinality the
@@ -27,16 +27,14 @@ merge cost tracks batch size, not corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import functions as F, types as T
 
 from rootstock_collective_state_sync_spark.operators.profile import (
     equidepth_from_counts,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
-from rootstock_collective_state_sync_spark.streaming.replay import (
-    batch_already_applied,
-    require_integer_cols,
-    write_batch_scores,
+from rootstock_collective_state_sync_spark.streaming.store_base import (
+    sufficient_stat_step,
 )
 
 STORE_SCHEMA = T.StructType(
@@ -59,31 +57,20 @@ def equidepth_foreach_batch(
     integer-typed (snap monetary values to cents upstream — the
     package fixed-point policy)."""
 
-    def step(batch_df: DataFrame, batch_id: int) -> None:
-        require_integer_cols(batch_df, [value_col], "equidepth_foreach_batch")
-        if batch_df.isEmpty():
-            return
-        created = store.create_if_not_exists(
-            STORE_SCHEMA, merge_keys=["v"], num_buckets=8
-        )
-        if not created and batch_already_applied(store, batch_id):
-            return
-        batch_counts = (
+    def extract(batch_df):
+        return (
             batch_df.select(F.col(value_col).cast("long").alias("v"))
             .filter(F.col("v").isNotNull())
             .groupBy("v")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
-        merged = (
-            store.read()
-            .select("v", "c")
-            .unionByName(batch_counts)
-            .groupBy("v")
-            .agg(F.sum("c").cast("long").alias("c"))
-        )
-        write_batch_scores(
-            equidepth_from_counts(merged, buckets), scores_path, batch_id
-        )
-        store.overwrite(merged, meta={"batch_id": int(batch_id)})
 
-    return step
+    return sufficient_stat_step(
+        store,
+        STORE_SCHEMA,
+        ["v"],
+        extract,
+        [(lambda m: equidepth_from_counts(m, buckets), scores_path)],
+        op_name="equidepth_foreach_batch",
+        integer_cols=[value_col],
+    )

@@ -11,12 +11,12 @@ each merged batch the step renders BOTH the one-row Gini index
 (:func:`..operators.profile.gini_from_counts`) and the decile Lorenz
 table (:func:`..operators.profile.lorenz_from_counts`), each
 bit-equal to its at-rest raw-row operator over the same rows
-(``tests/test_streaming_gini.py``). Order-invariant bag aggregate —
-no arrival contract.
+(``tests/test_streaming_gini.py``).
 
-Replay safety: count merges double on replay, so the :mod:`.replay`
-batch_id guard gates each batch; both rendered reports land under
-batch-keyed score paths (scores-then-store ordering).
+Lifecycle (input guard, replay guard, merge law, checkpoint before
+the two renders, scores-then-store ordering) lives in
+:mod:`.store_base` — this module only declares the statistic and the
+renderers.
 
 Scale shape: per micro-batch one map-side-combined per-value count +
 a keyed merge proportional to the batch's distinct values; store
@@ -26,17 +26,15 @@ operators' first shuffle produces.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import functions as F, types as T
 
 from rootstock_collective_state_sync_spark.operators.profile import (
     gini_from_counts,
     lorenz_from_counts,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
-from rootstock_collective_state_sync_spark.streaming.replay import (
-    batch_already_applied,
-    require_integer_cols,
-    write_batch_scores,
+from rootstock_collective_state_sync_spark.streaming.store_base import (
+    sufficient_stat_step,
 )
 
 STORE_SCHEMA = T.StructType(
@@ -60,35 +58,23 @@ def gini_lorenz_foreach_batch(
     integer-typed (snap monetary values to cents upstream — the
     package fixed-point policy) and nonnegative (the Gini domain)."""
 
-    def step(batch_df: DataFrame, batch_id: int) -> None:
-        require_integer_cols(batch_df, [value_col], "gini_lorenz_foreach_batch")
-        if batch_df.isEmpty():
-            return
-        created = store.create_if_not_exists(
-            STORE_SCHEMA, merge_keys=["v"], num_buckets=8
-        )
-        if not created and batch_already_applied(store, batch_id):
-            return
-        batch_counts = (
+    def extract(batch_df):
+        return (
             batch_df.select(F.col(value_col).cast("long").alias("v"))
             .filter(F.col("v").isNotNull())
             .groupBy("v")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
-        merged = (
-            store.read()
-            .select("v", "c")
-            .unionByName(batch_counts)
-            .groupBy("v")
-            .agg(F.sum("c").cast("long").alias("c"))
-        )
-        merged = merged.localCheckpoint(eager=True)  # render twice, scan once
-        write_batch_scores(
-            gini_from_counts(merged), f"{scores_path}/gini", batch_id
-        )
-        write_batch_scores(
-            lorenz_from_counts(merged, buckets), f"{scores_path}/lorenz", batch_id
-        )
-        store.overwrite(merged, meta={"batch_id": int(batch_id)})
 
-    return step
+    return sufficient_stat_step(
+        store,
+        STORE_SCHEMA,
+        ["v"],
+        extract,
+        [
+            (gini_from_counts, f"{scores_path}/gini"),
+            (lambda m: lorenz_from_counts(m, buckets), f"{scores_path}/lorenz"),
+        ],
+        op_name="gini_lorenz_foreach_batch",
+        integer_cols=[value_col],
+    )

@@ -12,13 +12,13 @@ store holds the pair table (hash-bucketed by (x, y)) and each merged
 batch renders BOTH :func:`..operators.profile.spearman_rho_from_pairs`
 and :func:`..operators.profile.kendall_tau_from_pairs`, bit-equal to
 the at-rest raw-row operators over the same rows
-(``tests/test_streaming_rankcorr.py``). Order-invariant bag
-aggregate — no arrival contract. NULL x/y rows are filtered at
+(``tests/test_streaming_rankcorr.py``). NULL x/y rows are filtered at
 ingest, matching the at-rest operators' shared NULL policy.
 
-Replay safety: count merges double on replay — the :mod:`.replay`
-batch_id guard gates each batch; reports land under batch-keyed
-score paths (scores-then-store ordering).
+Lifecycle (input guard, replay guard, merge law, checkpoint before
+the two renders, scores-then-store ordering) lives in
+:mod:`.store_base` — this module only declares the statistic and the
+renderers.
 
 Scale shape: per micro-batch one map-side-combined pair count + a
 keyed merge proportional to the batch's distinct pairs; store state
@@ -29,17 +29,15 @@ sized table regardless of stream length.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import functions as F, types as T
 
 from rootstock_collective_state_sync_spark.operators.profile import (
     kendall_tau_from_pairs,
     spearman_rho_from_pairs,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
-from rootstock_collective_state_sync_spark.streaming.replay import (
-    batch_already_applied,
-    require_integer_cols,
-    write_batch_scores,
+from rootstock_collective_state_sync_spark.streaming.store_base import (
+    sufficient_stat_step,
 )
 
 STORE_SCHEMA = T.StructType(
@@ -64,16 +62,8 @@ def rankcorr_foreach_batch(
     integer-typed (fixed-point policy) and bounded-cardinality
     ordinals (the Kendall cell-join input contract)."""
 
-    def step(batch_df: DataFrame, batch_id: int) -> None:
-        require_integer_cols(batch_df, [x_col, y_col], "rankcorr_foreach_batch")
-        if batch_df.isEmpty():
-            return
-        created = store.create_if_not_exists(
-            STORE_SCHEMA, merge_keys=["x", "y"], num_buckets=8
-        )
-        if not created and batch_already_applied(store, batch_id):
-            return
-        batch_pairs = (
+    def extract(batch_df):
+        return (
             batch_df.select(
                 F.col(x_col).cast("long").alias("x"),
                 F.col(y_col).cast("long").alias("y"),
@@ -82,20 +72,16 @@ def rankcorr_foreach_batch(
             .groupBy("x", "y")
             .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
         )
-        merged = (
-            store.read()
-            .select("x", "y", "n_xy")
-            .unionByName(batch_pairs)
-            .groupBy("x", "y")
-            .agg(F.sum("n_xy").cast("long").alias("n_xy"))
-        )
-        merged = merged.localCheckpoint(eager=True)  # two renders, one scan
-        write_batch_scores(
-            spearman_rho_from_pairs(merged), f"{scores_path}/spearman", batch_id
-        )
-        write_batch_scores(
-            kendall_tau_from_pairs(merged), f"{scores_path}/kendall", batch_id
-        )
-        store.overwrite(merged, meta={"batch_id": int(batch_id)})
 
-    return step
+    return sufficient_stat_step(
+        store,
+        STORE_SCHEMA,
+        ["x", "y"],
+        extract,
+        [
+            (spearman_rho_from_pairs, f"{scores_path}/spearman"),
+            (kendall_tau_from_pairs, f"{scores_path}/kendall"),
+        ],
+        op_name="rankcorr_foreach_batch",
+        integer_cols=[x_col, y_col],
+    )

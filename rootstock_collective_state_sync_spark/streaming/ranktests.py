@@ -2,20 +2,21 @@
 :func:`..operators.profile.mann_whitney_u` AND
 :func:`..operators.profile.ks_two_sample` (X-ST21).
 
-One store serves both: the tests' shared sufficient statistic is the
-per-VALUE count table ``(v, c, ca)`` (total rows and group-A rows at
-each value), which adds exactly over disjoint row sets — the same
-merge law as the equi-depth (:mod:`.equidepth`) and vocabulary
-(:mod:`.vocab`) legs. After any stream prefix both tests render from
-the merged counts (``mann_whitney_u_from_counts`` /
-``ks_two_sample_from_counts``) bit-for-bit equal to the at-rest
+One store serves all seven reports: the tests' shared sufficient
+statistic is the per-VALUE count table ``(v, c, ca)`` (total rows and
+group-A rows at each value), which adds exactly over disjoint row
+sets — the same merge law as the equi-depth (:mod:`.equidepth`) and
+vocabulary (:mod:`.vocab`) legs. After any stream prefix every test
+renders from the merged counts (``mann_whitney_u_from_counts`` /
+``ks_two_sample_from_counts`` / …) bit-for-bit equal to the at-rest
 operators over the same rows (``tests/test_streaming_ranktests.py``).
 The use case is the online experiment monitor: an A/B split's rank
 statistics re-rendered per micro-batch without re-scanning history.
 
-Replay safety: count merges double on replay, so the :mod:`.replay`
-batch_id guard gates each batch. Order-invariant otherwise (pure bag
-aggregate).
+Lifecycle (input guard, replay guard, merge law, checkpoint before
+the fan-out, scores-then-store ordering) lives in :mod:`.store_base`
+— this module only declares the sufficient statistic and the seven
+renderers.
 
 Scale shape: per micro-batch one map-side-combined per-value count
 over the batch only; store state is |distinct values| rows,
@@ -24,7 +25,7 @@ hash-bucketed so merge cost tracks batch size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import functions as F, types as T
 
 from rootstock_collective_state_sync_spark.operators.profile import (
     cliffs_delta_from_counts,
@@ -36,10 +37,8 @@ from rootstock_collective_state_sync_spark.operators.profile import (
     mann_whitney_u_from_counts,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
-from rootstock_collective_state_sync_spark.streaming.replay import (
-    batch_already_applied,
-    require_integer_cols,
-    write_batch_scores,
+from rootstock_collective_state_sync_spark.streaming.store_base import (
+    sufficient_stat_step,
 )
 
 STORE_SCHEMA = T.StructType(
@@ -67,16 +66,8 @@ def ranktests_foreach_batch(
     counts). ``value_col`` must be integer-typed (fixed-point
     policy); ``group_expr`` is the SQL boolean defining group A."""
 
-    def step(batch_df: DataFrame, batch_id: int) -> None:
-        require_integer_cols(batch_df, [value_col], "ranktests_foreach_batch")
-        if batch_df.isEmpty():
-            return
-        created = store.create_if_not_exists(
-            STORE_SCHEMA, merge_keys=["v"], num_buckets=8
-        )
-        if not created and batch_already_applied(store, batch_id):
-            return
-        batch_counts = (
+    def extract(batch_df):
+        return (
             batch_df.select(
                 F.col(value_col).cast("long").alias("v"),
                 F.expr(group_expr).cast("long").alias("a"),
@@ -88,42 +79,22 @@ def ranktests_foreach_batch(
                 F.sum("a").cast("long").alias("ca"),
             )
         )
-        merged = (
-            store.read()
-            .select("v", "c", "ca")
-            .unionByName(batch_counts)
-            .groupBy("v")
-            .agg(
-                F.sum("c").cast("long").alias("c"),
-                F.sum("ca").cast("long").alias("ca"),
-            )
-        )
-        merged = merged.localCheckpoint(eager=True)  # 3 renders, 1 scan
-        write_batch_scores(
-            mann_whitney_u_from_counts(merged), f"{scores_path}/mwu", batch_id
-        )
-        write_batch_scores(
-            ks_two_sample_from_counts(merged), f"{scores_path}/ks", batch_id
-        )
-        write_batch_scores(
-            wasserstein_from_counts(merged), f"{scores_path}/w1", batch_id
-        )
-        write_batch_scores(
-            energy_from_counts(merged), f"{scores_path}/energy", batch_id
-        )
-        write_batch_scores(
-            psi_from_counts(merged), f"{scores_path}/psi", batch_id
-        )
-        write_batch_scores(
-            cliffs_delta_from_counts(merged),
-            f"{scores_path}/cliffs",
-            batch_id,
-        )
-        write_batch_scores(
-            hellinger_from_counts(merged),
-            f"{scores_path}/hellinger",
-            batch_id,
-        )
-        store.overwrite(merged, meta={"batch_id": int(batch_id)})
 
-    return step
+    renderers = [
+        (mann_whitney_u_from_counts, f"{scores_path}/mwu"),
+        (ks_two_sample_from_counts, f"{scores_path}/ks"),
+        (wasserstein_from_counts, f"{scores_path}/w1"),
+        (energy_from_counts, f"{scores_path}/energy"),
+        (psi_from_counts, f"{scores_path}/psi"),
+        (cliffs_delta_from_counts, f"{scores_path}/cliffs"),
+        (hellinger_from_counts, f"{scores_path}/hellinger"),
+    ]
+    return sufficient_stat_step(
+        store,
+        STORE_SCHEMA,
+        ["v"],
+        extract,
+        renderers,
+        op_name="ranktests_foreach_batch",
+        integer_cols=[value_col],
+    )

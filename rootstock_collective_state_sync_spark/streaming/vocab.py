@@ -10,10 +10,10 @@ over disjoint document sets. The store holds that table
 terms hash into) and the census after any stream prefix renders via
 ``vocab_census_from_tf``, bit-for-bit equal to the at-rest census
 over the same documents (``tests/test_streaming_vocab.py``).
-Order-invariant bag aggregate — no arrival contract.
 
-Replay safety: count merges double on replay, so the :mod:`.replay`
-batch_id guard gates each batch.
+Lifecycle (replay guard, merge law, checkpoint before a multi-render
+fan-out, scores-then-store ordering) lives in :mod:`.store_base` —
+this module only declares the statistic and the renderer(s).
 
 Scale shape: per micro-batch one token explode reduced to the batch's
 own (source, term) counts, then a keyed merge proportional to the
@@ -24,16 +24,15 @@ materializes per run.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import functions as F, types as T
 
 from rootstock_collective_state_sync_spark.operators.text import (
     tokens,
     vocab_census_from_tf,
 )
 from rootstock_collective_state_sync_spark.sinks.table import VersionedTable
-from rootstock_collective_state_sync_spark.streaming.replay import (
-    batch_already_applied,
-    write_batch_scores,
+from rootstock_collective_state_sync_spark.streaming.store_base import (
+    sufficient_stat_step,
 )
 
 STORE_SCHEMA = T.StructType(
@@ -61,15 +60,8 @@ def vocab_foreach_batch(
     item 6) bit-equal to the at-rest `vocab_overlap_matrix` at every
     prefix."""
 
-    def step(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        created = store.create_if_not_exists(
-            STORE_SCHEMA, merge_keys=["g", "term"], num_buckets=8
-        )
-        if not created and batch_already_applied(store, batch_id):
-            return
-        batch_tf = (
+    def extract(batch_df):
+        return (
             batch_df.select(
                 F.col(group_col).alias("g"),
                 F.explode(tokens(F.col(text_col))).alias("term"),
@@ -77,28 +69,26 @@ def vocab_foreach_batch(
             .groupBy("g", "term")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
         )
-        merged = (
-            store.read()
-            .select("g", "term", "n")
-            .unionByName(batch_tf)
-            .groupBy("g", "term")
-            .agg(F.sum("n").cast("long").alias("n"))
-        )
-        if overlap_scores_path is not None:
-            merged = merged.localCheckpoint(eager=True)  # two renders, one scan
-        write_batch_scores(
-            vocab_census_from_tf(merged, group_col), scores_path, batch_id
-        )
-        if overlap_scores_path is not None:
-            from rootstock_collective_state_sync_spark.operators.text import (
-                vocab_overlap_from_incidence,
-            )
 
-            write_batch_scores(
-                vocab_overlap_from_incidence(merged.select("g", "term")),
+    renderers = [
+        (lambda m: vocab_census_from_tf(m, group_col), scores_path)
+    ]
+    if overlap_scores_path is not None:
+        from rootstock_collective_state_sync_spark.operators.text import (
+            vocab_overlap_from_incidence,
+        )
+
+        renderers.append(
+            (
+                lambda m: vocab_overlap_from_incidence(m.select("g", "term")),
                 overlap_scores_path,
-                batch_id,
             )
-        store.overwrite(merged, meta={"batch_id": int(batch_id)})
-
-    return step
+        )
+    return sufficient_stat_step(
+        store,
+        STORE_SCHEMA,
+        ["g", "term"],
+        extract,
+        renderers,
+        op_name="vocab_foreach_batch",
+    )

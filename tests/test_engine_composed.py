@@ -1,0 +1,176 @@
+"""ONE composed engine run (r15 verdict item 6): the reference's
+production loop (``src/app/main.ts:9-36`` — boot -> DDL -> full sync
+-> watch) extended through this repo's training-data half in a single
+flow: connector -> versioned tables -> curation pipeline -> manifest
+export. Every stage was already e2e-tested separately; this test
+fails if ANY stage's contract drifts against its neighbors:
+
+1. boot: DDL + full hydration of the fixture entities from the fake
+   subgraph (driver-side pagination path);
+2. watch: a ``blockstream`` readStream drives per-block ``run_block``
+   (changelog strategy) — the watermark advances and an UPDATED
+   proposal description lands in the versioned table;
+3. curate: the real declarative pipeline (token_cap -> exact_dedup,
+   audited) runs over the ENGINE's Proposal table — including the
+   text updated during the watch leg, proving the pipeline reads
+   live engine state, not a bootstrap snapshot;
+4. export: training shards + manifest; ``validate_export`` recomputes
+   the manifest from the written bytes and must return zero
+   mismatching rows.
+
+Wall-clock for the whole composed flow is printed and recorded in
+DEPLOY.md ("Composed run" section).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from rootstock_collective_state_sync_spark.config import load_entities
+from rootstock_collective_state_sync_spark.plans.pipeline import run_pipeline
+from rootstock_collective_state_sync_spark.sinks import TableCatalog
+from rootstock_collective_state_sync_spark.sinks.export import (
+    export_training_shards,
+    validate_export,
+)
+from rootstock_collective_state_sync_spark.sources.graphql import SubgraphClient
+from rootstock_collective_state_sync_spark.streaming import Block, SyncEngine
+from rootstock_collective_state_sync_spark.streaming.chain import synthetic_blocks
+
+from tests.test_streaming import FIXTURE, World, vote
+
+LONG_TEXT = "tok " * 600  # killed by token_cap(max_tokens=300)
+DUP_TEXT = "identical proposal text for the exact dedup stage to fold"
+
+
+def proposal(i: int, description: str, block: int = 1) -> dict:
+    return {
+        "id": f"0x{i:08x}",
+        "description": description,
+        "votesFor": str(10 * i),
+        "votesAgainst": str(i),
+        "state": "Active",
+        "rawState": 1,
+        "createdAtBlock": str(block),
+        "targets": ["0x" + "cc" * 20],
+        "values": [str(i)],
+        "proposer": {"id": "0x" + "aa" * 20},
+    }
+
+
+def test_composed_boot_watch_curate_export(spark, tmp_path):
+    t0 = time.perf_counter()
+    world = World()
+    world.extend(
+        synthetic_blocks(1, 5, fork_tag="a"),
+        {
+            1: {"Account": [{"id": "0x" + "aa" * 20}]},
+            2: {
+                "Proposal": [
+                    proposal(1, "first unique governance proposal text"),
+                    proposal(2, "stale text that the watch leg will replace"),
+                    proposal(3, DUP_TEXT),
+                    proposal(4, DUP_TEXT),
+                    proposal(5, LONG_TEXT),
+                ]
+            },
+            4: {"VoteCast": [vote(1), vote(2)]},
+        },
+    )
+
+    # ---- stage 1: boot (DDL + full hydration; main.ts:9-24 shape) ----
+    eng = SyncEngine(
+        spark=spark,
+        schema=load_entities(FIXTURE),
+        catalog=TableCatalog(spark, tmp_path / "engine"),
+        client=SubgraphClient(url="fake://w", transport=world.transport),
+        page_size=3,
+        block_interval_threshold=1,
+    )
+    counts = eng.bootstrap(at_block=5)
+    assert counts["Proposal"] == 5 and counts["VoteCast"] == 2
+    eng.sync_from_changelog(world.chain().head_block())
+    assert eng.get_watermark().number == 4
+
+    # ---- stage 2: watch (blockstream -> run_block; main.ts:29-36) ----
+    from rootstock_collective_state_sync_spark.sources.blockstream import (
+        BlockStreamDataSource,
+    )
+
+    world.extend(
+        synthetic_blocks(6, 2, fork_tag="a"),
+        {
+            6: {
+                "Proposal": [
+                    proposal(2, "fresh text updated during the watch leg", 6)
+                ]
+            },
+            7: {"VoteCast": [vote(3, support=1)]},
+        },
+    )
+    chain_file = tmp_path / "chain.json"
+    chain_file.write_text(
+        json.dumps(
+            [
+                {"number": b.number, "hash": b.hash, "timestamp": b.timestamp}
+                for b in world.blocks
+            ]
+        )
+    )
+    processed: list[int] = []
+
+    def handle(batch_df, _epoch):
+        for r in sorted(batch_df.collect(), key=lambda r: r.number):
+            eng.run_block(Block(r.number, r.hash, r.timestamp))
+            processed.append(r.number)
+
+    spark.dataSource.register(BlockStreamDataSource)
+    q = (
+        spark.readStream.format("blockstream")
+        .option("chain_path", str(chain_file))
+        .option("start_block", 5)
+        .load()
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert processed == [6, 7]
+    assert eng.get_watermark().number == 7
+
+    # ---- stage 3: curate the ENGINE's table (live state, not boot) ----
+    docs = eng.catalog.table("Proposal").read().select(
+        F.conv(F.hex(F.col("id")), 16, 10).cast("long").alias("doc_id"),
+        F.col("description").alias("text"),
+        F.lit("governance").alias("source"),
+    )
+    curated, trail = run_pipeline(
+        docs,
+        [
+            {"stage": "token_cap", "max_tokens": 300},
+            {"stage": "exact_dedup"},
+        ],
+        audit=True,
+    )
+    assert [t["rows"] for t in trail] == [5, 4, 3]  # -long, -one dup
+    kept = {r.doc_id: r.text for r in curated.collect()}
+    # the watch-leg update is what got curated, not the boot snapshot
+    assert kept[2] == "fresh text updated during the watch leg"
+    assert len({3, 4} & set(kept)) == 1  # one of the dup pair survives
+
+    # ---- stage 4: export shards + manifest; validate from bytes ----
+    out = str(tmp_path / "export")
+    export_training_shards(curated, out, num_shards=4)
+    assert validate_export(spark, out, num_shards=4).count() == 0
+    assert validate_export(spark, out).count() == 0  # inferred modulus
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert manifest.agg(F.sum("n_docs")).first()[0] == 3
+    data = spark.read.parquet(f"{out}/data")
+    assert {r.doc_id for r in data.select("doc_id").collect()} == set(kept)
+
+    elapsed = time.perf_counter() - t0
+    print(f"\ncomposed engine e2e (boot+watch+curate+export): {elapsed:.1f} s")
