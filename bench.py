@@ -89,6 +89,23 @@ def _calibrate_mt(threads: int = 8) -> float:
     return round(sorted(samples)[1], 4)
 
 
+def _settled_mt(max_probes: int = 5, tol: float = 1.10) -> float:
+    """MT probe with a settle loop: probe until two consecutive
+    readings agree within ``tol`` (or the probe budget runs out) and
+    return the MINIMUM seen. All three r16 runs' START probes read
+    1.8-6x their end probes on a host whose quiet floor was dead
+    stable at ~0.104 (verified by back-to-back identified probes) —
+    a process-start transient that made every run self-label
+    unidentified even when the queries ran quiet. The minimum of a
+    settled sequence is the regime, not the transient."""
+    vals = [_calibrate_mt()]
+    for _ in range(max_probes - 1):
+        vals.append(_calibrate_mt())
+        if max(vals[-2:]) / min(vals[-2:]) <= tol:
+            break
+    return min(vals)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from rootstock_collective_state_sync_spark import get_spark
@@ -97,7 +114,7 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     calibration = _calibrate()
-    calibration_mt = _calibrate_mt()
+    calibration_mt = _settled_mt()
     spark = get_spark("bench")
     qs = bench_queries()
     timings: dict[str, float] = {}
@@ -139,7 +156,7 @@ def main() -> None:
         if s[0] > 0 and s[1] / s[0] > 3.0
     }
     calibration_end = _calibrate()
-    calibration_mt_end = _calibrate_mt()
+    calibration_mt_end = _settled_mt()
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # r13 verdict item 9: self-labeling regime identification. The MT
