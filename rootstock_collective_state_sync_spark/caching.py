@@ -23,9 +23,25 @@ from pyspark.sql import DataFrame
 _TRACKED: list[DataFrame] = []
 
 
-def tracked_persist(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and register it for :func:`release_tracked`."""
+def tracked_persist(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Persist ``df`` and register it for :func:`release_tracked`.
+
+    ``eager`` (default) MATERIALIZES the cache with a ``count()``
+    before returning. A lazy persist consumed by MULTIPLE subtrees of
+    the same action is a cache race: each subtree compiles against
+    the not-yet-materialized relation and recomputes the full child
+    chain (plus the cache fill). Invisible at sf0.1 (~0.3 s of
+    duplicated work), dominant at sf1 — the r16 sweep measured the
+    MinHash-LSH candidate stage at 36 s cold vs 11 s with the shared
+    index materialized first (capped-index chain recomputed once per
+    consumer), and the celled-graph / assoc_rules seats carried the
+    same signature. At 100 TB "build the shared intermediate once,
+    then fan out" is the only viable shape; the eager count IS that
+    barrier. Pass ``eager=False`` only for a frame consumed by a
+    single downstream action, where the extra job is pure overhead."""
     df.persist()
+    if eager:
+        df.count()
     _TRACKED.append(df)
     return df
 
