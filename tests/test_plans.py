@@ -238,7 +238,11 @@ def test_drop_dup_spans_bounded_shuffles(spark):
 
 def test_gopher_quality_scan_speed(spark):
     # single projection over the scan: no exchange except the final
-    # presentation sort, no UDF, only (doc_id, text) read
+    # presentation sort, no UDF, only (doc_id, text) read.
+    # Cold cache: an earlier test's (now eagerly materialized) cached
+    # frame over the same parquet otherwise substitutes into this
+    # plan and its printed child carries Arrow nodes (r16).
+    spark.catalog.clearCache()
     p = plan(spark, SPECS["gopher_quality"].fn(spark, SF_SMOKE))
     assert "Exchange" not in p.split("Sort")[0] or p.count("Exchange") <= 1
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
@@ -320,18 +324,40 @@ def test_bpe_fertility_scan_speed(spark):
     assert "Exchange hashpartitioning" not in p
 
 
+def _live(p: str) -> str:
+    """The explain string with every InMemoryRelation CHILD subtree
+    removed — only operators that EXECUTE in this action remain. An
+    eagerly-materialized cache (r16: tracked_persist materializes by
+    default) prints its child as `AdaptiveSparkPlan isFinalPlan=true`
+    with BOTH a Final and an Initial copy, so raw node-text counts
+    double per cached reader; what the single-evaluation pins actually
+    guard is the LIVE plan."""
+    out, skip_indent = [], None
+    for line in p.splitlines():
+        indent = len(line) - len(line.lstrip(" :+-*("))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def test_pandas_udf_single_evaluation(spark):
     """Pin the r08 double-ArrowEvalPython fix: a threshold filter over
     a Pandas-UDF score must NOT re-evaluate the UDF (Catalyst pushes a
     deterministic filter back through the aliasing project). The
     expensive Python stages run exactly once per logical evaluation:
-    semantic_dedup = 1 cosine + 1 cell-assign (r09: the cell-assigned
-    corpus is persisted, so all three consumers — both self-join
-    branches and the keeper join — read InMemoryTableScan instead of
-    re-scanning + re-assigning; explain prints the cached subtree at
-    every consumer, hence Arrow-node text count = 1 cosine + one
-    cell-assign print per InMemoryTableScan);
-    emb_near_dup_pairs / emb_near_dup_lsh = 1 cosine each.
+    semantic_dedup = 1 cosine + 1 (cached) cell-assign (r09: the
+    cell-assigned corpus is persisted, so all three consumers — both
+    self-join branches and the keeper join — read InMemoryTableScan
+    instead of re-scanning + re-assigning); emb_near_dup_pairs /
+    emb_near_dup_lsh = 1 cosine each. Counts are taken on the LIVE
+    plan (:func:`_live` — cached-child printouts stripped), which is
+    what executes.
 
     Cache is cleared first: the session-scoped fixture accumulates
     persisted frames from earlier test files (conformance runs every
@@ -341,20 +367,23 @@ def test_pandas_udf_single_evaluation(spark):
     spark.catalog.clearCache()
     p = plan(spark, SPECS["semantic_dedup"].fn(spark, SF_SMOKE), "simple")
     assert p.count("InMemoryTableScan") == 3  # cached corpus, 3 readers
-    # exactly ONE Arrow eval outside the cached subtree (the cosine)
-    assert p.count("ArrowEvalPython") - p.count("InMemoryTableScan") == 1
-    assert "Filter isnotnull(pythonUDF" not in p  # the r07 duplication tell
+    # exactly ONE Arrow eval executes live (the cosine)
+    assert _live(p).count("ArrowEvalPython") == 1
+    assert "Filter isnotnull(pythonUDF" not in _live(p)  # r07 duplication tell
+    spark.catalog.clearCache()
     p = plan(spark, SPECS["emb_near_dup_pairs"].fn(spark, SF_SMOKE), "simple")
-    assert p.count("ArrowEvalPython") == 1
+    assert _live(p).count("ArrowEvalPython") == 1
     # lsh: 1 cosine + 2 bucket-sign evals (one per join branch)
+    spark.catalog.clearCache()
     p = plan(spark, SPECS["emb_near_dup_lsh"].fn(spark, SF_SMOKE), "simple")
-    assert p.count("ArrowEvalPython") == 3
-    assert "Filter isnotnull(pythonUDF" not in p
+    assert _live(p).count("ArrowEvalPython") == 3
+    assert "Filter isnotnull(pythonUDF" not in _live(p)
     # hard_negatives_celled: same persist-before-self-join shape as
     # semantic_dedup (3 cached readers, one live cosine eval)
+    spark.catalog.clearCache()
     p = plan(spark, SPECS["hard_negatives_celled"].fn(spark, SF_SMOKE), "simple")
     assert p.count("InMemoryTableScan") == 3
-    assert p.count("ArrowEvalPython") - p.count("InMemoryTableScan") == 1
+    assert _live(p).count("ArrowEvalPython") == 1
 
 
 def test_embedding_gram_no_self_join(spark):
