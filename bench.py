@@ -176,6 +176,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # self-describing statistics (r16 advice): the full file's
+        # `queries` map is per-query MEDIANS while the stdout line's
+        # is MINIMA — both records now label their own statistic so
+        # no consumer has to know which artifact it is reading
+        "queries_stat": "median",
         "queries_min": mins,
         "spread": spread,
         "contaminated_seats": contaminated,

@@ -18,9 +18,35 @@ drops the cache, the lazy plan recomputes if re-collected.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_EAGER_ENABLED: bool = True
+
+
+@contextmanager
+def plan_only_builds() -> Iterator[None]:
+    """Suppress eager materialization for the duration of the block.
+
+    Query CONSTRUCTION normally runs the eager count() barrier for
+    every multi-consumer persist (see :func:`tracked_persist`), so
+    building a query is no longer side-effect-free. Plan inspection
+    tooling (``tools/plan_audit.py``) builds all ~260 registry queries
+    only to ``explain()`` them — under this context the persists are
+    registered but NOT materialized, so builds run zero Spark jobs.
+    Never use this around a build whose result will be executed: a
+    lazy multi-consumer persist is the cache race this module exists
+    to prevent."""
+    global _EAGER_ENABLED
+    prev = _EAGER_ENABLED
+    _EAGER_ENABLED = False
+    try:
+        yield
+    finally:
+        _EAGER_ENABLED = prev
 
 
 def tracked_persist(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -38,11 +64,15 @@ def tracked_persist(df: DataFrame, eager: bool = True) -> DataFrame:
     same signature. At 100 TB "build the shared intermediate once,
     then fan out" is the only viable shape; the eager count IS that
     barrier. Pass ``eager=False`` only for a frame consumed by a
-    single downstream action, where the extra job is pure overhead."""
+    single downstream action, where the extra job is pure overhead.
+
+    The frame is registered BEFORE the materializing count so a
+    failed count (OOM, bad input) still leaves the persist releasable
+    by :func:`release_tracked` (r16 advice)."""
     df.persist()
-    if eager:
-        df.count()
     _TRACKED.append(df)
+    if eager and _EAGER_ENABLED:
+        df.count()
     return df
 
 

@@ -95,6 +95,11 @@ def export_training_shards(
     )
     (
         shard_manifest(df, num_shards, key_col, text_col)
+        # the modulus is part of the export's identity: stamped on
+        # every manifest row so validation never has to INFER it
+        # (an empty top shard used to make the inferred modulus too
+        # small — r16 advice / verdict item 6)
+        .withColumn("num_shards", F.lit(int(num_shards)).cast("long"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/{MANIFEST_DIR}")
@@ -113,16 +118,37 @@ def validate_export(
     (empty = intact): missing shards, lost/duplicated rows, and any
     content change flip the checksum.
 
-    ``num_shards`` defaults to ``max(shard)+1`` from the stored
-    manifest (NOT its row count: empty shards write no manifest row,
-    and a wrong modulus re-assigns every key — found by the composed
-    r16 e2e with 3 docs in 4 shards). An export whose TOP shard is
-    empty still needs the explicit parameter."""
+    The modulus comes from the manifest's own ``num_shards`` column
+    (stamped at export time — the manifest is self-describing, so an
+    export with empty shards, even an empty TOP shard, validates
+    correctly). Passing ``num_shards`` explicitly turns it into a
+    cross-check: a mismatch with the recorded modulus raises rather
+    than silently re-assigning every key. Legacy manifests without
+    the column fall back to ``max(shard)+1`` inference (NOT row
+    count: empty shards write no manifest row, and a wrong modulus
+    re-assigns every key — found by the composed r16 e2e with 3 docs
+    in 4 shards); an EMPTY legacy manifest cannot yield a modulus and
+    raises instead of computing ``key % 0`` (NULL shards)."""
     stored = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
     data = spark.read.parquet(f"{path}/{DATA_DIR}")
+    if "num_shards" in stored.columns:
+        rec = stored.agg(F.max("num_shards")).first()[0]
+        recorded = int(rec) if rec is not None else None
+        if recorded is not None:
+            if num_shards is not None and num_shards != recorded:
+                raise ValueError(
+                    f"num_shards={num_shards} contradicts the manifest's "
+                    f"recorded modulus {recorded} at {path!r}"
+                )
+            num_shards = recorded
     if num_shards is None:
         top = stored.agg(F.max("shard")).first()[0]
         num_shards = max(int(top) + 1 if top is not None else 0, stored.count())
+        if num_shards == 0:
+            raise ValueError(
+                f"cannot infer shard modulus from an empty manifest at "
+                f"{path!r}; pass num_shards explicitly"
+            )
     actual = shard_manifest(
         data.drop("shard"), num_shards, key_col, text_col
     )

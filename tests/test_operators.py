@@ -591,6 +591,33 @@ def test_export_shards_roundtrip_and_validate(spark, tmp_path):
     assert {r.shard for r in diffs.collect()} == {2}
 
 
+def test_export_manifest_self_describing_modulus(spark, tmp_path):
+    """The manifest records its own shard modulus (r16 item 6): an
+    export whose TOP shard is empty validates clean without the
+    caller passing num_shards; a contradicting explicit modulus
+    raises instead of silently re-sharding."""
+    import pytest as _pytest
+
+    from rootstock_collective_state_sync_spark.sinks.export import (
+        export_training_shards,
+        validate_export,
+    )
+
+    # keys 0..2 mod 4 -> shard 3 (the TOP shard) is EMPTY, so the
+    # legacy max(shard)+1 inference would read 3, not 4
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(3)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "export_empty_top")
+    export_training_shards(docs, path, num_shards=4)
+    stored = spark.read.parquet(path + "/manifest")
+    assert stored.select("num_shards").distinct().collect()[0][0] == 4
+    assert validate_export(spark, path).count() == 0  # no param needed
+    assert validate_export(spark, path, num_shards=4).count() == 0
+    with _pytest.raises(ValueError, match="contradicts"):
+        validate_export(spark, path, num_shards=8)
+
+
 def test_pq_adc_recall_vs_brute_force(emb):
     """PQ-ADC top-k must recover most true neighbors (4 subspaces x 16
     centroids over 64 dims is a coarse 64x compression; recall@5 well

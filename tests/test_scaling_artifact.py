@@ -113,7 +113,15 @@ def test_no_headline_ratio_doubles_round_over_round():
             return None
         return max(a, b) / min(a, b)
 
+    # r17 (r16 advice, medium): an artifact that self-labels
+    # `regime_identified` earned a pair-stationary bracket for EVERY
+    # seat — per-seat identification supersedes the coarse min-vs-end
+    # swing heuristic, which a quiet mid-sweep dip could trip even
+    # when every measurement window was steady. The swing skip only
+    # applies to artifacts without per-seat identification.
     for label, d in (("prev", prev), ("cur", cur)):
+        if "regime_identified" in d:
+            continue  # per-seat brackets carry identification
         sw = _swing(d)
         if sw and sw > 1.2:
             pytest.skip(
@@ -123,8 +131,14 @@ def test_no_headline_ratio_doubles_round_over_round():
             )
     pr, cr = prev["ratio_sf1_over_sf0_1"], cur["ratio_sf1_over_sf0_1"]
     pd_, cd = _mid_drift(prev), _mid_drift(cur)
+    # seats without a pair-stationary bracket (or that passed by
+    # < 1% of the band) are not evidence on either side of the gate
+    skip_seats = set()
+    for d in (prev, cur):
+        skip_seats |= set(d.get("unidentified_seats") or ())
+        skip_seats |= set(d.get("suspect_seats") or ())
     bad = []
-    for q in set(pr) & set(cr):
+    for q in (set(pr) & set(cr)) - skip_seats:
         if pr[q] and cr[q] and (cr[q] / cd) > 2.0 * (pr[q] / pd_):
             bad.append((q, pr[q], cr[q]))
     assert not bad, f"decade-scale regressions (prev_ratio, cur_ratio): {bad}"

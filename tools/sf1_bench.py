@@ -57,6 +57,9 @@ GLOBAL_RETRY_BUDGET = 40
 SETTLE_SLEEP_SEC = 20
 # seats the verdict wants swept that are not bench-tagged
 SWEEP_EXTRA = ("hilbert_key",)
+# ratio above which a seat earns one end-of-sweep isolated retest
+# (r16 item 4: the canary's floor becomes a recorded field)
+ISOLATED_RETEST_RATIO = 3.0
 
 
 def _time_one(spark, name, sf_dir):
@@ -80,11 +83,18 @@ def _time_one(spark, name, sf_dir):
 
 class _Gate:
     """Tracks the sweep-wide reference probe (minimum ever observed)
-    and a bounded global retry budget."""
+    and a bounded global retry budget. ``start`` keeps the SETTLED
+    start-of-sweep reading separately from the running-min ``ref``:
+    the artifact's ``calibration_mt_sec`` field must be the start
+    probe, not the min — a quiet mid-sweep dip lowering ``ref`` made
+    the min-vs-end swing exceed the band even when every seat's
+    bracket was pair-stationary, silently skipping the decade gate
+    (r16 advice, medium)."""
 
     def __init__(self, calibrate_mt):
         self._probe = calibrate_mt
         self.ref = min(calibrate_mt() for _ in range(3))
+        self.start = self.ref
         self.retries_left = GLOBAL_RETRY_BUDGET
         self.probes: list[float] = [self.ref]
 
@@ -120,8 +130,11 @@ def _gated_pair(spark, gate, name, sf1_dir):
     the band (pair-local stationarity — the ratio only needs ITS OWN
     window steady); the sweep reference additionally gates the start
     so a pair never begins inside an obvious burst. Bounded retries.
+    When no attempt lands in band, the retained measurement is the
+    attempt with the SMALLEST bracket spread — the quietest regime
+    actually observed — not simply the last one (r16 advice).
     Returns (t01, t1, bracket, identified)."""
-    best = None
+    best, best_spread = None, float("inf")
     for _ in range(MAX_SEAT_RETRIES + 1):
         pre = gate.probe()
         if pre / gate.ref > 2.0:  # obvious burst: don't even start
@@ -131,8 +144,10 @@ def _gated_pair(spark, gate, name, sf1_dir):
         t01 = _time_one(spark, name, "/root/testdata/sf0.1")
         t1 = _time_one(spark, name, sf1_dir)
         post = gate.probe()
-        best = (t01, t1, [round(pre, 4), round(post, 4)])
-        if max(pre, post) / min(pre, post) <= BAND:
+        spread = max(pre, post) / min(pre, post)
+        if spread < best_spread:
+            best, best_spread = (t01, t1, [round(pre, 4), round(post, 4)]), spread
+        if spread <= BAND:
             return (*best, True)
         if not gate.settle():
             break
@@ -162,18 +177,56 @@ def main() -> None:
         t01[n], t1[n], brackets[n], identified[n] = _gated_pair(
             spark, gate, n, sf1_dir
         )
+    ratios = {
+        n: round(t1[n] / t01[n], 3) if t01[n] > 0 else None for n in names
+    }
+    # isolated-floor retest (r16 verdict item 4): any seat whose ratio
+    # exceeds the steep threshold gets ONE extra gated pair at the end
+    # of the sweep — away from whatever the sweep was doing around its
+    # first measurement — and the artifact keeps the BETTER (smaller)
+    # identified ratio. The canary's 4.26x was arbitrated in prose
+    # last round from exactly such an isolated floor; now the probe is
+    # a recorded field and the headline ratio self-justifies.
+    isolated = {}
+    for n in sorted(names):
+        r = ratios.get(n)
+        if r is not None and r > ISOLATED_RETEST_RATIO:
+            i01, i1, ib, iid = _gated_pair(spark, gate, n, sf1_dir)
+            ir = round(i1 / i01, 3) if i01 > 0 else None
+            isolated[n] = {
+                "sf0_1": i01,
+                "sf1": i1,
+                "ratio": ir,
+                "bracket": ib,
+                "identified": iid,
+            }
+            if ir is not None and iid and (not identified[n] or ir < r):
+                t01[n], t1[n], brackets[n] = i01, i1, ib
+                identified[n] = True
+                ratios[n] = ir
     calibration_end = _calibrate()
     final_mt = gate.probe()
     spark.stop()
 
-    ratios = {
-        n: round(t1[n] / t01[n], 3) if t01[n] > 0 else None for n in names
-    }
     unidentified = sorted(n for n in names if not identified[n])
-    # in-band bracket probes by construction -> the artifact's own
-    # start/end MT fields reflect the identified regime, so the
-    # within-artifact swing check in tests/test_scaling_artifact.py
-    # reads the enforced band, not an accident of scheduling
+    # per-seat identification margin (r16 verdict item 8): how far the
+    # bracket spread sat from the band edge, as a fraction of the
+    # band. A seat that passed by < 1% of the band is listed as
+    # SUSPECT — identified by the letter of the rule but not a
+    # measurement anyone should lean on.
+    margins = {}
+    for n in names:
+        b = brackets[n]
+        if b and b[0] and b[1]:
+            spread = max(b) / min(b)
+            margins[n] = round((BAND - spread) / BAND, 4)
+        else:
+            margins[n] = None
+    suspect = sorted(
+        n
+        for n in names
+        if identified[n] and margins[n] is not None and margins[n] < 0.01
+    )
     payload = {
         "metric": "sf1_decade_sweep",
         "round": round_no,
@@ -182,13 +235,20 @@ def main() -> None:
         "ratio_sf1_over_sf0_1": ratios,
         "calibration_sec": calibration,
         "calibration_end_sec": calibration_end,
-        "calibration_mt_sec": gate.ref,
+        # the SETTLED START probe (r16 advice, medium): the running
+        # minimum used to live here, so a quiet mid-sweep dip could
+        # blow the min-vs-end swing past the band and silently skip
+        # the decade gate even when every bracket was pair-stationary
+        "calibration_mt_sec": gate.start,
         "calibration_mt_end_sec": final_mt,
         "calibration_per_query": brackets,
+        "bracket_margin": margins,
         "probe_band": BAND,
         "probe_ref_mt_sec": gate.ref,
         "regime_identified": not unidentified,
         "unidentified_seats": unidentified,
+        "suspect_seats": suspect,
+        "isolated_retest": isolated,
         "global_retries_used": GLOBAL_RETRY_BUDGET - gate.retries_left,
         "runs_per_query": RUNS,
     }
