@@ -144,21 +144,27 @@ def label_propagation(
     """
     from rootstock_collective_state_sync_spark.caching import tracked_persist
 
+    # eager=False (r17 site audit, SCALING.md): consumers here are
+    # SEQUENTIAL actions (cur.count(), then one nxt.count() per
+    # round), not subtrees of one action — the first action fills the
+    # cache, so there is no multi-consumer race for eager to prevent
     base = tracked_persist(
         emb.select(
             F.col(id_col).alias("id"),
             F.col(label_col).alias("label_true"),
             (F.col(id_col) % seed_mod != 0).alias("seeded"),
-        )
+        ),
+        eager=False,
     )
     # `_edges` lets scale callers inject the cell-confined build
-    # (:func:`knn_edges_celled`) without duplicating the round loop
+    # (:func:`knn_edges_celled`) without duplicating the round loop;
+    # eager: the tracked_persist count IS the materialization barrier
+    # (the explicit edges.count() it replaces)
     edges = tracked_persist(
         knn_edges(emb, k=k, id_col=id_col, vec_col=vec_col)
         if _edges is None
         else _edges
     )
-    edges.count()
     cur = base.select(
         "id", F.when(F.col("seeded"), F.col("label_true")).alias("cur")
     ).persist()

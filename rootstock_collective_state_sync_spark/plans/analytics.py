@@ -1983,10 +1983,14 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts, and BOTH sides of the pair self-join — without the
     # persist the lineitem-part join + distinct re-runs four times
     # (the r08 semantic_dedup lesson; released by the registry wrapper)
+    # eager=False (r17 site audit, SCALING.md): the very next line's
+    # count() is the first consumer and fills the cache in one pass —
+    # an eager count here would scan the basket table twice
     baskets = tracked_persist(
         li.join(pt, li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("item"))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     n = baskets.select("bk").distinct().count()  # control-plane scalar
     min_sup_abs = (_AR_MIN_SUP_E6 * n) // 1_000_000

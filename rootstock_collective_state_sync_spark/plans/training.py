@@ -2111,6 +2111,10 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # eager=False (r17 site audit, SCALING.md): tier 2's eager build
+    # below is the first consumer and scans `scored` exactly once,
+    # filling this cache as a side effect; an eager count here would
+    # add a full extra pass over the pair table
     scored = tracked_persist(  # ONE pair table feeds both tiers
         inter.join(
             sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")),
@@ -2135,7 +2139,8 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("na") < F.col("nb"))
                 | ((F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b")))
             ).alias("a_small"),
-        )
+        ),
+        eager=False,
     )
 
     # tier 2: near-dup pairs among s1; kill the higher id of each pair
