@@ -10,13 +10,20 @@ fails if ANY stage's contract drifts against its neighbors:
 2. watch: a ``blockstream`` readStream drives per-block ``run_block``
    (changelog strategy) — the watermark advances and an UPDATED
    proposal description lands in the versioned table;
-3. curate: the real declarative pipeline (token_cap -> exact_dedup,
+3. reorg (T6, r16 verdict item 5): mid-watch the chain forks — branch
+   b rewrites the watch leg's blocks, so the stored watermark hash no
+   longer matches the chain (``reorgCleanupStrategy.ts:21-41``); the
+   shadow rebuild + atomic swap runs (``schema.ts:10-49`` parity) and
+   the engine lands on canonical history;
+4. curate: the real declarative pipeline (token_cap -> exact_dedup,
    audited) runs over the ENGINE's Proposal table — including the
-   text updated during the watch leg, proving the pipeline reads
-   live engine state, not a bootstrap snapshot;
-4. export: training shards + manifest; ``validate_export`` recomputes
+   text REWRITTEN by the reorg branch, proving the pipeline reads
+   live post-recovery engine state, not a bootstrap snapshot;
+5. export: training shards + manifest; ``validate_export`` recomputes
    the manifest from the written bytes and must return zero
-   mismatching rows.
+   mismatching rows — and the whole curate+export tail is proven
+   EQUAL to a never-reorged engine synced fresh on the canonical
+   chain (manifests match row-for-row, checksums included).
 
 Wall-clock for the whole composed flow is printed and recorded in
 DEPLOY.md ("Composed run" section).
@@ -142,35 +149,90 @@ def test_composed_boot_watch_curate_export(spark, tmp_path):
     assert processed == [6, 7]
     assert eng.get_watermark().number == 7
 
-    # ---- stage 3: curate the ENGINE's table (live state, not boot) ----
-    docs = eng.catalog.table("Proposal").read().select(
-        F.conv(F.hex(F.col("id")), 16, 10).cast("long").alias("doc_id"),
-        F.col("description").alias("text"),
-        F.lit("governance").alias("source"),
+    # ---- stage 3: reorg mid-watch (T6) — shadow rebuild + swap ----
+    from rootstock_collective_state_sync_spark.streaming import ReorgManager
+
+    world.reorg(5)  # branch b rewrites the watch leg's blocks 6-7
+    world.extend(
+        synthetic_blocks(6, 2, fork_tag="b"),
+        {
+            6: {
+                "Proposal": [
+                    proposal(2, "canonical text after the reorg", 6)
+                ]
+            },
+            7: {"VoteCast": [vote(3, support=2, reason="b-branch")]},
+        },
     )
-    curated, trail = run_pipeline(
-        docs,
-        [
-            {"stage": "token_cap", "max_tokens": 300},
-            {"stage": "exact_dedup"},
-        ],
-        audit=True,
+    mgr = ReorgManager(engine=eng, chain=world.chain())
+    assert mgr.detect() == 7  # stored block-7 hash is now orphaned
+    mgr.recover_rebuild()  # blue/green: shadow sync, atomic dir swap
+    assert mgr.detect() is None  # clean on canonical history
+    assert eng.get_watermark().number == 7
+
+    # the never-reorged control: a fresh engine that only ever saw
+    # the canonical (post-fork) chain
+    fresh = SyncEngine(
+        spark=spark,
+        schema=load_entities(FIXTURE),
+        catalog=TableCatalog(spark, tmp_path / "fresh"),
+        client=SubgraphClient(url="fake://w", transport=world.transport),
+        page_size=3,
+        block_interval_threshold=1,
     )
+    fresh.bootstrap(at_block=7)
+    fresh.sync_from_changelog(world.chain().head_block())
+
+    # ---- stage 4: curate the ENGINE's table (live state, not boot) ----
+    def curate(engine):
+        docs = engine.catalog.table("Proposal").read().select(
+            F.conv(F.hex(F.col("id")), 16, 10).cast("long").alias("doc_id"),
+            F.col("description").alias("text"),
+            F.lit("governance").alias("source"),
+        )
+        return run_pipeline(
+            docs,
+            [
+                {"stage": "token_cap", "max_tokens": 300},
+                {"stage": "exact_dedup"},
+            ],
+            audit=True,
+        )
+
+    curated, trail = curate(eng)
     assert [t["rows"] for t in trail] == [5, 4, 3]  # -long, -one dup
     kept = {r.doc_id: r.text for r in curated.collect()}
-    # the watch-leg update is what got curated, not the boot snapshot
-    assert kept[2] == "fresh text updated during the watch leg"
+    # the reorg branch's rewrite is what got curated — not the boot
+    # snapshot, not the orphaned watch-leg text
+    assert kept[2] == "canonical text after the reorg"
     assert len({3, 4} & set(kept)) == 1  # one of the dup pair survives
 
-    # ---- stage 4: export shards + manifest; validate from bytes ----
+    # ---- stage 5: export shards + manifest; validate from bytes ----
     out = str(tmp_path / "export")
     export_training_shards(curated, out, num_shards=4)
     assert validate_export(spark, out, num_shards=4).count() == 0
-    assert validate_export(spark, out).count() == 0  # inferred modulus
+    assert validate_export(spark, out).count() == 0  # recorded modulus
     manifest = spark.read.parquet(f"{out}/manifest")
     assert manifest.agg(F.sum("n_docs")).first()[0] == 3
     data = spark.read.parquet(f"{out}/data")
     assert {r.doc_id for r in data.select("doc_id").collect()} == set(kept)
 
+    # recovered-run tail == never-reorged-run tail: same curated rows,
+    # and the exports' manifests (counts, key ranges, CHECKSUMS) match
+    # row-for-row — the reorg left no residue downstream
+    curated_fresh, _ = curate(fresh)
+    assert {(r.doc_id, r.text) for r in curated_fresh.collect()} == {
+        (k, v) for k, v in kept.items()
+    }
+    out_fresh = str(tmp_path / "export_fresh")
+    export_training_shards(curated_fresh, out_fresh, num_shards=4)
+    m_live = spark.read.parquet(f"{out}/manifest")
+    m_fresh = spark.read.parquet(f"{out_fresh}/manifest")
+    assert m_live.exceptAll(m_fresh).count() == 0
+    assert m_fresh.exceptAll(m_live).count() == 0
+
     elapsed = time.perf_counter() - t0
-    print(f"\ncomposed engine e2e (boot+watch+curate+export): {elapsed:.1f} s")
+    print(
+        f"\ncomposed engine e2e (boot+watch+reorg+curate+export): "
+        f"{elapsed:.1f} s"
+    )
