@@ -1373,27 +1373,41 @@ def embedding_gram(
     iu = np.triu_indices(dim)
 
     def _partial(batches):
-        acc = np.zeros((dim, dim), dtype=np.int64)
+        # r17: the kernel works on the UPPER TRIANGLE only — rows ×
+        # dim·(dim+1)/2 products instead of the full rows × dim²
+        # outer cube (the lower triangle was computed and thrown
+        # away), and 2-D temporaries instead of 3-D. Same per-row
+        # e6-snap-then-integer-sum semantics; ~2× fewer flops and
+        # ~4× less temporary memory on the decade sweep's worst
+        # non-canary seat (3.40×/decade at r16 — see SCALING.md r17:
+        # an exact Gram IS n·dim² work, so the slope tends linear;
+        # this shrinks the constant, not the asymptote).
+        acc = np.zeros(len(iu[0]), dtype=np.int64)
         n = 0
         for pdf in batches:
             X = np.stack(pdf[vec_col].values).astype(np.float64)
             n += X.shape[0]
             # per-row product -> e6 snap -> integer sum (the package
             # fixed-point policy; chunked to bound memory)
-            for s in range(0, X.shape[0], 1024):
-                C = X[s : s + 1024]
-                v = C[:, :, None] * C[:, None, :] * 1e6
+            for s in range(0, X.shape[0], 4096):
+                C = X[s : s + 4096]
+                v = C[:, iu[0]] * C[:, iu[1]]
+                v *= 1e6
+                sgn = np.sign(v)
                 # HALF_UP away from zero — np.rint is banker's and
                 # would diverge from Spark/DuckDB round() on exact .5
-                snapped = np.sign(v) * np.floor(np.abs(v) + 0.5)
-                acc += snapped.astype(np.int64).sum(axis=0)
+                np.floor(np.abs(v, out=v) + 0.5, out=v)
+                v *= sgn
+                # per-chunk sums stay < 4096·1e6 < 2^53: the float64
+                # reduction is exact before the int64 cast
+                acc += v.sum(axis=0).astype(np.int64)
         if n:
             yield _pd.DataFrame(
                 {
                     "i": iu[0].astype("int32"),
                     "j": iu[1].astype("int32"),
                     "n_part": np.full(len(iu[0]), n, dtype="int64"),
-                    "g_part": acc[iu],
+                    "g_part": acc,
                 }
             )
 

@@ -1001,66 +1001,67 @@ SPECS: dict[str, QuerySpec] = {
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
-    # r16 rotation (tools/window_planner.py policy, base 0def54c):
-    # (a) born this round — driver-checked immediately
-    "uint256_roundtrip",
-    # (b) semantically changed this round — re-earn rows: hilbert_key
-    #     (oracle SQL now qualifies the prior CTE's st/d refs),
-    #     source_js_divergence / source_kl_drift (empty-corpus guard)
-    "hilbert_key",
-    "source_js_divergence",
-    "source_kl_drift",
-    # (c) the ENTIRE r10-evidence cohort (44 queries — the oldest
-    #     driver evidence anywhere; r15 verdict item 9 asked for >=20,
-    #     this clears the debt in one window like r15 cleared r09's)
-    "filter_isin_enum",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "exists_subquery",
-    "first_event_per_key",
-    "group_count",
-    "q18_large_orders",
-    "q19_disc_revenue",
-    "q11_important_parts",
-    "q22_idle_customers",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "epoch_shuffle",
-    "importance_sample",
-    "zorder_key",
-    "export_manifest",
-    "window_tumbling",
-    "window_sliding",
-    "q20_supplier_part_share",
-    "q21_blamed_supplier",
-    "semantic_dedup",
-    "hard_negatives_celled",
-    "semantic_contamination",
-    "winnow_pairs",
-    "readability",
-    "k_anonymity",
-    "c4_quality",
-    "script_census",
-    "lang_id_agreement",
-    "weighted_median_price",
-    "twap_user_value",
-    "ohlc_hourly",
-    "kmv_distinct_tokens",
-    "knn_triangles",
-    "ohlc_daily_rollup",
-    "ivf_recall_report",
-    "k_anonymity_enforce",
+    # r17 rotation (tools/window_planner.py policy, base beb87c0):
+    # (a) semantically/executionally changed this round — re-earn
+    #     rows: assoc_rules + dedup_funnel + label_propagation
+    #     (eager-persist site audit switched their shared frames to
+    #     lazy), embedding_gram (triangle kernel rewrite),
+    #     export_manifest (manifest now records num_shards)
     "assoc_rules",
-    "pareto_front",
-    "ivf_silhouette",
-    "time_to_convert",
-    "sample_k_per_group",
-    "new_users_daily",
-    # (d) 2 oldest-r11 anchors (the next-oldest cohort starts
+    "dedup_funnel",
+    "label_propagation",
+    "embedding_gram",
+    "export_manifest",
+    # (b) the ENTIRE r11-evidence cohort (35 queries — the oldest
+    #     driver evidence anywhere; r16 verdict item 7 asked for
+    #     >= 30, this clears the debt in one window)
+    "anti_join",
+    "approx_distinct",
+    "approx_distinct_kmv",
+    "approx_quantiles",
+    "approx_quantiles_sampled",
+    "cube_counts",
+    "distinct_set",
+    "dow_seasonality",
+    "enum_label",
+    "event_type_correlation",
+    "events_json_stats",
+    "grouping_sets",
+    "interarrival_stats",
+    "kmv_overlap",
+    "kmv_overlap_audit",
+    "knn_triangles_celled",
+    "label_propagation_celled",
+    "median_value_per_type",
+    "min_cost_per_part",
+    "pivot_status_by_priority",
+    "q12_priority_by_status",
+    "q16_supplier_variety",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q7_volume_by_year",
+    "q8_market_share",
+    "range_join",
+    "rollup_status_priority",
+    "running_user_value",
+    "semi_join",
+    "similarity_pagerank_celled",
+    "topk_per_group",
+    "union_distinct",
+    "unpivot_measures",
+    # (c) 10 oldest-r12 anchors (the next-oldest cohort starts
     #     rotating next round)
-    "top1_latest",
-    "except_missing",
+    "ann_lsh_topk",
+    "audio_trim_silence",
+    "benford_audit",
+    "bloom_pruned_join",
+    "ccnet_buckets",
+    "chi_square_cells",
+    "classifier_brier",
+    "cluster_exemplars",
+    "containment_pairs",
+    "dedup_minhash_lsh",
 ]
 
 # (r15 window rotated out multi-round-green; all oracled queries stay
