@@ -33,6 +33,18 @@ import sys
 import time
 from pathlib import Path
 
+# Pin BLAS to one thread per process BEFORE numpy loads (r17): the MT
+# calibration probe runs 8 concurrent matmul threads — with a
+# multi-threaded OpenBLAS each spawns #cores more, and the probe
+# measures thread-thrash instead of core availability (measured 0.60 s
+# vs 0.17 s for the IDENTICAL quiet host depending on the caller's
+# inherited OPENBLAS_NUM_THREADS). The probe must be a property of the
+# HOST, not of the launcher's environment. Executor-side pinning for
+# the query kernels themselves lives in session.py (same rationale:
+# 32 concurrent Python workers want 1 BLAS thread each).
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 

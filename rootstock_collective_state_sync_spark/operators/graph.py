@@ -368,45 +368,125 @@ def knn_edges_celled(
     pattern if one embedding cluster dominates a cell.
     """
     from rootstock_collective_state_sync_spark.operators.similarity import (
-        cosine_vectorized,
         ivf_probe_assignments,
     )
 
-    cells = ivf_probe_assignments(
+    # vector rides along with the assignment (one Arrow pass), so no
+    # corpus-sized id self-join re-attaches it afterwards
+    tagged = ivf_probe_assignments(
         emb,
         num_cells=num_cells,
         nprobe=nprobe,
         id_col=id_col,
         vec_col=vec_col,
-    )
-    tagged = emb.join(cells, id_col).select(
+        carry_cols=(vec_col,),
+    ).select(
         F.col(id_col).alias("id_"),
         F.col(vec_col).alias("v"),
         "cell",
         "probes",
     )
+    # Per-cell BLOCK scoring instead of materialized candidate pairs:
+    # the old shape joined the probe side with the home side on `cell`
+    # and shipped every candidate PAIR (two full vectors per row)
+    # through an Arrow cosine UDF, then ranked all O(n·nprobe·cell)
+    # pair rows in one corpus-sized window. Here both sides shuffle
+    # ONCE on `cell` (each vector crosses the Python boundary nprobe+1
+    # times, never per pair), one grouped-map kernel per cell computes
+    # the query×candidate cosine block as a single float64 matmul and
+    # emits only each query's in-cell top-k; the global window then
+    # ranks n·nprobe·k survivor rows instead of every candidate pair.
+    # Exactness: the overall top-k under (s desc, dst asc) is a subset
+    # of the union of per-cell top-k's under the same order (a dst
+    # lives in exactly one home cell, so per-cell winners partition
+    # the candidate set); values keep the _cos_kernel semantics —
+    # float64 dot / (norm·norm), 6-dp snap — with knife-edge entries
+    # (within 1e-6 of a rounding boundary in e6 units) recomputed via
+    # the einsum reduction so the matmul's last-ulp accumulation
+    # difference cannot flip a rounded value vs the pairwise kernel.
     a = tagged.select(
         F.explode("probes").alias("cell"),
-        F.col("id_").alias("src"),
-        F.col("v").alias("va"),
+        F.col("id_").alias("id"),
+        "v",
+        F.lit(1).alias("q"),
     )
     b = tagged.select(
-        "cell", F.col("id_").alias("dst"), F.col("v").alias("vb")
+        "cell", F.col("id_").alias("id"), "v", F.lit(0).alias("q")
+    )
+    both = a.unionByName(b)
+    scored = both.groupBy("cell").applyInPandas(
+        _cell_topk_kernel(k), "src long, dst long, s double"
     )
     w = Window.partitionBy("src").orderBy(
         F.col("s").desc(), F.col("dst").asc()
     )
     fwd = (
-        a.join(b, "cell")
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            cosine_vectorized(F.col("va"), F.col("vb")).alias("s"),
-        )
-        .withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("src", "dst")
     )
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return fwd.unionByName(rev).distinct()
+
+
+def _cell_topk_kernel(k: int):
+    """Grouped-map kernel for one cell of :func:`knn_edges_celled`:
+    rows carry (cell, id, v, q) with q=1 marking the probe (query)
+    side and q=0 the home (candidate) side. Computes the full
+    query×candidate cosine block with one BLAS matmul and emits each
+    query's top-``k`` candidates under (cos desc, dst asc) — the same
+    composite order the downstream global window uses, which is what
+    makes per-cell pre-ranking lossless."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "src": pd.Series(dtype="int64"),
+            "dst": pd.Series(dtype="int64"),
+            "s": pd.Series(dtype="float64"),
+        }
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cand = pdf[pdf["q"] == 0]
+        qry = pdf[pdf["q"] == 1]
+        if not len(cand) or not len(qry):
+            return empty
+        # candidates sorted by id so a STABLE argsort on the rounded
+        # score yields (s desc, dst asc) exactly
+        cand = cand.sort_values("id", kind="stable")
+        C = np.stack(cand["v"].to_numpy()).astype(np.float64)
+        Q = np.stack(qry["v"].to_numpy()).astype(np.float64)
+        cid = cand["id"].to_numpy(dtype=np.int64)
+        qid = qry["id"].to_numpy(dtype=np.int64)
+        dots = Q @ C.T
+        nq = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        nc = np.sqrt(np.einsum("ij,ij->i", C, C))
+        raw = dots / (nq[:, None] * nc[None, :])
+        # knife-edge refinement: where the unrounded value sits within
+        # 1e-6 of a 6-dp rounding boundary, recompute the dot with the
+        # einsum reduction (the pairwise _cos_kernel's operand order)
+        # so BLAS blocking cannot flip the rounded value
+        frac = np.abs(np.abs(raw) * 1e6 % 1.0 - 0.5)
+        edge = np.argwhere(frac < 1e-6)
+        for i, j in edge:
+            d = np.einsum("ij,ij->i", Q[i : i + 1], C[j : j + 1])[0]
+            raw[i, j] = d / (nq[i] * nc[j])
+        S = np.round(raw, 6)
+        S[qid[:, None] == cid[None, :]] = -np.inf
+        kk = min(k, S.shape[1])
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(qid)), kk)
+        cols = idx.ravel()
+        s = S[rows, cols]
+        keep = s != -np.inf
+        return pd.DataFrame(
+            {
+                "src": qid[rows[keep]],
+                "dst": cid[cols[keep]],
+                "s": s[keep],
+            }
+        )
+
+    return fn

@@ -366,8 +366,8 @@ exactly this many rows at any data scale."""
 def _distributed_prefix_sum(
     per_v: DataFrame,
     v_col: str,
-    c_col: str,
-    out_col: str,
+    c_col: "str | list[str]",
+    out_col: "str | list[str]",
     group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``c_col`` over ``per_v`` in ``v_col``
@@ -398,6 +398,14 @@ def _distributed_prefix_sum(
     in-bucket ROWS-frame window ties-breaks nondeterministically and
     the result is partition-order-dependent (r12 advisor note; the
     contract was previously stated only in a test comment).
+
+    ``c_col``/``out_col`` may be LISTS of equal length: every column's
+    exclusive prefix sum is computed in the SAME pass — one boundary
+    probe, one in-bucket window operator (shared frame, N sum
+    expressions), one base-offset table, one join — instead of N
+    chained single-column passes each paying its own
+    ``approx_percentile`` driver action and window tower (guide §2.4:
+    operations keyed the same way share one exchange).
 
     Non-numeric but orderable ``v_col`` (string, date, timestamp — no
     ``approx_percentile`` support) takes the same two-level shape with
@@ -458,8 +466,8 @@ def _distributed_prefix_sum(
 def _prefix_sum_with_boundaries(
     per_v: DataFrame,
     v_col: str,
-    c_col: str,
-    out_col: str,
+    c_col: "str | list[str]",
+    out_col: "str | list[str]",
     g: list,
     uniq: list,
     cast_double: bool,
@@ -468,7 +476,12 @@ def _prefix_sum_with_boundaries(
     ``uniq`` boundaries, in-bucket exclusive cumsum, broadcast base
     offsets. ``cast_double`` matches the boundary domain (numeric
     boundaries are doubles; string/date boundaries compare natively).
+    Lists of ``c_col``/``out_col`` share every stage (one window
+    operator carries N sum expressions over the same spec).
     """
+    c_cols = [c_col] if isinstance(c_col, str) else list(c_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    assert len(c_cols) == len(out_cols), (c_cols, out_cols)
     # bucket = #boundaries strictly below v, as a plain sum of
     # comparisons (whole-stage codegen). NOT a higher-order-function
     # lambda: `size(filter(array(...), b -> b < v))` intermittently
@@ -485,8 +498,12 @@ def _prefix_sum_with_boundaries(
         .orderBy(v_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = bucketed.withColumn(
-        "_loc", F.coalesce(F.sum(c_col).over(w_local), F.lit(0))
+    local = bucketed.select(
+        "*",
+        *[
+            F.coalesce(F.sum(c).over(w_local), F.lit(0)).alias(f"_loc{i}")
+            for i, c in enumerate(c_cols)
+        ],
     )
     w_base = (
         Window.partitionBy(*g)
@@ -495,16 +512,27 @@ def _prefix_sum_with_boundaries(
     )
     base = (
         bucketed.groupBy(*g, "_rb")
-        .agg(F.sum(c_col).alias("_bc"))
-        .withColumn(
-            "_base", F.coalesce(F.sum("_bc").over(w_base), F.lit(0))
+        .agg(*[F.sum(c).alias(f"_bc{i}") for i, c in enumerate(c_cols)])
+        .select(
+            *g,
+            "_rb",
+            *[
+                F.coalesce(F.sum(f"_bc{i}").over(w_base), F.lit(0)).alias(
+                    f"_base{i}"
+                )
+                for i in range(len(c_cols))
+            ],
         )
-        .select(*g, "_rb", "_base")
     )
-    return (
-        local.join(F.broadcast(base), [*g, "_rb"])
-        .withColumn(out_col, (F.col("_base") + F.col("_loc")).cast("long"))
-        .drop("_rb", "_loc", "_base")
+    out = local.join(F.broadcast(base), [*g, "_rb"])
+    for i, o in enumerate(out_cols):
+        out = out.withColumn(
+            o, (F.col(f"_base{i}") + F.col(f"_loc{i}")).cast("long")
+        )
+    return out.drop(
+        "_rb",
+        *[f"_loc{i}" for i in range(len(c_cols))],
+        *[f"_base{i}" for i in range(len(c_cols))],
     )
 
 
@@ -1321,14 +1349,25 @@ def anderson_darling_k(
     values). ``value_col`` must be integer-typed (fixed-point
     policy); NULLs are dropped (the shared rank-test policy).
 
-    Scale shape: per-(group, value) counts, a k×L DENSE grid (every
-    group contributes a term at every distinct value — zero-count
-    cells still carry ``N·M2``), TWO distributed prefix-sum towers
-    (per-group and joint — never a global single-partition window),
-    one scalar aggregate. Grid size is k·L rows — linear in the
-    distinct-value count with bounded k (the Kruskal contract).
+    Scale shape: the k×L dense grid rides WIDE — one L-row table with
+    a count column per group (k is bounded, the Kruskal contract), so
+    every per-group cumulative and the joint cumulative come out of
+    ONE multi-column distributed prefix-sum pass (one boundary probe,
+    one window tower) instead of a k×L-row grid join plus two chained
+    towers; all k per-value terms are evaluated in-row and partially
+    summed before the final scalar aggregate. The distinct group list
+    and the per-group totals are bounded control-plane collects (k
+    rows), like the engine's other sketch/centroid pulls. Zero-count
+    (g, v) cells still carry their ``N·M2`` term — the wide row
+    evaluates every group at every value by construction.
     """
+    from functools import reduce
+
     from pyspark.sql.types import FractionalType
+
+    from rootstock_collective_state_sync_spark.caching import (
+        tracked_persist,
+    )
 
     dec = "decimal(38,0)"
     if isinstance(df.schema[value_col].dataType, FractionalType):
@@ -1341,51 +1380,66 @@ def anderson_darling_k(
     x = df.select(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).filter(F.col("v").isNotNull())
-    pv = x.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("f"))
-    vals = pv.groupBy("v").agg(F.sum("f").cast("long").alias("l"))
-    grps = pv.groupBy("g").agg(F.sum("f").cast("long").alias("ni"))
-    # dense k×L grid: zero-count (g, v) cells still carry a term
-    dense = (
-        vals.select("v")
-        .crossJoin(F.broadcast(grps))
-        .join(pv, ["g", "v"], "left")
-        .select("g", "v", "ni", F.coalesce("f", F.lit(0)).alias("f"))
+    # bounded control-plane pull: the distinct group list (k values —
+    # the same contract that bounds the dense grid). Sorted for a
+    # deterministic column order; None sorts first.
+    groups = sorted(
+        (r[0] for r in x.select("g").distinct().collect()),
+        key=lambda gv: (gv is not None, gv),
     )
-    off = _distributed_prefix_sum(dense, "v", "f", "off", group_cols=["g"])
-    offl = _distributed_prefix_sum(vals, "v", "l", "offl")
-    tot = vals.agg(
+    kk = len(groups)
+    spark = df.sparkSession
+    if kk == 0:  # empty input: one degenerate row, as before
+        return spark.createDataFrame(
+            [(None, 0, 0, None)],
+            "n long, k long, n_vals long, a2_e6 long",
+        )
+    # persisted (eager): the boundary probe, the per-group totals pull
+    # and the main aggregate all consume this one L-row table
+    wide = tracked_persist(
+        x.groupBy("v").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("g").isNull()
+                        if gi is None
+                        else (F.col("g") == F.lit(gi)),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"_f{i}")
+                for i, gi in enumerate(groups)
+            ],
+            F.count(F.lit(1)).cast("long").alias("l"),
+        )
+    )
+    tot = wide.agg(
+        *[F.sum(f"_f{i}").cast("long").alias(f"_n{i}") for i in range(kk)],
         F.sum("l").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("n_vals"),
+    ).first()
+    ni = [int(tot[f"_n{i}"]) for i in range(kk)]
+    n, n_vals = int(tot["n"]), int(tot["n_vals"])
+    cums = _distributed_prefix_sum(
+        wide,
+        "v",
+        [*(f"_f{i}" for i in range(kk)), "l"],
+        [*(f"_o{i}" for i in range(kk)), "offl"],
     )
-    kk = grps.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    terms = (
-        off.join(offl.select("v", "l", "offl"), "v")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            (F.lit(2) * F.col("off") + F.col("f")).alias("m2"),
-            (F.lit(2) * F.col("offl") + F.col("l")).alias("b2"),
-            "l",
-            "ni",
-            "n",
-        )
-        .select(
-            (
-                F.col("n").cast(dec) * F.col("m2")
-                - F.col("ni").cast(dec) * F.col("b2")
-            ).alias("num"),
-            (
-                F.lit(2).cast(dec) * F.col("n") * F.col("b2")
-                - F.col("b2").cast(dec) * F.col("b2")
-                - F.col("n").cast(dec) * F.col("l")
-            ).alias("den"),
-            "l",
-            "ni",
-            "n",
-        )
-    )
-    num_d = F.col("num").cast("double")
-    s = terms.select(
-        F.when(
+    b2 = (F.lit(2) * F.col("offl") + F.col("l")).alias("b2")
+    den = (
+        F.lit(2).cast(dec) * F.lit(n) * F.col("b2")
+        - F.col("b2").cast(dec) * F.col("b2")
+        - F.lit(n).cast(dec) * F.col("l")
+    ).alias("den")
+    row = cums.select("*", b2).select("*", den)
+
+    def _term(i: int):
+        m2 = F.lit(2) * F.col(f"_o{i}") + F.col(f"_f{i}")
+        num = F.lit(n).cast(dec) * m2 - F.lit(ni[i]).cast(dec) * F.col("b2")
+        num_d = num.cast("double")
+        return F.when(
             F.col("den") > 0,
             F.round(
                 F.col("l").cast("double")
@@ -1393,30 +1447,33 @@ def anderson_darling_k(
                 / (
                     F.col("den").cast("double")
                     * (
-                        F.col("ni").cast("double")
-                        * F.col("n").cast("double")
+                        F.lit(ni[i]).cast("double")
+                        * F.lit(n).cast("double")
                     )
                 )
                 * 1e9,
                 0,
             ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    s = row.select(
+        reduce(lambda a, b: a + b, [_term(i) for i in range(kk)]).alias(
+            "t_e9"
         )
-        .otherwise(F.lit(0))
-        .alias("t_e9")
     ).agg(F.sum("t_e9").cast("long").alias("s_e9"))
-    out = s.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(kk))
     a2 = (
-        (F.col("n") - 1).cast("double")
-        / F.col("n").cast("double")
+        F.lit(n - 1).cast("double")
+        / F.lit(n).cast("double")
         * (F.col("s_e9").cast("double") / 1e9)
     )
-    return out.select(
-        "n",
-        "k",
-        "n_vals",
-        F.when(
-            (F.col("k") > 1) & (F.col("n_vals") > 1),
-            F.round(a2 * 1e6, 0).cast("long"),
+    return s.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(kk).cast("long").alias("k"),
+        F.lit(n_vals).cast("long").alias("n_vals"),
+        (
+            F.round(a2 * 1e6, 0).cast("long")
+            if (kk > 1 and n_vals > 1)
+            else F.lit(None).cast("long")
         ).alias("a2_e6"),
     )
 

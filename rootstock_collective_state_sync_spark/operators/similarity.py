@@ -504,6 +504,7 @@ def ivf_probe_assignments(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """(id, cell, probes) — the home cell plus the ``nprobe`` nearest
     cells per vector, from ONE quantizer training. The distributed
@@ -516,10 +517,15 @@ def ivf_probe_assignments(
 
     ``num_cells="auto"`` derives the geometry from the corpus size
     (:func:`auto_num_cells`) — the shape a 100 TB deployment wants,
-    and what keeps the celled graph family linear per decade."""
+    and what keeps the celled graph family linear per decade.
+
+    ``carry_cols`` ride along unchanged (e.g. the vector column
+    itself), so consumers that need both the assignment AND the
+    payload skip a corpus-sized id self-join afterwards."""
     num_cells = resolve_num_cells(corpus, num_cells)
     cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
     probe = _probe_udf(cent, nprobe)
+    carry = list(carry_cols)
     # one Arrow matmul pass: the home cell IS the first probe (both
     # rank dot-desc with centroid-index-asc tie-break — `np.argmax`'s
     # first-max equals the argsort head), so a separate `_cell_udf`
@@ -527,9 +533,10 @@ def ivf_probe_assignments(
     # identical values (measured ~2x Arrow time on the celled graph
     # builds before this fusion)
     return corpus.select(
-        F.col(id_col), probe(F.col(vec_col)).alias("probes")
+        F.col(id_col), *carry, probe(F.col(vec_col)).alias("probes")
     ).select(
         F.col(id_col),
+        *carry,
         F.element_at("probes", 1).alias("cell"),
         F.col("probes"),
     )

@@ -348,16 +348,32 @@ def kmv_hashes(df: DataFrame, group_col: str, value_col: str) -> "DataFrame":
     ).distinct()
 
 
-def kmv_bottom_k(h: DataFrame, k: int) -> "DataFrame":
+def kmv_bottom_k(h: DataFrame, k: int, salt: int = 64) -> "DataFrame":
     """Truncate a ``(grp, h)`` hash table to each group's k smallest —
     the bounded mergeable sketch state. Union-then-truncate of any two
     bottom-k tables equals the bottom-k of the union (the KMV merge
-    law), so incremental maintenance is lossless for the estimator."""
+    law), so incremental maintenance is lossless for the estimator.
+
+    Two-level selection: a single per-``grp`` window would sort each
+    group's ENTIRE distinct-hash universe in one partition — the
+    per-group-global pathology (a handful of groups each holding a
+    corpus share). Level 1 takes the bottom-k within ``salt``
+    deterministic hash sub-buckets per group (distributed sort, the
+    same KMV merge law makes this lossless: the group's true bottom-k
+    is a subset of the union of its sub-bucket bottom-k's); level 2
+    ranks the ≤ salt·k survivors per group — bounded, so ITS window
+    partition is control-plane-sized at any corpus scale."""
     from pyspark.sql import Window, functions as F
 
+    w1 = Window.partitionBy("grp", "_sl").orderBy("h")
+    cand = (
+        h.withColumn("_sl", F.pmod(F.col("h"), F.lit(int(salt))))
+        .select("grp", "_sl", "h", F.row_number().over(w1).alias("rn"))
+        .filter(F.col("rn") <= k)
+    )
     w = Window.partitionBy("grp").orderBy("h")
     return (
-        h.select("grp", "h", F.row_number().over(w).alias("rn"))
+        cand.select("grp", "h", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= k)
         .select("grp", "h")
     )
@@ -430,10 +446,21 @@ def kmv_overlap(
     """
     from pyspark.sql import Window, functions as F
 
-    h = kmv_hashes(df, group_col, value_col)
-    bk = kmv_bottom_k(h, k)
+    from rootstock_collective_state_sync_spark.caching import (
+        tracked_persist,
+    )
 
-    g = h.select("grp").distinct()
+    h = kmv_hashes(df, group_col, value_col)
+    # persisted (eager): BOTH pair-tagging joins below consume the
+    # bottom-k sketch table — unpersisted, each join side re-ran the
+    # whole shingle→md5→distinct→bottom-k chain (the corpus-sized
+    # stage of this operator) from scratch. The sketch table itself is
+    # #groups × k rows — the cheapest possible thing to pin.
+    bk = tracked_persist(kmv_bottom_k(h, k))
+
+    # group spine straight from the input (no dependence on the
+    # corpus-sized distinct-hash table): same group set by definition
+    g = df.select(F.col(group_col).alias("grp")).distinct()
     pairs = (
         g.select(F.col("grp").alias("grp_a"))
         .join(g.select(F.col("grp").alias("grp_b")), F.col("grp_a") < F.col("grp_b"))

@@ -682,14 +682,23 @@ def kaplan_meier(
     single-partition window anywhere; the observation end is one
     control-plane scalar.
     """
+    from rootstock_collective_state_sync_spark.caching import tracked_persist
     from rootstock_collective_state_sync_spark.operators.profile import (
         _distributed_prefix_sum,
     )
 
-    end = df.agg(F.max(F.col(ts_col)).alias("m")).first()["m"]
-    per = df.groupBy(F.col(subject_col).alias("subj")).agg(
-        F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
+    # ONE corpus scan, not two: the observation edge max(ts) equals
+    # max over the per-subject last_ts, so the per-subject aggregate
+    # is persisted (eager: the scalar probe below and the main query
+    # both consume it) and the edge is read from the cached table —
+    # previously a dedicated full-events aggregate action (guide §1.2:
+    # don't compute things twice).
+    per = tracked_persist(
+        df.groupBy(F.col(subject_col).alias("subj")).agg(
+            F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
+        )
     )
+    end = per.agg(F.max("last_ts").alias("m")).first()["m"]
     per = per.select(
         F.datediff(F.col("last_ts"), F.col("first_ts"))
         .cast("long")
@@ -737,8 +746,10 @@ def kaplan_meier(
         term.alias("term_e9"),
         zero.cast("long").alias("_z"),
     )
-    cum = _distributed_prefix_sum(scored, "t_days", "term_e9", "_off")
-    zcum = _distributed_prefix_sum(cum, "t_days", "_z", "_zoff")
+    # one pass for both running sums (same v order, same windows)
+    zcum = _distributed_prefix_sum(
+        scored, "t_days", ["term_e9", "_z"], ["_off", "_zoff"]
+    )
     return (
         zcum.select(
             "t_days",

@@ -45,6 +45,18 @@ def get_spark(
             pkg_root + (os.pathsep + existing if existing else "")
         )
 
+    # One BLAS thread per Python worker (inherited from the driver env
+    # at worker launch; must be set before the JVM starts). The engine
+    # runs one Python worker PER CORE — a multi-threaded OpenBLAS
+    # inside each worker's numpy kernels (cosine blocks, PQ encode,
+    # Gram chunks) oversubscribes cores² threads and thrashes; the
+    # kernels are small per batch, so intra-op BLAS parallelism buys
+    # nothing that the task-level parallelism doesn't already provide.
+    # Standard practice on multi-tenant executors (guide §4.5). Honors
+    # a caller's explicit setting.
+    for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
