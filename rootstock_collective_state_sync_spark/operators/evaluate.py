@@ -138,8 +138,11 @@ def average_precision(
         F.sum(F.col(label_col).cast("long")).alias("pos"),
         F.count(F.lit(1)).cast("long").alias("tot"),
     )
-    t = _distributed_prefix_sum(per, "s", "pos", "pref_pos")
-    t = _distributed_prefix_sum(t, "s", "tot", "pref_tot")
+    # both cumulatives in ONE prefix pass (shared boundary probe +
+    # window tower; the columns co-exist on the input rows)
+    t = _distributed_prefix_sum(
+        per, "s", ["pos", "tot"], ["pref_pos", "pref_tot"]
+    )
     totals = per.agg(
         F.sum("pos").cast("long").alias("p_all"),
         F.sum("tot").cast("long").alias("t_all"),

@@ -363,12 +363,65 @@ offsets form the only ordered single-partition window and it holds
 exactly this many rows at any data scale."""
 
 
+def _prefix_boundaries(
+    per_v: DataFrame, v_col: str
+) -> "tuple[list, bool]":
+    """Bucket boundaries for :func:`_distributed_prefix_sum` as a
+    reusable ``(uniq, cast_double)`` pair. Chained towers whose
+    ``v_col`` domains coincide (e.g. Kaplan–Meier's at-risk tower and
+    its survival tower, both over the same distinct-lifetime rows)
+    compute this ONCE and pass it to both calls via ``boundaries`` —
+    any monotone boundary set yields exact values (base + local holds
+    for every monotone bucketing), so sharing is always correct; only
+    bucket balance could differ, and with an identical row domain it
+    does not."""
+    if not isinstance(per_v.schema[v_col].dataType, NumericType):
+        sample = [
+            r[0]
+            for r in per_v.select(v_col)
+            .orderBy(F.md5(F.col(v_col).cast("string")))
+            .limit(4096)
+            .collect()
+            if r[0] is not None
+        ]
+        vals = sorted(set(sample))
+        uniq = []
+        if len(vals) > 1:
+            step = len(vals) / NUM_RANGE_BUCKETS
+            idxs = sorted(
+                {int(i * step) for i in range(1, NUM_RANGE_BUCKETS)}
+            )
+            uniq = [vals[i] for i in idxs if 0 < i < len(vals)]
+            # strictly-increasing dedupe mirrors the numeric path
+            uniq = [
+                b
+                for k, b in enumerate(uniq)
+                if k == 0 or b > uniq[k - 1]
+            ]
+        return uniq, False
+    bnds = (
+        per_v.agg(
+            F.percentile_approx(
+                F.col(v_col).cast("double"),
+                [i / NUM_RANGE_BUCKETS for i in range(1, NUM_RANGE_BUCKETS)],
+                1000,
+            ).alias("b")
+        ).head()
+    )["b"]
+    uniq: list[float] = []
+    for b in bnds or []:
+        if b is not None and (not uniq or b > uniq[-1]):
+            uniq.append(float(b))
+    return uniq, True
+
+
 def _distributed_prefix_sum(
     per_v: DataFrame,
     v_col: str,
     c_col: "str | list[str]",
     out_col: "str | list[str]",
     group_cols: "list[str] | None" = None,
+    boundaries: "tuple[list, bool] | None" = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``c_col`` over ``per_v`` in ``v_col``
     order — per ``group_cols`` group when given — WITHOUT a global
@@ -407,6 +460,10 @@ def _distributed_prefix_sum(
     ``approx_percentile`` driver action and window tower (guide §2.4:
     operations keyed the same way share one exchange).
 
+    ``boundaries`` (an ``(uniq, cast_double)`` pair from
+    :func:`_prefix_boundaries`) skips the probe action entirely —
+    chained towers over the same value domain share one probe.
+
     Non-numeric but orderable ``v_col`` (string, date, timestamp — no
     ``approx_percentile`` support) takes the same two-level shape with
     boundaries drawn from a bounded DETERMINISTIC sample: the 4096
@@ -419,47 +476,13 @@ def _distributed_prefix_sum(
     item 2).
     """
     g = list(group_cols or [])
-    if not isinstance(per_v.schema[v_col].dataType, NumericType):
-        sample = [
-            r[0]
-            for r in per_v.select(v_col)
-            .orderBy(F.md5(F.col(v_col).cast("string")))
-            .limit(4096)
-            .collect()
-            if r[0] is not None
-        ]
-        vals = sorted(set(sample))
-        uniq = []
-        if len(vals) > 1:
-            step = len(vals) / NUM_RANGE_BUCKETS
-            idxs = sorted(
-                {int(i * step) for i in range(1, NUM_RANGE_BUCKETS)}
-            )
-            uniq = [vals[i] for i in idxs if 0 < i < len(vals)]
-            # strictly-increasing dedupe mirrors the numeric path
-            uniq = [
-                b
-                for k, b in enumerate(uniq)
-                if k == 0 or b > uniq[k - 1]
-            ]
-        return _prefix_sum_with_boundaries(
-            per_v, v_col, c_col, out_col, g, uniq, cast_double=False
-        )
-    bnds = (
-        per_v.agg(
-            F.percentile_approx(
-                F.col(v_col).cast("double"),
-                [i / NUM_RANGE_BUCKETS for i in range(1, NUM_RANGE_BUCKETS)],
-                1000,
-            ).alias("b")
-        ).head()
-    )["b"]
-    uniq: list[float] = []
-    for b in bnds or []:
-        if b is not None and (not uniq or b > uniq[-1]):
-            uniq.append(float(b))
+    uniq, cast_double = (
+        boundaries
+        if boundaries is not None
+        else _prefix_boundaries(per_v, v_col)
+    )
     return _prefix_sum_with_boundaries(
-        per_v, v_col, c_col, out_col, g, uniq, cast_double=True
+        per_v, v_col, c_col, out_col, g, uniq, cast_double=cast_double
     )
 
 
@@ -1099,8 +1122,9 @@ def ks_two_sample_from_counts(per_v: DataFrame) -> DataFrame:
     ``(v, c, ca)`` as :func:`mann_whitney_u_from_counts` — one
     mergeable store serves both rank tests incrementally."""
     per_v = per_v.withColumn("cb", (F.col("c") - F.col("ca")).cast("long"))
-    offa = _distributed_prefix_sum(per_v, "v", "ca", "offa")
-    both = _distributed_prefix_sum(offa, "v", "cb", "offb")
+    # both cumulatives in ONE prefix pass (shared boundary probe +
+    # window tower; the columns co-exist on the input rows)
+    both = _distributed_prefix_sum(per_v, "v", ["ca", "cb"], ["offa", "offb"])
     tot = per_v.agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
@@ -1394,8 +1418,11 @@ def anderson_darling_k(
             [(None, 0, 0, None)],
             "n long, k long, n_vals long, a2_e6 long",
         )
-    # persisted (eager): the boundary probe, the per-group totals pull
-    # and the main aggregate all consume this one L-row table
+    # persisted: the boundary probe, the per-group totals pull and
+    # the main aggregate all consume this one L-row table. eager=False:
+    # the totals .first() two statements down is the first consumer
+    # and fills the cache in that same pass — an eager count here
+    # would run the corpus-sized aggregation twice.
     wide = tracked_persist(
         x.groupBy("v").agg(
             *[
@@ -1412,7 +1439,8 @@ def anderson_darling_k(
                 for i, gi in enumerate(groups)
             ],
             F.count(F.lit(1)).cast("long").alias("l"),
-        )
+        ),
+        eager=False,
     )
     tot = wide.agg(
         *[F.sum(f"_f{i}").cast("long").alias(f"_n{i}") for i in range(kk)],
@@ -1968,8 +1996,9 @@ def wasserstein_from_counts(per_v: DataFrame) -> DataFrame:
     ``(v, c, ca)`` as the MWU/KS renderers — the X-ST21 store's THIRD
     report (one store, three reports)."""
     per_v = per_v.withColumn("cb", (F.col("c") - F.col("ca")).cast("long"))
-    offa = _distributed_prefix_sum(per_v, "v", "ca", "offa")
-    both = _distributed_prefix_sum(offa, "v", "cb", "offb")
+    # both cumulatives in ONE prefix pass (shared boundary probe +
+    # window tower; the columns co-exist on the input rows)
+    both = _distributed_prefix_sum(per_v, "v", ["ca", "cb"], ["offa", "offb"])
     tot = per_v.agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
@@ -2306,10 +2335,14 @@ def energy_from_counts(per_v: DataFrame) -> DataFrame:
         .withColumn("sa", (F.col("ca") * F.col("v")).cast("long"))
         .withColumn("sb", (F.col("cb") * F.col("v")).cast("long"))
     )
-    t = _distributed_prefix_sum(per_v, "v", "ca", "cum_ca")
-    t = _distributed_prefix_sum(t, "v", "cb", "cum_cb")
-    t = _distributed_prefix_sum(t, "v", "sa", "cum_sa")
-    t = _distributed_prefix_sum(t, "v", "sb", "cum_sb")
+    # all four cumulatives in ONE prefix pass (previously four chained
+    # passes, each with its own boundary probe and window tower)
+    t = _distributed_prefix_sum(
+        per_v,
+        "v",
+        ["ca", "cb", "sa", "sb"],
+        ["cum_ca", "cum_cb", "cum_sa", "cum_sb"],
+    )
     dec = "decimal(38,0)"
     v_d = F.col("v").cast(dec)
 

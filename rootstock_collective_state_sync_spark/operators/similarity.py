@@ -284,6 +284,45 @@ def resolve_num_cells(
     return int(num_cells)
 
 
+def _fused_sample_and_queries(
+    corpus: DataFrame,
+    queries: DataFrame,
+    sample_size: int,
+    id_col: str,
+    vec_col: str,
+) -> "tuple[list, list]":
+    """ONE driver action collects BOTH the deterministic md5-ordered
+    training sample and the query rows (tagged union) — previously a
+    separate job each (guide §5: fewer driver round-trips; at sf0.1
+    each extra action is a whole Spark job in the timed seat). The
+    sample's md5 order is restored driver-side — ``hashlib.md5`` of
+    the utf-8 id string equals Spark's
+    ``md5(cast(cast(id AS string) AS binary))`` and both sort the
+    lowercase hex lexicographically — so the returned sample is
+    byte-identical to the dedicated-collect form regardless of the
+    union's output row order."""
+    import hashlib
+
+    s = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string").cast("binary")), F.col("i"))
+        .limit(sample_size)
+        .select(F.lit(0).alias("t"), "i", "v")
+    )
+    q = queries.select(
+        F.lit(1).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(vec_col).alias("v"),
+    )
+    rows = s.unionByName(q).collect()
+    sample = sorted(
+        (r for r in rows if r.t == 0),
+        key=lambda r: (hashlib.md5(str(r.i).encode()).hexdigest(), r.i),
+    )
+    q_rows = [r for r in rows if r.t == 1]
+    return sample, q_rows
+
+
 def _train_ivf_centroids(
     corpus: DataFrame,
     num_cells: int,
@@ -291,19 +330,23 @@ def _train_ivf_centroids(
     vec_col: str,
     sample_size: int = 2048,
     iters: int = 5,
+    sample_rows: "list | None" = None,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained driver-side on a
     bounded DETERMINISTIC sample (the ``sample_size`` lowest
     md5(id) vectors — stable under partitioning/retries, no RNG).
     This is a control-plane collect like the engine's watermark reads:
     O(sample_size x dim), independent of corpus size. Returns
-    (num_cells x dim) unit-norm centroids."""
+    (num_cells x dim) unit-norm centroids. ``sample_rows`` supplies a
+    pre-collected sample (same md5 order — see
+    :func:`_fused_sample_and_queries`) so callers that also collect a
+    query side pay ONE driver action instead of two."""
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy(F.md5(F.col("i").cast("string").cast("binary")), F.col("i"))
         .limit(sample_size)
         .collect()
-    )
+    ) if sample_rows is None else sample_rows
     S = np.array([r.v for r in rows], dtype=np.float64)
     S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     cent = S[:num_cells].copy()  # deterministic init: first k of the sample
@@ -378,7 +421,14 @@ def ivf_topk(
     Recall knobs: more cells = finer partition; more probes = higher
     recall (nprobe = num_cells degenerates to exact brute force).
     """
-    cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
+    # one fused driver action for the training sample AND the query
+    # rows (previously two jobs per build; guide §5)
+    sample, q_rows = _fused_sample_and_queries(
+        corpus, queries, 2048, id_col, vec_col
+    )
+    cent = _train_ivf_centroids(
+        corpus, num_cells, id_col, vec_col, sample_rows=sample
+    )
     assign = _cell_udf(cent)
 
     c = corpus.select(
@@ -386,13 +436,6 @@ def ivf_topk(
         F.col(vec_col).alias("c_vec"),
         assign(F.col(vec_col)).alias("cell"),
     )
-
-    # per-query probe list: queries are the (small) broadcast side by
-    # assumption, so selecting their nprobe nearest centroids is one
-    # bounded control-plane collect
-    q_rows = queries.select(
-        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
-    ).collect()
     q_mat = _l2n(np.array([r.v for r in q_rows], dtype=np.float64))
     probe_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
     probes = corpus.sparkSession.createDataFrame(
@@ -770,6 +813,7 @@ def _train_pq_codebooks(
     vec_col: str,
     sample_size: int = 1024,
     iters: int = 3,
+    sample_rows: "list | None" = None,
 ) -> np.ndarray:
     """Per-subspace k-means codebooks, trained driver-side on the same
     bounded DETERMINISTIC sample policy as the IVF quantizer (the
@@ -779,13 +823,15 @@ def _train_pq_codebooks(
     clustered independently: init = first ``ksub`` sample subvectors,
     assignment = euclidean argmin (first-min tie-break = numpy
     argmin), update = member mean, empty cells keep their centroid.
-    Returns ``(num_subspaces, ksub, dim/num_subspaces)``."""
+    Returns ``(num_subspaces, ksub, dim/num_subspaces)``.
+    ``sample_rows`` supplies a pre-collected sample (same md5 order)
+    so callers that also collect a query side pay one driver action."""
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy(F.md5(F.col("i").cast("string").cast("binary")), F.col("i"))
         .limit(sample_size)
         .collect()
-    )
+    ) if sample_rows is None else sample_rows
     S = _l2n(np.array([r.v for r in rows], dtype=np.float64))
     dim = S.shape[1]
     if dim % num_subspaces:
@@ -879,15 +925,18 @@ def pq_adc_topk(
     semi-join on the id — the full-vector column is read only for
     that sliver.
     """
-    books = _train_pq_codebooks(corpus, num_subspaces, ksub, id_col, vec_col)
+    # one fused driver action for the training sample AND the query
+    # rows (previously two jobs per build; guide §5)
+    sample, q_rows = _fused_sample_and_queries(
+        corpus, queries, 1024, id_col, vec_col
+    )
+    books = _train_pq_codebooks(
+        corpus, num_subspaces, ksub, id_col, vec_col, sample_rows=sample
+    )
     enc = _pq_code_udf(books)
     coded = corpus.select(
         F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("codes")
     )
-
-    q_rows = queries.select(
-        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
-    ).collect()
     q_mat = _l2n(np.array([r.v for r in q_rows], dtype=np.float64))
     sub = q_mat.shape[1] // num_subspaces
     lut_rows = []
@@ -1006,15 +1055,19 @@ def ivfpq_topk(
     only, via broadcast joins. Both quantizers train on the same
     bounded deterministic md5-ordered sample (control-plane collect).
     """
-    cent = _train_ivf_centroids(corpus, num_cells, id_col, vec_col)
+    # one fused driver action for BOTH quantizers' samples and the
+    # query rows (previously three jobs per build; guide §5): the PQ
+    # sample (1024) is the md5-ordered PREFIX of the IVF sample
+    # (2048), so one 2048-row collect serves both trainings exactly.
+    sample, q_rows = _fused_sample_and_queries(
+        corpus, queries, 2048, id_col, vec_col
+    )
+    cent = _train_ivf_centroids(
+        corpus, num_cells, id_col, vec_col, sample_rows=sample
+    )
 
     # residual PQ: train on (sample vector - its cell centroid)
-    rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.col("i").cast("string").cast("binary")), F.col("i"))
-        .limit(1024)
-        .collect()
-    )
+    rows = sample[:1024]
     S = _l2n(np.array([r.v for r in rows], dtype=np.float64))
     Rres = S - cent[np.argmax(S @ cent.T, axis=1)]
     dim = S.shape[1]
@@ -1040,10 +1093,8 @@ def ivfpq_topk(
         F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("e")
     ).select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes"))
 
-    # query side: per probed cell, the residual-ADC LUT
-    q_rows = queries.select(
-        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
-    ).collect()
+    # query side: per probed cell, the residual-ADC LUT (q_rows came
+    # from the fused collect above)
     q_mat = _l2n(np.array([r.v for r in q_rows], dtype=np.float64))
     probe_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
     probe_rows = []

@@ -685,18 +685,21 @@ def kaplan_meier(
     from rootstock_collective_state_sync_spark.caching import tracked_persist
     from rootstock_collective_state_sync_spark.operators.profile import (
         _distributed_prefix_sum,
+        _prefix_boundaries,
     )
 
     # ONE corpus scan, not two: the observation edge max(ts) equals
     # max over the per-subject last_ts, so the per-subject aggregate
-    # is persisted (eager: the scalar probe below and the main query
-    # both consume it) and the edge is read from the cached table —
+    # is persisted and the edge is read from the cached table —
     # previously a dedicated full-events aggregate action (guide §1.2:
-    # don't compute things twice).
+    # don't compute things twice). eager=False: the very next line's
+    # .first() is the first consumer and fills the cache in that same
+    # pass — an eager count here would scan events twice.
     per = tracked_persist(
         df.groupBy(F.col(subject_col).alias("subj")).agg(
             F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
-        )
+        ),
+        eager=False,
     )
     end = per.agg(F.max("last_ts").alias("m")).first()["m"]
     per = per.select(
@@ -714,7 +717,13 @@ def kaplan_meier(
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.sum("event").cast("long").alias("n_deaths"),
     )
-    off = _distributed_prefix_sum(tbl, "t_days", "n_total", "off")
+    # both towers ride the same distinct-lifetime domain, so the
+    # bucket-boundary probe runs ONCE and is shared (any monotone
+    # boundary set is exact; see _prefix_boundaries)
+    bnds = _prefix_boundaries(tbl, "t_days")
+    off = _distributed_prefix_sum(
+        tbl, "t_days", "n_total", "off", boundaries=bnds
+    )
     grand = tbl.agg(F.sum("n_total").cast("long").alias("_g"))
     risk = off.crossJoin(F.broadcast(grand)).select(
         "t_days",
@@ -746,9 +755,10 @@ def kaplan_meier(
         term.alias("term_e9"),
         zero.cast("long").alias("_z"),
     )
-    # one pass for both running sums (same v order, same windows)
+    # one pass for both running sums (same v order, same windows),
+    # reusing the first tower's boundaries (identical t_days domain)
     zcum = _distributed_prefix_sum(
-        scored, "t_days", ["term_e9", "_z"], ["_off", "_zoff"]
+        scored, "t_days", ["term_e9", "_z"], ["_off", "_zoff"], boundaries=bnds
     )
     return (
         zcum.select(

@@ -1985,11 +1985,19 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the r08 semantic_dedup lesson; released by the registry wrapper)
     # eager=False (r17 site audit, SCALING.md): the very next line's
     # count() is the first consumer and fills the cache in one pass —
-    # an eager count here would scan the basket table twice
+    # an eager count here would scan the basket table twice.
+    # repartition(bk) BEFORE the dedupe (r17): hash-partitioning on bk
+    # satisfies the clustered distribution of every downstream
+    # consumer — dropDuplicates([bk, item]) (bk ⊆ the grouping key),
+    # the distinct-bk total, and BOTH pair-self-join sides — so the
+    # cached table is shuffled ONCE on the basket key and the n-count
+    # exchange plus the pair-join exchange disappear from the plan
+    # (guide §2.1: partition once to serve every keyed consumer).
     baskets = tracked_persist(
         li.join(pt, li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("item"))
-        .distinct(),
+        .repartition("bk")
+        .dropDuplicates(["bk", "item"]),
         eager=False,
     )
     n = baskets.select("bk").distinct().count()  # control-plane scalar
