@@ -64,6 +64,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan the partitioning of plans that sit on top of
+        # an InMemoryRelation (default false pins every cache consumer
+        # to the cached plan's partition count). With it on, the
+        # partition count everywhere is sized by AQE from actual bytes
+        # — a handful of partitions for a KB-scale cached sketch, the
+        # full shuffle width for a 100 TB table — instead of freezing
+        # spark.sql.shuffle.partitions at cache-build time (guide §2.2:
+        # partitioning derived from input size, not a constant).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
