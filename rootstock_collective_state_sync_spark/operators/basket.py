@@ -48,7 +48,14 @@ def basket_pair_counts(
     combines onto the #items² key space. (An in-row collect_set +
     combination-explode variant measured ~20% slower at sf0.1 — the
     join emits pairs straight out of codegen with no array
-    materialization.)"""
+    materialization.) ``shuffle_hash`` hint (guide §3.1, r17): with
+    both sides the SAME hash-partitioned cached frame the join is
+    already co-located, so a per-partition hash build beats both the
+    planner's alternatives — sort-merge pays two corpus sorts, and a
+    broadcast build ships the whole basket table (the planner picked
+    exactly that once the r17 literal IN-list prune gave it precise
+    sub-threshold size stats: a 550k-row broadcast costing more than
+    the join itself)."""
     pruned = (
         baskets.join(F.broadcast(frequent.select("item")), "item", "left_semi")
         if frequent is not None
@@ -56,7 +63,7 @@ def basket_pair_counts(
     )
     return (
         pruned.alias("a")
-        .join(pruned.alias("b"), "bk")
+        .join(pruned.alias("b").hint("shuffle_hash"), "bk")
         .filter(F.col("a.item") < F.col("b.item"))
         .groupBy(
             F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
@@ -78,17 +85,29 @@ def assoc_rules_from_counts(
     engines. The count tables are #items / #items² rows (broadcast)."""
     min_sup_abs = (min_sup_e6 * n_baskets) // 1_000_000
     pairs = pair_cnt.filter(F.col("pair_cnt") >= min_sup_abs)
+    # both rule directions ride ONE in-row explode (r17): the former
+    # self-union evaluated the whole un-materialized pair pipeline
+    # TWICE — the physical plan held two complete copies of the
+    # basket self-join + aggregation, one per union leg (guide §2.4:
+    # don't recompute what one pass can emit). Bag semantics are
+    # identical: each undirected pair contributes exactly the same
+    # two directed rows.
     rules = pairs.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        "pair_cnt",
-    ).unionByName(
-        pairs.select(
-            F.col("item_b").alias("antecedent"),
-            F.col("item_a").alias("consequent"),
-            "pair_cnt",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("pair_cnt"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("pair_cnt"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.antecedent", "_r.consequent", "_r.pair_cnt")
     ca = item_cnt.select(
         F.col("item").alias("antecedent"), F.col("cnt").alias("cnt_a")
     )
