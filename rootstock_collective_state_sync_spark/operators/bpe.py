@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Row, functions as F
 
+from rootstock_collective_state_sync_spark.localrel import local_df
+
 from rootstock_collective_state_sync_spark.operators.text import tokens
 
 
@@ -180,8 +182,8 @@ def bpe_merge_table(
 ) -> DataFrame:
     """The merge table as a DataFrame (round int, left, right, n)."""
     rows = learn_bpe_merges(df, num_merges=num_merges, text_col=text_col)
-    return spark.createDataFrame(
-        rows, "round int, left string, right string, n bigint"
+    return local_df(
+        spark, rows, "round int, left string, right string, n bigint"
     )
 
 

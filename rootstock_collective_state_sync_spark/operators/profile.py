@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import DoubleType, FloatType, NumericType
 
+from rootstock_collective_state_sync_spark.localrel import local_df
+
 
 def _canon(df: DataFrame, c, col):
     """Canonicalize an already-aggregated native-typed value. Order of
@@ -288,8 +290,10 @@ def benford_from_counts(per: DataFrame) -> DataFrame:
     """(digit, n) counts -> the full audit report (the render half,
     shared by the at-rest scan and the streaming store)."""
     spark = per.sparkSession
-    spine = spark.createDataFrame(
-        [(d + 1, BENFORD_E6[d]) for d in range(9)], "digit int, benford_e6 long"
+    spine = local_df(
+        spark,
+        [(d + 1, BENFORD_E6[d]) for d in range(9)],
+        "digit int, benford_e6 long",
     )
     tot = per.agg(F.sum("n").cast("long").alias("_t"))
     return (

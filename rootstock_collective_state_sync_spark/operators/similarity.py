@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from rootstock_collective_state_sync_spark.localrel import local_df
+
 from rootstock_collective_state_sync_spark.caching import tracked_persist
 
 
@@ -438,7 +440,8 @@ def ivf_topk(
     )
     q_mat = _l2n(np.array([r.v for r in q_rows], dtype=np.float64))
     probe_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
-    probes = corpus.sparkSession.createDataFrame(
+    probes = local_df(
+        corpus.sparkSession,
         [
             (int(r.i), r.v, int(cell))
             for r, cells in zip(q_rows, probe_cells)
@@ -949,7 +952,8 @@ def pq_adc_topk(
             for m in range(num_subspaces)
         ]
         lut_rows.append((int(r.i), r.v, luts))
-    qdf = corpus.sparkSession.createDataFrame(
+    qdf = local_df(
+        corpus.sparkSession,
         lut_rows,
         f"query_id bigint, q_vec {queries.schema[vec_col].dataType.simpleString()},"
         " luts array<array<double>>",
@@ -1109,10 +1113,13 @@ def ivfpq_topk(
                 for m in range(num_subspaces)
             ]
             probe_rows.append((int(r.i), int(cell), luts))
-    probes = corpus.sparkSession.createDataFrame(
-        probe_rows, "query_id bigint, cell int, luts array<array<double>>"
+    probes = local_df(
+        corpus.sparkSession,
+        probe_rows,
+        "query_id bigint, cell int, luts array<array<double>>",
     )
-    qvecs = corpus.sparkSession.createDataFrame(
+    qvecs = local_df(
+        corpus.sparkSession,
         [(int(r.i), r.v) for r in q_rows],
         f"query_id bigint, q_vec {queries.schema[vec_col].dataType.simpleString()}",
     )
@@ -1836,8 +1843,8 @@ def kcenter_coreset(
         cur = nxt
     cur.unpersist()
     spark = emb.sparkSession
-    return spark.createDataFrame(
-        chosen, "round int, vec_id bigint, dist_sq double"
+    return local_df(
+        spark, chosen, "round int, vec_id bigint, dist_sq double"
     )
 
 

@@ -36,6 +36,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from rootstock_collective_state_sync_spark.localrel import local_df
+
 
 def _mg_partition(
     batches: Iterator[pd.DataFrame], col: str, m: int
@@ -99,8 +101,8 @@ def heavy_hitters(
     out = [
         (item, est, est + delta, i + 1) for i, (item, est) in enumerate(top)
     ]
-    return spark.createDataFrame(
-        out, "item string, est long, est_upper long, rk int"
+    return local_df(
+        spark, out, "item string, est long, est_upper long, rk int"
     )
 
 

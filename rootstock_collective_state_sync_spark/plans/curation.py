@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from rootstock_collective_state_sync_spark.localrel import local_df
+
 from rootstock_collective_state_sync_spark.operators import dedup as D
 from rootstock_collective_state_sync_spark.operators import sampling as SA
 from rootstock_collective_state_sync_spark.operators import text as X
@@ -2254,8 +2256,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-term broadcast filter, the Lucene +1 IDF, the e6-snapped
     per-term contributions, and the per-query shortlist."""
     docs = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        list(_BM25_QUERIES), "query_id long, query_text string"
+    queries = local_df(
+        spark, list(_BM25_QUERIES), "query_id long, query_text string"
     )
     return X.bm25_topk(docs, queries, k=_BM25_K).orderBy("query_id", "rk")
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from rootstock_collective_state_sync_spark.localrel import local_df
+
 from rootstock_collective_state_sync_spark.caching import tracked_persist
 from rootstock_collective_state_sync_spark.operators import dedup as D
 from rootstock_collective_state_sync_spark.operators import similarity as S
@@ -2376,8 +2378,8 @@ def q_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100_000)
     )
     probes = sorted(r["t"] for r in top.collect())
-    return spark.createDataFrame(
-        [(p, cm.estimate(p)) for p in probes], "token string, est bigint"
+    return local_df(
+        spark, [(p, cm.estimate(p)) for p in probes], "token string, est bigint"
     ).orderBy("token")
 
 
