@@ -274,6 +274,29 @@ class VersionedTable:
         else:
             # mergeSchema off + explicit schema: pure columnar scan, no footer inference
             df = self.spark.read.schema(m.schema).parquet(*files)
+            # Size-adaptive read-side compaction (r17, guide §6.2): the
+            # scan planner's openCostInBytes quantum hands every file
+            # smaller than the open cost its OWN partition, so a
+            # KB-scale bucketed snapshot (e.g. the 16x5 KiB graph-edge
+            # store) fans out #buckets near-empty tasks — and an
+            # iterative consumer that checkpoints the read
+            # (kcore_bounded) freezes that width into every round.
+            # Coalesce to ceil(bytes / maxPartitionBytes): one narrow
+            # JVM-side merge, value-neutral, and a no-op whenever the
+            # snapshot is big enough to fill its partitions — nothing
+            # here is sized to the local core count.
+            try:
+                total = sum(os.path.getsize(f) for f in files)
+                target = int(
+                    self.spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728"
+                    ).rstrip("b")
+                )
+                want = max(1, -(-total // max(target, 1)))
+                if want < len(files):
+                    df = df.coalesce(want)
+            except (OSError, ValueError):
+                pass  # non-local or odd conf: keep the planner's layout
         for col, op, val in where or []:
             df = df.filter(_pred_expr(col, op, val))
         return df
