@@ -1408,13 +1408,18 @@ def anderson_darling_k(
     x = df.select(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).filter(F.col("v").isNotNull())
-    # bounded control-plane pull: the distinct group list (k values —
-    # the same contract that bounds the dense grid). Sorted for a
-    # deterministic column order; None sorts first.
-    groups = sorted(
-        (r[0] for r in x.select("g").distinct().collect()),
-        key=lambda gv: (gv is not None, gv),
-    )
+    # bounded control-plane pull (k rows): the distinct group list AND
+    # the per-group totals in ONE action (r17 — the totals previously
+    # cost a second corpus aggregation via a dedicated .first() on the
+    # wide table). Sorted for a deterministic column order; None
+    # sorts first.
+    gstats = {
+        r["g"]: int(r["c"])
+        for r in x.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    }
+    groups = sorted(gstats, key=lambda gv: (gv is not None, gv))
     kk = len(groups)
     spark = df.sparkSession
     if kk == 0:  # empty input: one degenerate row, as before
@@ -1422,11 +1427,11 @@ def anderson_darling_k(
             [(None, 0, 0, None)],
             "n long, k long, n_vals long, a2_e6 long",
         )
-    # persisted: the boundary probe, the per-group totals pull and
-    # the main aggregate all consume this one L-row table. eager=False:
-    # the totals .first() two statements down is the first consumer
-    # and fills the cache in that same pass — an eager count here
-    # would run the corpus-sized aggregation twice.
+    # persisted: the fused boundary/n_vals probe and the main
+    # aggregate both consume this one L-row table. eager=False: the
+    # probe .head() below is the first consumer and fills the cache
+    # in that same pass — an eager count here would run the
+    # corpus-sized aggregation twice.
     wide = tracked_persist(
         x.groupBy("v").agg(
             *[
@@ -1446,18 +1451,34 @@ def anderson_darling_k(
         ),
         eager=False,
     )
-    tot = wide.agg(
-        *[F.sum(f"_f{i}").cast("long").alias(f"_n{i}") for i in range(kk)],
-        F.sum("l").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("n_vals"),
-    ).first()
-    ni = [int(tot[f"_n{i}"]) for i in range(kk)]
-    n, n_vals = int(tot["n"]), int(tot["n_vals"])
+    ni = [gstats[gi] for gi in groups]
+    n = sum(ni)
+    # ONE probe action carries the prefix-sum bucket boundaries AND
+    # n_vals (r17): the same percentile_approx the generic
+    # _prefix_boundaries numeric path would run, with count(*)
+    # riding the aggregate — one action instead of two, and it is
+    # the cache-filling first consumer of `wide`. Any monotone
+    # boundary set yields exact prefix sums (the module invariant),
+    # and these ARE the generic path's boundaries.
+    probe = wide.agg(
+        F.percentile_approx(
+            F.col("v").cast("double"),
+            [i / NUM_RANGE_BUCKETS for i in range(1, NUM_RANGE_BUCKETS)],
+            1000,
+        ).alias("b"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    ).head()
+    n_vals = int(probe["nv"])
+    uniq: list[float] = []
+    for b in probe["b"] or []:
+        if b is not None and (not uniq or b > uniq[-1]):
+            uniq.append(float(b))
     cums = _distributed_prefix_sum(
         wide,
         "v",
         [*(f"_f{i}" for i in range(kk)), "l"],
         [*(f"_o{i}" for i in range(kk)), "offl"],
+        boundaries=(uniq, True),
     )
     b2 = (F.lit(2) * F.col("offl") + F.col("l")).alias("b2")
     den = (
