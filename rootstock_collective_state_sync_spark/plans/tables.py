@@ -27,6 +27,16 @@ TABLES = (
 )
 
 
+# schema cache (r17, guide §5.2): without an explicit schema EVERY
+# `spark.read.parquet` call runs a footer-inference job at plan-build
+# time — one to three small driver round-trips per query build, on
+# every build. The schema of a given test-data file cannot change
+# within a session, so infer once per (sf_dir, table) and pass it
+# explicitly afterwards. Metadata only — every query still computes
+# from the parquet data.
+_SCHEMAS: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -34,7 +44,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # reader cannot represent natively: read it as long nanos and
     # convert (floor to micros — same truncation DuckDB applies).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    schema = _SCHEMAS.get(key)
+    if schema is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCHEMAS[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             # integral `div`, not `/`: nanos exceed 2^53, so float
