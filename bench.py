@@ -129,6 +129,25 @@ def main() -> None:
     calibration_mt = _settled_mt()
     spark = get_spark("bench")
     qs = bench_queries()
+    # r17 (measurement fix, guide §1): one untimed session-aging
+    # pre-pass over every seat before the first timed window. The
+    # JVM's session-start transient (tiered JIT compilation + lazy
+    # driver-heap growth faulting fresh pages in from the host) does
+    # NOT fit inside the first seat's single warm-up run — it decays
+    # over the first ~30-60 s of varied work, so whichever seats run
+    # first eat 10-100x in-run bursts. That is exactly the chronic
+    # contamination signature of the FIRST FOUR seats in bench order
+    # (assoc_rules / embedding_gram / kmv_overlap /
+    # q3_shipping_priority carried contaminated labels in r15, r16,
+    # and all three r17 pre-fix runs, while an aged-session probe of
+    # the same seats ran clean). The pre-pass ages the session the
+    # same way for every seat, so position in the run order no longer
+    # decides which seats get poisoned measurements.
+    for name, fn in qs.items():
+        spark.sparkContext.setJobDescription(f"age:{name}")
+        fn(spark, sf_dir).count()
+        spark.catalog.clearCache()
+        release_tracked()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, fn in qs.items():
@@ -142,6 +161,7 @@ def main() -> None:
         # spread ([1.09, 5.87] s around a 1.14 s median) was a single
         # GC/eviction stall inside a timed run, not a plan change
         spark._jvm.System.gc()
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         fn(spark, sf_dir).count()  # warm-up (JIT, codegen, page cache)
         samples = []
         for _ in range(runs):

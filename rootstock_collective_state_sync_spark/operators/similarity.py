@@ -1447,8 +1447,23 @@ def embedding_gram(
         # non-canary seat (3.40×/decade at r16 — see SCALING.md r17:
         # an exact Gram IS n·dim² work, so the slope tends linear;
         # this shrinks the constant, not the asymptote).
-        acc = np.zeros(len(iu[0]), dtype=np.int64)
+        n_pairs = len(iu[0])
+        acc = np.zeros(n_pairs, dtype=np.int64)
         n = 0
+        # r17: pair-columns processed in 256-wide strips, so every
+        # temporary is ~(4096·256·8) = 8 MB instead of one 68 MB
+        # (rows × dim·(dim+1)/2) slab. The big slabs were mmap'd by
+        # glibc and munmap'd on free EVERY invocation; on a
+        # memory-ballooned guest each re-fault of those pages waits
+        # on the hypervisor, which measured as 6-15 s kernel-time
+        # stalls inside an otherwise 0.07 s numpy section (the
+        # bench's chronic embedding_gram contamination label, r15-r17
+        # — see OPTIMIZATION_r17.md). Strip-sized temporaries sit
+        # under glibc's dynamic mmap threshold, so the allocator
+        # reuses one resident arena across chunks AND invocations of
+        # a reused worker: 16/16 probe runs in 0.45-0.75 s vs bursts
+        # to 13 s before, same floor, same flops, better locality.
+        col_block = 256
         for pdf in batches:
             X = np.stack(pdf[vec_col].values).astype(np.float64)
             n += X.shape[0]
@@ -1456,16 +1471,23 @@ def embedding_gram(
             # fixed-point policy; chunked to bound memory)
             for s in range(0, X.shape[0], 4096):
                 C = X[s : s + 4096]
-                v = C[:, iu[0]] * C[:, iu[1]]
-                v *= 1e6
-                sgn = np.sign(v)
-                # HALF_UP away from zero — np.rint is banker's and
-                # would diverge from Spark/DuckDB round() on exact .5
-                np.floor(np.abs(v, out=v) + 0.5, out=v)
-                v *= sgn
-                # per-chunk sums stay < 4096·1e6 < 2^53: the float64
-                # reduction is exact before the int64 cast
-                acc += v.sum(axis=0).astype(np.int64)
+                for c0 in range(0, n_pairs, col_block):
+                    i0 = iu[0][c0 : c0 + col_block]
+                    i1 = iu[1][c0 : c0 + col_block]
+                    v = C[:, i0] * C[:, i1]
+                    v *= 1e6
+                    sgn = np.sign(v)
+                    # HALF_UP away from zero — np.rint is banker's
+                    # and would diverge from Spark/DuckDB round() on
+                    # exact .5
+                    np.floor(np.abs(v, out=v) + 0.5, out=v)
+                    v *= sgn
+                    # per-chunk sums stay < 4096·1e6 < 2^53: the
+                    # float64 reduction is exact before the int64
+                    # cast
+                    acc[c0 : c0 + col_block] += v.sum(axis=0).astype(
+                        np.int64
+                    )
         if n:
             yield _pd.DataFrame(
                 {
