@@ -72,6 +72,36 @@ def _calibrate() -> float:
     return round(sorted(samples)[1], 4)
 
 
+def _calibrate_pf(mb: int = 256) -> float:
+    """FRESH-PAGE-FAULT yardstick beside the CPU probes (r17): touch
+    one double per 4 KiB page of a freshly mmapped ``mb``-MiB block,
+    median of 3. Motivation: the r17 final-anchor attempt measured
+    EVERY seat 1.5-2.4x above its floor (kaplan_meier 1.31 vs 0.66,
+    in-run bursts to 22 s) while BOTH CPU probes read FASTER than the
+    clean anchor run (0.258 vs 0.325 st / 0.108 vs 0.144 mt) and an
+    interleaved worktree A/B exonerated the code — the host regime
+    that poisons Spark work (hypervisor page-fault servicing on a
+    memory-ballooned guest; every fresh JVM/Arrow/worker page waits
+    on the host) is INVISIBLE to probes that loop over small reused
+    buffers. This probe measures exactly that: ~65k page faults on
+    virgin memory. Recorded as data (sec; compare across runs of the
+    same geometry) so a run can be re-read as fault-degraded even
+    when `mt_probe_swing` looks identified; the r17 evidence run is
+    BENCH_head_check.full.json vs the anchor in BENCH_latest.full
+    .json."""
+    import numpy as np
+
+    samples = []
+    n = mb * 1024 * 1024 // 8
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a = np.zeros(n)
+        a[::512] = 1.0
+        samples.append(time.perf_counter() - t0)
+        del a
+    return round(sorted(samples)[1], 4)
+
+
 def _calibrate_mt(threads: int = 8) -> float:
     """MULTI-CORE yardstick beside the single-thread probe: a noisy
     co-tenant stealing cores is invisible to one thread (r12 measured
@@ -127,6 +157,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     calibration = _calibrate()
     calibration_mt = _settled_mt()
+    calibration_pf = _calibrate_pf()
     spark = get_spark("bench")
     qs = bench_queries()
     # r17 (measurement fix, guide §1): one untimed session-aging
@@ -189,6 +220,7 @@ def main() -> None:
     }
     calibration_end = _calibrate()
     calibration_mt_end = _settled_mt()
+    calibration_pf_end = _calibrate_pf()
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # r13 verdict item 9: self-labeling regime identification. The MT
@@ -220,6 +252,8 @@ def main() -> None:
         "calibration_end_sec": calibration_end,
         "calibration_mt_sec": calibration_mt,
         "calibration_mt_end_sec": calibration_mt_end,
+        "calibration_pf_sec": calibration_pf,
+        "calibration_pf_end_sec": calibration_pf_end,
         "mt_probe_swing": mt_probe_swing,
         "regime_identified": mt_probe_swing < 1.2,
         "runs_per_query": runs,
@@ -244,6 +278,7 @@ def main() -> None:
         "contaminated_seats": contaminated,
         "mt_probe_swing": mt_probe_swing,
         "regime_identified": result["regime_identified"],
+        "calibration_pf_sec": calibration_pf,
         "sf": result["sf"],
         "full_artifact": "BENCH_latest.full.json",
     }

@@ -1081,17 +1081,27 @@ def ngram_novelty(
     integer-determined on every engine.
 
     Plan shape / 100 TB: the same shingle explode every near-dup
-    operator already pays, one min-aggregation onto 8-byte gram hashes
-    (map-side combined), and an equi-join of the doc's gram hashes
-    against that gram-owner table — text never rides the gram
-    shuffle, only hashes do.
+    operator already pays, then ONE shuffle of 8-byte gram hashes:
+    the min-owner annotation is a window ``min(id)`` over the gram
+    hash, not a separate owner aggregate joined back onto the gram
+    stream (r17, guide §2.1/§3) — the join form paid a second
+    gram-universe-sized operator (hash aggregate + broadcast/SMJ
+    whose build side grows with the corpus; at 100 TB the owner
+    table is gram-universe-sized and the broadcast the local planner
+    picks is impossible). The window is exactly row-equivalent: each
+    (id, h) row is annotated with its group min in place, so even
+    duplicate hash rows keep the join form's multiplicity. Text
+    never rides the gram shuffle, only hashes do.
     """
+    from pyspark.sql import Window
+
     idx = shingle_index(df, text_col, id_col, n=n).select(
         "id", F.xxhash64("s").alias("h")
     )
-    owners = idx.groupBy("h").agg(F.min("id").alias("first_id"))
     per_doc = (
-        idx.join(owners, "h")
+        idx.withColumn(
+            "first_id", F.min("id").over(Window.partitionBy("h"))
+        )
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),

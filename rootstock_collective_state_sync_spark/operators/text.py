@@ -1609,22 +1609,28 @@ def cdc_dup_stats(
     the first holder keeps its content and re-runs are stable.
 
     Scale shape (100 TB): chunking is the zero-shuffle
-    :func:`cdc_chunks` scan; the owner table and the per-doc rollup
-    shuffle (hash, owner/len) tuples — fixed-width rows, never text;
-    both aggregations map-side combine. The owner join is size-based
-    (hash-keyed SMJ at scale; no broadcast assumption).
+    :func:`cdc_chunks` scan; the min-owner annotation is a window
+    ``min(id)`` over the chunk hash (r17, guide §2.1/§3 — one
+    shuffle of fixed-width (hash, id, len) rows; the former
+    owner-aggregate-joined-back form paid a second chunk-universe
+    operator and a hash-keyed join that grows with the corpus), then
+    the per-doc rollup map-side combines. Exactly row-equivalent to
+    the join form: every chunk row is annotated with its group min
+    in place.
 
     Returns per doc: ``(id, n_chunks, n_dup_chunks, dup_chars,
     total_chars, dup_char_ratio)`` (ratio 6 dp; docs shorter than one
     window still emit their single chunk).
     """
+    from pyspark.sql import Window
+
     chunks = cdc_chunks(df, window, modulus, id_col, text_col)
-    owners = chunks.groupBy("chunk_hash").agg(
-        F.min(id_col).alias("_owner")
-    )
     dup = F.col("_owner") < F.col(id_col)
     return (
-        chunks.join(owners, "chunk_hash")
+        chunks.withColumn(
+            "_owner",
+            F.min(id_col).over(Window.partitionBy("chunk_hash")),
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_chunks"),
