@@ -158,3 +158,106 @@ def test_assoc_rules_from_counts_directions_and_plan(spark):
         10, item_cnt, pair_cnt, 200_000, 500_000
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan
+
+
+# ---------------------------------------------------------------------------
+# min-owner window rewrites — join-form equivalence + no-join plan
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_matches_join_form_and_plan(spark):
+    """The window-min rewrite must reproduce the old owner-join form
+    row-for-row, and the optimized plan must hold no Join at all."""
+    from rootstock_collective_state_sync_spark.operators.dedup import (
+        ngram_novelty,
+        shingle_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),  # shares one 3-gram w/ 1
+            (3, "alpha beta gamma delta"),    # exact dup of 1: novelty 0
+            (4, "zeta eta theta iota"),       # all novel
+            (5, "x"),                         # shorter than one 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_first, r.novelty_e6)
+        for r in ngram_novelty(docs).collect()
+    }
+    # reference: the pre-r17 owner-aggregate-join form, inline
+    idx = shingle_index(docs, "text", "doc_id", n=3).select(
+        "id", F.xxhash64("s").alias("h")
+    )
+    owners = idx.groupBy("h").agg(F.min("id").alias("first_id"))
+    ref = {
+        r.id: (r.n_grams, r.n_first)
+        for r in idx.join(owners, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
+            ).alias("n_first"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref) == {1, 2, 3, 4}  # doc 5 emits no grams
+    for d, (n_grams, n_first) in ref.items():
+        assert got[d][:2] == (n_grams, n_first)
+    assert got[3] == (2, 0, 0)  # exact dup: zero novelty
+    assert got[4][2] == 1_000_000  # all novel
+    plan = (
+        ngram_novelty(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+
+
+def test_cdc_dup_stats_matches_join_form(spark):
+    """Same contract for the chunk-level twin: window annotation equals
+    the owner-join reference, chars conserved, no Join in the plan."""
+    from rootstock_collective_state_sync_spark.operators.text import (
+        cdc_chunks,
+        cdc_dup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 4),
+            (2, "the quick brown fox jumps over the lazy dog " * 4),
+            (3, "an entirely different document body here " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_chars, r.total_chars)
+        for r in cdc_dup_stats(docs).collect()
+    }
+    chunks = cdc_chunks(docs)
+    owners = chunks.groupBy("chunk_hash").agg(F.min("doc_id").alias("_o"))
+    dup = F.col("_o") < F.col("doc_id")
+    ref = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_chars, r.total_chars)
+        for r in chunks.join(owners, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("chunk_len")).otherwise(0)).alias(
+                "dup_chars"
+            ),
+            F.sum("chunk_len").alias("total_chars"),
+        )
+        .collect()
+    }
+    assert got == ref
+    # doc 2 is byte-identical to doc 1 -> every chunk duplicated
+    assert got[2][1] == got[2][0] and got[2][2] == got[2][3]
+    # doc 3 shares nothing -> zero dup chars
+    assert got[3][1] == 0 and got[3][2] == 0
+    plan = (
+        cdc_dup_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
