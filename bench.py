@@ -23,6 +23,21 @@ map carries the per-query MINIMA (``queries_stat: "min"``) plus the
 calibration probes) goes to ``BENCH_latest.full.json``. A seat whose
 within-run max/min spread exceeds 3x is labeled contaminated and
 excluded from cross-round ratio math by ``tools/bench_compare.py``.
+
+CROSS-ROUND COMPARISON NOTE (r18, r17 verdict item 3): the timed
+loop reuses Spark's CacheManager across the 7 samples — each rebuilt
+frame plan-matches onto the warm-up run's persisted intermediates, so
+``queries``/``queries_min`` for persist-using seats (dedup/kmv/assoc)
+are STEADY-STATE (cache-hit) figures. That has been true since round
+1, so those two maps keep the old semantics for comparability with
+BENCH_r01..r17; the additive ``queries_cold`` map (full artifact)
+re-times each seat with ``clearCache()+release_tracked()`` before
+EVERY sample, so each cold sample pays its own persist fills — the
+per-sample-isolated statistic. Compare cold-to-cold or steady-to-
+steady across rounds, never mixed. r18 also gates
+``regime_identified`` on the fresh-page-fault probe (see
+``_calibrate_pf``; r17 verdict item 6) — the probe geometry changed
+in r18 (mmap touch-only), so pf readings are comparable from r18 on.
 """
 
 from __future__ import annotations
@@ -72,9 +87,20 @@ def _calibrate() -> float:
     return round(sorted(samples)[1], 4)
 
 
+#: Clean-regime band for the fresh-page-fault probe (r18). The floor
+#: is the quiet-host reading of the r18 mmap-touch geometry below
+#: (~0.10-0.14 s per 256 MiB observed across identified runs); a run
+#: whose probe exceeds CLEAN x BAND is labeled pf_degraded and loses
+#: `regime_identified` (r17 verdict item 6 / advice item 2: the pf
+#: reading was recorded but never folded into the label, so a
+#: fault-degraded run could still self-label identified).
+PF_CLEAN_SEC = 0.14
+PF_BAND = 2.0
+
+
 def _calibrate_pf(mb: int = 256) -> float:
     """FRESH-PAGE-FAULT yardstick beside the CPU probes (r17): touch
-    one double per 4 KiB page of a freshly mmapped ``mb``-MiB block,
+    one double per 4 KiB page of a virgin anonymous ``mmap`` block,
     median of 3. Motivation: the r17 final-anchor attempt measured
     EVERY seat 1.5-2.4x above its floor (kaplan_meier 1.31 vs 0.66,
     in-run bursts to 22 s) while BOTH CPU probes read FASTER than the
@@ -84,21 +110,33 @@ def _calibrate_pf(mb: int = 256) -> float:
     memory-ballooned guest; every fresh JVM/Arrow/worker page waits
     on the host) is INVISIBLE to probes that loop over small reused
     buffers. This probe measures exactly that: ~65k page faults on
-    virgin memory. Recorded as data (sec; compare across runs of the
-    same geometry) so a run can be re-read as fault-degraded even
-    when `mt_probe_swing` looks identified; the r17 evidence run is
-    BENCH_head_check.full.json vs the anchor in BENCH_latest.full
-    .json."""
+    virgin memory.
+
+    r18 rebuild (r17 advice item 3): the first version allocated via
+    ``np.zeros`` and timed allocation + touch — dependent on glibc
+    taking the mmap path (an arena-reuse or allocator change silently
+    re-reads cached pages) and polluted by the calloc itself. Now the
+    block comes straight from anonymous ``mmap.mmap(-1, ...)`` (fresh
+    zero pages by construction, new address every iteration) and the
+    timed region is ONLY the touch loop. GEOMETRY SENSITIVITY: the
+    reading is a property of (mb, stride 4 KiB, double writes);
+    compare across runs of the same geometry only — r17 artifacts
+    (np.zeros geometry, alloc included) are not directly comparable
+    to r18+ readings."""
+    import mmap
+
     import numpy as np
 
     samples = []
     n = mb * 1024 * 1024 // 8
     for _ in range(3):
+        m = mmap.mmap(-1, mb * 1024 * 1024)
+        a = np.frombuffer(m, dtype=np.float64, count=n)
         t0 = time.perf_counter()
-        a = np.zeros(n)
         a[::512] = 1.0
         samples.append(time.perf_counter() - t0)
         del a
+        m.close()
     return round(sorted(samples)[1], 4)
 
 
@@ -155,9 +193,22 @@ def main() -> None:
     from rootstock_collective_state_sync_spark.plans.registry import bench_queries
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
+    cold_runs = int(os.environ.get("SPARK_GRAFT_BENCH_COLD_RUNS", "2"))
     calibration = _calibrate()
     calibration_mt = _settled_mt()
+    # r18 (r17 verdict item 6): the pf probe now GATES the anchor —
+    # if the start-of-run reading is outside the clean band, re-probe
+    # up to 5 windows (30 s apart) and start the timed run from the
+    # best reading seen, so a transient degraded window no longer
+    # burns the whole bench attempt. If the host stays degraded the
+    # run proceeds (the driver needs its one JSON line) but labels
+    # itself pf_degraded / not regime_identified.
     calibration_pf = _calibrate_pf()
+    pf_retries = 0
+    while calibration_pf > PF_CLEAN_SEC * PF_BAND and pf_retries < 5:
+        time.sleep(30)
+        calibration_pf = min(calibration_pf, _calibrate_pf())
+        pf_retries += 1
     spark = get_spark("bench")
     qs = bench_queries()
     # r17 (measurement fix, guide §1): one untimed session-aging
@@ -181,6 +232,7 @@ def main() -> None:
         release_tracked()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    cold: dict[str, float] = {}
     for name, fn in qs.items():
         # start every query from an empty Spark cache: persisted
         # intermediates from earlier queries otherwise fight this
@@ -202,6 +254,26 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 4)
         spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
+        # r18 (r17 verdict item 3): COLD samples. The steady-state
+        # loop above reuses Spark's CacheManager across samples —
+        # each rebuilt frame plan-matches onto the warm-up run's
+        # persisted intermediates, so min-of-7 for persist-using
+        # seats (dedup/kmv/assoc) is a cache-HIT figure. These extra
+        # samples clear the cache and tracked persists BEFORE EACH
+        # sample, so every sample pays its own persist fills.
+        # ``queries``/``queries_min`` keep the rounds-1..17 steady-
+        # state semantics for cross-round comparability;
+        # ``queries_cold`` is the additive per-sample-isolated map
+        # (min of ``SPARK_GRAFT_BENCH_COLD_RUNS``, default 2).
+        cold_samples = []
+        for _ in range(cold_runs):
+            spark.catalog.clearCache()
+            release_tracked()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            cold_samples.append(time.perf_counter() - t0)
+        if cold_samples:
+            cold[name] = round(min(cold_samples), 4)
     mins = {n: s[0] for n, s in spread.items()}
     # r15 verdict item 1: per-seat contamination labels. The r15 run
     # was "regime-identified" (probe swing 1.10) yet carried a 61x
@@ -235,6 +307,15 @@ def main() -> None:
         / min(calibration_mt, calibration_mt_end),
         4,
     )
+    # r18 (r17 verdict item 6 / advice item 2): regime identification
+    # now ALSO requires both fresh-page-fault probe readings inside
+    # the clean band — a fault-degraded host regime is invisible to
+    # the CPU probes (BENCH_head_check: every seat 1.5-2.4x degraded,
+    # mt swing 1.14, self-labeled identified). pf_degraded is emitted
+    # separately so consumers can see WHICH leg failed the label.
+    pf_degraded = (
+        max(calibration_pf, calibration_pf_end) > PF_CLEAN_SEC * PF_BAND
+    )
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -246,6 +327,8 @@ def main() -> None:
         # no consumer has to know which artifact it is reading
         "queries_stat": "median",
         "queries_min": mins,
+        "queries_cold": cold,
+        "cold_runs_per_query": cold_runs,
         "spread": spread,
         "contaminated_seats": contaminated,
         "calibration_sec": calibration,
@@ -254,8 +337,10 @@ def main() -> None:
         "calibration_mt_end_sec": calibration_mt_end,
         "calibration_pf_sec": calibration_pf,
         "calibration_pf_end_sec": calibration_pf_end,
+        "pf_retries": pf_retries,
+        "pf_degraded": pf_degraded,
         "mt_probe_swing": mt_probe_swing,
-        "regime_identified": mt_probe_swing < 1.2,
+        "regime_identified": mt_probe_swing < 1.2 and not pf_degraded,
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -278,6 +363,7 @@ def main() -> None:
         "contaminated_seats": contaminated,
         "mt_probe_swing": mt_probe_swing,
         "regime_identified": result["regime_identified"],
+        "pf_degraded": pf_degraded,
         "calibration_pf_sec": calibration_pf,
         "sf": result["sf"],
         "full_artifact": "BENCH_latest.full.json",

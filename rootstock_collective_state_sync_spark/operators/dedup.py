@@ -1092,6 +1092,18 @@ def ngram_novelty(
     (id, h) row is annotated with its group min in place, so even
     duplicate hash rows keep the join form's multiplicity. Text
     never rides the gram shuffle, only hashes do.
+
+    Hot-key caveat (r17 advice): WindowExec buffers each hash
+    partition whole (spillable, but one task), so a pathologically
+    hot gram — stop-word shingles at corpus scale — becomes one
+    straggler with a giant spilling buffer, where the removed SMJ
+    form streamed the probe side under the same shuffle skew. The
+    escape hatch if a skewed corpus hits it: a salted two-level min
+    (partial ``min(id)`` per (h, salt) bucket, then min-of-mins over
+    the tiny per-hash bucket set — broadcast-joinable because only
+    the HOT keys need the second level). Not applied here: the
+    window rides one fixed-width hash shuffle and the two-level form
+    costs a second aggregate on every corpus, hot or not.
     """
     from pyspark.sql import Window
 

@@ -214,21 +214,43 @@ def kmv_distinct(
     2^60 space are part of the sketch's error, like any production
     KMV).
 
-    Scale shape: the hash table is DISTINCT-VALUES-sized (vocabulary,
-    not corpus); the rank-k selection is one window over that table,
-    partitioned by group. At 100 TB the corpus collapses to its
-    vocabulary in the first map-side-combined distinct, and only
-    8-byte hashes shuffle.
+    Scale shape (r18 rework, guide §2.4/§5/§2.5): ONE corpus-sized
+    distinct on (group, value) — eagerly pinned because BOTH output
+    columns derive from it — feeds (a) the exact count (a map-side-
+    combined count over the vocabulary) and (b) the hash chain, which
+    now truncates through the two-level skew-safe
+    :func:`kmv_bottom_k` BEFORE :func:`kmv_estimate` ranks anything —
+    the former shape ranked each group's ENTIRE distinct-hash
+    universe in one window partition per group (the per-group-global
+    sort pathology kmv_bottom_k exists to avoid) and paid the corpus
+    twice (countDistinct expansion + hash distinct). Value-identical:
+    ``kmv_estimate`` on the bottom-k table returns the same
+    ``kmv_est`` (when the k-th hash exists it is the same k-th
+    smallest; when a group holds < k hashes the sketch is the full
+    set and the count branch sees every hash), hash dedup inside the
+    sub-bucket window ≡ distinct (md5 collisions between distinct
+    values stay collapsed, exactly as before), and ``n_exact`` counts
+    the same distinct (group, value) pairs.
     """
     from pyspark.sql import functions as F
 
-    h = kmv_hashes(df, group_col, value_col)
-    exact = (
-        df.groupBy(F.col(group_col).alias("grp"))
-        .agg(F.countDistinct(F.col(value_col)).cast("long").alias("n_exact"))
+    from rootstock_collective_state_sync_spark.caching import tracked_persist
+
+    dv = tracked_persist(
+        df.select(
+            F.col(group_col).alias("grp"), F.col(value_col).alias("_v")
+        ).distinct()
+    )
+    h = kmv_hashes(dv, "grp", "_v", distinct=False)
+    # count(_v), not count(*): countDistinct skipped NULL values, so a
+    # group's one surviving (grp, NULL) dv row must not count here
+    # (it DOES still ride the hash chain — the old distinct hash
+    # table kept the null hash too, ranked first)
+    exact = dv.groupBy("grp").agg(
+        F.count(F.col("_v")).cast("long").alias("n_exact")
     )
     return (
-        exact.join(kmv_estimate(h, k), "grp")
+        exact.join(kmv_estimate(kmv_bottom_k(h, k, dedup=True), k), "grp")
         .select(
             F.col("grp").alias(group_col),
             "n_exact",
@@ -273,13 +295,18 @@ def hll_distinct(
       empty registers) uses the repo's ``round(ln·1e6)`` fixed-point
       convention for linear counting.
 
-    Scale shape: identical to :func:`kmv_distinct` — the corpus
-    collapses to distinct (group, hash) in the first map-side-
-    combined distinct; register state is m rows per group.
+    Scale shape (r18, guide §2.3/§2.4): the register aggregate
+    ``max(rho) over (group, j)`` absorbs duplicate hashes by itself
+    (max over a multiset ≡ max over its set; a null hash collapses to
+    the one (group, null-j) key either way), so the former upstream
+    ``.distinct()`` was a second corpus-sized exchange buying
+    nothing — the raw hash stream now feeds the register aggregate
+    directly, whose map-side combine collapses each task's output to
+    ≤ m=256 register rows per group before the one exchange.
     """
     from pyspark.sql import functions as F
 
-    h = kmv_hashes(df, group_col, value_col)
+    h = kmv_hashes(df, group_col, value_col, distinct=False)
     b = h.select(
         "grp",
         F.expr("h div 4503599627370496").cast("int").alias("j"),  # 2^52
@@ -337,20 +364,31 @@ def hll_distinct(
     )
 
 
-def kmv_hashes(df: DataFrame, group_col: str, value_col: str) -> "DataFrame":
-    """Distinct deterministic 60-bit md5 hashes per group,
-    ``(grp, h)`` — the mergeable raw material of the KMV sketch."""
+def kmv_hashes(
+    df: DataFrame, group_col: str, value_col: str, distinct: bool = True
+) -> "DataFrame":
+    """Deterministic 60-bit md5 hashes per group, ``(grp, h)`` — the
+    mergeable raw material of the KMV sketch. ``distinct=True``
+    (default, the historical shape) dedups to the distinct hash set —
+    a corpus-sized exchange with map-side combine. ``distinct=False``
+    emits the raw hash stream for consumers that dedup inside their
+    own shuffle (``kmv_bottom_k(dedup=True)`` — r18, guide §2.4: the
+    dedup rides the sub-bucket window's exchange instead of paying
+    its own)."""
     from pyspark.sql import functions as F
 
-    return df.select(
+    out = df.select(
         F.col(group_col).alias("grp"),
         F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
         .cast("long")
         .alias("h"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
-def kmv_bottom_k(h: DataFrame, k: int, salt: int = 64) -> "DataFrame":
+def kmv_bottom_k(
+    h: DataFrame, k: int, salt: int = 64, dedup: bool = False
+) -> "DataFrame":
     """Truncate a ``(grp, h)`` hash table to each group's k smallest —
     the bounded mergeable sketch state. Union-then-truncate of any two
     bottom-k tables equals the bottom-k of the union (the KMV merge
@@ -364,15 +402,46 @@ def kmv_bottom_k(h: DataFrame, k: int, salt: int = 64) -> "DataFrame":
     same KMV merge law makes this lossless: the group's true bottom-k
     is a subset of the union of its sub-bucket bottom-k's); level 2
     ranks the ≤ salt·k survivors per group — bounded, so ITS window
-    partition is control-plane-sized at any corpus scale."""
+    partition is control-plane-sized at any corpus scale.
+
+    ``dedup=True`` (r18, guide §2.4) accepts a NON-distinct hash
+    stream and dedups inside the level-1 window itself —
+    ``dense_rank`` ranks distinct hash VALUES and a ``lag`` filter
+    keeps one row per value, both expressions riding the one
+    (grp, sub-bucket) window — so the producer can skip its own
+    ``.distinct()`` and its corpus-sized exchange: bottom-k of the
+    multiset's distinct values ≡ distinct bottom-k (duplicates never
+    change which k values are smallest). Trade-off vs the distinct
+    form: the window's exchange ships the RAW stream (no map-side
+    combine), and each (grp, sub-bucket) sort buffers a corpus share
+    /(groups·salt) — size ``salt`` up with the corpus (it is a free
+    dial: any salt gives the same output) where the dup factor is
+    low; keep the distinct producer where rows dedup heavily inside
+    map partitions."""
     from pyspark.sql import Window, functions as F
 
     w1 = Window.partitionBy("grp", "_sl").orderBy("h")
-    cand = (
-        h.withColumn("_sl", F.pmod(F.col("h"), F.lit(int(salt))))
-        .select("grp", "_sl", "h", F.row_number().over(w1).alias("rn"))
-        .filter(F.col("rn") <= k)
-    )
+    hh = h.withColumn("_sl", F.pmod(F.col("h"), F.lit(int(salt))))
+    if dedup:
+        # first-of-run filter is NULL-SAFE: a null h (null value_col)
+        # is one distinct value in the set form, so exactly one null
+        # row may survive — `_prev.isNull()` alone would keep every
+        # row of a null run (lag of a null h is null too)
+        cand = hh.select(
+            "grp",
+            "_sl",
+            "h",
+            F.dense_rank().over(w1).alias("rn"),
+            F.lag("h").over(w1).alias("_prev"),
+            F.row_number().over(w1).alias("_pos"),
+        ).filter(
+            (F.col("rn") <= k)
+            & ((F.col("_pos") == 1) | ~F.col("_prev").eqNullSafe(F.col("h")))
+        )
+    else:
+        cand = hh.select(
+            "grp", "_sl", "h", F.row_number().over(w1).alias("rn")
+        ).filter(F.col("rn") <= k)
     w = Window.partitionBy("grp").orderBy("h")
     return (
         cand.select("grp", "h", F.row_number().over(w).alias("rn"))
@@ -442,9 +511,12 @@ def kmv_overlap(
     100 TB deployment drops — which is why the sketch-only shape is
     the DEFAULT (measured: the audit join is >80% of wall time once
     the value universe is corpus-sized, e.g. shingles; the
-    sketch-only path's single data-sized term is the one
-    distinct-hash scan). ``include_exact=True`` is the explicit
-    opt-in for the audit.
+    sketch-only path's single data-sized term is ONE raw-hash pass
+    through the bottom-k sub-bucket window — r18: the dedup rides
+    that window and the group spine comes from the persisted sketch,
+    so neither a separate distinct exchange nor a second corpus scan
+    remains). ``include_exact=True`` is the explicit opt-in for the
+    audit.
     """
     from pyspark.sql import Window, functions as F
 
@@ -452,17 +524,41 @@ def kmv_overlap(
         tracked_persist,
     )
 
-    h = kmv_hashes(df, group_col, value_col)
-    # persisted (eager): BOTH pair-tagging joins below consume the
-    # bottom-k sketch table — unpersisted, each join side re-ran the
-    # whole shingle→md5→distinct→bottom-k chain (the corpus-sized
-    # stage of this operator) from scratch. The sketch table itself is
-    # #groups × k rows — the cheapest possible thing to pin.
-    bk = tracked_persist(kmv_bottom_k(h, k))
+    if include_exact:
+        # the audit shape consumes the distinct-hash table FOUR ways
+        # (sketch, per-group counts, both sides of the exact
+        # intersection self-join) — pin it once (vocabulary-sized;
+        # the audit is the run-on-a-sample opt-in) so the corpus
+        # chain runs once, not once per consumer (r18, guide §5).
+        h = tracked_persist(kmv_hashes(df, group_col, value_col))
+        bk = tracked_persist(kmv_bottom_k(h, k))
+    else:
+        # production shape: the raw hash stream dedups INSIDE the
+        # bottom-k sub-bucket window (r18, guide §2.4) — one
+        # corpus-sized exchange total, where the distinct-then-window
+        # form paid two ((grp,h) aggregate + (grp,_sl) window).
+        # persisted (eager): BOTH pair-tagging joins below consume
+        # the bottom-k sketch table — unpersisted, each join side
+        # re-ran the whole shingle→md5→bottom-k chain (the
+        # corpus-sized stage of this operator) from scratch. The
+        # sketch table itself is #groups × k rows — the cheapest
+        # possible thing to pin.
+        bk = tracked_persist(
+            kmv_bottom_k(
+                kmv_hashes(df, group_col, value_col, distinct=False),
+                k,
+                dedup=True,
+            )
+        )
 
-    # group spine straight from the input (no dependence on the
-    # corpus-sized distinct-hash table): same group set by definition
-    g = df.select(F.col(group_col).alias("grp")).distinct()
+    # group spine from the persisted k-bounded sketch (r18, guide
+    # §2.4): every group with >= 1 input row keeps >= 1 bottom-k row
+    # (even a null hash survives as one row), so this is EXACTLY the
+    # input's distinct group set — the former
+    # ``df.select(group).distinct()`` spine re-ran the whole
+    # corpus-sized shingle chain a second time just to list the
+    # groups.
+    g = bk.select("grp").distinct()
     pairs = (
         g.select(F.col("grp").alias("grp_a"))
         .join(g.select(F.col("grp").alias("grp_b")), F.col("grp_a") < F.col("grp_b"))

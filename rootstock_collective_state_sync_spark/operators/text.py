@@ -1616,7 +1616,10 @@ def cdc_dup_stats(
     operator and a hash-keyed join that grows with the corpus), then
     the per-doc rollup map-side combines. Exactly row-equivalent to
     the join form: every chunk row is annotated with its group min
-    in place.
+    in place. Hot-key caveat and its salted-two-level-min escape
+    hatch: see :func:`..dedup.ngram_novelty` (same rewrite, same
+    WindowExec whole-partition buffering if one chunk hash goes
+    corpus-hot).
 
     Returns per doc: ``(id, n_chunks, n_dup_chunks, dup_chars,
     total_chars, dup_char_ratio)`` (ratio 6 dp; docs shorter than one
