@@ -295,14 +295,18 @@ def hll_distinct(
       empty registers) uses the repo's ``round(ln·1e6)`` fixed-point
       convention for linear counting.
 
-    Scale shape (r18, guide §2.3/§2.4): the register aggregate
-    ``max(rho) over (group, j)`` absorbs duplicate hashes by itself
-    (max over a multiset ≡ max over its set; a null hash collapses to
-    the one (group, null-j) key either way), so the former upstream
-    ``.distinct()`` was a second corpus-sized exchange buying
-    nothing — the raw hash stream now feeds the register aggregate
-    directly, whose map-side combine collapses each task's output to
-    ≤ m=256 register rows per group before the one exchange.
+    Scale shape: the register aggregate ``max(rho) over (group, j)``
+    absorbs duplicate hashes by itself (max over a multiset ≡ max
+    over its set; a null hash collapses to the one (group, null-j)
+    key either way), and its map-side combine collapses each task's
+    output to ≤ m=256 register rows per group before the one
+    exchange. r18 note: the upstream ``.distinct()`` is dropped at
+    the SOURCE now — the physical plan is byte-identical
+    (``plans/r18/hll_distinct_tokens_{before,after}.txt``: Catalyst's
+    RemoveRedundantAggregates already eliminated the dedup below the
+    distinct-insensitive max), so this is a logical-plan/readability
+    change only, kept so the intent is visible without relying on
+    the optimizer rule.
     """
     from pyspark.sql import functions as F
 
@@ -405,38 +409,36 @@ def kmv_bottom_k(
     partition is control-plane-sized at any corpus scale.
 
     ``dedup=True`` (r18, guide §2.4) accepts a NON-distinct hash
-    stream and dedups inside the level-1 window itself —
-    ``dense_rank`` ranks distinct hash VALUES and a ``lag`` filter
-    keeps one row per value, both expressions riding the one
-    (grp, sub-bucket) window — so the producer can skip its own
-    ``.distinct()`` and its corpus-sized exchange: bottom-k of the
-    multiset's distinct values ≡ distinct bottom-k (duplicates never
-    change which k values are smallest). Trade-off vs the distinct
-    form: the window's exchange ships the RAW stream (no map-side
-    combine), and each (grp, sub-bucket) sort buffers a corpus share
-    /(groups·salt) — size ``salt`` up with the corpus (it is a free
-    dial: any salt gives the same output) where the dup factor is
-    low; keep the distinct producer where rows dedup heavily inside
-    map partitions."""
+    stream, so the producer can skip its own ``.distinct()`` and its
+    corpus-sized exchange: level 1 filters on a LONE ``dense_rank``
+    (ranks distinct hash VALUES, so bottom-k of the multiset's
+    distinct values ≡ distinct bottom-k — duplicates never change
+    which k values are smallest), then a ``.distinct()`` over the
+    bounded survivor set (≤ groups·salt·k values plus their local
+    duplicates) collapses the remaining dups before level 2. The
+    window deliberately carries NOTHING but the one dense_rank:
+    Spark's rank-limit pushdown (WindowGroupLimit) then inserts a
+    PARTIAL group limit below the exchange — each map task pre-prunes
+    to its local bottom-k per (grp, sub-bucket) before anything
+    shuffles — which a companion lag/row_number expression in the
+    same window would disable, putting the whole raw stream on the
+    wire. With the partial limit, the one corpus-sized term is a
+    map-local sort; shuffle bytes stay survivor-sized at any scale,
+    like the map-side combine the removed distinct used to provide."""
     from pyspark.sql import Window, functions as F
 
     w1 = Window.partitionBy("grp", "_sl").orderBy("h")
     hh = h.withColumn("_sl", F.pmod(F.col("h"), F.lit(int(salt))))
     if dedup:
-        # first-of-run filter is NULL-SAFE: a null h (null value_col)
-        # is one distinct value in the set form, so exactly one null
-        # row may survive — `_prev.isNull()` alone would keep every
-        # row of a null run (lag of a null h is null too)
-        cand = hh.select(
-            "grp",
-            "_sl",
-            "h",
-            F.dense_rank().over(w1).alias("rn"),
-            F.lag("h").over(w1).alias("_prev"),
-            F.row_number().over(w1).alias("_pos"),
-        ).filter(
-            (F.col("rn") <= k)
-            & ((F.col("_pos") == 1) | ~F.col("_prev").eqNullSafe(F.col("h")))
+        # the k smallest DISTINCT values per sub-bucket, then collapse
+        # their local duplicates — already exactly the level-1 result
+        cand = (
+            hh.select(
+                "grp", "_sl", "h", F.dense_rank().over(w1).alias("rn")
+            )
+            .filter(F.col("rn") <= k)
+            .select("grp", "h")
+            .distinct()
         )
     else:
         cand = hh.select(

@@ -1,11 +1,13 @@
 """Dump .explain("formatted") for named registry queries to
-plans/r17/<query>_<suffix>.txt — the optimization round's
-before/after plan evidence (guide §1).
+plans/<round>/<query>_<suffix>.txt — the optimization round's
+before/after plan evidence (guide §1). The round directory defaults
+to r18; override with $SPARK_GRAFT_PLANS_ROUND.
 
 Usage: python tools/dump_plans.py <suffix> <query> [<query> ...]
 """
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -28,7 +30,8 @@ def main() -> None:
             "spark.sql.adaptive.enabled": "false",
         },
     )
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r17"
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
     with plan_only_builds():
         for n in names:
