@@ -1377,17 +1377,21 @@ def anderson_darling_k(
     values). ``value_col`` must be integer-typed (fixed-point
     policy); NULLs are dropped (the shared rank-test policy).
 
-    Scale shape: the k×L dense grid rides WIDE — one L-row table with
-    a count column per group (k is bounded, the Kruskal contract), so
-    every per-group cumulative and the joint cumulative come out of
-    ONE multi-column distributed prefix-sum pass (one boundary probe,
-    one window tower) instead of a k×L-row grid join plus two chained
-    towers; all k per-value terms are evaluated in-row and partially
-    summed before the final scalar aggregate. The distinct group list
-    and the per-group totals are bounded control-plane collects (k
-    rows), like the engine's other sketch/centroid pulls. Zero-count
-    (g, v) cells still carry their ``N·M2`` term — the wide row
-    evaluates every group at every value by construction.
+    Scale shape (r18): ONE corpus-sized aggregation per run — the
+    long-form per-(value, group) count table, pinned — feeds (a) one
+    bounded control-plane collect (k rows) carrying the group list,
+    per-group totals, AND the prefix-sum boundaries (per-group
+    quantiles merged client-side; any monotone boundary set yields
+    exact prefix sums), and (b) the vocabulary-sized pivot to the
+    wide L-row grid with a count column per group (k is bounded, the
+    Kruskal contract). Every per-group cumulative and the joint
+    cumulative come out of ONE multi-column distributed prefix-sum
+    pass; all k per-value terms are evaluated in-row and partially
+    summed before the final scalar aggregate, which also carries
+    ``n_vals`` — two driver actions per run in total (the r17 shape
+    paid three, and aggregated the corpus twice). Zero-count (g, v)
+    cells still carry their ``N·M2`` term — the wide row evaluates
+    every group at every value by construction.
     """
     from functools import reduce
 
@@ -1408,17 +1412,48 @@ def anderson_darling_k(
     x = df.select(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).filter(F.col("v").isNotNull())
-    # bounded control-plane pull (k rows): the distinct group list AND
-    # the per-group totals in ONE action (r17 — the totals previously
-    # cost a second corpus aggregation via a dedicated .first() on the
-    # wide table). Sorted for a deterministic column order; None
-    # sorts first.
-    gstats = {
-        r["g"]: int(r["c"])
-        for r in x.groupBy("g")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # ONE corpus-sized aggregation per run (r18, guide §2.3/§5.2):
+    # the long-form per-(value, group) count table — buildable WITHOUT
+    # knowing the group list, unlike the wide grid — is pinned
+    # (lazily: the stats collect below is its single first consumer
+    # and fills the cache in that pass), and everything downstream
+    # derives from it at vocabulary scale. The r17 shape aggregated
+    # the corpus TWICE (the group-stats collect, then the wide-grid
+    # fill) and ran a THIRD driver action for the boundary probe.
+    # repartition("v") BEFORE the aggregate: HashPartitioning(v)
+    # satisfies clustering on (v, g) — the aggregate runs in-partition
+    # with no second exchange — AND the cached table keeps the v
+    # partitioning, so the wide pivot below (groupBy(v), consumed
+    # twice by the prefix-sum tower) runs exchange-free on the cache.
+    # One corpus-sized exchange per run, total.
+    pv = tracked_persist(
+        x.repartition("v")
+        .groupBy("v", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("_f")),
+        eager=False,
+    )
+    # bounded control-plane pull (k rows) carrying EVERYTHING the
+    # driver needs in one action: group list, per-group row totals,
+    # per-group distinct-value counts, and per-group value quantiles
+    # (the prefix-sum boundaries fused in — any monotone boundary set
+    # yields exact prefix sums, the module invariant, so a client-side
+    # merge of per-group quantiles is as correct as the old global
+    # probe; only bucket balance could differ). Sorted for a
+    # deterministic column order; None sorts first.
+    stats = (
+        pv.groupBy("g")
+        .agg(
+            F.sum("_f").cast("long").alias("c"),
+            F.count(F.lit(1)).cast("long").alias("nv"),
+            F.percentile_approx(
+                F.col("v").cast("double"),
+                [i / NUM_RANGE_BUCKETS for i in range(1, NUM_RANGE_BUCKETS)],
+                1000,
+            ).alias("bs"),
+        )
         .collect()
-    }
+    )
+    gstats = {r["g"]: int(r["c"]) for r in stats}
     groups = sorted(gstats, key=lambda gv: (gv is not None, gv))
     kk = len(groups)
     spark = df.sparkSession
@@ -1427,58 +1462,60 @@ def anderson_darling_k(
             [(None, 0, 0, None)],
             "n long, k long, n_vals long, a2_e6 long",
         )
-    # persisted: the fused boundary/n_vals probe and the main
-    # aggregate both consume this one L-row table. eager=False: the
-    # probe .head() below is the first consumer and fills the cache
-    # in that same pass — an eager count here would run the
-    # corpus-sized aggregation twice.
-    wide = tracked_persist(
-        x.groupBy("v").agg(
-            *[
-                F.sum(
-                    F.when(
-                        F.col("g").isNull()
-                        if gi is None
-                        else (F.col("g") == F.lit(gi)),
-                        1,
-                    ).otherwise(0)
-                )
-                .cast("long")
-                .alias(f"_f{i}")
-                for i, gi in enumerate(groups)
-            ],
-            F.count(F.lit(1)).cast("long").alias("l"),
-        ),
-        eager=False,
+    # weighted merge of the per-group quantile points into one global
+    # monotone boundary list: each group's points carry its
+    # distinct-value count as weight, so the merged boundaries
+    # approximate the quantiles of the distinct-value domain — the
+    # row domain the prefix-sum windows actually partition.
+    pts: list[tuple[float, float]] = []
+    for r in stats:
+        bs = [b for b in (r["bs"] or []) if b is not None]
+        if bs:
+            w = max(int(r["nv"]), 1) / len(bs)
+            pts.extend((float(b), w) for b in bs)
+    pts.sort()
+    tot = sum(w for _, w in pts)
+    uniq: list[float] = []
+    if pts and tot > 0:
+        acc, ti = 0.0, 1
+        targets = [
+            i * tot / NUM_RANGE_BUCKETS
+            for i in range(1, NUM_RANGE_BUCKETS)
+        ]
+        for val, w in pts:
+            acc += w
+            while ti <= len(targets) and acc >= targets[ti - 1]:
+                if not uniq or val > uniq[-1]:
+                    uniq.append(val)
+                ti += 1
+    # the wide k-column grid now pivots from the CACHED per-(v,g)
+    # table (vocabulary-sized), not from the corpus
+    wide = pv.groupBy("v").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("g").isNull()
+                    if gi is None
+                    else (F.col("g") == F.lit(gi)),
+                    F.col("_f"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"_f{i}")
+            for i, gi in enumerate(groups)
+        ],
+        F.sum("_f").cast("long").alias("l"),
     )
     ni = [gstats[gi] for gi in groups]
     n = sum(ni)
-    # ONE probe action carries the prefix-sum bucket boundaries AND
-    # n_vals (r17): the same percentile_approx the generic
-    # _prefix_boundaries numeric path would run, with count(*)
-    # riding the aggregate — one action instead of two, and it is
-    # the cache-filling first consumer of `wide`. Any monotone
-    # boundary set yields exact prefix sums (the module invariant),
-    # and these ARE the generic path's boundaries.
-    probe = wide.agg(
-        F.percentile_approx(
-            F.col("v").cast("double"),
-            [i / NUM_RANGE_BUCKETS for i in range(1, NUM_RANGE_BUCKETS)],
-            1000,
-        ).alias("b"),
-        F.count(F.lit(1)).cast("long").alias("nv"),
-    ).head()
-    n_vals = int(probe["nv"])
-    uniq: list[float] = []
-    for b in probe["b"] or []:
-        if b is not None and (not uniq or b > uniq[-1]):
-            uniq.append(float(b))
-    cums = _distributed_prefix_sum(
+    cums = _prefix_sum_with_boundaries(
         wide,
         "v",
         [*(f"_f{i}" for i in range(kk)), "l"],
         [*(f"_o{i}" for i in range(kk)), "offl"],
-        boundaries=(uniq, True),
+        [],
+        uniq,
+        cast_double=True,
     )
     b2 = (F.lit(2) * F.col("offl") + F.col("l")).alias("b2")
     den = (
@@ -1509,11 +1546,17 @@ def anderson_darling_k(
             ).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
 
+    # n_vals (the distinct-value count) rides the final aggregate —
+    # `row` holds exactly one row per distinct value — instead of the
+    # removed probe action
     s = row.select(
         reduce(lambda a, b: a + b, [_term(i) for i in range(kk)]).alias(
             "t_e9"
         )
-    ).agg(F.sum("t_e9").cast("long").alias("s_e9"))
+    ).agg(
+        F.sum("t_e9").cast("long").alias("s_e9"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
     a2 = (
         F.lit(n - 1).cast("double")
         / F.lit(n).cast("double")
@@ -1522,13 +1565,16 @@ def anderson_darling_k(
     return s.select(
         F.lit(n).cast("long").alias("n"),
         F.lit(kk).cast("long").alias("k"),
-        F.lit(n_vals).cast("long").alias("n_vals"),
+        F.col("nv").alias("n_vals"),
         (
-            F.round(a2 * 1e6, 0).cast("long")
-            if (kk > 1 and n_vals > 1)
-            else F.lit(None).cast("long")
+            F.when(
+                (F.lit(kk) > 1) & (F.col("nv") > 1),
+                F.round(a2 * 1e6, 0).cast("long"),
+            )
+            if kk > 1
+            else F.lit(None).cast("long")  # degenerate: k < 2
         ).alias("a2_e6"),
-    )
+    )  # when() without otherwise yields NULL long for n_vals <= 1
 
 
 def spearman_rho(

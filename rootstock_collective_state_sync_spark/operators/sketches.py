@@ -214,43 +214,30 @@ def kmv_distinct(
     2^60 space are part of the sketch's error, like any production
     KMV).
 
-    Scale shape (r18 rework, guide §2.4/§5/§2.5): ONE corpus-sized
-    distinct on (group, value) — eagerly pinned because BOTH output
-    columns derive from it — feeds (a) the exact count (a map-side-
-    combined count over the vocabulary) and (b) the hash chain, which
-    now truncates through the two-level skew-safe
-    :func:`kmv_bottom_k` BEFORE :func:`kmv_estimate` ranks anything —
-    the former shape ranked each group's ENTIRE distinct-hash
-    universe in one window partition per group (the per-group-global
-    sort pathology kmv_bottom_k exists to avoid) and paid the corpus
-    twice (countDistinct expansion + hash distinct). Value-identical:
-    ``kmv_estimate`` on the bottom-k table returns the same
-    ``kmv_est`` (when the k-th hash exists it is the same k-th
-    smallest; when a group holds < k hashes the sketch is the full
-    set and the count branch sees every hash), hash dedup inside the
-    sub-bucket window ≡ distinct (md5 collisions between distinct
-    values stay collapsed, exactly as before), and ``n_exact`` counts
-    the same distinct (group, value) pairs.
+    Scale shape: the hash table is DISTINCT-VALUES-sized (vocabulary,
+    not corpus); the rank-k selection is one window over that table,
+    partitioned by group. At 100 TB the corpus collapses to its
+    vocabulary in the first map-side-combined distinct, and only
+    8-byte hashes shuffle. When single groups hold corpus-share-sized
+    vocabularies, pre-truncate with the skew-safe
+    :func:`kmv_bottom_k` before :func:`kmv_estimate` — value-
+    identical by the KMV merge law (the r18 equivalence test pins
+    it). NOT pre-applied: two r18 variants (shared pinned (group,
+    value) distinct + two-level estimate; minimal bottom-k insertion
+    alone) were measured AGAINST this shape with interleaved A/Bs and
+    both lost 0.1-0.5 s/run at sf0.1 — the extra window/exchange
+    stages cost more than the per-group-global sort here, where the
+    per-group window partitions are vocabulary-sized and k is tiny.
     """
     from pyspark.sql import functions as F
 
-    from rootstock_collective_state_sync_spark.caching import tracked_persist
-
-    dv = tracked_persist(
-        df.select(
-            F.col(group_col).alias("grp"), F.col(value_col).alias("_v")
-        ).distinct()
-    )
-    h = kmv_hashes(dv, "grp", "_v", distinct=False)
-    # count(_v), not count(*): countDistinct skipped NULL values, so a
-    # group's one surviving (grp, NULL) dv row must not count here
-    # (it DOES still ride the hash chain — the old distinct hash
-    # table kept the null hash too, ranked first)
-    exact = dv.groupBy("grp").agg(
-        F.count(F.col("_v")).cast("long").alias("n_exact")
+    h = kmv_hashes(df, group_col, value_col)
+    exact = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.countDistinct(F.col(value_col)).cast("long").alias("n_exact"))
     )
     return (
-        exact.join(kmv_estimate(kmv_bottom_k(h, k, dedup=True), k), "grp")
+        exact.join(kmv_estimate(h, k), "grp")
         .select(
             F.col("grp").alias(group_col),
             "n_exact",

@@ -1674,7 +1674,20 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _assortativity_over(e: DataFrame) -> DataFrame:
     """The degree-mixing census over an explicit symmetric edge set —
     shared by the rebuild query above and the edge-store twin
-    (`q_assortativity_from_edges`)."""
+    (`q_assortativity_from_edges`).
+
+    The edge set is pinned first (r18, guide §5/§2.4): the census
+    references it FOUR ways (degree count, both endpoint joins, the
+    node spine), so un-pinned the r17 physical plan held the entire
+    celled-kNN build 4x (4 FlatMapGroupsInPandas / 38 Exchange / 525
+    plan lines for a one-row output) and the optimizer chewed all
+    four copies on every run — the dominant term of the rebuild
+    canary was driver planning, not execution. With the
+    InMemoryRelation substituted the consumers are leaf-sized; edges
+    are two longs per row, the cheapest frame in the query to hold."""
+    from rootstock_collective_state_sync_spark.caching import tracked_persist
+
+    e = tracked_persist(e)
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
