@@ -310,10 +310,16 @@ def kcore_bounded(
     all_nodes = edges.select(F.col("src").alias("id")).distinct()
     e = edges
     for r in range(rounds):
-        # cut every other round: one lazy segment spans 2 rounds
-        # (plan grows 9x per segment — still O(1)), halving the
-        # checkpoint materializations
-        if r % 2 == 0:
+        # cut every THIRD round (r18, guide §5): one lazy segment
+        # spans 3 rounds (plan grows 27x per segment — still O(1)
+        # depth), so 6 rounds pay 2 checkpoint materializations
+        # instead of 3. Cadences {0,2,4} / {0,3} / {0} / {2,4} / {2}
+        # were A/B'd value-identical at sf0.1: every-3rd won both
+        # interleaved rounds (0.63/0.82 vs the old cadence's
+        # 0.78/0.94 s); a single start-only checkpoint loses 2x —
+        # Catalyst time on the 3^6 tail segment dominates — so the
+        # cadence stays bounded, just one notch coarser.
+        if r % 3 == 0:
             e = e.localCheckpoint(eager=True)
         deg = e.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("d")

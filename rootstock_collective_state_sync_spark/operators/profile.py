@@ -1489,22 +1489,30 @@ def anderson_darling_k(
                     uniq.append(val)
                 ti += 1
     # the wide k-column grid now pivots from the CACHED per-(v,g)
-    # table (vocabulary-sized), not from the corpus
-    wide = pv.groupBy("v").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col("g").isNull()
-                    if gi is None
-                    else (F.col("g") == F.lit(gi)),
-                    F.col("_f"),
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias(f"_f{i}")
-            for i, gi in enumerate(groups)
-        ],
-        F.sum("_f").cast("long").alias("l"),
+    # table (vocabulary-sized), not from the corpus. It is pinned too
+    # (lazily — no extra action; the prefix-sum tower consumes it
+    # from two subtrees of ONE action and the cache's per-partition
+    # locking makes the first action compute each partition once):
+    # unpinned, both subtrees re-ran the L-row pivot, which the sf1
+    # leg measured as a ~0.8 s regression at 10x vocabulary.
+    wide = tracked_persist(
+        pv.groupBy("v").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("g").isNull()
+                        if gi is None
+                        else (F.col("g") == F.lit(gi)),
+                        F.col("_f"),
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"_f{i}")
+                for i, gi in enumerate(groups)
+            ],
+            F.sum("_f").cast("long").alias("l"),
+        ),
+        eager=False,
     )
     ni = [gstats[gi] for gi in groups]
     n = sum(ni)

@@ -1001,67 +1001,86 @@ SPECS: dict[str, QuerySpec] = {
 # Rotated out but ever-green: the r07 window's remaining entries — all
 # still locally gated every pytest run.
 _DRIVER_WINDOW = [
-    # r17 rotation (tools/window_planner.py policy, base beb87c0):
-    # (a) semantically/executionally changed this round — re-earn
-    #     rows: assoc_rules + dedup_funnel + label_propagation
-    #     (eager-persist site audit switched their shared frames to
-    #     lazy), embedding_gram (triangle kernel rewrite),
-    #     export_manifest (manifest now records num_shards)
-    "assoc_rules",
-    "dedup_funnel",
-    "label_propagation",
-    "embedding_gram",
-    "export_manifest",
-    # (b) the ENTIRE r11-evidence cohort (35 queries — the oldest
-    #     driver evidence anywhere; r16 verdict item 7 asked for
-    #     >= 30, this clears the debt in one window)
-    "anti_join",
-    "approx_distinct",
-    "approx_distinct_kmv",
-    "approx_quantiles",
-    "approx_quantiles_sampled",
-    "cube_counts",
-    "distinct_set",
-    "dow_seasonality",
-    "enum_label",
-    "event_type_correlation",
-    "events_json_stats",
-    "grouping_sets",
-    "interarrival_stats",
+    # r18 rotation (tools/window_planner.py policy; r17 verdict
+    # items 1 + 10):
+    # (a) 28 changed-since-their-last-driver-row queries,
+    #     FRONT-LOADED — the r17 physical rewrites that landed AFTER
+    #     the mid-r17 rotation (anderson_darling wide grid,
+    #     kaplan_meier single scan, ngram_novelty/cdc_dup_stats
+    #     window-min, the celled-kNN block kernel and every
+    #     *_from_edges twin whose store replays it, the local_df
+    #     Arrow control-plane frames across the PQ/IVF/BPE/CM/MG/BM25
+    #     surfaces) plus everything r18 itself touched (the KMV
+    #     overlap chain, the kcore checkpoint cadence, the pinned
+    #     assortativity census; kmv_distinct_tokens/approx_distinct_
+    #     kmv/hll_distinct_tokens ride along although their final
+    #     plans are byte-identical — cheap certainty).
+    "anderson_darling_priority",
+    "kaplan_meier",
+    "ngram_novelty",
+    "cdc_dup_stats",
+    "graph_assortativity",
+    "kcore_celled",
+    "kcore_from_edges",
+    "assortativity_from_edges",
+    "pagerank_from_edges",
+    "triangles_from_edges",
+    "label_prop_from_edges",
+    "hard_negatives_celled",
     "kmv_overlap",
     "kmv_overlap_audit",
-    "knn_triangles_celled",
-    "label_propagation_celled",
-    "median_value_per_type",
-    "min_cost_per_part",
-    "pivot_status_by_priority",
-    "q12_priority_by_status",
-    "q16_supplier_variety",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q7_volume_by_year",
-    "q8_market_share",
-    "range_join",
-    "rollup_status_priority",
-    "running_user_value",
-    "semi_join",
-    "similarity_pagerank_celled",
-    "topk_per_group",
-    "union_distinct",
-    "unpivot_measures",
-    # (c) 10 oldest-r12 anchors (the next-oldest cohort starts
-    #     rotating next round)
-    "ann_lsh_topk",
-    "audio_trim_silence",
-    "benford_audit",
-    "bloom_pruned_join",
-    "ccnet_buckets",
-    "chi_square_cells",
-    "classifier_brier",
-    "cluster_exemplars",
-    "containment_pairs",
-    "dedup_minhash_lsh",
+    "kmv_distinct_tokens",
+    "hll_distinct_tokens",
+    "approx_distinct_kmv",
+    "pq_topk",
+    "ivfpq_topk",
+    "ann_ivf_topk",
+    "ann_ivf_cells",
+    "ann_cosine_topk",
+    "kcenter_coreset",
+    # (heavy_hitter_tokens — the MG-render local_df surface — is
+    # rows-only by design, so seating it would reintroduce the exact
+    # no_oracle drag this rotation removes; the full conformance tier
+    # keeps its rows-only gate. knn_triangles completes the graph
+    # census family instead.)
+    "knn_triangles",
+    "bpe_merges",
+    "bpe_fertility",
+    "count_min_tokens",
+    "bm25_topk",
+    # (b) the ENTIRE remaining r12-evidence cohort (22 queries — the
+    #     oldest driver evidence anywhere after r17 cleared r11).
+    "q2_min_cost_supplier",
+    "heavy_hitters_exact",
+    "theil_sen_slopes",
+    "token_pmi",
+    "matryoshka_recall",
+    "event_transitions",
+    "k_anonymity_generalize",
+    "hourly_anomalies",
+    "dedup_ngram_jaccard",
+    "dedup_threshold_sweep",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "doc_chunks",
+    "lm_bigram_score",
+    "source_dup_matrix",
+    "minhash_accuracy",
+    "leakage_safe_split",
+    "llm_token_count",
+    "drop_dup_spans",
+    "domain_classifier_score",
+    "image_ahash",
+    # ROTATED OUT by design (r17 verdict item 10): `approx_distinct`
+    # and `approx_quantiles` are rows-only-BY-DESIGN sketches (native
+    # HLL / Greenwald-Khanna — no engine-replayable oracle exists;
+    # their deterministic hash-checkable twins approx_distinct_kmv /
+    # approx_quantiles_sampled carry the value evidence, and unit
+    # tests pin the native pair). Keeping them in the window dragged
+    # correct_pct to 96 every round they rotated in; they stay
+    # declared, locally gated, and rows-only-verified by the full
+    # conformance tier.
 ]
 
 # (r15 window rotated out multi-round-green; all oracled queries stay
